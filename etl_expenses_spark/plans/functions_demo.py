@@ -1,0 +1,266 @@
+"""Scalar-function surface (SURVEY.md §2.9 F1-F20) as oracle-checked queries.
+
+Each query exercises a family of the reference's string/date/hash/json
+functions as pure Column expressions over the testdata tables, with a DuckDB
+twin computing the identical values. All row-level (no shuffle) — at scale
+these fuse into whatever stage scans the table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_expenses_spark.functions.dates import fix_two_digit_year, pad_time
+from etl_expenses_spark.functions.ids import payment_id
+from etl_expenses_spark.functions.money import currency_of, parse_money
+from etl_expenses_spark.plans._util import T
+from etl_expenses_spark.plans.registry import query
+
+
+@query(
+    "string_functions",
+    oracle="""
+        SELECT p_partkey,
+               UPPER(p_name) AS name_upper,
+               LOWER(p_brand) AS brand_lower,
+               LENGTH(p_name) AS name_len,
+               SPLIT_PART(p_type, ' ', 1) AS type_head,
+               CONCAT_WS('-', p_brand, p_type) AS brand_type,
+               SUBSTRING(p_name, 1, 5) AS name_prefix,
+               REPLACE(p_name, ' ', '_') AS name_snake,
+               STRPOS(p_name, 'a') AS first_a,
+               TRIM(CONCAT('  ', p_name, ' ')) AS trimmed,
+               ENDS_WITH(p_type, 'STEEL') AS is_steel
+        FROM part
+    """,
+    tags=("functions", "string"),
+)
+def string_functions(spark, sf_dir):
+    """F1-F8: split/concat/length/replace/trim/substring/locate/case/suffix."""
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").alias("name_len"),
+        F.element_at(F.split("p_type", " "), 1).alias("type_head"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.locate("a", F.col("p_name")).cast("long").alias("first_a"),
+        F.trim(F.concat(F.lit("  "), "p_name", F.lit(" "))).alias("trimmed"),
+        F.col("p_type").endswith("STEEL").alias("is_steel"),
+    )
+
+
+@query(
+    "date_functions",
+    oracle="""
+        SELECT o_orderkey,
+               YEAR(o_orderdate) AS yr,
+               MONTH(o_orderdate) AS mo,
+               DAY(o_orderdate) AS dom,
+               CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+               CAST(o_orderdate AS DATE) - 7 AS minus_7d,
+               DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_95
+        FROM orders
+    """,
+    tags=("functions", "date"),
+)
+def date_functions(spark, sf_dir):
+    """F10/F11/F13: to_date/date_trunc/date_add/date_sub/datediff — the
+    watermark and interval arithmetic family
+    (`/root/reference/extract_data_pdf/lambda_function.py:92-108`)."""
+    o = T(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.date_add(d, 30).alias("plus_30d"),
+        F.date_sub(d, 7).alias("minus_7d"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias("days_since_epoch_95"),
+    )
+
+
+@query(
+    "two_digit_year_repair",
+    oracle="""
+        WITH raw AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 2 = 0
+                        THEN CAST(DAY(o_orderdate) AS VARCHAR) || '/' ||
+                             CAST(MONTH(o_orderdate) AS VARCHAR) || '/' ||
+                             SUBSTRING(CAST(YEAR(o_orderdate) AS VARCHAR), 3, 2)
+                        ELSE CAST(DAY(o_orderdate) AS VARCHAR) || '/' ||
+                             CAST(MONTH(o_orderdate) AS VARCHAR) || '/' ||
+                             CAST(YEAR(o_orderdate) AS VARCHAR)
+                   END AS fecha_raw
+            FROM orders)
+        SELECT o_orderkey, fecha_raw,
+               CASE WHEN LENGTH(SPLIT_PART(fecha_raw, '/', 3)) = 2
+                    THEN SPLIT_PART(fecha_raw, '/', 1) || '/' ||
+                         SPLIT_PART(fecha_raw, '/', 2) || '/20' ||
+                         SPLIT_PART(fecha_raw, '/', 3)
+                    ELSE fecha_raw END AS fecha_fixed
+        FROM raw
+    """,
+    tags=("functions", "case"),
+)
+def two_digit_year_repair(spark, sf_dir):
+    """P8: the CASE WHEN LENGTH(SPLIT_PART(...))=2 year repair the reference
+    embeds in its watermark SQL
+    (`/root/reference/extract_data_pdf/lambda_function.py:56-71`). Half the
+    rows are synthesized in the two-digit dialect, half already four-digit."""
+    o = T(spark, sf_dir, "orders")
+    two = F.concat(
+        F.dayofmonth("o_orderdate").cast("string"),
+        F.lit("/"),
+        F.month("o_orderdate").cast("string"),
+        F.lit("/"),
+        F.substring(F.year("o_orderdate").cast("string"), 3, 2),
+    )
+    four = F.concat(
+        F.dayofmonth("o_orderdate").cast("string"),
+        F.lit("/"),
+        F.month("o_orderdate").cast("string"),
+        F.lit("/"),
+        F.year("o_orderdate").cast("string"),
+    )
+    raw = F.when(F.col("o_orderkey") % 2 == 0, two).otherwise(four)
+    return o.select(
+        "o_orderkey",
+        raw.alias("fecha_raw"),
+        fix_two_digit_year(raw).alias("fecha_fixed"),
+    )
+
+
+@query(
+    "money_parse_roundtrip",
+    oracle="""
+        WITH raw AS (
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN l_orderkey % 2 = 0 THEN 'U$S ' ELSE '$' END ||
+                   REPLACE(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR), '.', ',')
+                       AS monto_raw
+            FROM lineitem)
+        SELECT l_orderkey, l_linenumber, monto_raw,
+               CAST(CAST(TRIM(REPLACE(REPLACE(REPLACE(REPLACE(monto_raw, 'U$S ', ''), '$', ''), '.', ''), ',', '.')) AS DECIMAL(12,2)) AS DOUBLE) AS monto,
+               CASE WHEN monto_raw LIKE '%U$S%' THEN 'USD'
+                    WHEN monto_raw LIKE '%$%' THEN 'ARS'
+                    ELSE NULL END AS divisa
+        FROM raw
+    """,
+    tags=("functions", "money"),
+)
+def money_parse_roundtrip(spark, sf_dir):
+    """F9: parse_money + currency_of over synthesized latam money strings
+    ('$1234,56' / 'U$S 1234,56') — the `parse_monto` logic at
+    `/root/reference/transform_data_bank_pay/lambda_function.py:9-20` as a
+    codegen'd expression, round-tripped through the real price column."""
+    li = T(spark, sf_dir, "lineitem")
+    body = F.regexp_replace(
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("string"), r"\.", ","
+    )
+    raw = F.concat(
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit("U$S ")).otherwise(F.lit("$")), body
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        raw.alias("monto_raw"),
+        parse_money(raw).cast("double").alias("monto"),
+        currency_of(raw).alias("divisa"),
+    )
+
+
+@query(
+    "hash_identity",
+    oracle="""
+        SELECT o_orderkey,
+               MD5(CAST(o_orderkey AS VARCHAR) || '_' || o_orderstatus || '_' || o_orderpriority)
+                   AS pay_id,
+               SHA256(o_orderpriority) AS content_fp
+        FROM orders
+    """,
+    tags=("functions", "hash"),
+)
+def hash_identity(spark, sf_dir):
+    """F17: the md5 natural-key recipe
+    (`/root/reference/transform_data_bank_pay/lambda_function.py:53-54`) and
+    sha256 content fingerprint (`transform_data_pdf/lambda_function.py:9-10`)."""
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        payment_id("o_orderkey", "o_orderstatus", "o_orderpriority").alias("pay_id"),
+        F.sha2("o_orderpriority", 256).alias("content_fp"),
+    )
+
+
+@query(
+    "epoch_millis_roundtrip",
+    oracle="""
+        SELECT event_id,
+               EPOCH_MS(ts) AS ts_millis,
+               MAKE_TIMESTAMP(EPOCH_MS(ts) * 1000) AS ts_from_millis
+        FROM events
+    """,
+    tags=("functions", "date"),
+)
+def epoch_millis_roundtrip(spark, sf_dir):
+    """F12: epoch-millis ↔ timestamp (Gmail internalDate handling,
+    `/root/reference/extract_data_pdf/lambda_function.py:121`)."""
+    e = T(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.unix_millis("ts").alias("ts_millis"),
+        F.timestamp_millis(F.unix_millis("ts")).alias("ts_from_millis"),
+    )
+
+
+@query(
+    "json_field_access",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               COALESCE(CAST(json_extract_string(props, '$.missing') AS BIGINT), -1) AS missing_k
+        FROM events
+    """,
+    tags=("functions", "json"),
+)
+def json_field_access(spark, sf_dir):
+    """F19/F20: json get + coalesce default (the webhook body .get() chains,
+    `/root/reference/webhook_mp_report/lambda_function.py:20-43`)."""
+    e = T(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.coalesce(
+            F.get_json_object("props", "$.missing").cast("long"), F.lit(-1)
+        ).alias("missing_k"),
+    )
+
+
+@query(
+    "time_padding",
+    oracle="""
+        SELECT event_id,
+               STRFTIME(ts, '%H:%M') AS hora_raw,
+               STRFTIME(ts, '%H:%M') || ':00' AS hora_padded
+        FROM events
+    """,
+    tags=("functions", "time"),
+)
+def time_padding(spark, sf_dir):
+    """F14: 'HH:MM' → 'HH:MM:SS' padding
+    (`/root/reference/load_data/lambda_function.py:205-206`)."""
+    e = T(spark, sf_dir, "events")
+    hora = F.date_format("ts", "HH:mm")
+    return e.select(
+        "event_id",
+        hora.alias("hora_raw"),
+        pad_time(hora).alias("hora_padded"),
+    )

@@ -1,0 +1,46 @@
+"""Registry binding each engine operator to (a) its DataFrame plan and
+(b) its ANSI-SQL oracle twin for the DuckDB correctness gate.
+
+Contract (driver's __spark_entry__): the Spark result and the oracle result
+must agree on row count, schema (column names), and an order-insensitive
+value hash. Two determinism rules keep doubles bit-identical across engines:
+
+1. Never SUM/AVG raw doubles — cast to decimal first (exact, associative);
+   derive averages as ``cast(sum_dec as double) / count`` (both engines then
+   perform the identical IEEE ops).
+2. Any top-k / limit query must impose a TOTAL order (unique tiebreaker
+   column) so both engines pick the same rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    name: str
+    build: Builder
+    oracle: str | None  # None → driver falls back to rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator: register a (spark, sf_dir) -> DataFrame builder."""
+
+    def deco(fn: Builder) -> Builder:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(name=name, build=fn, oracle=oracle, tags=tags, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
