@@ -90,7 +90,7 @@ _FP_MOD = 1_000_000_007
 
 
 def rolling_hash(col: Column | str, mod: int = _FP_MOD) -> Column:
-    chars = F.split(_c(col), "")
+    chars = F.filter(F.split(_c(col), ""), lambda c: c != "")
     return F.aggregate(
         chars,
         F.lit(0).cast("long"),

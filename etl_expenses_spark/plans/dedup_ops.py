@@ -1,1 +1,134 @@
-"""Placeholder — filled in later this round."""
+"""Deduplication surface over `documents` (north-star operators).
+
+Exact and ngram-Jaccard tiers are oracle-checked (integer set math →
+bit-exact). MinHash-LSH and SimHash candidate generation are rows-only:
+their signatures hinge on xxhash64, which DuckDB cannot reproduce — the
+pair-quality property tests in tests/test_dedup.py cover their semantics
+instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from etl_expenses_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    token_shingles,
+)
+from etl_expenses_spark.plans._util import T
+from etl_expenses_spark.plans.registry import query
+
+
+@query(
+    "dedup_exact_groups",
+    oracle="""
+        SELECT MD5(text) AS content_hash,
+               COUNT(*) AS n_copies,
+               MIN(doc_id) AS canonical_id
+        FROM documents
+        GROUP BY MD5(text)
+    """,
+    tags=("dedup",),
+)
+def dedup_exact_groups(spark, sf_dir):
+    """Exact dedup: content-hash groupBy — one shuffle on a 16-byte key
+    regardless of document size (hash early, group on the digest)."""
+    return exact_dedup_groups(T(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_keep_first",
+    oracle="""
+        SELECT doc_id, lang, source FROM (
+            SELECT doc_id, lang, source,
+                   MIN(doc_id) OVER (PARTITION BY MD5(text)) AS keeper
+            FROM documents) t
+        WHERE doc_id = keeper
+    """,
+    tags=("dedup", "window"),
+)
+def dedup_keep_first(spark, sf_dir):
+    """Survivor selection: keep the lowest doc_id of each exact-dup group —
+    deterministic, unlike dropDuplicates' arbitrary row choice."""
+    d = T(spark, sf_dir, "documents")
+    w = W.partitionBy(F.md5("text"))
+    return (
+        d.withColumn("keeper", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "lang", "source")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard_pairs",
+    oracle=r"""
+        WITH sh AS (
+            SELECT doc_id, lang, source,
+                   (WITH t AS (SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                                  x -> x <> '') AS toks)
+                    SELECT CASE WHEN len(toks) >= 3
+                                THEN list_transform(range(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                                ELSE [array_to_string(toks, ' ')] END
+                    FROM t) AS shingles
+            FROM documents),
+        dsh AS (SELECT doc_id, lang, source, list_distinct(shingles) AS s FROM sh)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / GREATEST(CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 1.0)
+                   AS jaccard
+        FROM dsh a JOIN dsh b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / GREATEST(CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 1.0)
+              >= 0.1
+    """,
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-token-shingle Jaccard over (lang, source) blocking groups —
+    the brute-force tier, viable when blocks are small. Blocking turns the
+    O(n²) pair space into Σ|block|², and the block key is the shuffle key."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(token_shingles("text", 3)).alias("s"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s"))).cast("double")
+    union = (
+        F.size(F.col("a.s")) + F.size(F.col("b.s"))
+    ).cast("double") - inter
+    jac = inter / F.greatest(union, F.lit(1.0))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.1)
+    )
+
+
+@query("dedup_minhash_lsh", oracle=None, tags=("dedup", "rows_only"))
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(16 perms) + 4-band LSH candidate pairs, exact-Jaccard
+    verified at ≥0.5 — the scale path for near-dup dedup (candidates via
+    bucket join, never pairwise)."""
+    return minhash_lsh_pairs(T(spark, sf_dir, "documents"))
+
+
+@query("dedup_simhash", oracle=None, tags=("dedup", "rows_only"))
+def dedup_simhash(spark, sf_dir):
+    """SimHash(60-bit) near-dup pairs at Hamming ≤ 3 via chunk banding."""
+    return simhash_pairs(T(spark, sf_dir, "documents"))

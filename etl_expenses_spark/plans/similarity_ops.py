@@ -1,1 +1,88 @@
-"""Placeholder — filled in later this round."""
+"""Similarity-search surface over `embeddings` (north-star operators).
+
+The brute-force top-k is oracle-checked: both engines compute the cosine in
+double precision and quantize to 6 decimals before ranking, so summation-
+order noise (≤1e-15) cannot flip the comparison. The LSH variant is
+rows-only (xxhash64-derived hyperplanes aren't reproducible in DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_expenses_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    norm,
+)
+from etl_expenses_spark.plans._util import T
+from etl_expenses_spark.plans.registry import query
+
+
+def _query_vec(spark, sf_dir):
+    """Single-row query DataFrame (the vec_id=0 embedding) — derived from
+    data so the oracle can derive the identical vector."""
+    return (
+        T(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("q"))
+    )
+
+
+@query(
+    "similarity_cosine_topk",
+    oracle="""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        sims AS (
+            SELECT e.vec_id,
+                   (SELECT SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))
+                    FROM range(1, 65) r(i))
+                   / (SQRT((SELECT SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
+                            FROM range(1, 65) r(i)))
+                      * SQRT((SELECT SUM(CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))
+                              FROM range(1, 65) r(i)))) AS sim_raw
+            FROM embeddings e, q)
+        SELECT vec_id, CAST(CAST(sim_raw AS DECIMAL(18,6)) AS DOUBLE) AS sim
+        FROM sims
+        ORDER BY sim DESC, vec_id
+        LIMIT 10
+    """,
+    tags=("similarity", "topk"),
+)
+def similarity_cosine_topk(spark, sf_dir):
+    """Exact brute-force cosine top-10 against the vec_id=0 query vector.
+    Single scan ending in TakeOrdered — the correctness baseline every ANN
+    variant is measured against."""
+    return cosine_topk_bruteforce(T(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir))
+
+
+@query("similarity_cosine_topk_lsh", oracle=None, tags=("similarity", "topk", "rows_only"))
+def similarity_cosine_topk_lsh(spark, sf_dir):
+    """ANN top-10: random-hyperplane LSH bucket restriction (8 planes) then
+    exact cosine within the query's bucket — the 100 TB path (bucket id as
+    partition key ⇒ a query prunes to ~1/256 of the table)."""
+    return cosine_topk_lsh(
+        T(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), dims=64
+    )
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+        SELECT vec_id, label,
+               CAST(CAST(SQRT((SELECT SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))
+                               FROM range(1, 65) r(i)))
+                    AS DECIMAL(18,6)) AS DOUBLE) AS l2_norm
+        FROM embeddings
+    """,
+    tags=("similarity",),
+)
+def embedding_norms(spark, sf_dir):
+    """L2 norms of the embedding column — the array-math primitive exposed
+    as its own checkable op."""
+    e = T(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        norm(F.col("embedding")).cast("decimal(18,6)").cast("double").alias("l2_norm"),
+    )

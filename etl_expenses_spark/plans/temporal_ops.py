@@ -1,1 +1,199 @@
-"""Placeholder — filled in later this round."""
+"""Temporal operators over `events`/`orders` (SURVEY.md §2.10 batch analogs).
+
+Tumbling/sliding/session windows and the as-of join — the batch twins of the
+Structured Streaming surface in streaming/. Each has an exact DuckDB oracle
+(time_bucket / gaps-and-islands / ASOF JOIN).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from etl_expenses_spark.operators.asof import asof_join_backward
+from etl_expenses_spark.operators.merge import new_rows
+from etl_expenses_spark.plans._util import T, dec
+from etl_expenses_spark.plans.registry import query
+
+
+@query(
+    "window_tumbling_daily",
+    oracle="""
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("temporal", "window_agg"),
+)
+def window_tumbling_daily(spark, sf_dir):
+    """Tumbling 1-day windows via F.window — epoch-aligned in UTC, so
+    window.start ≡ date_trunc('day'). Partial aggregation makes the shuffle
+    carry one row per (day) per task at any scale."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("day_start"), "n_events", "total_value")
+    )
+
+
+@query(
+    "window_sliding_hourly",
+    oracle="""
+        WITH assigned AS (
+            SELECT time_bucket(INTERVAL '30 minutes', ts) - k.k * INTERVAL '30 minutes'
+                       AS win_start,
+                   value
+            FROM events CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1) k)
+        SELECT CAST(win_start AS TIMESTAMP) AS window_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM assigned
+        GROUP BY 1
+    """,
+    tags=("temporal", "window_agg"),
+)
+def window_sliding_hourly(spark, sf_dir):
+    """Sliding windows (1h size, 30m slide): each event lands in exactly 2
+    windows. Spark expands then partially aggregates — shuffle volume is
+    2×windows, never 2×events."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@query(
+    "session_windows_30m",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             >= INTERVAL '30 minutes'
+                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events),
+        numbered AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_no
+            FROM flagged)
+        SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+               COUNT(*) AS n_events
+        FROM numbered
+        GROUP BY user_id, session_no
+    """,
+    tags=("temporal", "window_agg", "session"),
+)
+def session_windows_30m(spark, sf_dir):
+    """Session windows (30-minute gap) per user. Batch analog of
+    F.session_window; expressed gaps-and-islands style so the oracle is
+    exact (session start + event count; end-timestamp semantics differ
+    between engines' session implementations and are covered by the
+    streaming tests instead)."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "asof_join_events_orders",
+    oracle="""
+        WITH o AS (
+            SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS last_orderkey
+            FROM orders GROUP BY 1, 2)
+        SELECT e.event_id, e.user_id, e.event_type,
+               o.last_orderkey, CAST(o.o_orderdate AS TIMESTAMP) AS last_orderdate
+        FROM events e
+        ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    tags=("temporal", "asof"),
+)
+def asof_join_events_orders(spark, sf_dir):
+    """Backward as-of join: each event picks up the user's most recent order
+    at-or-before the event time. Implemented union+window (operators/asof.py)
+    — one shuffle on the key, no range explosion; oracle = DuckDB ASOF JOIN."""
+    e = T(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    o = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+        .withColumn("last_orderdate", F.col("o_orderdate"))
+    )
+    return asof_join_backward(
+        e,
+        o,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["last_orderkey", "last_orderdate"],
+    ).select("event_id", "user_id", "event_type", "last_orderkey", "last_orderdate")
+
+
+@query(
+    "incremental_merge_new_orders",
+    oracle="""
+        SELECT b.o_orderkey, b.o_custkey, CAST(b.o_orderdate AS TIMESTAMP) AS o_orderdate
+        FROM orders b
+        WHERE b.o_orderdate >= TIMESTAMP '2000-06-01'
+          AND NOT EXISTS (
+              SELECT 1 FROM orders t
+              WHERE t.o_orderdate < TIMESTAMP '2000-08-01'
+                AND t.o_orderkey = b.o_orderkey)
+    """,
+    tags=("temporal", "incremental", "anti"),
+)
+def incremental_merge_new_orders(spark, sf_dir):
+    """The incremental-load core (J1-J4 + A1): an overlapping extraction
+    batch (≥ 2000-06-01) anti-joined against the already-loaded target
+    (< 2000-08-01) — only genuinely new rows survive. operators/merge.py
+    packages this as merge_append; on a date-partitioned gold table the
+    anti-join prunes to the overlap window."""
+    o = T(spark, sf_dir, "orders")
+    batch = o.filter(F.col("o_orderdate") >= "2000-06-01")
+    target = o.filter(F.col("o_orderdate") < "2000-08-01")
+    return new_rows(batch, target, ["o_orderkey"]).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+
+
+@query(
+    "latest_event_per_user_asof_style",
+    oracle="""
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM (
+            SELECT user_id, event_id, ts, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) t
+        WHERE rn = 1
+    """,
+    tags=("temporal", "window"),
+)
+def latest_event_per_user_asof_style(spark, sf_dir):
+    """O1 made deterministic: latest event per user via row_number (replaces
+    the reference's 'API returns newest first' assumption)."""
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    e = T(spark, sf_dir, "events")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "value")
+    )

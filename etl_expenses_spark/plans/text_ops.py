@@ -1,1 +1,118 @@
-"""Placeholder — filled in later this round."""
+"""Text-analysis surface over `documents` (north-star operators).
+
+Each op is a pure-Column expression (functions/text.py) with a DuckDB twin
+computing the identical integers/doubles. Integer-only cores (regexp counts,
+rolling hash) are bit-exact by construction; ratio outputs are deterministic
+doubles (same IEEE ops, no aggregation-order dependence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_expenses_spark.functions.text import (
+    lang_id,
+    punct_count,
+    quality_score,
+    rolling_hash,
+    token_count,
+)
+from etl_expenses_spark.plans._util import T
+from etl_expenses_spark.plans.registry import query
+
+# DuckDB twin of functions/text.py:tokens — nonempty whitespace tokens.
+_D_TOKENS = r"list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')"
+_D_PUNCT = r"""len(regexp_extract_all(text, '[.,;:!?"''()\-]'))"""
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len({_D_TOKENS}) AS BIGINT) AS n_tokens,
+               CAST({_D_PUNCT} AS BIGINT) AS n_punct,
+               CAST({_D_PUNCT} AS DOUBLE) / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE)
+                   AS punct_ratio
+        FROM documents
+    """,
+    tags=("text",),
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting + punctuation profile — the quality-scoring raw stats."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        punct_count("text").alias("n_punct"),
+        (
+            punct_count("text").cast("double")
+            / F.greatest(F.length("text"), F.lit(1)).cast("double")
+        ).alias("punct_ratio"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+        SELECT doc_id,
+               LEAST(CAST(len({_D_TOKENS}) AS DOUBLE) / 64.0, 1.0) * 0.4
+               + (CASE WHEN CAST(GREATEST(LENGTH(text), 1) AS DOUBLE)
+                            / GREATEST(CAST(len({_D_TOKENS}) AS DOUBLE), CAST(1 AS DOUBLE))
+                            BETWEEN 3.0 AND 12.0
+                       THEN 1.0 ELSE 0.5 END) * 0.3
+               + (1.0 - LEAST(CAST({_D_PUNCT} AS DOUBLE)
+                              / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE) * 4.0, 1.0)) * 0.3
+                   AS quality
+        FROM documents
+    """,
+    tags=("text",),
+)
+def text_quality_score(spark, sf_dir):
+    """Heuristic doc-quality score (functions/text.py:quality_score)."""
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+@query(
+    "text_lang_id",
+    oracle=r"""
+        WITH hits AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '\b(the|and|of|to|a|in|is|for|with|on)\b')) AS BIGINT) AS en,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '\b(el|la|de|que|y|en|un|por|con|para)\b')) AS BIGINT) AS es
+            FROM documents)
+        SELECT doc_id,
+               CASE WHEN en > es AND en > 0 THEN 'en'
+                    WHEN es > en AND es > 0 THEN 'es'
+                    ELSE 'unk' END AS lang_guess
+        FROM hits
+    """,
+    tags=("text",),
+)
+def text_lang_id(spark, sf_dir):
+    """n-gram-heuristic language ID by stopword-hit majority."""
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id("text").alias("lang_guess"))
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               CAST(list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                           list_filter(string_split(text, ''), c -> c <> ''),
+                           c -> CAST(ascii(c) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS fingerprint
+        FROM documents
+    """,
+    tags=("text", "hash"),
+)
+def doc_fingerprint(spark, sf_dir):
+    """Rolling polynomial hash h=(h*31+c) mod p over the document's
+    characters — integer fold, bit-exact across engines."""
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_hash("text").alias("fingerprint"))

@@ -1,0 +1,59 @@
+"""Semantic checks for the rows-only north-star operators: MinHash-LSH and
+SimHash must find planted near-dups; LSH ANN results must be a subset of the
+brute-force ranking's candidates."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etl_expenses_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+from etl_expenses_spark.operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+from etl_expenses_spark.sources.readers import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _planted(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different content about spark shuffles and parquet readers ok"
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=near),   # near-dup of 1
+            Row(doc_id=3, text=far),
+            Row(doc_id=4, text=base),   # exact dup of 1
+        ]
+    )
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(_planted(spark), min_jaccard=0.4).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs and 0.4 <= pairs[(1, 2)] < 1.0
+    assert not any({a, b} == {1, 3} or {a, b} == {2, 3} for a, b in pairs)
+
+
+def test_simhash_finds_exact_and_near(spark):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(_planted(spark), max_hamming=6).collect()}
+    assert pairs.get((1, 4)) == 0
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_lsh_topk_subset_of_bruteforce(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    brute = [r.vec_id for r in cosine_topk_bruteforce(emb, q, k=50).collect()]
+    ann = cosine_topk_lsh(emb, q, dims=64, k=10).collect()
+    assert len(ann) >= 1
+    assert ann[0].vec_id == 0 and abs(ann[0].sim - 1.0) < 1e-6, "query must match itself"
+    # every ANN result is a true vector id and sims are sorted descending
+    sims = [r.sim for r in ann]
+    assert sims == sorted(sims, reverse=True)
+    # recall vs brute-force top-50 — bucket restriction keeps the obvious hits
+    assert ann[0].vec_id in brute
