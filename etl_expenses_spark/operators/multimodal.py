@@ -1,0 +1,124 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Design (north star): media payloads travel as ``binary`` columns with a
+typed metadata struct; decode / resize / frame-sample / feature-extract run
+as Arrow-batched ``mapInPandas`` stages so each Python worker processes a
+columnar batch (never row-at-a-time pickling). At 100 TB the payloads
+dominate: partition by (kind, date), keep metadata in its own (pruned)
+columns so planning-time filters never touch bytes.
+
+The actual codecs (PIL/ffmpeg/librosa) are NOT in this container — decode
+bodies are STUBS: a deterministic fake implementation behind
+``_HAVE_CODECS`` so the Spark-side plumbing (schemas, batch iteration, UDF
+signatures, partitioning) is real and tested. Swap ``_fake_*`` for real
+decoders when the libs exist.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+try:  # pragma: no cover - real codec path, absent in this container
+    import PIL  # type: ignore  # noqa: F401
+
+    _HAVE_CODECS = True
+except ImportError:
+    _HAVE_CODECS = False
+
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _fake_feature(data: bytes) -> list[float]:
+    """Deterministic stand-in for a learned embedding: FEATURE_DIM floats
+    derived from the payload digest (so tests are stable and collisions
+    behave like content-identity)."""
+    digest = hashlib.sha256(data).digest()
+    return [
+        int.from_bytes(digest[4 * i : 4 * i + 4], "big") / 2**32 for i in range(FEATURE_DIM)
+    ]
+
+
+def decode_and_featurize(media: DataFrame) -> DataFrame:
+    """binary payload → feature vector. Arrow-batched mapInPandas; the
+    decode step raises if real codecs are required but absent."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if _HAVE_CODECS:  # pragma: no cover
+                raise NotImplementedError("real codec path not implemented in this container")
+            rows = {
+                "media_id": b["media_id"],
+                "kind": b["kind"],
+                "n_bytes": b["payload"].map(len).astype("int64"),
+                "feature": b["payload"].map(lambda p: _fake_feature(bytes(p))),
+            }
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        gen, schema=FEATURES_SCHEMA
+    )
+
+
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling (UDTF-shaped: 1 video → n_frames/every_n rows).
+    Frame payloads are deterministic fakes (digest-derived); the row
+    explosion + schema is the real part."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_no", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, frame_nos, frames = [], [], []
+            for mid, payload, meta in zip(b["media_id"], b["payload"], b["meta"]):
+                n = int(meta["n_frames"] or 0)
+                for f in range(0, n, every_n):
+                    ids.append(mid)
+                    frame_nos.append(f)
+                    frames.append(
+                        hashlib.sha256(bytes(payload) + f.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame({"media_id": ids, "frame_no": frame_nos, "frame": frames})
+
+    return media.filter("kind = 'video'").select("media_id", "payload", "meta").mapInPandas(
+        gen, schema=out_schema
+    )

@@ -1,0 +1,119 @@
+"""Advanced analytics surface: pivot, percentiles, per-group top-k, monthly
+rollups, and the multimodal feature stage as a registered operator."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from etl_expenses_spark.plans._util import T, dec, dsum
+from etl_expenses_spark.plans.registry import query
+
+
+@query(
+    "pivot_qty_by_status",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN l_linestatus = 'O'
+                             THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O,
+               CAST(SUM(CASE WHEN l_linestatus = 'F'
+                             THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "pivot"),
+)
+def pivot_qty_by_status(spark, sf_dir):
+    """Pivot = grouped conditional aggregation; explicit value list keeps the
+    plan one-pass (no distinct-values pre-query) — required at scale."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(dec("l_quantity")).cast("double"))
+    )
+
+
+@query(
+    "monthly_spend",
+    oracle="""
+        SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY 1
+    """,
+    tags=("agg", "date"),
+)
+def monthly_spend(spark, sf_dir):
+    """The AI agent's 'cuánto gasté este mes' shape
+    (`/root/reference/ai_agent/lambda_function.py:214-221`) generalized to a
+    month × spend rollup."""
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(
+            dsum("o_totalprice").alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "top3_orders_per_segment",
+    oracle="""
+        SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+            SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey) t
+        WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+)
+def top3_orders_per_segment(spark, sf_dir):
+    """Per-group top-k: window rank + filter — the distributed form of
+    'LIMIT per group' (rank computed within each partition after one shuffle
+    on the group key)."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+    )
+
+
+@query("agg_percentiles", oracle=None, tags=("agg", "approx", "rows_only"))
+def agg_percentiles(spark, sf_dir):
+    """Exact interpolated percentile + approx sketch side by side. The
+    approx path (KLL-style) is the 100 TB answer: single pass, mergeable,
+    no global sort. Rows-only: interpolation/sketch internals are
+    implementation-defined across engines."""
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50_exact"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90_exact"),
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+        )
+    )
+
+
+@query("multimodal_doc_features", oracle=None, tags=("multimodal", "rows_only"))
+def multimodal_doc_features(spark, sf_dir):
+    """The multimodal feature stage driven end-to-end on real testdata:
+    documents.text re-encoded as a binary payload column → Arrow-batched
+    mapInPandas featurization (operators/multimodal.py). Rows-only: the
+    'decoder' is the documented deterministic stub."""
+    from etl_expenses_spark.operators.multimodal import decode_and_featurize
+
+    media = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return decode_and_featurize(media)

@@ -1,0 +1,97 @@
+"""Structured Streaming surface (SURVEY.md §2.10).
+
+The reference's event-driven architecture — webhook → Step Function per
+report (`/root/reference/webhook_mp_report/lambda_function.py:68-71`), weekly
+cron batches, MAX(date) watermarks, and per-batch anti-join dedup — maps to:
+
+- a file source over the bronze directory (each arriving file = micro-batch),
+- ``withWatermark`` + ``dropDuplicates`` for the late-duplicate contract
+  (J1-J4 made incremental: the state store replaces the DISTINCT-key fetch),
+- tumbling/sliding/session window aggregations,
+- ``foreachBatch`` → merge_append for the idempotent gold load,
+- ``trigger(availableNow=True)`` for batch-parity runs (the cron analog).
+
+Checkpointing replaces the reference's compensation lambda: a failed batch
+replays from the checkpoint instead of running rollback UPDATEs
+(`/root/reference/compensation_flow/lambda_function.py:34-56`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, bronze_dir: str) -> DataFrame:
+    """File-source stream: the bronze directory as an unbounded table.
+    maxFilesPerTrigger bounds micro-batch size under backlog (at scale this
+    is the knob that keeps state-store updates incremental)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(bronze_dir)
+    )
+
+
+def stream_windowed_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-day windowed aggregate with late-data watermark; state for
+    windows older than the watermark is evicted — bounded memory forever."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicates(["event_id"])
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("day_start"), "n_events", "total_value")
+    )
+
+
+def stream_sessionized_values(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user (gap-based), streaming-native."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def run_events_stream_once(
+    spark: SparkSession,
+    bronze_dir: str,
+    gold_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """availableNow micro-batch run: dedup → foreachBatch idempotent merge
+    into gold. Restartable: the checkpoint tracks consumed files and sink
+    epochs, so re-running after a crash neither skips nor duplicates."""
+    from etl_expenses_spark.operators.merge import merge_append
+
+    events = read_event_stream(spark, bronze_dir).withWatermark("ts", "1 hour").dropDuplicates(
+        ["event_id"]
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_append(batch_df, gold_path, keys=["event_id"])
+
+    (
+        events.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -1,0 +1,45 @@
+"""Multimodal plumbing tests: binary columns + mapInPandas stages with the
+stubbed decode (deterministic fakes — real codecs absent by design)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from etl_expenses_spark.operators.multimodal import (
+    FEATURE_DIM,
+    MEDIA_SCHEMA,
+    decode_and_featurize,
+    frame_sample,
+)
+
+
+def _media(spark):
+    rows = [
+        Row(media_id=1, kind="image", payload=b"img-bytes-1",
+            meta=Row(width=64, height=48, sample_rate=None, n_frames=None)),
+        Row(media_id=2, kind="audio", payload=b"wav-bytes-2",
+            meta=Row(width=None, height=None, sample_rate=16000, n_frames=None)),
+        Row(media_id=3, kind="video", payload=b"mp4-bytes-3",
+            meta=Row(width=320, height=240, sample_rate=None, n_frames=25)),
+        Row(media_id=4, kind="image", payload=b"img-bytes-1",  # same content as 1
+            meta=Row(width=64, height=48, sample_rate=None, n_frames=None)),
+    ]
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def test_featurize_deterministic_and_typed(spark):
+    out = decode_and_featurize(_media(spark))
+    assert [f.name for f in out.schema.fields] == ["media_id", "kind", "n_bytes", "feature"]
+    rows = {r.media_id: r for r in out.collect()}
+    assert len(rows) == 4
+    assert all(len(r.feature) == FEATURE_DIM for r in rows.values())
+    assert rows[1].feature == rows[4].feature, "same payload → same feature (content identity)"
+    assert rows[1].feature != rows[2].feature
+    assert rows[1].n_bytes == len(b"img-bytes-1")
+
+
+def test_frame_sample_explodes_videos_only(spark):
+    frames = frame_sample(_media(spark), every_n=10).collect()
+    assert {r.media_id for r in frames} == {3}
+    assert sorted(r.frame_no for r in frames) == [0, 10, 20]
+    assert all(isinstance(bytes(r.frame), bytes) and len(bytes(r.frame)) == 32 for r in frames)

@@ -1,0 +1,88 @@
+"""Streaming semantics: availableNow file-source runs match batch results;
+duplicate and replayed input never double-loads gold (the J1-J4 contract,
+incremental form)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_expenses_spark.sources.readers import load_table
+from etl_expenses_spark.streaming.pipeline import (
+    read_event_stream,
+    run_events_stream_once,
+    stream_windowed_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def dirs():
+    root = Path(tempfile.mkdtemp(prefix="stream_"))
+    yield root / "bronze", root / "gold", root / "ckpt", root / "ckpt2"
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _write_bronze(spark, bronze, with_dupes: bool = False):
+    events = load_table(spark, SF_DIR, "events")
+    first = events.filter(F.col("event_id") < 500)
+    second = events.filter((F.col("event_id") >= 500) & (F.col("event_id") < 1000))
+    first.repartition(2).write.mode("append").parquet(str(bronze))
+    if with_dupes:
+        first.limit(100).write.mode("append").parquet(str(bronze))  # replayed input
+    second.repartition(2).write.mode("append").parquet(str(bronze))
+
+
+def test_stream_merge_exactly_once(spark, dirs):
+    bronze, gold, ckpt, ckpt2 = dirs
+    _write_bronze(spark, bronze, with_dupes=True)
+    run_events_stream_once(spark, str(bronze), str(gold), str(ckpt))
+    out = spark.read.parquet(str(gold))
+    assert out.count() == 1000
+    assert out.select("event_id").distinct().count() == 1000
+
+    # restart with the same checkpoint: no new files → nothing happens
+    run_events_stream_once(spark, str(bronze), str(gold), str(ckpt))
+    assert spark.read.parquet(str(gold)).count() == 1000
+
+    # fresh checkpoint over the same bronze (full replay): merge stays idempotent
+    run_events_stream_once(spark, str(bronze), str(gold), str(ckpt2))
+    assert spark.read.parquet(str(gold)).count() == 1000
+
+
+def test_stream_windowed_counts_match_batch(spark, dirs):
+    bronze, gold, ckpt, _ = dirs
+    _write_bronze(spark, bronze)
+    stream = stream_windowed_counts(read_event_stream(spark, str(bronze)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (str(r.day_start), r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    batch = load_table(spark, SF_DIR, "events").filter(F.col("event_id") < 1000)
+    want = {
+        (str(r.day_start), r.n_events, r.total_value)
+        for r in (
+            batch.groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            )
+            .select(F.col("w.start").alias("day_start"), "n_events", "total_value")
+        ).collect()
+    }
+    assert got == want
