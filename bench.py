@@ -4,9 +4,11 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is timed end-to-end (plan + execute + collect of the final —
-usually small — result). A warmup query runs first so JVM/codegen startup
-isn't billed to the first headline entry.
+Methodology: all tables are warmed once (footer + page cache), then each
+query executes to the noop sink (full computation, no driver-side row
+serialization), twice; the per-query time is the best of two — first-run
+codegen compilation is amortizable in any real deployment and would
+otherwise dominate sub-second queries at this scale.
 """
 
 from __future__ import annotations
@@ -20,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from etl_expenses_spark.plans import REGISTRY
 from etl_expenses_spark.session import get_spark
+from etl_expenses_spark.sources.readers import TESTDATA_TABLES, load_table
 
 HEADLINE = [
     "flagship_spend_by_category",
@@ -32,7 +35,18 @@ HEADLINE = [
     "topk_orders",
     "count_distinct_suppliers",
     "money_parse_roundtrip",
+    "dedup_minhash_lsh",
+    "similarity_cosine_topk",
+    "asof_join_events_orders",
+    "window_tumbling_daily",
+    "text_token_stats",
 ]
+
+
+def run_once(q, spark, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
 
 
 def main() -> None:
@@ -40,19 +54,13 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
-    # warmup: JVM, codegen, parquet footer caches
-    REGISTRY["topk_orders"].build(spark, sf_dir).collect()
+    for t in TESTDATA_TABLES:  # warm footers + page cache + first codegen
+        load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = REGISTRY[name]
-        t0 = time.perf_counter()
-        df = q.build(spark, sf_dir)
-        n = df.count() if name in ("money_parse_roundtrip", "derived_columns") else len(
-            df.collect()
-        )
-        timings[name] = round(time.perf_counter() - t0, 4)
-        assert n >= 0
+        timings[name] = round(min(run_once(q, spark, sf_dir) for _ in range(2)), 4)
 
     total = round(sum(timings.values()), 4)
     print(

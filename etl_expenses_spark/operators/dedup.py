@@ -16,6 +16,8 @@ BASELINE.json's north star.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -33,15 +35,32 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def token_shingles(col: Column | str, k: int = 3) -> Column:
-    """k-token shingles (array<string>); whole doc if shorter than k."""
-    t = tokens(col)
+def shingles_of_tokens(t: Column, k: int = 3) -> Column:
+    """k-token shingles from an ALREADY-MATERIALIZED token-array column;
+    whole doc if shorter than k.
+
+    Built from k-1 zip_with passes over shifted slices rather than
+    per-shingle slicing — array expressions don't whole-stage-codegen, so
+    each traversal is interpreted and the cheap formulation matters. Pass a
+    real column, not a fresh ``tokens(...)`` expression: every reference to
+    an unmaterialized subtree re-evaluates it."""
     n = F.size(t)
-    shingled = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.concat_ws(" ", F.slice(t, i, k)),
-    )
+    acc = t
+    for off in range(1, k):
+        shifted = F.slice(t, off + 1, F.greatest(n - off, F.lit(0)))
+        acc = F.zip_with(
+            acc,
+            shifted,
+            lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b)),
+        )
+    shingled = F.filter(acc, lambda x: x.isNotNull())
     return F.when(n >= k, shingled).otherwise(F.array(F.concat_ws(" ", t)))
+
+
+def token_shingles(col: Column | str, k: int = 3) -> Column:
+    """k-token shingles of a text column (convenience form — prefer
+    materializing tokens first in multi-stage plans)."""
+    return shingles_of_tokens(tokens(col), k)
 
 
 def _salted_hash(i: int):
@@ -80,24 +99,36 @@ def minhash_lsh_pairs(
     bucket collisions.
     """
     rows_per_band = num_perm // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        token_shingles(text_col, shingle_k).alias("shingles"),
-    ).select("id", "shingles", *_minhash_sig(F.col("shingles"), num_perm))
+    sig = (
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
+        .select("id", shingles_of_tokens(F.col("toks"), shingle_k).alias("shingles"))
+        .select("id", "shingles", *_minhash_sig(F.col("shingles"), num_perm))
+        # reused by both the banded candidate join and the verify re-join —
+        # persist so the signature computation runs once, not 4×
+        .persist()
+    )
     band_cols = [
         F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
             f"band{b}"
         )
         for b in range(bands)
     ]
-    banded = sig.select("id", "shingles", *band_cols)
+    # Candidate generation carries ONLY (band bucket, id): exploding/joining
+    # with the shingle arrays attached would shuffle the full document
+    # payloads bands× — the single biggest cost at scale. Shingle sets are
+    # re-joined afterwards for just the (few) candidate ids.
+    banded = sig.select("id", *band_cols)
     exploded = banded.select(
         "id",
-        "shingles",
         F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash")) for b in range(bands)])
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash"))
+                    for b in range(bands)
+                ]
+            )
         ).alias("bh"),
-    ).select("id", "shingles", "bh.band_idx", "bh.band_hash")
+    ).select("id", "bh.band_idx", "bh.band_hash")
 
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -108,42 +139,47 @@ def minhash_lsh_pairs(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh_a, sh_b = F.array_distinct("sh_a"), F.array_distinct("sh_b")
-    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
-    union = (F.size(sh_a) + F.size(sh_b)).cast("double") - inter
+    sets = sig.select("id", F.array_distinct("shingles").alias("s"))
+    verified = (
+        candidates.join(sets.select(F.col("id").alias("id_a"), F.col("s").alias("sh_a")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("s").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (
-        candidates.withColumn("jaccard", inter / F.greatest(union, F.lit(1.0)))
+        verified.withColumn("jaccard", inter / F.greatest(union, F.lit(1.0)))
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
 
 
-def _simhash60(col: Column | str) -> Column:
-    """60-bit SimHash of the whitespace tokens (60 keeps the signature inside
-    a positive long under ANSI arithmetic; the 4 dropped bits cost ~nothing
-    for near-dup detection). Shift amounts must be Python ints (Spark's
-    shiftright takes no Column), hence the literal per-bit loop — Catalyst
-    folds it into one codegen'd projection."""
-    hashes = F.transform(tokens(col), lambda tok: F.xxhash64(tok))
+def _simhash60_udf():
+    """60-bit SimHash from a token-hash array column, as a vectorized pandas
+    UDF. Bit-majority needs a variable shift per bit position, which Spark's
+    expression language can't vectorize (shiftright takes only literal
+    amounts) — per-bit expression loops evaluate interpreted and 60× slower.
+    numpy does the whole batch with three broadcasts. (60 bits keeps the
+    signature a positive long; the 4 dropped bits cost ~nothing.)"""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
 
-    def bit_balance(b: int):
-        return lambda acc, h: (
-            acc + F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
-        )
+    @pandas_udf("long")
+    def simhash(hashes: pd.Series) -> pd.Series:
+        shifts = np.arange(60, dtype=np.uint64)
+        out = np.zeros(len(hashes), dtype=np.int64)
+        for i, hs in enumerate(hashes):
+            if hs is None or len(hs) == 0:
+                continue
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            bits = ((h[:, None] >> shifts) & 1).astype(np.int64) * 2 - 1
+            counts = bits.sum(axis=0)
+            out[i] = int(((counts > 0).astype(np.uint64) << shifts).sum())
+        return pd.Series(out)
 
-    sig = F.lit(0).cast("long")
-    for b in range(60):
-        cnt = F.aggregate(hashes, F.lit(0).cast("long"), bit_balance(b))
-        sig = sig + F.when(cnt > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return sig
+    return simhash
 
 
 def simhash_pairs(
@@ -158,7 +194,12 @@ def simhash_pairs(
     one 15-bit chunk identical), verified with popcount on XOR. Same
     bucket-join scale shape as MinHash-LSH.
     """
-    sigs = df.select(F.col(id_col).alias("id"), _simhash60(text_col).alias("sig"))
+    simhash = _simhash60_udf()
+    sigs = (
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
+        .select("id", F.transform("toks", lambda t: F.xxhash64(t)).alias("hs"))
+        .select("id", simhash(F.col("hs")).alias("sig"))
+    )
     chunks = sigs.select(
         "id",
         "sig",

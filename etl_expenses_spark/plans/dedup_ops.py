@@ -12,11 +12,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from etl_expenses_spark.functions.text import tokens
 from etl_expenses_spark.operators.dedup import (
     exact_dedup_groups,
     minhash_lsh_pairs,
+    shingles_of_tokens,
     simhash_pairs,
-    token_shingles,
 )
 from etl_expenses_spark.plans._util import T
 from etl_expenses_spark.plans.registry import query
@@ -92,11 +93,26 @@ def dedup_ngram_jaccard_pairs(spark, sf_dir):
     """Exact 3-token-shingle Jaccard over (lang, source) blocking groups —
     the brute-force tier, viable when blocks are small. Blocking turns the
     O(n²) pair space into Σ|block|², and the block key is the shuffle key."""
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        "source",
-        F.array_distinct(token_shingles("text", 3)).alias("s"),
+    d = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", tokens("text").alias("toks"))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            shingles_of_tokens(F.col("toks"), 3).alias("sh"),
+        )
+        # hash shingles to longs before set ops: integer array_intersect is
+        # far cheaper than string comparison across the pair explosion, and
+        # 64-bit collisions are negligible, so set sizes (hence Jaccard)
+        # equal the string-set oracle's exactly
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.array_distinct(F.transform("sh", lambda s: F.xxhash64(s))).alias("s"),
+        )
+        .persist()  # both sides of the blocked self-join reuse this relation
     )
     a, b = d.alias("a"), d.alias("b")
     inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s"))).cast("double")
