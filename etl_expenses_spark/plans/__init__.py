@@ -10,3 +10,4 @@ from etl_expenses_spark.plans import dedup_ops  # noqa: F401,E402
 from etl_expenses_spark.plans import similarity_ops  # noqa: F401,E402
 from etl_expenses_spark.plans import temporal_ops  # noqa: F401,E402
 from etl_expenses_spark.plans import advanced  # noqa: F401,E402
+from etl_expenses_spark.plans import schema_ops  # noqa: F401,E402

@@ -1,0 +1,238 @@
+"""Schema-system, SQL-surface, and remaining aggregate coverage
+(SURVEY.md §1.3, §2.5 A5/A6, §2.9 F18, §3 EP3).
+
+These close the inventory gaps that aren't plain relational operators:
+the three schema modes (declared / inferred / positional-dialect), the raw
+``spark.sql`` text surface the NL→SQL agent executes against, GROUPING SETS
+(the general form of rollup/cube), arg-extremes aggregation, base64 codecs,
+and the catalog read-back (S10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_expenses_spark.plans._util import T, dsum
+from etl_expenses_spark.plans.registry import query
+from etl_expenses_spark.quality import infer_and_cast, normalize_columns
+from etl_expenses_spark.sources.readers import TESTDATA_TABLES, register_views
+
+
+@query(
+    "grouping_sets_spend",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def grouping_sets_spend(spark, sf_dir):
+    """GROUPING SETS — the general form behind rollup/cube (the AI agent's
+    SQL surface, `/root/reference/ai_agent/lambda_function.py:59-67`, may
+    emit any of them). One shuffle regardless of set count: Spark expands
+    the sets map-side and aggregates once on the grouping-id-extended key,
+    so this costs the same as a single groupBy at 100 TB."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(dsum("l_extendedprice").alias("revenue"), F.count("*").alias("n"))
+    )
+
+
+@query(
+    "schema_inference_cascade",
+    oracle="""
+        SELECT l_orderkey AS ok_i, l_linenumber AS ln_i,
+               l_quantity AS qty_d,
+               CAST(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS ship_ts,
+               l_returnflag AS flag_s
+        FROM lineitem
+    """,
+    tags=("schema", "inference"),
+)
+def schema_inference_cascade(spark, sf_dir):
+    """Schema mode 2 (inferred): stringify typed columns, then recover the
+    types with the reference's inference cascade — numeric → long/double →
+    timestamp → string (`/root/reference/redshift_to_bq/lambda_function.py:104-129`).
+    The cascade decides from ONE bounded-sample aggregate of try_casts (no
+    per-value driver loop), then applies plain codegen'd casts, so the
+    decision cost is constant and the apply cost scans once at any scale."""
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("ok_i"),
+        F.col("l_linenumber").cast("string").alias("ln_i"),
+        F.col("l_quantity").cast("string").alias("qty_d"),
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("ship_ts"),
+        F.col("l_returnflag").alias("flag_s"),
+    )
+    out = infer_and_cast(li)
+    # cascade must land on: long, long, double, timestamp, string
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "bigint",
+        "bigint",
+        "double",
+        "timestamp",
+        "string",
+    ], out.schema.simpleString()
+    return out
+
+
+# The MP settlement table arrives under two header dialects; canonical names
+# on the left-hand side of the projection, per
+# `/root/reference/load_data/lambda_function.py:76-159` (Spanish `:137-151`).
+_CANONICAL = ["order_key", "cust_key", "status", "total_price", "order_date"]
+_DIALECTS = [
+    {  # English headers
+        "ORDER_KEY": "order_key",
+        "CUST_KEY": "cust_key",
+        "STATUS": "status",
+        "TOTAL_PRICE": "total_price",
+        "ORDER_DATE": "order_date",
+    },
+    {  # Spanish headers
+        "clave_orden": "order_key",
+        "clave_cliente": "cust_key",
+        "estado": "status",
+        "precio_total": "total_price",
+        "fecha_orden": "order_date",
+    },
+]
+
+
+@query(
+    "dual_header_normalize",
+    oracle="""
+        SELECT o_orderstatus AS status,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("schema", "dialect"),
+)
+def dual_header_normalize(spark, sf_dir):
+    """Schema mode 3 (positional/dialect): the same table under Spanish
+    headers is detected from set(df.columns) and normalized by a
+    select-alias projection — replacing the reference's try/except KeyError
+    fallback. The projection is free (collapses into ReadSchema); downstream
+    plans see one canonical schema regardless of source dialect."""
+    spanish = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("clave_orden"),
+        F.col("o_custkey").alias("clave_cliente"),
+        F.col("o_orderstatus").alias("estado"),
+        F.col("o_totalprice").alias("precio_total"),
+        F.col("o_orderdate").alias("fecha_orden"),
+    )
+    canon = normalize_columns(spanish, _DIALECTS)
+    assert canon.columns == _CANONICAL, canon.columns
+    return canon.groupBy(F.col("status")).agg(
+        F.count("*").alias("n"), dsum("total_price").alias("spend")
+    )
+
+
+@query(
+    "base64_roundtrip",
+    oracle="""
+        SELECT doc_id,
+               base64(encode(substring(text, 1, 24))) AS b64,
+               REPLACE(REPLACE(base64(encode(substring(text, 1, 24))), '+', '-'),
+                       '/', '_') AS b64_urlsafe,
+               decode(from_base64(base64(encode(substring(text, 1, 24))))) AS back,
+               sha256(substring(text, 1, 24)) AS sha
+        FROM documents
+    """,
+    tags=("functions", "codec"),
+)
+def base64_roundtrip(spark, sf_dir):
+    """F17/F18: base64 encode/decode (the reference decodes urlsafe-b64 mail
+    bodies, `/root/reference/extract_data_pdf/lambda_function.py:129`) plus
+    sha-256 content hashing (`transform_data_pdf/lambda_function.py:9-10`).
+    Pure row-local codegen'd expressions — fuse into the scan stage."""
+    head = F.substring("text", 1, 24)
+    b64 = F.base64(F.encode(head, "UTF-8"))
+    return T(spark, sf_dir, "documents").select(
+        "doc_id",
+        b64.alias("b64"),
+        F.translate(b64, "+/", "-_").alias("b64_urlsafe"),
+        F.decode(F.unbase64(b64), "UTF-8").alias("back"),
+        F.sha2(head, 256).alias("sha"),
+    )
+
+
+@query(
+    "agg_arg_extremes",
+    oracle="""
+        SELECT o_custkey,
+               arg_max(o_totalprice, o_orderkey) AS latest_price,
+               arg_min(o_orderpriority, o_orderkey) AS first_priority,
+               MAX(o_orderdate) AS last_order
+        FROM orders
+        GROUP BY o_custkey
+    """,
+    tags=("agg", "arg-extremes"),
+)
+def agg_arg_extremes(spark, sf_dir):
+    """A5/O1: value-at-extreme aggregation — the reference's "first id of
+    the report" (`/root/reference/load_data/lambda_function.py:165`) and
+    "latest report wins" assumption (`extract_data_mp/lambda_function.py:102-104`)
+    done safely: max_by/min_by on a UNIQUE ordering key (o_orderkey), so the
+    answer is total-order deterministic. Single hash aggregate — no window,
+    no sort, no second shuffle."""
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max_by("o_totalprice", "o_orderkey").alias("latest_price"),
+            F.min_by("o_orderpriority", "o_orderkey").alias("first_priority"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+    )
+
+
+# EP3: one SQL text, executed verbatim by BOTH engines — the engine-side
+# contract of the NL→SQL agent (`/root/reference/ai_agent/lambda_function.py:101-125`
+# runs generated SQL; ours is `spark.sql(text)` over the registered catalog).
+# Dialect-portable by construction: decimal-domain sums, ordinal GROUP BY,
+# date_trunc cast to TIMESTAMP (DuckDB returns DATE), LIMIT on a unique key.
+_AGENT_SQL = """
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monthly_spend,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1
+    ORDER BY month
+    LIMIT 20
+"""
+
+
+@query("sql_surface_agent_query", oracle=_AGENT_SQL, tags=("sql", "agent"))
+def sql_surface_agent_query(spark, sf_dir):
+    """EP3: the interactive NL→SQL path — catalog views + raw SQL text →
+    Spark parser → Analyzer → Catalyst → AQE. The monthly-spend example from
+    the agent's welcome screen (`/root/reference/ai_agent/lambda_function.py:214-221`),
+    LIMIT 20 per its prompt rule 5 (`:65`). Same text runs on DuckDB as the
+    oracle — proving the SQL and DataFrame surfaces are one engine."""
+    register_views(spark, sf_dir)
+    return spark.sql(_AGENT_SQL)
+
+
+@query("catalog_inventory", oracle=None, tags=("catalog",))
+def catalog_inventory(spark, sf_dir):
+    """S10: catalog read-back — the schema feed the agent builds its prompt
+    from (`/root/reference/ai_agent/lambda_function.py:22-36` walks Glue
+    get_tables). Ours lists (table, column, type) from spark.catalog after
+    view registration; schemas come from parquet footers, not crawling.
+    Rows-only check: pure metadata, no relational oracle."""
+    register_views(spark, sf_dir)
+    rows = [
+        (t, c.name, c.dataType)
+        for t in TESTDATA_TABLES
+        for c in spark.catalog.listColumns(t)
+    ]
+    return spark.createDataFrame(rows, "table_name string, column_name string, data_type string")

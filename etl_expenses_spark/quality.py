@@ -75,6 +75,32 @@ def infer_and_cast(df: DataFrame, sample_rows: int = 10_000) -> DataFrame:
     return df.select(*exprs)
 
 
+def normalize_columns(df: DataFrame, dialects: list[dict[str, str]]) -> DataFrame:
+    """Header-dialect normalization, data-driven.
+
+    The reference ingests the same MP settlement table under two header
+    namings (English vs Spanish) and picks one by catching a KeyError on the
+    other (`/root/reference/load_data/lambda_function.py:76-159`, Spanish
+    names at `:137-151`). Exception-driven control flow doesn't survive a
+    declarative planner, so here the dialect is *detected* from
+    ``set(df.columns)`` and applied as a select-alias projection — zero-cost
+    under Catalyst (collapses into the scan's ReadSchema).
+
+    ``dialects``: list of {source_name: canonical_name} maps; the first map
+    entirely contained in df.columns wins. Unmapped columns pass through.
+    """
+    cols = set(df.columns)
+    for mapping in dialects:
+        if set(mapping).issubset(cols):
+            return df.select(
+                *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+            )
+    raise ValueError(
+        f"no header dialect matches columns {sorted(cols)}; "
+        f"known dialects: {[sorted(d) for d in dialects]}"
+    )
+
+
 def require_fields(df: DataFrame, fields: list[str]) -> DataFrame:
     """Row gate: drop rows missing any required field — the mail-row
     rejection at `/root/reference/transform_data_bank_pay/lambda_function.py:49-51`."""
