@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis) for the locale-sensitive expressions —
+the "easy to silently corrupt" surfaces called out in SURVEY.md §7:
+latam money strings, two-digit-year repair, time padding.
+
+Each example materializes ONE small DataFrame and runs one Spark job, so
+max_examples stays low; the per-example input is a generated *list* of
+adversarial values, which is where the coverage comes from.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from etl_expenses_spark.functions.dates import fix_two_digit_year, pad_time, to_date_dayfirst
+from etl_expenses_spark.functions.money import currency_of, parse_money
+
+SLOW = settings(max_examples=8, deadline=None)
+
+amounts = st.decimals(
+    min_value=Decimal("0.01"), max_value=Decimal("99999999.99"), places=2
+)
+prefixes = st.sampled_from(["U$S", "US$", "USD", "ARS$", "AR$", "$"])
+
+
+def latam(amount: Decimal, prefix: str, thousands: bool) -> str:
+    """Render a Decimal the way the reference's sources do: ',' decimal
+    comma, optional '.' thousands separators, currency prefix."""
+    intpart, frac = f"{amount:.2f}".split(".")
+    if thousands:
+        groups = []
+        while intpart:
+            groups.append(intpart[-3:])
+            intpart = intpart[:-3]
+        intpart = ".".join(reversed(groups))
+    return f"{prefix} {intpart},{frac}"
+
+
+@SLOW
+@given(st.lists(st.tuples(amounts, prefixes, st.booleans()), min_size=1, max_size=30))
+def test_parse_money_roundtrips_any_rendering(spark, cases):
+    rows = [(latam(a, p, t), str(a)) for a, p, t in cases]
+    df = spark.createDataFrame(rows, "raw string, want string")
+    out = df.select(
+        parse_money("raw").alias("got"), F.col("want").cast("decimal(12,2)").alias("want")
+    ).collect()
+    for r in out:
+        assert r.got == r.want
+
+
+@SLOW
+@given(st.lists(st.tuples(amounts, prefixes, st.booleans()), min_size=1, max_size=30))
+def test_currency_of_matches_prefix_family(spark, cases):
+    rows = [(latam(a, p, t), "USD" if "U" in p.upper() else "ARS") for a, p, t in cases]
+    df = spark.createDataFrame(rows, "raw string, want string")
+    for r in df.select(currency_of("raw").alias("got"), "want").collect():
+        assert r.got == r.want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), max_size=20
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_parse_money_never_crashes_on_garbage(spark, junk):
+    """Adversarial inputs: parse yields a decimal or NULL, never an error
+    (the reference's silent-skip contract under ANSI-mode Spark)."""
+    df = spark.createDataFrame([(j,) for j in junk], "raw string")
+    df.select(parse_money("raw"), currency_of("raw")).collect()
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 28), st.integers(1, 12), st.integers(0, 99), st.booleans()
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_two_digit_year_repair_and_dayfirst_parse(spark, dates):
+    rows = []
+    for d, m, y2, two in dates:
+        if two:
+            rows.append((f"{d:02d}/{m:02d}/{y2:02d}", f"20{y2:02d}-{m:02d}-{d:02d}"))
+        else:
+            rows.append((f"{d:02d}/{m:02d}/20{y2:02d}", f"20{y2:02d}-{m:02d}-{d:02d}"))
+    df = spark.createDataFrame(rows, "raw string, want string")
+    out = df.select(
+        to_date_dayfirst("raw").alias("got"), F.col("want").cast("date").alias("want")
+    ).collect()
+    for r in out:
+        assert r.got == r.want
+
+
+@SLOW
+@given(st.lists(st.tuples(st.integers(0, 23), st.integers(0, 59)), min_size=1, max_size=30))
+def test_pad_time_always_hhmmss(spark, times):
+    rows = [(f"{h:02d}:{m:02d}",) for h, m in times]
+    df = spark.createDataFrame(rows, "raw string")
+    for r in df.select(pad_time("raw").alias("got")).collect():
+        assert len(r.got) == 8 and r.got.endswith(":00")
+
+
+def test_fix_two_digit_year_passthrough_non_dates(spark):
+    df = spark.createDataFrame([("garbage",), ("1/2",), ("",)], "raw string")
+    got = [r.out for r in df.select(fix_two_digit_year("raw").alias("out")).collect()]
+    assert got == ["garbage", "1/2", ""]

@@ -86,3 +86,76 @@ def test_stream_windowed_counts_match_batch(spark, dirs):
         ).collect()
     }
     assert got == want
+
+
+def test_stateful_running_totals_across_restarts(spark, dirs):
+    """applyInPandasWithState: per-user running totals survive a stream
+    restart (state store + checkpoint), and equal the batch-computed sums."""
+    from etl_expenses_spark.streaming.stateful import running_user_totals
+
+    bronze, _, ckpt, _ = dirs
+    events = load_table(spark, SF_DIR, "events")
+    first = events.filter(F.col("event_id") < 500)
+    second = events.filter((F.col("event_id") >= 500) & (F.col("event_id") < 1000))
+
+    emissions = str(bronze.parent / "emissions")
+
+    def run(name):
+        stream = running_user_totals(
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(str(bronze))
+        )
+
+        # memory sink can't recover from a checkpoint; foreachBatch can —
+        # log each batch's update-mode emissions with its epoch
+        def sink(batch_df, epoch_id):
+            batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
+                emissions
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # update mode re-emits a user once per micro-batch it appears in:
+        # the highest-epoch emission per user is their current running total
+        log = spark.read.parquet(emissions)
+        latest = log.groupBy("user_id").agg(
+            F.max_by(F.struct("n_events", "total_value"), "epoch").alias("s")
+        )
+        return {
+            r.user_id: (r.s.n_events, r.s.total_value) for r in latest.collect()
+        }
+
+    first.repartition(2).write.mode("append").parquet(str(bronze))
+    got1 = run("running_a")
+    want1 = {
+        r.user_id: (r.n, r.total)
+        for r in first.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(got1) == set(want1)
+    for u in want1:
+        assert got1[u][0] == want1[u][0]
+        assert got1[u][1] == pytest.approx(want1[u][1], rel=1e-9)
+
+    # restart over new files only: state carries the first run's totals
+    second.repartition(2).write.mode("append").parquet(str(bronze))
+    got2 = run("running_b")
+    both = first.unionByName(second)
+    want2 = {
+        r.user_id: (r.n, r.total)
+        for r in both.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    # users present in the second batch re-emit with CUMULATIVE totals
+    for u in got2:
+        assert got2[u][0] == want2[u][0]
+        assert got2[u][1] == pytest.approx(want2[u][1], rel=1e-9)
