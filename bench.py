@@ -36,7 +36,9 @@ HEADLINE = [
     "count_distinct_suppliers",
     "money_parse_roundtrip",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine_pairs",
     "similarity_cosine_topk",
+    "similarity_cosine_topk_ivf",
     "asof_join_events_orders",
     "window_tumbling_daily",
     "text_token_stats",

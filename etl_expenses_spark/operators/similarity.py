@@ -16,6 +16,8 @@ avoids Arrow transfer entirely.)
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -41,6 +43,31 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def pair_dot_udf():
+    """Arrow-batched pair dot product, bit-exact to ``dot``.
+
+    Accumulates dimension-by-dimension across the whole batch
+    (``acc += a[:, i] * b[:, i]``) — the SAME sequence of IEEE additions as
+    the sequential fold in ``dot`` and as an engine's ordered SUM, so
+    results are bit-identical to the expression path while doing the heavy
+    pair math at numpy speed instead of interpreted-expression speed."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pdot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series(np.zeros(0))
+        A = np.asarray([np.asarray(v, dtype=np.float64) for v in a])
+        B = np.asarray([np.asarray(v, dtype=np.float64) for v in b])
+        acc = np.zeros(len(A))
+        for i in range(A.shape[1]):
+            acc += A[:, i] * B[:, i]
+        return pd.Series(acc)
+
+    return pdot
 
 
 def cosine_topk_bruteforce(
@@ -91,6 +118,193 @@ def hyperplane_bucket(vec: Column, dims: int, n_planes: int = 8, seed: int = 42)
     for b in bits[1:]:
         out = out + b
     return out.cast("long")
+
+
+def embedding_neardup_pairs_blocked(
+    embeddings: DataFrame,
+    block_col: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs within blocking groups.
+
+    The exact tier of embedding dedup: a self-join on a blocking key turns
+    the O(n²) pair space into Σ|block|², and the block key is the shuffle
+    key — same scale shape as the n-gram Jaccard tier. Output: (id_a, id_b,
+    sim) for ordered pairs with cosine ≥ threshold, quantized to 1e-6 so the
+    comparison is portable across engines.
+    """
+    # norms are computed ONCE per vector before the pair join — inside the
+    # join they'd be re-evaluated per pair (|block|× redundant traversals of
+    # interpreted array expressions, the dominant cost of this operator)
+    slim = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nv"),
+    )
+    a, b = slim.alias("a"), slim.alias("b")
+    pdot = pair_dot_udf()
+    sim = (
+        (pdot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv")))
+        .cast("decimal(18,6)")
+        .cast("double")
+    )
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def embedding_neardup_pairs_lsh(
+    embeddings: DataFrame,
+    dims: int,
+    threshold: float = 0.95,
+    bands: int = 4,
+    planes_per_band: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN embedding near-dup: banded random-hyperplane candidate join, then
+    exact cosine verification — the 100 TB path when no natural blocking key
+    exists. A pair colliding in ANY band becomes a candidate (recall grows
+    with bands; cost is bands× small signature shuffles, never the full
+    pairwise space). Candidates carry only ids; vectors re-join for the
+    (few) verified pairs — same payload discipline as MinHash-LSH."""
+    sig = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nv"),
+        *[
+            hyperplane_bucket(F.col(vec_col), dims, planes_per_band, seed=1000 + band).alias(
+                f"b{band}"
+            )
+            for band in range(bands)
+        ],
+    ).persist()
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(band).alias("band"), F.col(f"b{band}").alias("bucket"))
+                    for band in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = sig.select("id", "v", "nv")
+    pdot = pair_dot_udf()
+    sim = (
+        (pdot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .cast("decimal(18,6)")
+        .cast("double")
+    )
+    return (
+        candidates.join(
+            vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nv").alias("na")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nv").alias("nb")),
+            "id_b",
+        )
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def train_centroids_sampled(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 8,
+    sample: int = 4096,
+    seed: int = 42,
+    vec_col: str = "embedding",
+):
+    """Spherical k-means on a bounded driver-side sample → (k, dims) numpy
+    centroids (unit-norm). Training a coarse quantizer on a sample is the
+    standard IVF recipe (at 100 TB you sample ~1M vectors, not the table);
+    only ASSIGNMENT runs distributed. Deterministic: fixed seed, fixed
+    sample order."""
+    import numpy as np
+
+    rows = embeddings.select(vec_col).limit(sample).collect()
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    return C
+
+
+def ivf_assign_udf(centroids):
+    """Vectorized centroid assignment: one Arrow batch → one matrix multiply.
+    At scale this is the partition/bucket key the table is written under."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pd.Series((X @ C.T).argmax(axis=1).astype(np.int32))
+
+    return assign
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: assign every vector to its nearest spherical-k-means
+    centroid (the inverted-file cell), then scan only the query's nprobe
+    closest cells exactly. Recall is tunable via nprobe; the scan touches
+    nprobe/n_centroids of the data. In production the table is WRITTEN
+    partitioned by cell id, so the probe is partition pruning, not a filter."""
+    import numpy as np
+
+    C = train_centroids_sampled(embeddings, k=n_centroids, vec_col=vec_col)
+    assign = ivf_assign_udf(C)
+    cells = embeddings.withColumn("cell", assign(F.col(vec_col)))
+
+    qv = np.asarray(query.select("q").first()[0], dtype=np.float64)
+    qv /= max(np.linalg.norm(qv), 1e-12)
+    probe = [int(c) for c in (C @ qv).argsort()[::-1][:nprobe]]
+
+    joined = cells.filter(F.col("cell").isin(probe)).crossJoin(F.broadcast(query))
+    sim = cosine(F.col(vec_col), F.col("q"))
+    return (
+        joined.select(F.col(id_col), sim.cast("decimal(18,6)").cast("double").alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
 
 
 def cosine_topk_lsh(

@@ -12,7 +12,10 @@ from pyspark.sql import functions as F
 
 from etl_expenses_spark.operators.similarity import (
     cosine_topk_bruteforce,
+    cosine_topk_ivf,
     cosine_topk_lsh,
+    embedding_neardup_pairs_blocked,
+    embedding_neardup_pairs_lsh,
     norm,
 )
 from etl_expenses_spark.plans._util import T
@@ -63,6 +66,56 @@ def similarity_cosine_topk_lsh(spark, sf_dir):
     partition key ⇒ a query prunes to ~1/256 of the table)."""
     return cosine_topk_lsh(
         T(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), dims=64
+    )
+
+
+@query("similarity_cosine_topk_ivf", oracle=None, tags=("similarity", "topk", "rows_only"))
+def similarity_cosine_topk_ivf(spark, sf_dir):
+    """IVF ANN top-10: spherical-k-means cells trained on a bounded sample,
+    vectorized (Arrow/numpy) cell assignment, exact cosine over the query's
+    nprobe=4 of 16 cells — the partition-pruned ANN path for when the table
+    is written bucketed by cell id."""
+    return cosine_topk_ivf(T(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir))
+
+
+@query(
+    "dedup_embedding_cosine_pairs",
+    oracle="""
+        WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   (SELECT SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+                    FROM range(1, 65) r(i))
+                   / (SQRT((SELECT SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))
+                            FROM range(1, 65) r(i)))
+                      * SQRT((SELECT SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+                              FROM range(1, 65) r(i)))) AS sim_raw
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b, sim FROM (
+            SELECT id_a, id_b, CAST(CAST(sim_raw AS DECIMAL(18,6)) AS DOUBLE) AS sim
+            FROM pairs)
+        WHERE sim >= 0.30
+    """,
+    tags=("dedup", "similarity", "embedding"),
+)
+def dedup_embedding_cosine_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup, exact tier: pairs with cosine ≥ 0.30
+    inside `label` blocking groups. The blocked self-join shuffles on the
+    block key only (Σ|block|² work); sims are quantized to 1e-6 in both
+    engines before thresholding so the comparison is portable."""
+    return embedding_neardup_pairs_blocked(
+        T(spark, sf_dir, "embeddings"), block_col="label", threshold=0.30
+    )
+
+
+@query("dedup_embedding_lsh_pairs", oracle=None, tags=("dedup", "embedding", "rows_only"))
+def dedup_embedding_lsh_pairs(spark, sf_dir):
+    """Embedding near-dup, ANN tier: banded random-hyperplane candidate
+    join (4 bands × 8 planes) then exact cosine ≥ 0.30 verification — for
+    tables with no natural blocking key. Recall tunes with band count; the
+    candidate join never materializes the full pair space."""
+    return embedding_neardup_pairs_lsh(
+        T(spark, sf_dir, "embeddings"), dims=64, threshold=0.30
     )
 
 

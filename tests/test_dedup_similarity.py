@@ -57,3 +57,43 @@ def test_lsh_topk_subset_of_bruteforce(spark):
     assert sims == sorted(sims, reverse=True)
     # recall vs brute-force top-50 — bucket restriction keeps the obvious hits
     assert ann[0].vec_id in brute
+
+
+def test_ivf_topk_high_recall_vs_bruteforce(spark):
+    from etl_expenses_spark.operators.similarity import cosine_topk_ivf
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    exact = [r.vec_id for r in cosine_topk_bruteforce(emb, qv, k=10).collect()]
+    ann = [r.vec_id for r in cosine_topk_ivf(emb, qv, k=10, nprobe=4).collect()]
+    # nprobe=4/16 cells: expect most of the true top-10, and the query
+    # vector itself (sim=1) must always be found
+    assert 0 in ann
+    assert len(set(exact) & set(ann)) >= 6
+    # ann sims are a subset of exact ranking: every ann hit scored exactly
+    assert set(ann) <= set(
+        r.vec_id for r in cosine_topk_bruteforce(emb, qv, k=500).collect()
+    )
+
+
+def test_embedding_neardup_lsh_subset_of_blocked_exact(spark):
+    from etl_expenses_spark.operators.similarity import (
+        embedding_neardup_pairs_blocked,
+        embedding_neardup_pairs_lsh,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    # exact over a single global block = ground truth pair set
+    truth = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs_blocked(
+            emb.withColumn("one", F.lit(1)), "one", threshold=0.30
+        ).collect()
+    }
+    ann = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs_lsh(emb, dims=64, threshold=0.30).collect()
+    }
+    # verification step makes precision exact: every ANN pair is a true pair
+    assert ann <= truth
+    assert len(ann) > 0
