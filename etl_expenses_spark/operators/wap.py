@@ -1,0 +1,113 @@
+"""Write-audit-publish: transactional-ish batch gold writes on plain parquet.
+
+Plain parquet directory appends are not atomic: a crashed job leaves partial
+files that readers see. The reference handles failure with a compensation
+lambda that issues rollback UPDATEs and deletes temp objects
+(`/root/reference/compensation_flow/lambda_function.py:34-56`). The batch
+engine replaces that with the write-audit-publish protocol:
+
+1. WRITE the batch to an unpublished versioned staging dir,
+2. AUDIT the staged data by re-reading it (row gates, invariants),
+3. PUBLISH by atomically renaming the version dir into the table root and
+   atomically replacing the ``_CURRENT`` manifest readers resolve.
+
+A crash before step 3 leaves garbage only in ``_staging`` (never visible);
+a failed audit never publishes. Readers always see a consistent set of
+fully-written versions — no torn reads, no rollback logic. This is the same
+commit-protocol shape table formats (Iceberg/Delta) productionize; local
+``os.replace`` stands in for the metastore swap and is atomic on any POSIX
+filesystem.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+AuditFn = Callable[[DataFrame], str | None]  # error message or None = pass
+
+_CURRENT = "_CURRENT"
+_STAGING = "_staging"
+
+
+def _committed_versions(table_root: str) -> list[int]:
+    cur = os.path.join(table_root, _CURRENT)
+    if not os.path.exists(cur):
+        return []
+    with open(cur) as f:
+        content = f.read().strip()
+    return [int(v) for v in content.split(",") if v]
+
+
+def publish_append(
+    spark: SparkSession,
+    df: DataFrame,
+    table_root: str,
+    audits: list[AuditFn] | None = None,
+) -> int:
+    """Stage ``df`` as the table's next version, audit it, publish it.
+
+    Returns the published version number; raises ValueError (table
+    untouched) if any audit rejects the staged data.
+    """
+    os.makedirs(os.path.join(table_root, _STAGING), exist_ok=True)
+    committed = _committed_versions(table_root)
+    version = (max(committed) + 1) if committed else 1
+    staged = os.path.join(table_root, _STAGING, f"v{version}")
+    final = os.path.join(table_root, f"v{version}")
+
+    # WRITE — invisible to readers (staging dir is not in any manifest)
+    df.write.mode("overwrite").parquet(staged)
+
+    # AUDIT — on what was actually written, not the in-flight plan
+    staged_df = spark.read.parquet(staged)
+    for audit in audits or []:
+        err = audit(staged_df)
+        if err is not None:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise ValueError(f"audit rejected staged v{version}: {err}")
+
+    # PUBLISH — two renames, each atomic; readers resolve _CURRENT so the
+    # new version is invisible until the manifest swap (the second rename)
+    os.replace(staged, final)
+    tmp = os.path.join(table_root, f"{_CURRENT}.tmp")
+    with open(tmp, "w") as f:
+        f.write(",".join(str(v) for v in committed + [version]))
+    os.replace(tmp, os.path.join(table_root, _CURRENT))
+    return version
+
+
+def read_published(spark: SparkSession, table_root: str) -> DataFrame:
+    """Scan exactly the committed versions (union of their parquet dirs)."""
+    versions = _committed_versions(table_root)
+    if not versions:
+        raise FileNotFoundError(f"no published versions under {table_root}")
+    return spark.read.parquet(*[os.path.join(table_root, f"v{v}") for v in versions])
+
+
+def audit_min_rows(n: int) -> AuditFn:
+    return lambda df: None if df.count() >= n else f"fewer than {n} rows"
+
+
+def audit_no_nulls(cols: list[str]) -> AuditFn:
+    def check(df: DataFrame) -> str | None:
+        from pyspark.sql import functions as F
+
+        bad = df.filter(
+            " OR ".join(f"{c} IS NULL" for c in cols)
+        ).limit(1).count() if cols else 0
+        return None if bad == 0 else f"NULL in one of {cols}"
+
+    return check
+
+
+def audit_unique_key(cols: list[str]) -> AuditFn:
+    def check(df: DataFrame) -> str | None:
+        total = df.count()
+        distinct = df.select(*cols).distinct().count()
+        return None if total == distinct else f"duplicate keys on {cols}"
+
+    return check

@@ -117,3 +117,36 @@ def multimodal_doc_features(spark, sf_dir):
         F.encode("text", "UTF-8").alias("payload"),
     )
     return decode_and_featurize(media)
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+        SELECT c.c_mktsegment AS segment,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    tags=("join", "skew", "salted"),
+)
+def join_salted_skew(spark, sf_dir):
+    """Skew-mitigated fact⋈dim join: the fact side salted into 16 sub-keys,
+    the dim side replicated per salt, so a hot key spreads over 16 reducers
+    instead of stalling one straggler task (operators/skew.py; AQE skew-join
+    is the runtime complement, salting the plan-level one). Semantics are
+    oracle-identical to the plain join — salt changes placement, not rows."""
+    from etl_expenses_spark.operators.skew import salted_join
+
+    e = T(spark, sf_dir, "events").select("user_id", "value")
+    c = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        salted_join(e, c, "user_id", buckets=16)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )

@@ -1,0 +1,102 @@
+"""Write-audit-publish commit protocol and salted-join skew mitigation."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_expenses_spark.operators.skew import salted_join, salted_join_hot_keys
+from etl_expenses_spark.operators.wap import (
+    audit_min_rows,
+    audit_no_nulls,
+    audit_unique_key,
+    publish_append,
+    read_published,
+)
+from etl_expenses_spark.sources.readers import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def table_root():
+    root = tempfile.mkdtemp(prefix="wap_")
+    yield root
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_wap_publish_then_read(spark, table_root):
+    orders = load_table(spark, SF_DIR, "orders")
+    first = orders.filter(F.col("o_orderkey") < 500)
+    v = publish_append(
+        spark, first, table_root,
+        audits=[audit_min_rows(1), audit_unique_key(["o_orderkey"])],
+    )
+    assert v == 1
+    assert read_published(spark, table_root).count() == first.count()
+
+
+def test_wap_failed_audit_never_publishes(spark, table_root):
+    orders = load_table(spark, SF_DIR, "orders")
+    publish_append(spark, orders.filter(F.col("o_orderkey") < 500), table_root)
+    before = read_published(spark, table_root).count()
+
+    dupes = orders.filter(F.col("o_orderkey") < 100)
+    bad = dupes.unionByName(dupes)  # duplicate keys → audit must reject
+    with pytest.raises(ValueError, match="audit rejected"):
+        publish_append(spark, bad, table_root, audits=[audit_unique_key(["o_orderkey"])])
+    # table is exactly what it was — failed version invisible
+    assert read_published(spark, table_root).count() == before
+
+    null_rows = spark.createDataFrame([(None, 1)], "o_orderkey long, x long")
+    with pytest.raises(ValueError, match="audit rejected"):
+        publish_append(spark, null_rows, table_root, audits=[audit_no_nulls(["o_orderkey"])])
+    assert read_published(spark, table_root).count() == before
+
+
+def test_wap_versions_accumulate(spark, table_root):
+    orders = load_table(spark, SF_DIR, "orders")
+    a = orders.filter(F.col("o_orderkey") < 300)
+    b = orders.filter((F.col("o_orderkey") >= 300) & (F.col("o_orderkey") < 600))
+    assert publish_append(spark, a, table_root) == 1
+    assert publish_append(spark, b, table_root) == 2
+    got = read_published(spark, table_root)
+    assert got.count() == a.count() + b.count()
+    assert got.select("o_orderkey").distinct().count() == got.count()
+
+
+def _plain(events, customer):
+    return events.join(customer, "user_id", "inner")
+
+
+def test_salted_join_equals_plain_join(spark):
+    e = load_table(spark, SF_DIR, "events").select("event_id", "user_id")
+    c = load_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    want = {(r.event_id, r.c_mktsegment) for r in _plain(e, c).collect()}
+    got = {
+        (r.event_id, r.c_mktsegment)
+        for r in salted_join(e, c, "user_id", buckets=8).collect()
+    }
+    assert got == want
+
+
+def test_salted_hot_keys_equals_plain_join(spark):
+    e = load_table(spark, SF_DIR, "events").select("event_id", "user_id")
+    c = load_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    # treat the 3 most frequent users as "hot"
+    hot = [r.user_id for r in e.groupBy("user_id").count().orderBy(F.desc("count")).limit(3).collect()]
+    want = {(r.event_id, r.c_mktsegment) for r in _plain(e, c).collect()}
+    got = {
+        (r.event_id, r.c_mktsegment)
+        for r in salted_join_hot_keys(e, c, "user_id", hot, buckets=8).collect()
+    }
+    assert got == want
