@@ -150,3 +150,54 @@ def join_salted_skew(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
     )
+
+
+@query(
+    "unpivot_lineitem_charges",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, metric, amount
+        FROM (SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax
+              FROM lineitem)
+        UNPIVOT (amount FOR metric IN (l_extendedprice, l_discount, l_tax))
+    """,
+    tags=("reshape", "unpivot"),
+)
+def unpivot_lineitem_charges(spark, sf_dir):
+    """Wide→long reshape (the inverse of pivot): each charge column becomes
+    a (metric, amount) row. Row-local expansion — no shuffle; output rows =
+    3× input, produced inside the scan's codegen stage."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax")
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_extendedprice", "l_discount", "l_tax"],
+            "metric",
+            "amount",
+        )
+    )
+
+
+@query(
+    "agg_exact_percentiles",
+    oracle="""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.25) AS p25,
+               quantile_cont(l_quantity, 0.50) AS p50,
+               quantile_cont(l_quantity, 0.75) AS p75
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_exact_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (the approx variant is the
+    scale path; this is its correctness baseline). Cross-engine-exact here
+    because l_quantity is integer-valued and the probed fractions are
+    dyadic, so every interpolation is exact in binary floating point."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("p25"),
+        F.percentile("l_quantity", 0.50).alias("p50"),
+        F.percentile("l_quantity", 0.75).alias("p75"),
+    )
