@@ -22,8 +22,10 @@ def parse_money(col: Column | str, scale: int = 2) -> Column:
     """'$1.234,56' / 'U$S 99,90' → decimal(12,scale). NULL if unparseable."""
     c = F.col(col) if isinstance(col, str) else col
     no_prefix = F.regexp_replace(c, _PREFIX_RE, "")
-    # '1.234,56' → '1234,56' → '1234.56'
-    normalized = F.translate(F.regexp_replace(no_prefix, r"\.", ""), ",", ".")
+    # '1.234,56' → '1234.56' in ONE translate: ',' maps to '.', and '.'
+    # (matching char with no replacement) is deleted — no regex engine,
+    # no second pass over the string
+    normalized = F.translate(no_prefix, ",.", ".")
     # try_cast: unparseable input → NULL (ANSI mode would raise), matching
     # the reference's silent-skip behavior
     return F.trim(normalized).try_cast(f"decimal(12,{scale})")
@@ -33,8 +35,11 @@ def currency_of(col: Column | str) -> Column:
     """'U$S …' → 'USD'; '$ …' → 'ARS'; else NULL — the conditional mapping at
     `/root/reference/transform_data_bank_pay/lambda_function.py:35` (P9)."""
     c = F.col(col) if isinstance(col, str) else col
+    # contains ×3, not rlike: substring search skips the regex engine
     return (
-        F.when(c.rlike(r"U\$S|US\$|USD"), F.lit("USD"))
+        F.when(
+            c.contains("U$S") | c.contains("US$") | c.contains("USD"), F.lit("USD")
+        )
         .when(c.contains("$"), F.lit("ARS"))
         .otherwise(F.lit(None).cast("string"))
     )

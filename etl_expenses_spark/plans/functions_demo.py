@@ -162,8 +162,8 @@ def money_parse_roundtrip(spark, sf_dir):
     `/root/reference/transform_data_bank_pay/lambda_function.py:9-20` as a
     codegen'd expression, round-tripped through the real price column."""
     li = T(spark, sf_dir, "lineitem")
-    body = F.regexp_replace(
-        F.col("l_extendedprice").cast("decimal(18,2)").cast("string"), r"\.", ","
+    body = F.translate(
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("string"), ".", ","
     )
     raw = F.concat(
         F.when(F.col("l_orderkey") % 2 == 0, F.lit("U$S ")).otherwise(F.lit("$")), body
