@@ -67,16 +67,18 @@ def _salted_hash(i: int):
     """Closure factory — NOTE: pyspark higher-order-function lambdas must
     declare exactly the engine-provided parameters (a 2-arg transform lambda
     receives (element, index)); capturing loop state via default args would
-    silently bind the index column instead."""
-    return lambda s: F.xxhash64(F.concat(F.lit(f"p{i}_"), s))
+    silently bind the index column instead. Operates on PRE-HASHED shingle
+    longs: re-hashing a long with a salt literal is an independent family and
+    ~10× cheaper than re-hashing the shingle strings per permutation."""
+    return lambda h: F.xxhash64(F.lit(i), h)
 
 
-def _minhash_sig(shingles: Column, num_perm: int) -> list[Column]:
-    """One min-hash per permutation; permutation i = xxhash64 with a distinct
-    salt (salting the input is equivalent to an independent hash family here
-    and stays 100% JVM-side)."""
+def _minhash_sig(shingle_hashes: Column, num_perm: int) -> list[Column]:
+    """One min-hash per permutation over a pre-hashed shingle array
+    (array<long>); permutation i = xxhash64(i, h) — an independent salted
+    family, 100% JVM-side, touching each string shingle exactly once."""
     return [
-        F.array_min(F.transform(shingles, _salted_hash(i))).alias(f"mh{i}")
+        F.array_min(F.transform(shingle_hashes, _salted_hash(i))).alias(f"mh{i}")
         for i in range(num_perm)
     ]
 
@@ -102,7 +104,10 @@ def minhash_lsh_pairs(
     sig = (
         df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
         .select("id", shingles_of_tokens(F.col("toks"), shingle_k).alias("shingles"))
-        .select("id", "shingles", *_minhash_sig(F.col("shingles"), num_perm))
+        # hash every shingle string to a long ONCE; the num_perm permuted
+        # hashes then work on longs (string hashing is the dominant cost)
+        .select("id", "shingles", F.transform("shingles", lambda x: F.xxhash64(x)).alias("hs"))
+        .select("id", "shingles", *_minhash_sig(F.col("hs"), num_perm))
         # reused by both the banded candidate join and the verify re-join —
         # persist so the signature computation runs once, not 4×
         .persist()
