@@ -236,3 +236,61 @@ def catalog_inventory(spark, sf_dir):
         for c in spark.catalog.listColumns(t)
     ]
     return spark.createDataFrame(rows, "table_name string, column_name string, data_type string")
+
+
+@query(
+    "json_struct_roundtrip",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderstatus AS status,
+               o_totalprice AS total,
+               CAST(o_orderdate AS TIMESTAMP) AS odate,
+               o_orderpriority AS prio
+        FROM orders
+    """,
+    tags=("functions", "json", "struct"),
+)
+def json_struct_roundtrip(spark, sf_dir):
+    """F19 deep form: serialize each order to a nested JSON document
+    (to_json of struct{..., amounts:{...}}), parse it back with a declared
+    schema (from_json), and surface the typed fields — the mail-doc
+    JSON-tree semantics (`/root/reference/extract_data_bank_pay/lambda_function.py:182-195`)
+    under full type fidelity (long/double/timestamp survive the round
+    trip). Row-local; fuses into the scan stage."""
+    from pyspark.sql import types as T_
+
+    schema = T_.StructType(
+        [
+            T_.StructField("o_orderkey", T_.LongType()),
+            T_.StructField("status", T_.StringType()),
+            T_.StructField(
+                "amounts",
+                T_.StructType(
+                    [
+                        T_.StructField("total", T_.DoubleType()),
+                        T_.StructField("odate", T_.TimestampNTZType()),
+                    ]
+                ),
+            ),
+            T_.StructField("prio", T_.StringType()),
+        ]
+    )
+    o = T(spark, sf_dir, "orders")
+    doc = F.to_json(
+        F.struct(
+            F.col("o_orderkey"),
+            F.col("o_orderstatus").alias("status"),
+            F.struct(
+                F.col("o_totalprice").alias("total"), F.col("o_orderdate").alias("odate")
+            ).alias("amounts"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+    )
+    parsed = o.select(F.from_json(doc, schema).alias("d"))
+    return parsed.select(
+        F.col("d.o_orderkey").alias("o_orderkey"),
+        F.col("d.status").alias("status"),
+        F.col("d.amounts.total").alias("total"),
+        F.col("d.amounts.odate").alias("odate"),
+        F.col("d.prio").alias("prio"),
+    )
