@@ -94,6 +94,68 @@ def decode_and_featurize(media: DataFrame) -> DataFrame:
     )
 
 
+def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Image resize stage (1 image → 1 image, new payload + updated meta).
+
+    The stage every vision-training pipeline runs before featurization. The
+    Spark-side contract is the real part: payload AND metadata must change
+    together (a resized image whose meta still says the old dims poisons
+    downstream batch shaping), so the stage emits a fresh meta struct, never
+    mutates columns independently. Payload bytes are a deterministic fake
+    (digest-derived, length ∝ w×h) standing in for the PIL resample."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("width", T.IntegerType()),
+                        T.StructField("height", T.IntegerType()),
+                        T.StructField("sample_rate", T.IntegerType()),
+                        T.StructField("n_frames", T.IntegerType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if _HAVE_CODECS:  # pragma: no cover
+                raise NotImplementedError("real codec path not implemented in this container")
+            payloads, metas = [], []
+            for payload, meta in zip(b["payload"], b["meta"]):
+                seed = hashlib.sha256(
+                    bytes(payload) + width.to_bytes(4, "big") + height.to_bytes(4, "big")
+                ).digest()
+                # fake resampled payload: digest tiled to a w*h-proportional size
+                size = max(1, (width * height) // 1024)
+                payloads.append((seed * (size // len(seed) + 1))[:size])
+                metas.append(
+                    {
+                        "width": width,
+                        "height": height,
+                        "sample_rate": meta["sample_rate"],
+                        "n_frames": meta["n_frames"],
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "kind": b["kind"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return media.filter("kind = 'image'").select(
+        "media_id", "kind", "payload", "meta"
+    ).mapInPandas(gen, schema=out_schema)
+
+
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame sampling (UDTF-shaped: 1 video → n_frames/every_n rows).
     Frame payloads are deterministic fakes (digest-derived); the row

@@ -43,3 +43,19 @@ def test_frame_sample_explodes_videos_only(spark):
     assert {r.media_id for r in frames} == {3}
     assert sorted(r.frame_no for r in frames) == [0, 10, 20]
     assert all(isinstance(bytes(r.frame), bytes) and len(bytes(r.frame)) == 32 for r in frames)
+
+
+def test_resize_updates_payload_and_meta_together(spark):
+    from etl_expenses_spark.operators.multimodal import resize_images
+
+    out = resize_images(_media(spark), width=224, height=224)
+    rows = {r.media_id: r for r in out.collect()}
+    # images only
+    assert set(rows) == {1, 4}
+    for r in rows.values():
+        assert (r.meta.width, r.meta.height) == (224, 224)
+        assert len(bytes(r.payload)) == (224 * 224) // 1024
+    # deterministic: identical source payload → identical resized payload
+    assert bytes(rows[1].payload) == bytes(rows[4].payload)
+    # schema identical to MEDIA_SCHEMA (stage is composable with itself)
+    assert out.schema == _media(spark).schema
