@@ -1,0 +1,63 @@
+"""Bucketed co-located join: pre-bucketing both fact tables on the join key
+removes the shuffle from every subsequent join on that key — the layout
+decision that matters most at 100 TB, where a fact-fact SMJ's exchange IS
+the job cost. (SURVEY.md §4 join planning; session.py leaves this to table
+layout, which this test exercises end-to-end via saveAsTable.)"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_expenses_spark.sources.readers import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def warehouse(spark):
+    d = tempfile.mkdtemp(prefix="bucketed_")
+    yield d
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _plan(df) -> str:
+    jvm = df.sparkSession.sparkContext._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+
+
+def test_bucketed_join_has_no_exchange(spark, warehouse):
+    orders = load_table(spark, SF_DIR, "orders")
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    (
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", f"{warehouse}/b_orders").mode("overwrite").saveAsTable("b_orders")
+    )
+    (
+        lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", f"{warehouse}/b_lineitem").mode("overwrite").saveAsTable("b_lineitem")
+    )
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        # both sides read pre-bucketed on the join key: NO shuffle anywhere
+        assert "Exchange" not in plan, plan
+        # and the join result is correct
+        assert joined.count() == lineitem.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
