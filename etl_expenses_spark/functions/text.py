@@ -28,6 +28,19 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("long")
 
 
+# GPT-2-style pre-tokenizer shape, simplified to the lookahead-free subset
+# both Java regex (Spark) and RE2 (DuckDB) evaluate identically:
+# contraction suffixes | space?-letters | space?-digits | space?-symbols.
+BPE_ISH_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Subword-style token count — the cheap estimator of LLM token cost a
+    training pipeline budgets with (vs whitespace words, which undercount
+    punctuation-heavy and contraction-heavy text)."""
+    return F.regexp_count(_c(col), F.lit(BPE_ISH_RE)).cast("long")
+
+
 def punct_count(col: Column | str) -> Column:
     """Count of .,;:!?"'()- characters. Explicit class (not [[:punct:]]) so
     Java-regex and RE2-based engines agree."""

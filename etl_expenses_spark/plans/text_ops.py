@@ -116,3 +116,37 @@ def doc_fingerprint(spark, sf_dir):
     characters — integer fold, bit-exact across engines."""
     d = T(spark, sf_dir, "documents")
     return d.select("doc_id", rolling_hash("text").alias("fingerprint"))
+
+
+@query(
+    "text_bpe_token_count",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len({_D_TOKENS}) AS BIGINT) AS n_words,
+               CAST(len(regexp_extract_all(text,
+                   '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))
+                   AS BIGINT) AS n_bpe_ish,
+               CAST(len(regexp_extract_all(text,
+                   '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))
+                   AS DOUBLE)
+                 / CAST(GREATEST(len({_D_TOKENS}), 1) AS DOUBLE) AS fertility
+        FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def text_bpe_token_count(spark, sf_dir):
+    """Token budgeting both ways: whitespace words and the BPE-ish subword
+    estimate (GPT-2-shaped pre-tokenizer regex, lookahead-free so Java and
+    RE2 count identically), plus their ratio ('fertility') — the number a
+    training pipeline uses to predict LLM token cost per document."""
+    from etl_expenses_spark.functions.text import bpe_ish_token_count
+
+    d = T(spark, sf_dir, "documents")
+    words = token_count("text")
+    bpe = bpe_ish_token_count("text")
+    return d.select(
+        "doc_id",
+        words.alias("n_words"),
+        bpe.alias("n_bpe_ish"),
+        (bpe.cast("double") / F.greatest(words, F.lit(1)).cast("double")).alias("fertility"),
+    )
