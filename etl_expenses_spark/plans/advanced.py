@@ -201,3 +201,49 @@ def agg_exact_percentiles(spark, sf_dir):
         F.percentile("l_quantity", 0.50).alias("p50"),
         F.percentile("l_quantity", 0.75).alias("p75"),
     )
+
+
+@query(
+    "dataset_split_assign",
+    oracle="""
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                         % 100 AS bucket
+              FROM documents)
+    """,
+    tags=("training", "split"),
+)
+def dataset_split_assign(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment from a content-key
+    hash (md5 of the id, first 8 hex digits mod 100) — stable across runs,
+    machines, and engine versions, unlike seeded RNG sampling which depends
+    on partition layout. Row-local expression; at 100 TB the split column
+    doubles as a partition key so each split trains from its own files."""
+    d = T(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+
+
+@query("sample_stratified_by_lang", oracle=None, tags=("training", "sample", "rows_only"))
+def sample_stratified_by_lang(spark, sf_dir):
+    """Stratified downsampling (sampleBy): per-language keep fractions — the
+    rebalancing step of corpus curation (cap the dominant language, keep all
+    of the rare ones). Seeded Bernoulli per row; rows-only because the draw
+    depends on partition layout, not on a portable function. For exactly
+    reproducible curation use dataset_split_assign's hash-bucket approach."""
+    d = T(spark, sf_dir, "documents")
+    langs = [r.lang for r in d.select("lang").distinct().collect()]
+    fractions = {lg: (0.25 if i % 2 == 0 else 1.0) for i, lg in enumerate(sorted(langs))}
+    return d.sampleBy("lang", fractions, seed=42)
