@@ -43,6 +43,8 @@ def rowset(cols, rows):
 
 def main() -> int:
     args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    args = [a for a in args if a != "--vanilla"]
     sf_dir = args[0] if args and args[0].startswith("/") else "/root/testdata/sf0.01"
     names = [a for a in args if not a.startswith("/")] or list(REGISTRY)
     unknown = [n for n in names if n not in REGISTRY]
@@ -50,7 +52,15 @@ def main() -> int:
         print(f"unknown queries: {unknown}; known: {sorted(REGISTRY)}")
         return 2
 
-    spark = get_spark("oracle_check", cpus=8)
+    if vanilla:
+        # simulate the driver: a bare SparkSession with none of our tuned
+        # confs — engine code must self-configure (readers.py:load_table)
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName("oracle_vanilla").getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        spark = get_spark("oracle_check", cpus=8)
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(
