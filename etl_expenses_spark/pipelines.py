@@ -118,3 +118,25 @@ def sql_surface(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(sql)
+
+
+def result_markdown(df: DataFrame, limit: int = 20) -> str:
+    """K7: render a (small) result as an aligned markdown table — the
+    presentation step of the NL→SQL agent
+    (`/root/reference/ai_agent/lambda_function.py:127-154` builds the same
+    aligned table for Telegram). Caps at ``limit`` rows (the agent's prompt
+    rule 5, `:65`); only the capped result crosses to the driver."""
+    rows = df.limit(limit).collect()
+    cols = df.columns
+    cells = [[("" if v is None else str(v)) for v in row] for row in rows]
+    widths = [
+        max(len(c), *(len(r[i]) for r in cells)) if cells else len(c)
+        for i, c in enumerate(cols)
+    ]
+
+    def line(vals: list[str]) -> str:
+        return "| " + " | ".join(v.ljust(w) for v, w in zip(vals, widths)) + " |"
+
+    header = line(cols)
+    sep = "|" + "|".join("-" * (w + 2) for w in widths) + "|"
+    return "\n".join([header, sep, *(line(r) for r in cells)])

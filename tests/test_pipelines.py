@@ -107,3 +107,28 @@ def test_sql_surface(spark):
     rows = df.collect()
     assert 0 < len(rows) <= 20
     assert rows[0].n >= rows[-1].n
+
+
+def test_result_markdown_renders_aligned_table(spark):
+    from etl_expenses_spark.pipelines import result_markdown
+
+    df = spark.createDataFrame(
+        [(1, "BUILDING", None), (22, "x", 3.5)], "k long, seg string, v double"
+    )
+    md = result_markdown(df.orderBy("k"))
+    lines = md.splitlines()
+    assert lines[0].startswith("| k ") and "seg" in lines[0]
+    assert set(lines[1]) <= {"|", "-"}
+    assert len(lines) == 4
+    assert all(len(line) == len(lines[0]) for line in lines[2:]), "aligned columns"
+    assert "22" in lines[3] and "3.5" in lines[3]
+    # NULL renders as empty cell, mirroring the reference's blank formatting
+    assert "None" not in lines[2]
+
+
+def test_result_markdown_caps_rows(spark):
+    from etl_expenses_spark.pipelines import result_markdown
+
+    df = spark.range(100).withColumnRenamed("id", "n")
+    md = result_markdown(df, limit=20)
+    assert len(md.splitlines()) == 22  # header + sep + 20 rows
