@@ -95,6 +95,30 @@ def read_json_docs(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.json(path)
 
 
+def read_excel(spark: SparkSession, path: str, sheet: str | int = 0) -> DataFrame:
+    """Excel scan (S2) — the MP settlement XLSX variant
+    (`/root/reference/transform_data_mp/lambda_function.py:62`,
+    `load_data/lambda_function.py:276`).
+
+    Spark has no core XLSX reader; the scalable recipe is ingest-time
+    conversion: pandas parses the (small) workbook once, the result lands as
+    parquet bronze, and everything downstream is columnar. Requires
+    openpyxl, which this container doesn't ship — the call is gated so the
+    API surface exists and fails with a clear remedy.
+    """
+    try:
+        import openpyxl  # noqa: F401
+        import pandas as _pd
+    except ImportError as e:  # pragma: no cover - container has no openpyxl
+        raise NotImplementedError(
+            "XLSX ingestion needs openpyxl (not in this container). "
+            "Convert the workbook to CSV/parquet at ingest, or install "
+            "openpyxl and re-call."
+        ) from e
+    pdf = _pd.read_excel(path, sheet_name=sheet)  # pragma: no cover
+    return spark.createDataFrame(pdf)  # pragma: no cover
+
+
 def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
     """Binary scan (S4) for PDF-like payloads: columns
     (path, modificationTime, length, content). Suffix/size predicates (P3)

@@ -132,3 +132,12 @@ def test_result_markdown_caps_rows(spark):
     df = spark.range(100).withColumnRenamed("id", "n")
     md = result_markdown(df, limit=20)
     assert len(md.splitlines()) == 22  # header + sep + 20 rows
+
+
+def test_read_excel_gated_with_clear_remedy(spark):
+    import pytest as _pytest
+
+    from etl_expenses_spark.sources.readers import read_excel
+
+    with _pytest.raises(NotImplementedError, match="openpyxl"):
+        read_excel(spark, "/tmp/nonexistent.xlsx")
