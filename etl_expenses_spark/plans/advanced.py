@@ -247,3 +247,39 @@ def sample_stratified_by_lang(spark, sf_dir):
     langs = [r.lang for r in d.select("lang").distinct().collect()]
     fractions = {lg: (0.25 if i % 2 == 0 else 1.0) for i, lg in enumerate(sorted(langs))}
     return d.sampleBy("lang", fractions, seed=42)
+
+
+@query(
+    "orders_above_customer_avg",
+    oracle="""
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders o
+        WHERE o.o_totalprice > (SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                       / COUNT(*)
+                                FROM orders i
+                                WHERE i.o_custkey = o.o_custkey)
+    """,
+    tags=("subquery", "window"),
+)
+def orders_above_customer_avg(spark, sf_dir):
+    """Correlated-subquery shape (each order vs its customer's average) —
+    the analytics the NL→SQL agent emits for 'my above-average expenses'.
+    Expressed as a window average + filter: one shuffle on the correlation
+    key, no per-row subquery re-execution; Catalyst plans the same shape
+    when given the correlated SQL (subquery decorrelation).
+
+    Determinism note: the comparison is strict (>) between a double and the
+    group mean. AVG must be computed identically in both engines — sum the
+    doubles in DECIMAL (exact, associative), divide once — or rows whose
+    price sits within float noise of the mean flip membership."""
+    w = W.partitionBy("o_custkey")
+    avg_price = (
+        F.sum(dec("o_totalprice")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        T(spark, sf_dir, "orders")
+        .withColumn("__avg", avg_price)
+        .filter(F.col("o_totalprice") > F.col("__avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

@@ -197,3 +197,40 @@ def latest_event_per_user_asof_style(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "ts", "value")
     )
+
+
+@query(
+    "window_range_1h_user_spend",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                   PARTITION BY user_id ORDER BY epoch(ts)
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS spend_1h
+        FROM events
+    """,
+    tags=("window", "range-frame", "temporal"),
+)
+def window_range_1h_user_spend(spark, sf_dir):
+    """Time-RANGE window frame: per user, the rolling sum of the trailing
+    hour at every event — rangeBetween over epoch seconds, the frame spec
+    rowsBetween can't express (row counts ≠ time spans). One shuffle on
+    user_id, sort within partition; the frame slides without re-scanning.
+
+    Determinism at ties: a RANGE frame includes ALL peer rows (same
+    second) in both engines, so ordering by epoch alone gives every row an
+    identical frame SET — no tiebreaker needed (and RANGE frames reject
+    composite orderings anyway)."""
+    # fractional epoch seconds on BOTH sides: DuckDB's epoch() keeps
+    # microseconds, Spark's unix_timestamp truncates — a truncated ordering
+    # shifts frame boundaries by up to 1s and diverges at density
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("double"))
+        .rangeBetween(-3600, W.currentRow)
+    )
+    return T(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.sum(dec("value")).over(w).cast("double").alias("spend_1h"),
+    )
