@@ -16,6 +16,7 @@ from etl_expenses_spark.functions.text import (
     quality_score,
     rolling_hash,
     token_count,
+    tokens,
 )
 from etl_expenses_spark.plans._util import T
 from etl_expenses_spark.plans.registry import query
@@ -149,4 +150,32 @@ def text_bpe_token_count(spark, sf_dir):
         words.alias("n_words"),
         bpe.alias("n_bpe_ish"),
         (bpe.cast("double") / F.greatest(words, F.lit(1)).cast("double")).alias("fertility"),
+    )
+
+
+@query(
+    "token_frequencies_top20",
+    oracle=f"""
+        SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        FROM (SELECT doc_id, unnest({_D_TOKENS.replace('text', 'lower(text)')}) AS tok
+              FROM documents)
+        GROUP BY tok
+        ORDER BY tf DESC, tok
+        LIMIT 20
+    """,
+    tags=("text", "explode", "topk"),
+)
+def token_frequencies_top20(spark, sf_dir):
+    """Corpus term/document frequencies (the wordcount shape): explode the
+    token arrays, one hash aggregate over (token), top-20 by frequency.
+    At scale the explode multiplies rows ~100×, but partial aggregation
+    collapses them map-side before the single shuffle — the plan to check
+    is partial_count before Exchange, which Catalyst emits automatically."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("tf"), "tok")
+        .limit(20)
     )
