@@ -1,0 +1,371 @@
+"""Extended relational surface — multi-join analytics, array/map functions,
+exact dispersion statistics, distribution windows, null-safe joins, VARIANT
+JSON access, and a Spark-4 Python UDTF.
+
+These extend SURVEY.md §2.4/§2.5/§2.9 beyond the reference's literal surface
+to the full capability set its AI-agent entry point (J5/A6 — arbitrary
+generated SQL over the catalog, `/root/reference/ai_agent/lambda_function.py:51-69`)
+can demand: the agent is free to emit multi-way joins, statistics, and JSON
+access, so the engine must execute them well at scale.
+
+Scale notes inline per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import udtf
+from pyspark.sql.window import Window as W
+
+from etl_expenses_spark.plans._util import T, dec
+from etl_expenses_spark.plans.registry import query
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q3 shape: the canonical fact-fact-dim 3-way join with pushed filters.
+# At 100 TB: customer filter prunes before the join (predicate pushdown into
+# the scan), orders⨝customer shuffles on custkey, lineitem⨝orders on
+# orderkey; AQE picks broadcast for the post-filter customer side when it
+# fits. TakeOrderedAndProject bounds the result — no global sort.
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q3_shipping_priority",
+    oracle="""
+        SELECT l.l_orderkey AS orderkey,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(9,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                   AS revenue,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1999-01-01'
+          AND l.l_shipdate > TIMESTAMP '1999-01-01'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, orderkey
+        LIMIT 10
+    """,
+    tags=("join", "agg", "topk", "tpch"),
+)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3: unshipped-orders revenue priority (J5 latent join surface)."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1999-01-01")
+    l = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1999-01-01")
+    revenue = dec("l_extendedprice", 2, 9) * (F.lit(1) - dec("l_discount", 2, 3))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            l.l_orderkey.alias("orderkey"),
+            o.o_orderdate,
+            o.o_orderpriority,
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q5 shape: 6-way snowflake join. region/nation/supplier are dims →
+# explicit broadcast (no fact shuffle for them); the only big shuffle is
+# lineitem⨝orders on orderkey. The c_nationkey = s_nationkey predicate rides
+# along as a post-join filter on broadcast columns.
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q5_local_supplier_volume",
+    oracle="""
+        SELECT n.n_name AS nation,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(9,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                   AS revenue,
+               COUNT(*) AS n_items
+        FROM region r
+        JOIN nation n ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                       AND s.s_nationkey = c.c_nationkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, nation
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5: revenue via local suppliers, per nation of an ASIA region."""
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = T(spark, sf_dir, "nation")
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    l = T(spark, sf_dir, "lineitem")
+    revenue = dec("l_extendedprice", 2, 9) * (F.lit(1) - dec("l_discount", 2, 3))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(n.n_name.alias("nation"))
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("nation"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Array-function surface over document tokens (extends F1/F6 to the
+# ArrayType algebra a curation pipeline lives on). Pure row-level — fuses
+# into the scan stage, no shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "array_functions",
+    oracle="""
+        SELECT p_partkey,
+               len(string_split(p_name, ' ')) AS n_tokens,
+               string_split(p_name, ' ')[1] AS first_token,
+               array_to_string(
+                   list_slice(list_sort(list_distinct(string_split(p_name, ' '))), 1, 3),
+                   ',') AS head3_sorted,
+               COALESCE(list_position(string_split(p_name, ' '), 'steel'), 0)
+                   AS steel_pos,
+               list_contains(string_split(p_name, ' '), 'steel') AS has_steel
+        FROM part
+    """,
+    tags=("functions", "array"),
+)
+def array_functions(spark, sf_dir):
+    """size/element_at/slice/sort_array/array_distinct/position/contains."""
+    p = T(spark, sf_dir, "part")
+    toks = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.array_join(F.slice(F.sort_array(F.array_distinct(toks)), 1, 3), ",").alias(
+            "head3_sorted"
+        ),
+        F.array_position(toks, "steel").cast("long").alias("steel_pos"),
+        F.array_contains(toks, "steel").alias("has_steel"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact dispersion statistics. Built-in stddev/var are single-pass float
+# folds whose result depends on partitioning — not reproducible across
+# engines or cluster sizes. Instead: decimal-domain SUM(x), SUM(x²) (exact,
+# associative → safe under any parallelism), then the identical IEEE double
+# expression in both engines. At 100 TB this is a plain map-side-combined
+# aggregate — 3 numbers per group per task cross the shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "agg_dispersion_stats",
+    oracle="""
+        WITH s AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_q,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                            * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_q2
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               sum_q / n AS mean_qty,
+               SQRT((sum_q2 - sum_q * sum_q / n) / (n - 1)) AS stddev_qty,
+               SQRT((sum_q2 - sum_q * sum_q / n) / n) AS stddev_pop_qty
+        FROM s
+        ORDER BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_dispersion_stats(spark, sf_dir):
+    """Reproducible mean/stddev via exact decimal moments (A6 extension)."""
+    li = T(spark, sf_dir, "lineitem")
+    q = dec("l_quantity", 2, 18)
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("sum_q"),
+        F.sum(q * q).cast("double").alias("sum_q2"),
+    )
+    n = F.col("n")
+    sum_q, sum_q2 = F.col("sum_q"), F.col("sum_q2")
+    return s.select(
+        "l_returnflag",
+        "n",
+        (sum_q / n).alias("mean_qty"),
+        F.sqrt((sum_q2 - sum_q * sum_q / n) / (n - F.lit(1))).alias("stddev_qty"),
+        F.sqrt((sum_q2 - sum_q * sum_q / n) / n).alias("stddev_pop_qty"),
+    ).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# Distribution window functions: percent_rank / cume_dist / ntile /
+# first+nth value. Deterministic because the ORDER BY carries a unique
+# tiebreaker (p_partkey) — both engines then compute identical rank/n
+# double divisions. One shuffle on p_brand; each partition sorts locally.
+# --------------------------------------------------------------------------
+@query(
+    "window_distribution_ranks",
+    oracle="""
+        SELECT p_partkey, p_brand, p_retailprice,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume,
+               ntile(4) OVER w AS quartile,
+               first_value(p_partkey) OVER w AS cheapest_key,
+               nth_value(p_partkey, 2) OVER
+                   (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS second_cheapest_key
+        FROM part
+        WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+    """,
+    tags=("window",),
+)
+def window_distribution_ranks(spark, sf_dir):
+    """percent_rank/cume_dist/ntile/first_value/nth_value per brand."""
+    p = T(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        "p_retailprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("p_partkey").over(w).alias("cheapest_key"),
+        F.nth_value("p_partkey", 2).over(w_full).alias("second_cheapest_key"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Null-safe equi join (<=> / IS NOT DISTINCT FROM). The reference's loaders
+# treat NULL keys as loadable rows (format_value emits SQL NULL,
+# `/root/reference/load_data/lambda_function.py:6-13`); a dedup-merge keyed
+# on a nullable column needs null-safe equality or NULL rows silently never
+# match. Spark hashes NULL like any value under <=>, so this stays a
+# hash/broadcast join — no plan penalty.
+# --------------------------------------------------------------------------
+@query(
+    "null_safe_join",
+    oracle="""
+        WITH l AS (SELECT o_orderkey,
+                          NULLIF(o_orderpriority, '1-URGENT') AS pri_key
+                   FROM orders),
+             r AS (SELECT pri_key, COUNT(*) AS n_in_group FROM l GROUP BY pri_key)
+        SELECT l.pri_key, r.n_in_group, COUNT(*) AS n_joined
+        FROM l JOIN r ON l.pri_key IS NOT DISTINCT FROM r.pri_key
+        GROUP BY l.pri_key, r.n_in_group
+        ORDER BY l.pri_key NULLS FIRST
+    """,
+    tags=("join", "nulls"),
+)
+def null_safe_join(spark, sf_dir):
+    """eqNullSafe join: NULL keys match NULL (J1-J4 nullable-key semantics)."""
+    o = T(spark, sf_dir, "orders")
+    left = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("pri_key"),
+    )
+    right = (
+        left.groupBy("pri_key")
+        .agg(F.count(F.lit(1)).alias("n_in_group"))
+        .withColumnRenamed("pri_key", "r_pri_key")
+    )
+    return (
+        left.join(
+            F.broadcast(right), F.col("pri_key").eqNullSafe(F.col("r_pri_key")), "inner"
+        )
+        .groupBy("pri_key", "n_in_group")
+        .agg(F.count(F.lit(1)).alias("n_joined"))
+        .orderBy(F.asc_nulls_first("pri_key"))
+    )
+
+
+# --------------------------------------------------------------------------
+# VARIANT JSON access (Spark 4): parse once into the binary VARIANT
+# encoding, then typed path extraction — the shredded/columnar successor to
+# get_json_object (F19). At scale, parse_json runs once per row in the scan
+# stage; repeated field accesses don't re-parse the string.
+# --------------------------------------------------------------------------
+@query(
+    "variant_props_rollup",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                        THEN 1 ELSE 0 END) AS n_high
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("functions", "json", "variant"),
+)
+def variant_props_rollup(spark, sf_dir):
+    """Typed VARIANT path access + integer rollup over event props."""
+    ev = T(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias("n_high"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Python UDTF (Spark 4 `@udtf`): the lateral table-function form of the
+# reference's 1-row→N-rows parsers (§2.11 — PDF bytes → item rows). The
+# mapInPandas parsers in parsers.py are the Arrow bulk path; this is the
+# declarative SQL-surface twin (`..., LATERAL f(col)`), so generated SQL can
+# invoke row-exploding parse logic too. Bounded to doc_id < 200 — the
+# pattern under test is the lateral join, not corpus throughput.
+# --------------------------------------------------------------------------
+@udtf(returnType="pos int, word string")
+class SplitWordsUDTF:
+    def eval(self, text: str):  # noqa: D102
+        if text:
+            for i, w in enumerate(text.split(" ")):
+                yield i, w
+
+
+@query(
+    "udtf_lateral_word_split",
+    oracle="""
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+               unnest(string_split(text, ' ')) AS word
+        FROM documents
+        WHERE doc_id < 200
+    """,
+    tags=("udtf", "lateral"),
+)
+def udtf_lateral_word_split(spark, sf_dir):
+    """LATERAL Python UDTF: one document row → one row per token."""
+    spark.udtf.register("split_words_udtf", SplitWordsUDTF)
+    T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).createOrReplaceTempView(
+        "udtf_docs_src"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, s.pos, s.word "
+        "FROM udtf_docs_src d, LATERAL split_words_udtf(d.text) s"
+    )
