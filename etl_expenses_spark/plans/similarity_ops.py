@@ -139,3 +139,53 @@ def embedding_norms(spark, sf_dir):
         "label",
         norm(F.col("embedding")).cast("decimal(18,6)").cast("double").alias("l2_norm"),
     )
+
+
+@query("kmeans_lloyd_refine", oracle=None, tags=("similarity", "iterative", "rows_only"))
+def kmeans_lloyd_refine(spark, sf_dir):
+    """One distributed Lloyd iteration refining the sampled IVF centroids —
+    the iterative-algorithm representative (no SQL oracle by nature).
+
+    Step 1 (driver): train coarse centroids on a bounded sample
+    (operators/similarity.py:train_centroids_sampled — the standard IVF
+    recipe; at 100 TB you sample ~1M vectors, never the table).
+    Step 2 (distributed): broadcast the centroids inside a vectorized
+    pandas UDF, assign every vector to its cell (one matrix multiply per
+    Arrow batch), then refine each cell's centroid with
+    groupBy(cell).applyInPandas — per-group mean + renormalize, one
+    shuffle keyed by cell id. Emits per-cell membership and the cosine
+    between refined and initial centroid (→1.0 as Lloyd converges).
+    At scale: state per task = one (dims,) accumulator; no driver
+    collection of vectors.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from etl_expenses_spark.operators.similarity import (
+        ivf_assign_udf,
+        train_centroids_sampled,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    C0 = train_centroids_sampled(emb, k=8)
+
+    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(pdf["cell"].iloc[0])
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        c = X.mean(axis=0)
+        c /= max(np.linalg.norm(c), 1e-12)
+        return pd.DataFrame(
+            {
+                "cell": [cell],
+                "n_members": [len(pdf)],
+                "sim_to_init": [round(float(c @ C0[cell]), 6)],
+            }
+        )
+
+    cells = emb.withColumn("cell", ivf_assign_udf(C0)(F.col("embedding")))
+    return (
+        cells.groupBy("cell")
+        .applyInPandas(refine, schema="cell int, n_members long, sim_to_init double")
+        .orderBy("cell")
+    )

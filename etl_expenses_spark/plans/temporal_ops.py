@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from etl_expenses_spark.operators.asof import asof_join_backward
+from etl_expenses_spark.operators.rangejoin import bucketed_interval_pairs
 from etl_expenses_spark.operators.merge import new_rows
 from etl_expenses_spark.plans._util import T, dec
 from etl_expenses_spark.plans.registry import query
@@ -233,4 +234,55 @@ def window_range_1h_user_spend(spark, sf_dir):
         "event_id",
         "user_id",
         F.sum(dec("value")).over(w).cast("double").alias("spend_1h"),
+    )
+
+
+@query(
+    "range_join_recent_clicks",
+    oracle="""
+        WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+             c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+                   FROM events WHERE event_type = 'click')
+        SELECT e.event_id, e.user_id, COUNT(c.c_id) AS n_recent_clicks
+        FROM e LEFT JOIN c
+          ON c.c_user = e.user_id
+         AND c.c_ts > e.ts - INTERVAL 5 MINUTE
+         AND c.c_ts <= e.ts
+        GROUP BY e.event_id, e.user_id
+    """,
+    tags=("join", "range", "temporal"),
+)
+def range_join_recent_clicks(spark, sf_dir):
+    """Bounded-interval join: for every error event, how many clicks the
+    same user made in the preceding 5 minutes.
+
+    DuckDB runs the inequality join directly (IEJoin); Spark would fall
+    back to a nested-loop cartesian, so the engine uses the bucketed
+    equi-join rewrite (operators/rangejoin.py): quantize to 300 s buckets,
+    explode the error side to 2 candidate buckets, hash-join on
+    (user, bucket), post-filter the exact interval. Identical result set,
+    shuffle cost of a plain equi join — the plan that survives 100 TB.
+    Errors with no recent clicks are restored by the left join on the
+    pair counts (COUNT of right key over an inner pair set)."""
+    ev = T(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    pairs = bucketed_interval_pairs(
+        errors, clicks,
+        left_key="user_id", right_key="c_user",
+        left_ts="ts", right_ts="c_ts",
+        window_s=300,
+    )
+    counts = pairs.groupBy("event_id").agg(F.count("c_id").alias("n_recent_clicks"))
+    return (
+        errors.join(counts, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("n_recent_clicks"), F.lit(0)).alias("n_recent_clicks"),
+        )
     )
