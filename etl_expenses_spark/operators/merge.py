@@ -25,6 +25,19 @@ def new_rows(batch: DataFrame, target: DataFrame, keys: Sequence[str]) -> DataFr
     return batch.join(target.select(*keys).distinct(), on=list(keys), how="left_anti")
 
 
+def upsert(updates: DataFrame, target: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """MERGE semantics without a transactional table format: rows of
+    ``updates`` replace target rows with the same key; all other target rows
+    pass through. ``updates ∪ (target ⟕anti updates)`` — one anti-join
+    shuffle (or broadcast when the batch is small, the common case: a daily
+    batch vs a 100 TB gold table broadcasts the BATCH key set). Pair with
+    operators/wap.py to publish the rewritten partitions atomically; at
+    scale, pre-filter ``target`` to the partitions the batch touches so the
+    rewrite is partition-local, not a full-table scan."""
+    keep = target.join(updates.select(*keys).distinct(), on=list(keys), how="left_anti")
+    return updates.unionByName(keep)
+
+
 def merge_append(
     batch: DataFrame,
     target_path: str,

@@ -369,3 +369,155 @@ def udtf_lateral_word_split(spark, sf_dir):
         "SELECT d.doc_id, s.pos, s.word "
         "FROM udtf_docs_src d, LATERAL split_words_udtf(d.text) s"
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q18 shape: HAVING — filter on an aggregate, then join the surviving
+# keys back to the fact tables. At 100 TB: the groupBy shuffles lineitem on
+# orderkey once; the HAVING output is tiny → broadcast back against orders,
+# so the second join is shuffle-free. TakeOrdered bounds the result.
+# --------------------------------------------------------------------------
+@query(
+    "having_large_orders",
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+        )
+        SELECT c.c_name, o.o_orderkey, o.o_orderdate, b.total_qty
+        FROM big b
+        JOIN orders o ON o.o_orderkey = b.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY b.total_qty DESC, o.o_orderkey
+        LIMIT 20
+    """,
+    tags=("agg", "having", "join", "topk", "tpch"),
+)
+def having_large_orders(spark, sf_dir):
+    """TPC-H Q18: customers with large-quantity orders (HAVING surface)."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity", 2, 18)).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 150)
+        .select("l_orderkey", F.col("qty_dec").cast("double").alias("total_qty"))
+    )
+    return (
+        F.broadcast(big)
+        .join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "o_orderkey", "o_orderdate", "total_qty")
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# MapType surface: parse JSON props into map<string,bigint> once, then the
+# map algebra (size / element_at / map_keys). Row-level, fuses into the
+# scan; the from_json appears once in the plan however many fields are read.
+# --------------------------------------------------------------------------
+@query(
+    "map_functions",
+    oracle="""
+        SELECT event_id,
+               len(json_keys(props)) AS n_keys,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+               array_to_string(json_keys(props), ',') AS keys_csv
+        FROM events
+    """,
+    tags=("functions", "map", "json"),
+)
+def map_functions(spark, sf_dir):
+    """from_json→MapType + size/element_at/map_keys (F19 map algebra)."""
+    ev = T(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.size(m).alias("n_keys"),
+        F.element_at(m, "k").alias("k_val"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Higher-order functions over arrays: transform / filter / aggregate with
+# lambdas — the declarative (no-Python) path for token-level logic. These
+# run interpreted (no codegen) but JVM-side: still ~10× a row-at-a-time
+# Python UDF, and zero serialization. For the hot path at 100 TB, dedup
+# operators hash once and move on (see operators/dedup.py).
+# --------------------------------------------------------------------------
+@query(
+    "higher_order_array_ops",
+    oracle="""
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), t -> len(t) > 4))
+                   AS n_long_tokens,
+               list_sum(list_transform(string_split(text, ' '), t -> len(t)))
+                   AS total_token_chars,
+               array_to_string(
+                   list_slice(list_transform(string_split(text, ' '),
+                                             t -> CAST(len(t) AS VARCHAR)), 1, 5),
+                   ',') AS first5_lens
+        FROM documents
+    """,
+    tags=("functions", "array", "lambda"),
+)
+def higher_order_array_ops(spark, sf_dir):
+    """F.transform/F.filter/F.aggregate lambda algebra over document tokens."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long_tokens"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("total_token_chars"),
+        F.array_join(
+            F.slice(F.transform(toks, lambda t: F.length(t).cast("string")), 1, 5), ","
+        ).alias("first5_lens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Upsert merge (K3 extension): MERGE semantics via updates ∪ (target
+# anti-join updates). The reference only ever INSERTs (and compensates by
+# manual UPDATE on failure, `/root/reference/compensation_flow/lambda_function.py:34-56`);
+# a gold table needs the update path too.
+# --------------------------------------------------------------------------
+@query(
+    "merge_upsert_orders",
+    oracle="""
+        WITH u AS (
+            SELECT o_orderkey,
+                   'U' AS o_orderstatus,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                        * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE) AS o_totalprice
+            FROM orders WHERE o_orderkey % 10 = 0
+        )
+        SELECT * FROM u
+        UNION ALL
+        SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.o_orderkey = o.o_orderkey)
+    """,
+    tags=("merge", "upsert", "sink"),
+)
+def merge_upsert_orders(spark, sf_dir):
+    """Upsert: a 10% price-bump batch replaces matching gold rows in place."""
+    from etl_expenses_spark.operators.merge import upsert
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (dec("o_totalprice", 2, 18) * F.lit("1.1").cast("decimal(2,1)"))
+        .cast("double")
+        .alias("o_totalprice"),
+    )
+    return upsert(updates, o, ["o_orderkey"])

@@ -70,6 +70,38 @@ def stream_sessionized_values(events: DataFrame, gap: str = "30 minutes") -> Dat
     )
 
 
+def stream_interval_join_clicks_before_errors(
+    errors: DataFrame, clicks: DataFrame, window_s: int = 300
+) -> DataFrame:
+    """Stream-stream interval join: pair each error with the same user's
+    clicks from the preceding ``window_s`` seconds.
+
+    Both sides carry watermarks, and the join condition bounds event time on
+    both sides — that is what lets Spark EVICT state: a buffered click can be
+    dropped once the error-side watermark passes ``click_ts + window_s``.
+    An unbounded (equi-only) stream-stream join would grow state forever.
+    This is the streaming twin of operators/rangejoin.py (same semantics,
+    state-store bucketing instead of explicit bucket columns).
+    """
+    e = errors.select(
+        F.col("event_id").alias("e_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    ).withWatermark("e_ts", "1 hour")
+    c = clicks.select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", "1 hour")
+    return e.join(
+        c,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("c_ts") > F.col("e_ts") - F.expr(f"INTERVAL {int(window_s)} SECONDS"))
+        & (F.col("c_ts") <= F.col("e_ts")),
+        "inner",
+    )
+
+
 def run_events_stream_once(
     spark: SparkSession,
     bronze_dir: str,

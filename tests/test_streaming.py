@@ -159,3 +159,47 @@ def test_stateful_running_totals_across_restarts(spark, dirs):
     for u in got2:
         assert got2[u][0] == want2[u][0]
         assert got2[u][1] == pytest.approx(want2[u][1], rel=1e-9)
+
+
+def test_stream_interval_join_matches_batch(spark, dirs):
+    from etl_expenses_spark.operators.rangejoin import bucketed_interval_pairs
+    from etl_expenses_spark.streaming.pipeline import (
+        stream_interval_join_clicks_before_errors,
+    )
+
+    bronze, _, _, _ = dirs
+    _write_bronze(spark, bronze)
+    stream = read_event_stream(spark, str(bronze))
+    errors = stream.filter(F.col("event_type") == "error")
+    clicks = stream.filter(F.col("event_type") == "click")
+    joined = stream_interval_join_clicks_before_errors(errors, clicks, window_s=300)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("interval_join_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        tuple(r)
+        for r in spark.table("interval_join_out").select("e_id", "c_id").collect()
+    }
+
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("event_id") < 1000)
+    b_err = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    b_clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    want = {
+        tuple(r)
+        for r in bucketed_interval_pairs(
+            b_err, b_clk, "user_id", "c_user", "ts", "c_ts", window_s=300
+        )
+        .select("event_id", "c_id")
+        .collect()
+    }
+    assert got == want
+    assert len(want) > 0
