@@ -521,3 +521,91 @@ def merge_upsert_orders(spark, sf_dir):
         .alias("o_totalprice"),
     )
     return upsert(updates, o, ["o_orderkey"])
+
+
+# --------------------------------------------------------------------------
+# Set operations, ALL variants — multiset semantics (keep duplicates). The
+# non-ALL twins are in core.py. Spark plans these as a union + grouped
+# count-diff (no row-by-row state) — same shuffle class as a groupBy.
+# --------------------------------------------------------------------------
+@query(
+    "except_all_order_lines",
+    oracle="""
+        SELECT l_orderkey FROM lineitem
+        EXCEPT ALL
+        SELECT l_orderkey FROM lineitem WHERE l_linenumber = 1
+    """,
+    tags=("setop",),
+)
+def except_all_order_lines(spark, sf_dir):
+    """EXCEPT ALL: per-key multiplicities subtract instead of deduping —
+    orders keep one row per line beyond their first."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey").exceptAll(
+        li.filter(F.col("l_linenumber") == 1).select("l_orderkey")
+    )
+
+
+@query(
+    "intersect_all_heavy_quantities",
+    oracle="""
+        SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem WHERE l_returnflag = 'R'
+        INTERSECT ALL
+        SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem WHERE l_returnflag = 'A'
+    """,
+    tags=("setop",),
+)
+def intersect_all_heavy_quantities(spark, sf_dir):
+    """INTERSECT ALL: min-of-multiplicities per value across two branches."""
+    li = T(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("bigint").alias("qty")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(qty)
+        .intersectAll(li.filter(F.col("l_returnflag") == "A").select(qty))
+    )
+
+
+# --------------------------------------------------------------------------
+# SQL-text surface with correlated subqueries: the NL→SQL agent (EP3,
+# `/root/reference/ai_agent/lambda_function.py:51-82`) emits whatever SQL the
+# model writes — EXISTS and scalar subqueries included. Catalyst rewrites
+# the EXISTS to a left-semi join and the scalar subquery to an aggregated
+# broadcast join; nothing here is row-at-a-time at scale.
+# --------------------------------------------------------------------------
+@query(
+    "sql_exists_and_scalar_subquery",
+    oracle="""
+        SELECT c.c_custkey, c.c_mktsegment,
+               CAST(CAST(c.c_acctbal AS DECIMAL(18,2))
+                    - (SELECT CAST(AVG(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,6))
+                       FROM customer c2) AS DOUBLE) AS bal_vs_avg
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+        ORDER BY c.c_custkey
+    """,
+    tags=("sql", "subquery"),
+)
+def sql_exists_and_scalar_subquery(spark, sf_dir):
+    """spark.sql text: correlated EXISTS + uncorrelated scalar subquery.
+
+    Decimal-domain note: AVG in the decimal domain is exact only if
+    quantized identically in both engines, so the average is computed as a
+    DECIMAL(_,6) in both before the double subtraction."""
+    for t in ("customer", "orders"):
+        T(spark, sf_dir, t).createOrReplaceTempView(f"sq_{t}")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment,
+               CAST(CAST(c.c_acctbal AS DECIMAL(18,2))
+                    - (SELECT CAST(AVG(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,6))
+                       FROM sq_customer c2) AS DOUBLE) AS bal_vs_avg
+        FROM sq_customer c
+        WHERE EXISTS (SELECT 1 FROM sq_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+        ORDER BY c.c_custkey
+        """
+    )

@@ -1,0 +1,103 @@
+"""Storage-format parity (SURVEY.md §2.1 S1-S3 / §2.2 sinks): the engine
+reads and writes parquet (gold standard), ORC, CSV (incl. ';' dialect), and
+JSON with full schema + value fidelity. The reference round-trips CSV/XLSX
+through S3 (`/root/reference/transform_data_mp/lambda_function.py:52-62`);
+here every format goes through a typed write→read cycle and must come back
+bit-identical."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_expenses_spark.sources.readers import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def tmp():
+    root = Path(tempfile.mkdtemp(prefix="formats_"))
+    yield root
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _orders(spark):
+    return load_table(spark, SF_DIR, "orders")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_parquet_zstd_roundtrip(spark, tmp):
+    o = _orders(spark)
+    path = str(tmp / "orders_zstd")
+    o.write.option("compression", "zstd").parquet(path)
+    back = spark.read.parquet(path)
+    assert back.schema == o.schema
+    assert _rows(back) == _rows(o)
+
+
+def test_orc_roundtrip(spark, tmp):
+    o = _orders(spark)
+    path = str(tmp / "orders_orc")
+    o.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == o.schema
+    assert _rows(back) == _rows(o)
+
+
+def test_csv_semicolon_roundtrip_with_declared_schema(spark, tmp):
+    o = _orders(spark)
+    path = str(tmp / "orders_csv")
+    (
+        o.write.option("header", True)
+        .option("sep", ";")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+        .csv(path)
+    )
+    back = (
+        spark.read.schema(o.schema)
+        .option("header", True)
+        .option("sep", ";")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+        .csv(path)
+    )
+    assert back.schema == o.schema
+    assert _rows(back) == _rows(o)
+
+
+def test_json_roundtrip_with_declared_schema(spark, tmp):
+    o = _orders(spark)
+    path = str(tmp / "orders_json")
+    o.write.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").json(path)
+    back = (
+        spark.read.schema(o.schema)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+        .json(path)
+    )
+    assert back.schema == o.schema
+    assert _rows(back) == _rows(o)
+
+
+def test_csv_inferred_schema_matches_cascade(spark, tmp):
+    """Header-only CSV read with inferSchema reproduces the numeric/
+    timestamp/string cascade (S1 + schema mode 2)."""
+    o = _orders(spark).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    path = str(tmp / "orders_infer")
+    o.write.option("header", True).csv(path)
+    back = spark.read.option("header", True).option("inferSchema", True).csv(path)
+    got = {f.name: f.dataType.simpleString() for f in back.schema.fields}
+    assert got["o_orderkey"] in ("int", "bigint")  # narrowest integral that fits
+    assert got["o_totalprice"] == "double"
+    assert got["o_orderstatus"] == "string"
+    assert got["o_orderdate"].startswith("timestamp")
+    assert back.count() == o.count()
