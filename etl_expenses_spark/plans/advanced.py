@@ -283,3 +283,34 @@ def orders_above_customer_avg(spark, sf_dir):
         .filter(F.col("o_totalprice") > F.col("__avg"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@query("sketch_hll_distinct_users", oracle=None, tags=("agg", "sketch", "rows_only"))
+def sketch_hll_distinct_users(spark, sf_dir):
+    """Mergeable HLL sketches (Apache DataSketches via Spark 4 built-ins):
+    per-event-type user cardinality estimates, plus a global row produced by
+    UNIONING the per-type sketches — never re-scanning the data.
+
+    This is THE scale pattern for distinct-counting 100 TB: each partition
+    builds a fixed-size (KB) sketch, sketches merge associatively across
+    partitions / days / tables, and the estimate is read off the merged
+    state. exact_users rides along (count_distinct) so the test can bound
+    the estimation error; the sketch default lgK=12 keeps it ~±2%.
+    No DuckDB oracle: sketch internals are library-specific by design.
+    """
+    ev = T(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    per_out = per.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("est_users"),
+        "exact_users",
+    )
+    merged = per.agg(F.hll_union_agg("sk").alias("sk_all")).select(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate("sk_all").alias("est_users"),
+    )
+    global_exact = ev.agg(F.count_distinct("user_id").alias("exact_users"))
+    return per_out.unionByName(merged.crossJoin(global_exact)).orderBy("event_type")

@@ -264,3 +264,34 @@ def time_padding(spark, sf_dir):
         hora.alias("hora_raw"),
         pad_time(hora).alias("hora_padded"),
     )
+
+
+@query(
+    "regex_functions",
+    oracle="""
+        SELECT p_partkey,
+               regexp_extract(p_brand, '#(\\d+)', 1) AS brand_num,
+               len(regexp_extract_all(p_type, '[AEIOU]')) AS n_vowels,
+               regexp_matches(p_type, 'STEEL$') AS is_steel_family,
+               regexp_replace(p_name, '\\s+', '_', 'g') AS name_snake,
+               array_to_string(regexp_extract_all(p_type, '[A-Z]+'), ',') AS type_words
+        FROM part
+    """,
+    tags=("functions", "regex"),
+)
+def regex_functions(spark, sf_dir):
+    """Regex family (F4/F6/F7 generalized): extract / extract_all / count /
+    anchored match / global replace. All row-level JVM expressions — at
+    100 TB these fuse into the scan's codegen stage; no Python touches the
+    hot path."""
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_brand"), r"#(\d+)", 1).alias("brand_num"),
+        F.regexp_count(F.col("p_type"), F.lit("[AEIOU]")).cast("long").alias("n_vowels"),
+        F.col("p_type").rlike("STEEL$").alias("is_steel_family"),
+        F.regexp_replace(F.col("p_name"), r"\s+", "_").alias("name_snake"),
+        F.array_join(
+            F.regexp_extract_all(F.col("p_type"), F.lit("[A-Z]+"), 0), ","
+        ).alias("type_words"),
+    )
