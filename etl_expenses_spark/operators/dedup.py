@@ -242,3 +242,64 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iters: int = 20
+) -> DataFrame:
+    """Connected components over a pair graph → ``(id, cluster_id)`` where
+    ``cluster_id`` is the smallest doc id in the component.
+
+    The dedup ENDGAME: candidate pairs (from any tier — MinHash bands,
+    fingerprints, Jaccard) are edges; a near-dup *set* is a connected
+    component; the kept/canonical doc is the component minimum. Algorithm:
+    BSP min-label propagation — each round every node takes the min of its
+    own and its neighbors' labels (one join + one groupBy per round),
+    converging in O(component diameter) rounds. Near-dup components are
+    shallow (dups of a common ancestor), so diameter is small; for
+    adversarially long chains at 100 TB you'd switch to large-star/
+    small-star (alternating pointer doubling, O(log d) rounds) — same
+    join/agg building blocks, more rounds in flight.
+
+    The convergence probe (`limit(1).count()` per round) is one tiny driver
+    action per round, not a data collect; every heavy structure stays
+    distributed and persisted.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("u").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    ).persist()
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels, sym["v"] == labels["id"])
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["u"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["lbl"], F.coalesce(F.col("nbr_min"), labels["lbl"])
+                ).alias("lbl"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.withColumnRenamed("lbl", "new_lbl")
+            .join(labels.withColumnRenamed("lbl", "old_lbl"), "id")
+            .filter(F.col("new_lbl") != F.col("old_lbl"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("id", F.col("lbl").alias("cluster_id"))

@@ -14,6 +14,7 @@ from pyspark.sql.window import Window as W
 
 from etl_expenses_spark.functions.text import tokens
 from etl_expenses_spark.operators.dedup import (
+    connected_components,
     exact_dedup_groups,
     minhash_lsh_pairs,
     shingles_of_tokens,
@@ -148,3 +149,72 @@ def dedup_minhash_lsh(spark, sf_dir):
 def dedup_simhash(spark, sf_dir):
     """SimHash(60-bit) near-dup pairs at Hamming ≤ 3 via chunk banding."""
     return simhash_pairs(T(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_cluster_components",
+    oracle="""
+        WITH RECURSIVE
+        fp AS (
+            SELECT doc_id,
+                   array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ') AS pre,
+                   array_to_string(list_slice(string_split(text, ' '), -4, -1), ' ') AS suf
+            FROM documents
+        ),
+        e AS (
+            SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM fp a JOIN fp b ON a.pre = b.pre AND a.doc_id < b.doc_id
+            UNION
+            SELECT a.doc_id, b.doc_id
+            FROM fp a JOIN fp b ON a.suf = b.suf AND a.doc_id < b.doc_id
+        ),
+        sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        reach(id, r) AS (
+            SELECT DISTINCT src, src FROM sym
+            UNION
+            SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+        ),
+        cc AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+        SELECT doc_id, cluster_id,
+               doc_id = cluster_id AS is_canonical,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM cc
+    """,
+    tags=("dedup", "clustering", "iterative"),
+)
+def dedup_cluster_components(spark, sf_dir):
+    """Near-dup CLUSTERING: fingerprint edges → connected components →
+    canonical doc per cluster.
+
+    Edges connect docs sharing an opening OR closing 4-gram (deterministic,
+    so the DuckDB recursive-CTE closure reproduces the exact components —
+    chaining matters: A~B on prefix, B~C on suffix puts A,C in one cluster
+    though they share nothing directly). Components via distributed
+    min-label propagation (operators/dedup.py:connected_components); the
+    canonical survivor is the cluster's min doc_id. In the 100 TB pipeline
+    the same code runs on MinHash-band edges; this query's fingerprint
+    edge set exists to keep the oracle exact."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    fp = d.select(
+        "doc_id",
+        F.array_join(F.slice(F.col("t"), 1, 4), " ").alias("pre"),
+        F.array_join(F.slice(F.col("t"), -4, 4), " ").alias("suf"),
+    ).persist()
+    a, b = fp.alias("a"), fp.alias("b")
+    pre_pairs = a.join(
+        b, (F.col("a.pre") == F.col("b.pre")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    suf_pairs = a.join(
+        b, (F.col("a.suf") == F.col("b.suf")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    edges = pre_pairs.union(suf_pairs).distinct()
+    cc = connected_components(edges)
+    w = W.partitionBy("cluster_id")
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )

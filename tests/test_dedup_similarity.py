@@ -97,3 +97,21 @@ def test_embedding_neardup_lsh_subset_of_blocked_exact(spark):
     # verification step makes precision exact: every ANN pair is a true pair
     assert ann <= truth
     assert len(ann) > 0
+
+
+def test_connected_components_chain_and_islands(spark):
+    from etl_expenses_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (via transitive edges), island 10-11, singleton edge 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)], ["src", "dst"]
+    )
+    got = {
+        (r.id, r.cluster_id)
+        for r in connected_components(edges, max_iters=10).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20),
+    }
