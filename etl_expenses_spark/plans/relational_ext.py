@@ -609,3 +609,69 @@ def sql_exists_and_scalar_subquery(spark, sf_dir):
         ORDER BY c.c_custkey
         """
     )
+
+
+# --------------------------------------------------------------------------
+# SCD Type-2 merge: dimension history with validity intervals. The
+# reference keeps no history (rows are INSERTed once and compensated by
+# manual UPDATE on failure); a warehouse gold layer needs the
+# close-and-version pattern. Plan shape: one semi + one anti join against
+# the (tiny) changed-key set — both broadcast — plus a 3-way union; the
+# dimension scans once.
+# --------------------------------------------------------------------------
+@query(
+    "scd2_customer_segments",
+    oracle="""
+        WITH cur AS (
+            SELECT c_custkey, c_mktsegment,
+                   DATE '2024-01-01' AS valid_from,
+                   CAST(NULL AS DATE) AS valid_to
+            FROM customer
+        ),
+        chg AS (
+            SELECT c_custkey, c_mktsegment || '_V2' AS c_mktsegment
+            FROM customer WHERE c_custkey % 7 = 0
+        )
+        SELECT c.c_custkey, c.c_mktsegment, c.valid_from, c.valid_to
+        FROM cur c WHERE c.c_custkey % 7 <> 0          -- unchanged
+        UNION ALL
+        SELECT c.c_custkey, c.c_mktsegment, c.valid_from,
+               DATE '2024-06-01' AS valid_to            -- closed-out version
+        FROM cur c WHERE c.c_custkey % 7 = 0
+        UNION ALL
+        SELECT g.c_custkey, g.c_mktsegment,
+               DATE '2024-06-01' AS valid_from,
+               CAST(NULL AS DATE) AS valid_to           -- new version
+        FROM chg g
+    """,
+    tags=("merge", "scd2", "pipeline"),
+)
+def scd2_customer_segments(spark, sf_dir):
+    """SCD2: a segment-change batch closes the old dimension row
+    (valid_to = snapshot date) and appends the new version (open interval).
+    Written with the general joins — semi for close-out, anti for
+    pass-through — so the same plan applies when the change set is computed,
+    not derived: at 100 TB the change set is small → both joins broadcast,
+    the dimension shuffles zero times."""
+    c = T(spark, sf_dir, "customer")
+    cur = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    chg = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", F.concat(F.col("c_mktsegment"), F.lit("_V2")).alias("c_mktsegment")
+    )
+    chg_keys = chg.select("c_custkey")
+    unchanged = cur.join(F.broadcast(chg_keys), "c_custkey", "left_anti")
+    closed = cur.join(F.broadcast(chg_keys), "c_custkey", "left_semi").withColumn(
+        "valid_to", F.lit("2024-06-01").cast("date")
+    )
+    fresh = chg.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("2024-06-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    return unchanged.unionByName(closed).unionByName(fresh)
