@@ -286,3 +286,58 @@ def range_join_recent_clicks(spark, sf_dir):
             F.coalesce(F.col("n_recent_clicks"), F.lit(0)).alias("n_recent_clicks"),
         )
     )
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+        WITH v AS (SELECT user_id, MIN(ts) AS tv FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+             c AS (SELECT e.user_id, MIN(e.ts) AS tc
+                   FROM events e JOIN v ON v.user_id = e.user_id
+                   WHERE e.event_type = 'click' AND e.ts > v.tv
+                   GROUP BY e.user_id),
+             p AS (SELECT e.user_id, MIN(e.ts) AS tp
+                   FROM events e JOIN c ON c.user_id = e.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > c.tc
+                   GROUP BY e.user_id)
+        SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+               (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+               (SELECT COUNT(*) FROM p) AS n_purchased_after_click
+    """,
+    tags=("temporal", "funnel", "agg"),
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered-sequence funnel: users who viewed, then clicked AFTER their
+    first view, then purchased AFTER that first qualifying click.
+
+    Each stage is one aggregate + one equi join against the (shrinking)
+    previous stage — at 100 TB each stage keys by user_id, so all three
+    stages reuse one shuffle partitioning; no per-user event sorting and no
+    sessionization state. The ts > prev strict inequality makes the stage
+    sets deterministic (micros precision on both engines)."""
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(c.agg(F.count("*").alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchased_after_click")))
+    )

@@ -179,3 +179,69 @@ def token_frequencies_top20(spark, sf_dir):
         .orderBy(F.desc("tf"), "tok")
         .limit(20)
     )
+
+
+@query(
+    "tfidf_top_terms_per_doc",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_D_TOKENS.replace('text', 'lower(text)')}) AS tok
+            FROM documents WHERE doc_id < 100
+        ),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+        df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks),
+        scored AS (
+            SELECT tf.doc_id, tf.tok,
+                   CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS relevance
+            FROM tf JOIN df USING (tok) CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT doc_id, tok, relevance,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY relevance DESC, tok) AS rk
+            FROM scored
+        )
+        SELECT doc_id, tok, relevance FROM ranked WHERE rk <= 3
+    """,
+    tags=("text", "tfidf", "join", "window"),
+)
+def tfidf_top_terms_per_doc(spark, sf_dir):
+    """TF-IDF-style term relevance, top-3 terms per document.
+
+    Deliberately LOG-FREE: relevance = tf × N / df is order-isomorphic to
+    tf×idf for ranking within a document, and stays in exact integer/rational
+    arithmetic — java.lang.Math.log and libm log differ in the last ulp, so
+    a log-based score couldn't be compared bit-exact across engines.
+    Plan: explode → two hash aggregates (tf by (doc,term), df by term) →
+    broadcast the df side (vocabulary ≪ corpus) → per-doc window top-k.
+    At 100 TB the df table is the only global structure and it's
+    vocabulary-sized; everything else partitions by doc."""
+    toks = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+        .persist()
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = toks.agg(F.count_distinct("doc_id").alias("n_docs"))
+    from pyspark.sql.window import Window as W
+
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "relevance"
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("relevance"), "tok")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "tok", "relevance")
+    )

@@ -62,3 +62,44 @@ def test_partitioned_merge_stays_idempotent(spark, gold):
     # replay: zero new rows, table unchanged
     assert merge_append(first, gold, ["o_orderkey"], ["order_month"]) == 0
     assert spark.read.parquet(gold).count() == first.count()
+
+
+def test_dynamic_partition_overwrite_restates_one_day(spark, gold):
+    """Restating one date partition must leave every other partition's files
+    untouched (partitionOverwriteMode=dynamic) — the batch 'reprocess one
+    day' operation a 100 TB gold table needs; static mode would truncate
+    the whole table."""
+    gold = gold + "/table"
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    orders.write.partitionBy("order_month").parquet(gold)
+    before = spark.read.parquet(gold)
+    n_total = before.count()
+    n_march = before.filter(F.col("order_month") == "2000-03").count()
+    assert 0 < n_march < n_total
+
+    restated = (
+        orders.filter(F.col("order_month") == "2000-03")
+        .withColumn("o_orderpriority", F.lit("RESTATED"))
+    )
+    (
+        restated.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("order_month")
+        .parquet(gold)
+    )
+    after = spark.read.parquet(gold)
+    assert after.count() == n_total  # other partitions intact
+    assert (
+        after.filter(F.col("order_month") == "2000-03")
+        .filter(F.col("o_orderpriority") != "RESTATED")
+        .count()
+        == 0
+    )
+    assert (
+        after.filter(F.col("order_month") != "2000-03")
+        .filter(F.col("o_orderpriority") == "RESTATED")
+        .count()
+        == 0
+    )
