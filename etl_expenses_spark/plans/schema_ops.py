@@ -294,3 +294,45 @@ def json_struct_roundtrip(spark, sf_dir):
         F.col("d.amounts.odate").alias("odate"),
         F.col("d.prio").alias("prio"),
     )
+
+
+@query(
+    "webhook_source_ingest",
+    oracle="""
+        SELECT i AS webhook_id,
+               (i * 7919) % 999983 AS transaction_id,
+               'settlement_' || i || '.csv' AS file_name,
+               'https://example.invalid/reports/' || i AS url
+        FROM range(0, 1000) t(i)
+        WHERE i % 3 <> 0
+    """,
+    tags=("source", "datasource", "json"),
+)
+def webhook_source_ingest(spark, sf_dir):
+    """S6/S9 in-engine: the webhook/REST fetch stage as a custom Python
+    DataSource (sources/webhook_source.py), read in parallel partitions,
+    then the dispatcher's parse: from_json the POST body, explode the files
+    array, keep CSV attachments (`webhook_mp_report/lambda_function.py:14-50`
+    re-expressed declaratively). The oracle regenerates the deterministic
+    payload stream in SQL — the whole path source→parse→filter is checked,
+    not just the parse."""
+    from etl_expenses_spark.sources.webhook_source import register
+
+    register(spark)
+    raw = spark.read.format("webhook_events").option("rows", 1000).option("parts", 8).load()
+    body = F.from_json(
+        F.col("body"),
+        "transaction_id bigint, files array<struct<name:string,type:string,url:string>>",
+    )
+    return (
+        raw.select("webhook_id", body.alias("b"))
+        .select("webhook_id", F.col("b.transaction_id").alias("transaction_id"),
+                F.explode(F.col("b.files")).alias("f"))
+        .filter(F.col("f.name").endswith(".csv"))
+        .select(
+            "webhook_id",
+            "transaction_id",
+            F.col("f.name").alias("file_name"),
+            F.col("f.url").alias("url"),
+        )
+    )

@@ -203,3 +203,29 @@ def test_stream_interval_join_matches_batch(spark, dirs):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_webhook_custom_stream_source_exactly_once(spark, dirs):
+    """The custom DataSource's stream reader: offsets advance by id range,
+    every payload arrives exactly once."""
+    from etl_expenses_spark.sources.webhook_source import register
+
+    _, _, ckpt, _ = dirs
+    register(spark)
+    stream = (
+        spark.readStream.format("webhook_events")
+        .option("rows", 300)
+        .option("batch", 100)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("webhook_stream_out")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("webhook_stream_out")
+    assert got.count() == 300
+    assert got.select("webhook_id").distinct().count() == 300
