@@ -111,3 +111,69 @@ def audit_unique_key(cols: list[str]) -> AuditFn:
         return None if total == distinct else f"duplicate keys on {cols}"
 
     return check
+
+
+def audit_metrics_single_pass(
+    rules: list[tuple[str, "Column", Callable[[object], bool]]],
+) -> AuditFn:
+    """All aggregate invariants in ONE scan of the staged data.
+
+    ``rules`` = (name, aggregate Column, predicate over its value). The
+    per-rule audits above each rescan the staged batch (3 rules = 3 full
+    scans — fine at MB, prohibitive at 100 TB); this folds every metric
+    into a single ``agg`` so the audit costs one scan total.
+    """
+
+    def check(df: DataFrame) -> str | None:
+        row = df.agg(*[c.alias(n) for n, c, _ in rules]).first()
+        for n, _, pred in rules:
+            if not pred(row[n]):
+                return f"metric rule '{n}' failed (value={row[n]!r})"
+        return None
+
+    return check
+
+
+def publish_append_observed(
+    spark: SparkSession,
+    df: DataFrame,
+    table_root: str,
+    rules: list[tuple[str, "Column", Callable[[object], bool]]],
+) -> int:
+    """WAP where the audit metrics ride ON the staging write itself
+    (``df.observe``) — zero extra scans: the aggregates are folded into the
+    write job, the staged files land, THEN the metrics are inspected and
+    the version is published or discarded. The discard path only removes
+    never-published staging files, so a rejected batch is invisible to
+    readers, same contract as ``publish_append``.
+
+    This is the production shape for auditing a 100 TB batch: re-reading
+    what you just wrote doubles the I/O bill; observation metrics are free.
+    """
+    from pyspark.sql import Observation
+
+    os.makedirs(os.path.join(table_root, _STAGING), exist_ok=True)
+    committed = _committed_versions(table_root)
+    version = (max(committed) + 1) if committed else 1
+    staged = os.path.join(table_root, _STAGING, f"v{version}")
+    final = os.path.join(table_root, f"v{version}")
+
+    obs = Observation(f"wap_audit_v{version}")
+    observed = df.observe(obs, *[c.alias(n) for n, c, _ in rules])
+    observed.write.mode("overwrite").parquet(staged)  # WRITE (+ metrics)
+
+    metrics = obs.get  # AUDIT — already computed by the write job
+    for n, _, pred in rules:
+        if not pred(metrics[n]):
+            shutil.rmtree(staged, ignore_errors=True)
+            raise ValueError(
+                f"observed audit rejected staged v{version}: "
+                f"rule '{n}' failed (value={metrics[n]!r})"
+            )
+
+    os.replace(staged, final)  # PUBLISH
+    tmp = os.path.join(table_root, f"{_CURRENT}.tmp")
+    with open(tmp, "w") as f:
+        f.write(",".join(str(v) for v in committed + [version]))
+    os.replace(tmp, os.path.join(table_root, _CURRENT))
+    return version

@@ -100,3 +100,42 @@ def test_salted_hot_keys_equals_plain_join(spark):
         for r in salted_join_hot_keys(e, c, "user_id", hot, buckets=8).collect()
     }
     assert got == want
+
+
+def test_observed_audit_publishes_good_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_expenses_spark.operators.wap import (
+        publish_append_observed,
+        read_published,
+    )
+
+    root = str(tmp_path / "obs_tbl")
+    orders = load_table(spark, SF_DIR, "orders")
+    rules = [
+        ("n_rows", F.count(F.lit(1)), lambda v: v >= 100),
+        ("null_keys", F.count_if(F.col("o_orderkey").isNull()), lambda v: v == 0),
+        ("max_price", F.max("o_totalprice"), lambda v: v < 1e9),
+    ]
+    v = publish_append_observed(spark, orders, root, rules)
+    assert v == 1
+    assert read_published(spark, root).count() == orders.count()
+
+
+def test_observed_audit_rejects_and_leaves_nothing_published(spark, tmp_path):
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from etl_expenses_spark.operators.wap import (
+        publish_append_observed,
+        read_published,
+    )
+
+    root = str(tmp_path / "obs_tbl_bad")
+    orders = load_table(spark, SF_DIR, "orders")
+    rules = [("n_rows", F.count(F.lit(1)), lambda v: v >= 10**9)]
+    with _pytest.raises(ValueError, match="n_rows"):
+        publish_append_observed(spark, orders, root, rules)
+    with _pytest.raises(FileNotFoundError):
+        read_published(spark, root)
