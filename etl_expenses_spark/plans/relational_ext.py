@@ -675,3 +675,81 @@ def scd2_customer_segments(spark, sf_dir):
         F.lit(None).cast("date").alias("valid_to"),
     )
     return unchanged.unionByName(closed).unionByName(fresh)
+
+
+# --------------------------------------------------------------------------
+# SQL UDF surface (Spark 4 CREATE FUNCTION): the money-parse expression
+# registered as a catalog function and invoked from SQL text — what the
+# NL→SQL agent would call. RETURN-expression UDFs inline into the plan
+# (codegen, pushdown-transparent) — this is NOT a Python UDF.
+# --------------------------------------------------------------------------
+@query(
+    "sql_udf_money_parse",
+    oracle="""
+        WITH raw AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 2 = 0 THEN 'U$S ' ELSE '$' END
+                   || replace(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                              '.', ',') AS monto_raw
+            FROM orders
+        )
+        SELECT o_orderkey,
+               CAST(CAST(replace(replace(CASE WHEN monto_raw LIKE 'U$S %'
+                         THEN substring(monto_raw, 5) ELSE substring(monto_raw, 2) END,
+                         '.', ''), ',', '.') AS DECIMAL(12,2)) AS DOUBLE) AS monto,
+               CASE WHEN contains(monto_raw, 'U$S') THEN 'USD' ELSE 'ARS' END AS divisa
+        FROM raw
+    """,
+    tags=("functions", "money", "sql-udf"),
+)
+def sql_udf_money_parse(spark, sf_dir):
+    """F9 through the SQL surface: generated SQL calls parse_money_sql /
+    currency_of_sql as ordinary catalog functions."""
+    from etl_expenses_spark.functions.sql_udfs import register_sql_udfs
+
+    register_sql_udfs(spark)
+    T(spark, sf_dir, "orders").createOrReplaceTempView("sqludf_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(parse_money_sql(monto_raw) AS DOUBLE) AS monto,
+               currency_of_sql(monto_raw) AS divisa
+        FROM (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 2 = 0 THEN 'U$S ' ELSE '$' END
+                   || translate(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING),
+                                '.', ',') AS monto_raw
+            FROM sqludf_orders)
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Native XML (Spark 4 from_xml): the semi-structured family completed —
+# JSON (from_json/VARIANT), XML, and HTML (parser UDTF). Round-trip shape:
+# rows → XML text → parsed struct; the oracle simply re-selects the source
+# values, so any fidelity loss in either direction fails the gate.
+# --------------------------------------------------------------------------
+@query(
+    "xml_roundtrip",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus AS status,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
+        FROM orders
+    """,
+    tags=("functions", "xml"),
+)
+def xml_roundtrip(spark, sf_dir):
+    """format_string → XML document → from_xml struct → typed columns."""
+    o = T(spark, sf_dir, "orders")
+    xml = F.format_string(
+        "<order><status>%s</status><total>%s</total></order>",
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+    )
+    parsed = F.from_xml(xml, "status STRING, total DECIMAL(18,2)")
+    return o.select(
+        "o_orderkey",
+        parsed.getField("status").alias("status"),
+        parsed.getField("total").cast("double").alias("total"),
+    )

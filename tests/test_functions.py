@@ -91,3 +91,34 @@ def test_quality_score_bounds(spark):
     vals = _col(spark, ["a good plain document with several words", "!!!,,,...", ""], quality_score)
     assert all(0.0 <= v <= 1.0 for v in vals)
     assert vals[0] > vals[1]
+
+
+def test_sql_udfs_match_column_expressions(spark):
+    """The SQL-surface functions (CREATE FUNCTION ... RETURN expr) must be
+    behaviorally identical to the Column-expression library over the
+    reference corpus + adversarial locale strings."""
+    from etl_expenses_spark.functions.sql_udfs import register_sql_udfs
+
+    register_sql_udfs(spark)
+    strings = [
+        "$1.234,56", "U$S 99,90", "US$ 5", "USD 1.000.000,00", "AR$ 0,01",
+        "ARS$ 12", "$12345", "  $ 7,50", "garbage", "", None,
+    ]
+    df = spark.createDataFrame([(s,) for s in strings], ["s"])
+    df.createOrReplaceTempView("sqludf_cases")
+    via_col = df.select(
+        parse_money("s").alias("m"), currency_of("s").alias("c")
+    ).collect()
+    via_sql = spark.sql(
+        "SELECT parse_money_sql(s) AS m, currency_of_sql(s) AS c FROM sqludf_cases"
+    ).collect()
+    assert [tuple(r) for r in via_col] == [tuple(r) for r in via_sql]
+
+    dates = ["5/3/24", "05/03/2024", "1/1/99", "bad"]
+    ddf = spark.createDataFrame([(d,) for d in dates], ["f"])
+    ddf.createOrReplaceTempView("sqludf_dates")
+    via_col = ddf.select(fix_two_digit_year("f").alias("x")).collect()
+    via_sql = spark.sql(
+        "SELECT fix_two_digit_year_sql(f) AS x FROM sqludf_dates"
+    ).collect()
+    assert [tuple(r) for r in via_col] == [tuple(r) for r in via_sql]
