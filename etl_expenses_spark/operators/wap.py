@@ -177,3 +177,46 @@ def publish_append_observed(
         f.write(",".join(str(v) for v in committed + [version]))
     os.replace(tmp, os.path.join(table_root, _CURRENT))
     return version
+
+
+def compact_published(
+    spark: SparkSession,
+    table_root: str,
+    target_files: int = 1,
+) -> int:
+    """Compact every committed version into one new version with
+    ``target_files`` parquet files, then atomically swap the manifest to
+    point at it alone.
+
+    Small-file buildup is the chronic failure mode of append-style gold
+    tables (every micro-batch/merge adds files; at 100 TB a scan pays an
+    open/footer cost per file and the driver pays listing time). Compaction
+    here is just WAP again: WRITE the coalesced copy as the next version,
+    AUDIT nothing changed (row count preserved — cheap, metadata-only on
+    parquet), PUBLISH a manifest naming only the compacted version. Old
+    version dirs stay on disk for time-travel-ish debugging (a real table
+    format would garbage-collect them after a retention window).
+    """
+    committed = _committed_versions(table_root)
+    if not committed:
+        raise FileNotFoundError(f"no published versions under {table_root}")
+    current = read_published(spark, table_root)
+    n_before = current.count()
+
+    version = max(committed) + 1
+    staged = os.path.join(table_root, _STAGING, f"v{version}")
+    final = os.path.join(table_root, f"v{version}")
+    os.makedirs(os.path.join(table_root, _STAGING), exist_ok=True)
+    current.coalesce(target_files).write.mode("overwrite").parquet(staged)
+
+    n_after = spark.read.parquet(staged).count()
+    if n_after != n_before:
+        shutil.rmtree(staged, ignore_errors=True)
+        raise ValueError(f"compaction row drift: {n_before} -> {n_after}")
+
+    os.replace(staged, final)
+    tmp = os.path.join(table_root, f"{_CURRENT}.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))  # manifest now names ONLY the compacted version
+    os.replace(tmp, os.path.join(table_root, _CURRENT))
+    return version

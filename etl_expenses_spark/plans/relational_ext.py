@@ -753,3 +753,61 @@ def xml_roundtrip(spark, sf_dir):
         parsed.getField("status").alias("status"),
         parsed.getField("total").cast("double").alias("total"),
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item revenue per customer. lineitem filters on
+# returnflag at the scan (pushed), joins orders on orderkey (the one big
+# shuffle), then the customer/nation dims broadcast onto the aggregated
+# (small) result — dims join AFTER the aggregate, so the fact join carries
+# only keys, not customer payload columns.
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q10_returned_items",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(9,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                   AS revenue
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+    """,
+    tags=("join", "agg", "topk", "tpch"),
+)
+def tpch_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10: which customers returned the most revenue this year."""
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    l = T(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = dec("l_extendedprice", 2, 9) * (F.lit(1) - dec("l_discount", 2, 3))
+    per_cust = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(revenue).alias("rev_dec"))
+    )
+    # customer is NOT broadcast-hinted: it's customer-cardinality (not a
+    # small dim) — locally AQE broadcasts it under the threshold, at SF1000
+    # the same plan degrades gracefully to a shuffle join on custkey.
+    return (
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )

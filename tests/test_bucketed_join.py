@@ -61,3 +61,33 @@ def test_bucketed_join_has_no_exchange(spark, warehouse):
         ).count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
+def test_diamond_plan_reuses_exchange(spark):
+    """A diamond-shaped query (same aggregated relation consumed twice)
+    must reuse one shuffle (ReusedExchange), not recompute it — the
+    optimizer behavior that halves the cost of self-comparison analytics
+    at any scale."""
+    from etl_expenses_spark.sources.readers import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q")
+    )
+    big = per_order.filter(F.col("q") > 150)
+    small = per_order.filter(F.col("q") <= 150)
+    # AQE defers reuse to runtime (AdaptiveSparkPlan hides it in the static
+    # plan); assert on the static optimizer behavior with AQE off, the same
+    # way tools/explain_audit.py audits
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        diamond = big.crossJoin(
+            small.select(F.col("l_orderkey").alias("rhs_key"))
+        ).limit(5)
+        jvm = spark.sparkContext._jvm
+        plan = jvm.PythonSQLUtils.explainString(
+            diamond._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "ReusedExchange" in plan, plan

@@ -139,3 +139,30 @@ def test_observed_audit_rejects_and_leaves_nothing_published(spark, tmp_path):
         publish_append_observed(spark, orders, root, rules)
     with _pytest.raises(FileNotFoundError):
         read_published(spark, root)
+
+
+def test_compaction_preserves_data_and_cuts_files(spark, tmp_path):
+    import glob
+
+    from etl_expenses_spark.operators.wap import (
+        compact_published,
+        publish_append,
+        read_published,
+    )
+
+    root = str(tmp_path / "compact_tbl")
+    orders = load_table(spark, SF_DIR, "orders")
+    # 5 published versions, each fragmented into 8 files = 40 small files
+    for i in range(5):
+        batch = orders.filter(F.col("o_orderkey") % 5 == i).repartition(8)
+        publish_append(spark, batch, root)
+    before_rows = read_published(spark, root).count()
+    before_files = len(glob.glob(f"{root}/v*/part-*.parquet"))
+    assert before_files >= 40
+
+    v = compact_published(spark, root, target_files=2)
+    after = read_published(spark, root)
+    assert after.count() == before_rows == orders.count()
+    assert {tuple(r) for r in after.collect()} == {tuple(r) for r in orders.collect()}
+    after_files = len(glob.glob(f"{root}/v{v}/part-*.parquet"))
+    assert after_files <= 2
