@@ -189,3 +189,91 @@ def kmeans_lloyd_refine(spark, sf_dir):
         .applyInPandas(refine, schema="cell int, n_members long, sim_to_init double")
         .orderBy("cell")
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+        WITH s AS (
+            SELECT vec_id, embedding,
+                   GREATEST((SELECT MAX(ABS(CAST(embedding[i] AS DOUBLE)))
+                             FROM range(1, 65) r(i)), 1e-30) / 127.0 AS scale
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id, embedding, scale,
+                   list_transform(embedding,
+                       x -> FLOOR(CAST(x AS DOUBLE) / scale + 0.5) * scale) AS dq
+            FROM s
+        )
+        SELECT vec_id,
+               CAST(CAST((SELECT MAX(ABS(CAST(embedding[i] AS DOUBLE) - dq[i]))
+                          FROM range(1, 65) r(i)) AS DECIMAL(18,9)) AS DOUBLE)
+                   AS max_abs_err,
+               CAST(CAST(
+                   (SELECT SUM(CAST(embedding[i] AS DOUBLE) * dq[i])
+                    FROM range(1, 65) r(i))
+                   / (SQRT((SELECT SUM(CAST(embedding[i] AS DOUBLE)
+                                       * CAST(embedding[i] AS DOUBLE))
+                            FROM range(1, 65) r(i)))
+                      * SQRT((SELECT SUM(dq[i] * dq[i]) FROM range(1, 65) r(i))))
+                   AS DECIMAL(18,6)) AS DOUBLE) AS cos_orig_deq
+        FROM q
+    """,
+    tags=("similarity", "quantization"),
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column: per-vector
+    scale = max|x|/127, q = floor(x/scale + 0.5), dequantize = q*scale.
+
+    The storage/bandwidth op for ANN at 100 TB: embeddings stored int8 are
+    4× smaller than float32, so the IVF probe scan reads a quarter of the
+    bytes; the emitted metrics (max abs error ≤ scale/2, cosine between
+    original and dequantized ~0.9999) are exactly what an offline recall
+    audit monitors. Every step is either exact (max fold, floor) or the
+    identical IEEE double op in both engines, so even this numeric pipeline
+    is oracle-checked bit-exact (cos quantized to 1e-6 like the other
+    similarity scores)."""
+    e = T(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    vec = F.col("embedding")
+    scale = (
+        F.greatest(
+            F.aggregate(vec, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(xd(x)))),
+            F.lit(1e-30),
+        )
+        / F.lit(127.0)
+    )
+    with_scale = e.select("vec_id", vec.alias("v"), scale.alias("scale"))
+    dq = F.transform(
+        F.col("v"), lambda x: F.floor(xd(x) / F.col("scale") + F.lit(0.5)) * F.col("scale")
+    )
+    qd = with_scale.select("vec_id", F.col("v"), dq.alias("dq"))
+    err = F.aggregate(
+        F.zip_with(F.col("v"), F.col("dq"), lambda a, b: F.abs(xd(a) - b)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    dot_vd = F.aggregate(
+        F.zip_with(F.col("v"), F.col("dq"), lambda a, b: xd(a) * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dot_vv = F.aggregate(
+        F.zip_with(F.col("v"), F.col("v"), lambda a, b: xd(a) * xd(b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dot_dd = F.aggregate(
+        F.zip_with(F.col("dq"), F.col("dq"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return qd.select(
+        "vec_id",
+        err.cast("decimal(18,9)").cast("double").alias("max_abs_err"),
+        (dot_vd / (F.sqrt(dot_vv) * F.sqrt(dot_dd)))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("cos_orig_deq"),
+    )
