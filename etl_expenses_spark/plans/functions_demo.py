@@ -295,3 +295,65 @@ def regex_functions(spark, sf_dir):
             F.regexp_extract_all(F.col("p_type"), F.lit("[A-Z]+"), 0), ","
         ).alias("type_words"),
     )
+
+
+@query(
+    "timezone_conversion",
+    oracle="""
+        SELECT event_id,
+               CAST(ts AS TIMESTAMP) AS ts_utc,
+               ts - INTERVAL 3 HOUR AS ts_buenos_aires,
+               CAST(strftime(ts - INTERVAL 3 HOUR, '%Y-%m-%d') AS VARCHAR) AS local_date,
+               CAST(EXTRACT(hour FROM ts - INTERVAL 3 HOUR) AS INT) AS local_hour
+        FROM events
+    """,
+    tags=("functions", "date", "timezone"),
+)
+def timezone_conversion(spark, sf_dir):
+    """F13 locale nuance: the reference's data is Argentina-local while its
+    lambdas run in UTC (`datetime.now()` vs mail timestamps). Spark keeps
+    timestamps UTC-normalized and converts at the edge with
+    from_utc_timestamp. America/Argentina/Buenos_Aires is fixed UTC-3 (no
+    DST since 2009), which the oracle mirrors as a plain 3-hour shift —
+    the IANA lookup and the interval arithmetic must agree exactly."""
+    e = T(spark, sf_dir, "events")
+    local = F.from_utc_timestamp(F.col("ts"), "America/Argentina/Buenos_Aires")
+    return e.select(
+        "event_id",
+        F.col("ts").alias("ts_utc"),
+        local.alias("ts_buenos_aires"),
+        F.date_format(local, "yyyy-MM-dd").alias("local_date"),
+        F.hour(local).alias("local_hour"),
+    )
+
+
+@query(
+    "null_handling_functions",
+    oracle="""
+        SELECT o_orderkey,
+               NULLIF(o_orderstatus, 'O') AS status_or_null,
+               COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_defaulted,
+               CASE WHEN NULLIF(o_orderstatus, 'O') IS NOT NULL
+                    THEN 'CLOSED-ISH' ELSE 'OPEN' END AS nvl2_equiv,
+               (NULLIF(o_orderstatus, 'O') IS NULL) AS is_open,
+               IFNULL(NULLIF(o_orderpriority, '5-LOW'), 'floor') AS prio_or_floor
+        FROM orders
+    """,
+    tags=("functions", "nulls"),
+)
+def null_handling_functions(spark, sf_dir):
+    """The NULL algebra the loaders lean on (format_value → SQL NULL,
+    `/root/reference/load_data/lambda_function.py:6-13`): nullif / coalesce /
+    nvl2 / isnull / ifnull as column expressions."""
+    o = T(spark, sf_dir, "orders")
+    s_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.select(
+        "o_orderkey",
+        s_null.alias("status_or_null"),
+        F.coalesce(s_null, F.lit("OPEN")).alias("status_defaulted"),
+        F.nvl2(s_null, F.lit("CLOSED-ISH"), F.lit("OPEN")).alias("nvl2_equiv"),
+        F.isnull(s_null).alias("is_open"),
+        F.ifnull(F.nullif(F.col("o_orderpriority"), F.lit("5-LOW")), F.lit("floor")).alias(
+            "prio_or_floor"
+        ),
+    )
