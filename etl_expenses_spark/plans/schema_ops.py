@@ -336,3 +336,46 @@ def webhook_source_ingest(spark, sf_dir):
             F.col("f.url").alias("url"),
         )
     )
+
+
+@query(
+    "struct_field_surgery",
+    oracle="""
+        SELECT o_orderkey,
+               to_json({'status': o_orderstatus,
+                        'priority': o_orderpriority,
+                        'audit': {'loaded_by': 'engine', 'version': 2}}) AS doc_json,
+               o_orderstatus AS doc_status,
+               2 AS doc_version
+        FROM orders
+    """,
+    tags=("schema", "struct"),
+)
+def struct_field_surgery(spark, sf_dir):
+    """Nested-struct surgery: build a document struct, ADD a nested audit
+    field with withField, REMOVE a field with dropFields — the schema-
+    evolution operations a semi-structured gold table needs (the reference
+    rewrites whole JSON docs instead,
+    `/root/reference/extract_data_bank_pay/lambda_function.py:182-195`).
+    Row-level, codegen'd; at scale this is how you evolve billions of
+    nested docs without a Python round-trip."""
+    o = T(spark, sf_dir, "orders")
+    base = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),  # will be dropped
+        F.col("o_orderpriority").alias("priority"),
+    )
+    doc = (
+        base.withField(
+            "audit",
+            F.struct(F.lit("engine").alias("loaded_by"), F.lit(2).alias("version")),
+        )
+        .dropFields("price")
+    )
+    return o.select(
+        "o_orderkey",
+        F.to_json(doc).alias("doc_json"),  # structs stringify differently
+        # across engines, so compare the canonical JSON serialization
+        doc.getField("status").alias("doc_status"),
+        doc.getField("audit").getField("version").alias("doc_version"),
+    )

@@ -101,3 +101,48 @@ def test_csv_inferred_schema_matches_cascade(spark, tmp):
     assert got["o_orderstatus"] == "string"
     assert got["o_orderdate"].startswith("timestamp")
     assert back.count() == o.count()
+
+
+def test_csv_permissive_mode_captures_corrupt_rows(spark, tmp):
+    """S1 robustness: malformed CSV rows must not kill the job NOR vanish
+    silently — PERMISSIVE mode nulls the bad fields and captures the raw
+    line in _corrupt_record for the quarantine flow (the reference's
+    runtime gates drop bad rows with no audit trail)."""
+    path = tmp / "dirty.csv"
+    path.write_text(
+        "id;amount;when\n"
+        "1;10.50;2024-01-01T00:00:00\n"
+        "2;NOT_A_NUMBER;2024-01-02T00:00:00\n"
+        "3;30.25;ALSO_NOT_A_DATE\n"
+        "4;40.00;2024-01-04T00:00:00\n"
+    )
+    schema = (
+        "id BIGINT, amount DOUBLE, `when` TIMESTAMP, _corrupt_record STRING"
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("sep", ";")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(path))
+        .cache()
+    )
+    assert df.count() == 4
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert bad.count() == 2
+    assert {r.id for r in bad.collect()} == {2, 3}
+    good = df.filter(F.col("_corrupt_record").isNull())
+    assert {r.id for r in good.collect()} == {1, 4}
+    # FAILFAST is the other contract: the same file must raise
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        (
+            spark.read.schema("id BIGINT, amount DOUBLE, `when` TIMESTAMP")
+            .option("header", True)
+            .option("sep", ";")
+            .option("mode", "FAILFAST")
+            .csv(str(path))
+            .collect()
+        )
