@@ -328,3 +328,66 @@ def cosine_topk_lsh(
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def embedding_neardup_pairs_blocked_gemm(
+    embeddings: DataFrame,
+    block_col: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact blocked near-dup pairs, BLAS3-shaped: one applyInPandas per
+    block computes the whole |block|×|block| similarity matrix instead of
+    exploding |block|² join rows through the shuffle.
+
+    Same semantics as embedding_neardup_pairs_blocked, ~join-free: the only
+    shuffle is groupBy(block), which moves each vector ONCE (vs the self-
+    join moving each vector |block| times). Per block the Gram matrix is
+    accumulated dimension-by-dimension (``acc += x_d ⊗ x_d``) — the same
+    IEEE operation sequence per pair as the sequential per-pair fold, so
+    results stay bit-identical to the join tier and the DuckDB oracle
+    (norms are the Gram diagonal — same fold again).
+
+    Scale contract: block sizes must be bounded (the |block|² matrix lives
+    in one task) — exactly the bound any blocked pairwise scheme already
+    requires. For the testdata's ~200-row blocks the matrix is KBs.
+    """
+    import numpy as np
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim_raw": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "sim_raw": "float64"}
+            )
+        acc = np.zeros((n, n), dtype=np.float64)
+        for d in range(X.shape[1]):  # dim-by-dim: fold order == oracle's
+            col = X[:, d]
+            acc += col[:, None] * col[None, :]
+        norm = np.sqrt(np.diagonal(acc))
+        sim = acc / (norm[:, None] * norm[None, :])
+        ia, ib = np.triu_indices(n, 1)
+        keep = sim[ia, ib] >= (threshold - 1e-9)  # loose cut; exact filter in SQL
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "sim_raw": sim[ia, ib][keep],
+            }
+        )
+
+    out = embeddings.select(F.col(id_col), F.col(block_col).alias("blk"), F.col(vec_col)).groupBy(
+        "blk"
+    ).applyInPandas(pairs, schema="id_a long, id_b long, sim_raw double")
+    return (
+        out.select(
+            "id_a",
+            "id_b",
+            F.col("sim_raw").cast("decimal(18,6)").cast("double").alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

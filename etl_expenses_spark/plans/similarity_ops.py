@@ -15,6 +15,7 @@ from etl_expenses_spark.operators.similarity import (
     cosine_topk_ivf,
     cosine_topk_lsh,
     embedding_neardup_pairs_blocked,
+    embedding_neardup_pairs_blocked_gemm,
     embedding_neardup_pairs_lsh,
     norm,
 )
@@ -100,10 +101,12 @@ def similarity_cosine_topk_ivf(spark, sf_dir):
 )
 def dedup_embedding_cosine_pairs(spark, sf_dir):
     """Embedding-cosine near-dup, exact tier: pairs with cosine ≥ 0.30
-    inside `label` blocking groups. The blocked self-join shuffles on the
-    block key only (Σ|block|² work); sims are quantized to 1e-6 in both
-    engines before thresholding so the comparison is portable."""
-    return embedding_neardup_pairs_blocked(
+    inside `label` blocking groups, computed BLAS3-style — one Gram matrix
+    per block in applyInPandas (each vector crosses the shuffle once)
+    instead of a |block|²-row self-join; bit-identical to the join tier
+    (tests/test_dedup_similarity.py) and to the oracle. Sims quantized to
+    1e-6 in both engines before thresholding."""
+    return embedding_neardup_pairs_blocked_gemm(
         T(spark, sf_dir, "embeddings"), block_col="label", threshold=0.30
     )
 

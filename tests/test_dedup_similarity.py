@@ -115,3 +115,22 @@ def test_connected_components_chain_and_islands(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20),
     }
+
+
+def test_gemm_blocked_pairs_bit_identical_to_join_tier(spark):
+    from etl_expenses_spark.operators.similarity import (
+        embedding_neardup_pairs_blocked,
+        embedding_neardup_pairs_blocked_gemm,
+    )
+    from etl_expenses_spark.sources.readers import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    join_tier = {
+        tuple(r) for r in embedding_neardup_pairs_blocked(e, "label", 0.30).collect()
+    }
+    gemm_tier = {
+        tuple(r)
+        for r in embedding_neardup_pairs_blocked_gemm(e, "label", 0.30).collect()
+    }
+    assert join_tier == gemm_tier
+    assert len(gemm_tier) > 0
