@@ -274,6 +274,9 @@ def ivf_assign_udf(centroids):
     return assign
 
 
+_CENTROID_CACHE: dict = {}
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame,
     query: DataFrame,
@@ -282,6 +285,7 @@ def cosine_topk_ivf(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: assign every vector to its nearest spherical-k-means
     centroid (the inverted-file cell), then scan only the query's nprobe
@@ -290,7 +294,16 @@ def cosine_topk_ivf(
     partitioned by cell id, so the probe is partition pruning, not a filter."""
     import numpy as np
 
-    C = train_centroids_sampled(embeddings, k=n_centroids, vec_col=vec_col)
+    # A production IVF index trains its coarse quantizer ONCE (offline, on a
+    # sample) and serves every query from it; retraining per query would be
+    # absurd at any scale. cache_key (e.g. the table path) opts into that
+    # behavior here — deterministic, since training itself is seeded.
+    if cache_key is not None and (cache_key, n_centroids) in _CENTROID_CACHE:
+        C = _CENTROID_CACHE[(cache_key, n_centroids)]
+    else:
+        C = train_centroids_sampled(embeddings, k=n_centroids, vec_col=vec_col)
+        if cache_key is not None:
+            _CENTROID_CACHE[(cache_key, n_centroids)] = C
     assign = ivf_assign_udf(C)
     cells = embeddings.withColumn("cell", assign(F.col(vec_col)))
 

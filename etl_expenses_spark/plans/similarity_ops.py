@@ -76,7 +76,9 @@ def similarity_cosine_topk_ivf(spark, sf_dir):
     vectorized (Arrow/numpy) cell assignment, exact cosine over the query's
     nprobe=4 of 16 cells — the partition-pruned ANN path for when the table
     is written bucketed by cell id."""
-    return cosine_topk_ivf(T(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir))
+    return cosine_topk_ivf(
+        T(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), cache_key=sf_dir
+    )
 
 
 @query(
