@@ -811,3 +811,155 @@ def tpch_q10_returned_items(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q12 shape: conditional aggregation (SUM of CASE) + IN-list
+# predicate. One scan, one tiny shuffle (group keys = priorities); the
+# CASE arms fold into the partial aggregate — no second pass per arm.
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q12_priority_shipmode",
+    oracle="""
+        SELECT o.o_orderpriority,
+               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count,
+               COUNT(*) AS n_lines
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """,
+    tags=("agg", "conditional", "tpch"),
+)
+def tpch_q12_priority_shipmode(spark, sf_dir):
+    """TPC-H Q12: priority-class line counts via SUM(CASE) conditional
+    aggregation over a year of shipments."""
+    o = T(spark, sf_dir, "orders")
+    l = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# NOT IN with a nullable subquery: standard three-valued logic means ONE
+# NULL in the subquery empties the result — the classic silent-wrong-answer
+# SQL trap. Both engines implement the standard (Spark plans it as
+# null-aware anti join); the pair of queries pins the contract: with NULLs
+# stripped the anti-set comes back.
+# --------------------------------------------------------------------------
+@query(
+    "not_in_null_semantics",
+    oracle="""
+        SELECT
+            (SELECT COUNT(*) FROM customer
+             WHERE c_custkey NOT IN
+                 (SELECT NULLIF(o_custkey, o_custkey) FROM orders LIMIT 1))
+                AS n_with_null_in_list,
+            (SELECT COUNT(*) FROM customer
+             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+                AS n_without_nulls
+    """,
+    tags=("sql", "subquery", "nulls"),
+)
+def not_in_null_semantics(spark, sf_dir):
+    """NOT IN vs NULL: a NULL in the value list makes every row UNKNOWN
+    (count 0); the NULL-free list behaves as the anti join."""
+    for t in ("customer", "orders"):
+        T(spark, sf_dir, t).createOrReplaceTempView(f"ni_{t}")
+    return spark.sql(
+        """
+        SELECT
+            (SELECT COUNT(*) FROM ni_customer
+             WHERE c_custkey NOT IN
+                 (SELECT NULLIF(o_custkey, o_custkey) FROM ni_orders LIMIT 1))
+                AS n_with_null_in_list,
+            (SELECT COUNT(*) FROM ni_customer
+             WHERE c_custkey NOT IN (SELECT o_custkey FROM ni_orders))
+                AS n_without_nulls
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Gap filling + forward fill: regularize an irregular per-user event series
+# onto a daily spine, carrying the last observation forward. The spine is
+# generated with sequence() (no driver loop); the fill is one
+# last(ignorenulls) window — a single shuffle on user_id.
+# --------------------------------------------------------------------------
+@query(
+    "gapfill_daily_user_values",
+    oracle="""
+        WITH bounds AS (
+            SELECT user_id,
+                   CAST(DATE_TRUNC('day', MIN(ts)) AS DATE) AS d0,
+                   CAST(DATE_TRUNC('day', MAX(ts)) AS DATE) AS d1
+            FROM events WHERE user_id < 20 GROUP BY user_id
+        ),
+        spine AS (
+            SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+            FROM bounds
+        ),
+        daily AS (
+            SELECT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+            FROM events WHERE user_id < 20 GROUP BY 1, 2
+        )
+        SELECT s.user_id, s.day,
+               COALESCE(d.day_value,
+                        LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+                            PARTITION BY s.user_id ORDER BY s.day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                   AS filled_value,
+               (d.day_value IS NULL) AS was_gap
+        FROM spine s LEFT JOIN daily d
+          ON d.user_id = s.user_id AND d.day = s.day
+    """,
+    tags=("temporal", "gapfill", "window"),
+)
+def gapfill_daily_user_values(spark, sf_dir):
+    """Daily spine via sequence() + explode, then last-observation-carried-
+    forward with a last(ignorenulls) running window."""
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    daily = (
+        e.groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+        .agg(F.sum(dec("value")).cast("double").alias("day_value"))
+    )
+    bounds = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("d0"),
+        F.date_trunc("day", F.max("ts")).cast("date").alias("d1"),
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.coalesce(
+            F.col("day_value"), F.last("day_value", ignorenulls=True).over(w)
+        ).alias("filled_value"),
+        F.col("day_value").isNull().alias("was_gap"),
+    )
