@@ -45,6 +45,7 @@ MEDIA_SCHEMA = T.StructType(
                     T.StructField("height", T.IntegerType()),
                     T.StructField("sample_rate", T.IntegerType()),
                     T.StructField("n_frames", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
                 ]
             ),
         ),
@@ -116,6 +117,7 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
                         T.StructField("height", T.IntegerType()),
                         T.StructField("sample_rate", T.IntegerType()),
                         T.StructField("n_frames", T.IntegerType()),
+                        T.StructField("duration_ms", T.LongType()),
                     ]
                 ),
             ),
@@ -140,6 +142,7 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
                         "height": height,
                         "sample_rate": meta["sample_rate"],
                         "n_frames": meta["n_frames"],
+                        "duration_ms": meta["duration_ms"],
                     }
                 )
             yield pd.DataFrame(
@@ -182,5 +185,51 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "frame_no": frame_nos, "frame": frames})
 
     return media.filter("kind = 'video'").select("media_id", "payload", "meta").mapInPandas(
+        gen, schema=out_schema
+    )
+
+
+def audio_chunk(media: DataFrame, chunk_ms: int = 5000) -> DataFrame:
+    """Audio chunking (UDTF-shaped: 1 track → ceil(duration/chunk) rows):
+    fixed-duration windows with [start_ms, end_ms) metadata — the unit a
+    transcription/embedding stage consumes. Chunk payloads are
+    deterministic fakes (digest-derived; real decoder gated out of this
+    container); the explosion, metadata arithmetic, and Arrow batching are
+    the real, tested part. At 100 TB the chunker is the repartition point:
+    downstream stages key on (media_id, chunk_no), never the whole track."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("chunk_no", T.IntegerType()),
+            T.StructField("start_ms", T.LongType()),
+            T.StructField("end_ms", T.LongType()),
+            T.StructField("chunk", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, nos, starts, ends, chunks = [], [], [], [], []
+            for mid, payload, meta in zip(b["media_id"], b["payload"], b["meta"]):
+                dur = int(meta["duration_ms"] or 0)
+                for i, start in enumerate(range(0, dur, chunk_ms)):
+                    ids.append(mid)
+                    nos.append(i)
+                    starts.append(start)
+                    ends.append(min(start + chunk_ms, dur))
+                    chunks.append(
+                        hashlib.sha256(bytes(payload) + i.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "chunk_no": nos,
+                    "start_ms": starts,
+                    "end_ms": ends,
+                    "chunk": chunks,
+                }
+            )
+
+    return media.filter("kind = 'audio'").select("media_id", "payload", "meta").mapInPandas(
         gen, schema=out_schema
     )

@@ -963,3 +963,95 @@ def gapfill_daily_user_values(spark, sf_dir):
         ).alias("filled_value"),
         F.col("day_value").isNull().alias("was_gap"),
     )
+
+
+# --------------------------------------------------------------------------
+# Histogram by equi-width bucketing: pure integer floor arithmetic (no
+# width_bucket builtin dependency) so both engines compute identical bucket
+# ids. One partial-aggregated shuffle of ~n_buckets rows per task.
+# --------------------------------------------------------------------------
+@query(
+    "histogram_order_totals",
+    oracle="""
+        SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+               CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) * 25000.0
+                   AS bucket_low,
+               COUNT(*) AS n_orders,
+               CAST(MIN(o_totalprice) AS DOUBLE) AS min_in_bucket,
+               CAST(MAX(o_totalprice) AS DOUBLE) AS max_in_bucket
+        FROM orders
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    tags=("agg", "histogram"),
+)
+def histogram_order_totals(spark, sf_dir):
+    """Equi-width histogram of order totals (25k buckets) — the profiling
+    aggregate behind every data-quality dashboard; min/max ride along as
+    exact extremes (no float summation)."""
+    o = T(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 25000.0).cast("bigint")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("min_in_bucket"),
+            F.max("o_totalprice").cast("double").alias("max_in_bucket"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 25000.0).alias("bucket_low"),
+            "n_orders",
+            "min_in_bucket",
+            "max_in_bucket",
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q19 shape: OR-of-ANDs disjunctive predicate. Catalyst extracts the
+# common conjuncts (quantity bounds) and pushes what it can to the scan;
+# the disjunction evaluates in one codegen'd pass — no union-of-three-scans.
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q19_disjunctive_revenue",
+    oracle="""
+        SELECT COUNT(*) AS n_matched,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(9,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 30
+               AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+           OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 20 AND 50
+               AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+    tags=("join", "predicate", "tpch"),
+)
+def tpch_q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19: three-armed OR-of-ANDs over a broadcast part join."""
+    l = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    arm = lambda brand, lo_sz, hi_sz, lo_q, hi_q: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(lo_sz, hi_sz)
+        & (q >= lo_q)
+        & (q <= hi_q)
+    )
+    revenue = dec("l_extendedprice", 2, 9) * (F.lit(1) - dec("l_discount", 2, 3))
+    return (
+        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        .filter(
+            arm("Brand#11", 1, 15, 1, 20)
+            | arm("Brand#23", 10, 30, 10, 30)
+            | arm("Brand#34", 20, 50, 20, 40)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+    )

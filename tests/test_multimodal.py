@@ -16,13 +16,17 @@ from etl_expenses_spark.operators.multimodal import (
 def _media(spark):
     rows = [
         Row(media_id=1, kind="image", payload=b"img-bytes-1",
-            meta=Row(width=64, height=48, sample_rate=None, n_frames=None)),
+            meta=Row(width=64, height=48, sample_rate=None, n_frames=None,
+                     duration_ms=None)),
         Row(media_id=2, kind="audio", payload=b"wav-bytes-2",
-            meta=Row(width=None, height=None, sample_rate=16000, n_frames=None)),
+            meta=Row(width=None, height=None, sample_rate=16000, n_frames=None,
+                     duration_ms=12500)),
         Row(media_id=3, kind="video", payload=b"mp4-bytes-3",
-            meta=Row(width=320, height=240, sample_rate=None, n_frames=25)),
+            meta=Row(width=320, height=240, sample_rate=None, n_frames=25,
+                     duration_ms=1000)),
         Row(media_id=4, kind="image", payload=b"img-bytes-1",  # same content as 1
-            meta=Row(width=64, height=48, sample_rate=None, n_frames=None)),
+            meta=Row(width=64, height=48, sample_rate=None, n_frames=None,
+                     duration_ms=None)),
     ]
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
@@ -59,3 +63,15 @@ def test_resize_updates_payload_and_meta_together(spark):
     assert bytes(rows[1].payload) == bytes(rows[4].payload)
     # schema identical to MEDIA_SCHEMA (stage is composable with itself)
     assert out.schema == _media(spark).schema
+
+
+def test_audio_chunk_windows_and_bounds(spark):
+    from etl_expenses_spark.operators.multimodal import audio_chunk
+
+    out = audio_chunk(_media(spark), chunk_ms=5000).collect()
+    # 12500ms track -> chunks [0,5000) [5000,10000) [10000,12500)
+    assert [(r.chunk_no, r.start_ms, r.end_ms) for r in sorted(out, key=lambda r: r.chunk_no)] == [
+        (0, 0, 5000), (1, 5000, 10000), (2, 10000, 12500)
+    ]
+    assert all(r.media_id == 2 for r in out)       # only the audio row
+    assert len({bytes(r.chunk) for r in out}) == 3  # chunk payloads distinct
