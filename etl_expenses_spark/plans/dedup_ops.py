@@ -218,3 +218,87 @@ def dedup_cluster_components(spark, sf_dir):
         (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
         F.count(F.lit(1)).over(w).alias("cluster_size"),
     )
+
+
+@query(
+    "dataset_split_leakage_safe",
+    oracle="""
+        WITH RECURSIVE
+        fp AS (
+            SELECT doc_id,
+                   array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ') AS pre,
+                   array_to_string(list_slice(string_split(text, ' '), -4, -1), ' ') AS suf
+            FROM documents
+        ),
+        e AS (
+            SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM fp a JOIN fp b ON a.pre = b.pre AND a.doc_id < b.doc_id
+            UNION
+            SELECT a.doc_id, b.doc_id
+            FROM fp a JOIN fp b ON a.suf = b.suf AND a.doc_id < b.doc_id
+        ),
+        sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        reach(id, r) AS (
+            SELECT DISTINCT src, src FROM sym
+            UNION
+            SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+        ),
+        cc AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        assigned AS (
+            SELECT d.doc_id,
+                   COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+                   (COALESCE(cc.cluster_id, d.doc_id) * 2654435761) % 100 AS pct
+            FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+        )
+        SELECT doc_id, cluster_id,
+               CASE WHEN pct < 80 THEN 'train'
+                    WHEN pct < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM assigned
+    """,
+    tags=("dedup", "clustering", "training", "split"),
+)
+def dataset_split_leakage_safe(spark, sf_dir):
+    """Leakage-safe train/val/test assignment: split by CLUSTER, not by doc.
+
+    Hash-splitting documents independently (dataset_split_assign) leaks
+    near-duplicates across the train/test boundary — the classic eval
+    contamination bug. Here the unit of assignment is the connected
+    component from the fingerprint near-dup graph: every member of a
+    cluster inherits the cluster minimum's bucket, so a document can never
+    see its near-twin from the other side of the split. Singletons hash on
+    their own id. The bucket is pure integer arithmetic
+    ((cluster_id * 2654435761) mod 100 — Knuth multiplicative), portable
+    across engines and stable under re-runs: adding documents never moves
+    an existing cluster between splits."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    fp = d.select(
+        "doc_id",
+        F.array_join(F.slice(F.col("t"), 1, 4), " ").alias("pre"),
+        F.array_join(F.slice(F.col("t"), -4, 4), " ").alias("suf"),
+    ).persist()
+    a, b = fp.alias("a"), fp.alias("b")
+    pre_pairs = a.join(
+        b, (F.col("a.pre") == F.col("b.pre")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    suf_pairs = a.join(
+        b, (F.col("a.suf") == F.col("b.suf")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    cc = connected_components(pre_pairs.union(suf_pairs).distinct()).withColumnRenamed(
+        "id", "cc_doc_id"
+    )
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    assigned = docs.join(
+        F.broadcast(cc), docs.doc_id == cc.cc_doc_id, "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    pct = (F.col("cluster_id") * F.lit(2654435761)) % 100
+    return assigned.select(
+        "doc_id",
+        "cluster_id",
+        F.when(pct < 80, "train").when(pct < 90, "val").otherwise("test").alias("split"),
+    )

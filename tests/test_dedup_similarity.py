@@ -134,3 +134,23 @@ def test_gemm_blocked_pairs_bit_identical_to_join_tier(spark):
     }
     assert join_tier == gemm_tier
     assert len(gemm_tier) > 0
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from etl_expenses_spark.plans import REGISTRY
+
+    out = REGISTRY["dataset_split_leakage_safe"].build(
+        spark, "/root/testdata/sf0.1"
+    )
+    # no cluster straddles a split boundary
+    straddlers = (
+        out.groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("n_splits"), F.count("*").alias("n"))
+        .filter("n_splits > 1")
+    )
+    assert straddlers.count() == 0
+    # and the clusters are non-trivial at sf0.1 (the guarantee has teeth)
+    multi = (
+        out.groupBy("cluster_id").count().filter("count > 1")
+    )
+    assert multi.count() > 0
