@@ -1055,3 +1055,36 @@ def tpch_q19_disjunctive_revenue(spark, sf_dir):
             F.sum(revenue).cast("double").alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE (Spark 4): ONE SQL string runs verbatim on both engines.
+# Spark's recursion is UNION ALL-only (no cycle-safe UNION yet), so the
+# demo is a monotone recursion — a month spine from min to max order date,
+# left-joined to expose empty months. Graph closures with cycles stay on
+# the DataFrame loop (operators/dedup.py:connected_components).
+# --------------------------------------------------------------------------
+_RECURSIVE_SPINE_SQL = """
+WITH RECURSIVE months(m) AS (
+    SELECT CAST(DATE_TRUNC('month', (SELECT MIN(o_orderdate) FROM {t})) AS DATE)
+    UNION ALL
+    SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+    WHERE m < CAST(DATE_TRUNC('month', (SELECT MAX(o_orderdate) FROM {t})) AS DATE)
+)
+SELECT m AS month_start, COUNT(o.o_orderkey) AS n_orders
+FROM months LEFT JOIN {t} o
+  ON CAST(DATE_TRUNC('month', o.o_orderdate) AS DATE) = months.m
+GROUP BY m
+"""
+
+
+@query(
+    "sql_recursive_month_spine",
+    oracle=_RECURSIVE_SPINE_SQL.format(t="orders"),
+    tags=("sql", "recursive-cte", "temporal"),
+)
+def sql_recursive_month_spine(spark, sf_dir):
+    """Recursive CTE through the SQL-text surface: the month spine + empty-
+    month counts, same SQL string as the oracle (portable ANSI recursion)."""
+    T(spark, sf_dir, "orders").createOrReplaceTempView("rcte_orders")
+    return spark.sql(_RECURSIVE_SPINE_SQL.format(t="rcte_orders"))
