@@ -245,3 +245,28 @@ def tfidf_top_terms_per_doc(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("doc_id", "tok", "relevance")
     )
+
+
+@query(
+    "explode_outer_rare_tokens",
+    oracle=f"""
+        WITH l AS (
+            SELECT doc_id,
+                   list_filter({_D_TOKENS}, t -> len(t) > 6) AS rare
+            FROM documents WHERE doc_id < 300
+        )
+        SELECT doc_id,
+               unnest(CASE WHEN len(rare) = 0 THEN [CAST(NULL AS VARCHAR)]
+                           ELSE rare END) AS rare_token
+        FROM l
+    """,
+    tags=("text", "explode", "nulls"),
+)
+def explode_outer_rare_tokens(spark, sf_dir):
+    """explode_outer: documents with NO rare (>6-char) tokens keep one NULL
+    row instead of vanishing — the left-join-flavored explode a coverage
+    report needs (plain explode silently drops empty documents from the
+    denominator). DuckDB twin: unnest of a NULL-sentinel list."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    rare = F.filter(tokens(F.col("text")), lambda t: F.length(t) > 6)
+    return d.select("doc_id", F.explode_outer(rare).alias("rare_token"))
