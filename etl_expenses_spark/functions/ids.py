@@ -25,3 +25,37 @@ def content_fingerprint(col: Column | str) -> Column:
     """sha256 hex digest of a (string or binary) payload column."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sha2(c, 256)
+
+
+def zorder_key(x, y, bits: int = 16):
+    """Morton/Z-order interleave of two bucketed non-negative ints — the
+    multi-dimensional clustering key for data skipping.
+
+    Sorting a table by ``zorder_key(bucket(a), bucket(b))`` before writing
+    makes every parquet file cover a small rectangle in (a, b) space, so
+    min/max stats prune files for predicates on EITHER column — a 1-D sort
+    only skips on its leading column. Pure shift/mask/OR expression tree
+    (codegen'd, oracle-reproducible); ``bits``=16 → a 32-bit key, plenty
+    for file-level clustering.
+    """
+    from pyspark.sql import functions as F
+
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(xc, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(yc, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def zorder_key_sql(x: str, y: str, bits: int = 16) -> str:
+    """The identical Z-order expression as SQL text (oracle twin)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)

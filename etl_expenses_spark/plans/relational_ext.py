@@ -1088,3 +1088,54 @@ def sql_recursive_month_spine(spark, sf_dir):
     month counts, same SQL string as the oracle (portable ANSI recursion)."""
     T(spark, sf_dir, "orders").createOrReplaceTempView("rcte_orders")
     return spark.sql(_RECURSIVE_SPINE_SQL.format(t="rcte_orders"))
+
+
+# --------------------------------------------------------------------------
+# Z-order layout key: bit-interleave two bucketed dimensions so a sort by
+# the key clusters files into (custkey, day) rectangles — min/max stats
+# then prune on EITHER predicate column. The expression is the same
+# shift/mask/OR tree in both engines.
+# --------------------------------------------------------------------------
+@query(
+    "zorder_layout_key",
+    oracle=None,  # filled below — needs the generated expression text
+    tags=("layout", "zorder", "functions"),
+)
+def zorder_layout_key(spark, sf_dir):
+    """Morton key over (custkey bucket, order-day bucket) + the layout
+    preview: top-20 orders by z-key with both source dims, showing the
+    space-filling-curve ordering a writer would sortWithinPartitions by."""
+    from etl_expenses_spark.functions.ids import zorder_key
+
+    o = T(spark, sf_dir, "orders")
+    xb = (F.col("o_custkey") % 4096).cast("long")
+    yb = (F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")) % 4096).cast(
+        "long"
+    )
+    withkey = o.select(
+        "o_orderkey",
+        xb.alias("cust_bucket"),
+        yb.alias("day_bucket"),
+        zorder_key(xb, yb, bits=12).alias("zkey"),
+    )
+    return withkey.orderBy("zkey", "o_orderkey").limit(20)
+
+
+# register the oracle now that the expression generator exists
+from etl_expenses_spark.functions.ids import zorder_key_sql  # noqa: E402
+from etl_expenses_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["zorder_layout_key"].oracle = f"""
+    WITH b AS (
+        SELECT o_orderkey,
+               CAST(o_custkey % 4096 AS BIGINT) AS cust_bucket,
+               CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) % 4096 AS BIGINT)
+                   AS day_bucket
+        FROM orders
+    )
+    SELECT o_orderkey, cust_bucket, day_bucket,
+           {zorder_key_sql('cust_bucket', 'day_bucket', bits=12)} AS zkey
+    FROM b
+    ORDER BY zkey, o_orderkey
+    LIMIT 20
+"""

@@ -122,3 +122,21 @@ def test_sql_udfs_match_column_expressions(spark):
         "SELECT fix_two_digit_year_sql(f) AS x FROM sqludf_dates"
     ).collect()
     assert [tuple(r) for r in via_col] == [tuple(r) for r in via_sql]
+
+
+def test_zorder_key_interleave_roundtrip(spark):
+    """The Morton key must be a bijection of (x, y): deinterleaving the
+    emitted key in plain Python recovers both coordinates exactly."""
+    from etl_expenses_spark.functions.ids import zorder_key
+
+    df = spark.createDataFrame(
+        [(x, y) for x in (0, 1, 7, 255, 4095) for y in (0, 2, 9, 1024, 4095)],
+        ["x", "y"],
+    )
+    rows = df.select("x", "y", zorder_key("x", "y", bits=12).alias("z")).collect()
+    for r in rows:
+        x = y = 0
+        for i in range(12):
+            x |= ((r.z >> (2 * i)) & 1) << i
+            y |= ((r.z >> (2 * i + 1)) & 1) << i
+        assert (x, y) == (r.x, r.y), (r.x, r.y, r.z)
