@@ -103,3 +103,62 @@ def test_dynamic_partition_overwrite_restates_one_day(spark, gold):
         .count()
         == 0
     )
+
+
+def test_zorder_layout_bounds_every_dimension_per_file(spark, gold):
+    """Data-skipping proof from real parquet footers: under a one-dim sort
+    each file spans ~the FULL range of the other dimension (a predicate on
+    it prunes nothing); under the Z-order sort every file covers a bounded
+    slice of the day dimension, so day predicates skip most files while
+    cust predicates still prune via the leading interleave bits."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from etl_expenses_spark.functions.ids import zorder_key
+    from etl_expenses_spark.sources.readers import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+    xb = (F.col("o_custkey") % 4096).cast("long")
+    yb = (
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")) % 4096
+    ).cast("long")
+    base = o.select(
+        xb.alias("cust_bucket"),
+        yb.alias("day_bucket"),
+        zorder_key(xb, yb, bits=12).alias("zkey"),
+    )
+    day_span_global = base.agg(
+        (F.max("day_bucket") - F.min("day_bucket")).alias("s")
+    ).first().s
+
+    def day_spans(path_glob: str) -> list[int]:
+        spans = []
+        for f in glob.glob(path_glob):
+            md = pq.read_metadata(f)
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    if col.path_in_schema == "day_bucket" and col.statistics:
+                        st = col.statistics
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+            spans.append(hi - lo)
+        return spans
+
+    zpath, onedim = f"{gold}/zsorted", f"{gold}/onedim"
+    base.repartitionByRange(8, "zkey").sortWithinPartitions("zkey").write.parquet(zpath)
+    base.repartitionByRange(8, "cust_bucket").sortWithinPartitions(
+        "cust_bucket"
+    ).write.parquet(onedim)
+
+    z_spans = day_spans(f"{zpath}/part-*.parquet")
+    c_spans = day_spans(f"{onedim}/part-*.parquet")
+    # one-dim layout: no day pruning possible (every file ~spans the range)
+    assert min(c_spans) > 0.9 * day_span_global, c_spans
+    # z-order layout: every file bounded to a fraction of the day range
+    assert max(z_spans) < 0.25 * day_span_global, z_spans
