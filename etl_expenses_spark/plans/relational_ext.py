@@ -1139,3 +1139,81 @@ _REG["zorder_layout_key"].oracle = f"""
     ORDER BY zkey, o_orderkey
     LIMIT 20
 """
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q14 shape: a ratio of two conditional aggregates in one pass —
+# both numerator and denominator are exact decimal sums from the SAME
+# grouped aggregate, divided once in double (identical IEEE op).
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q14_promo_revenue",
+    oracle="""
+        WITH s AS (
+            SELECT CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                            THEN CAST(l.l_extendedprice AS DECIMAL(9,2))
+                                 * (1 - CAST(l.l_discount AS DECIMAL(3,2)))
+                            ELSE CAST(0 AS DECIMAL(9,2)) END) AS DOUBLE) AS promo,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(9,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                       AS total
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+              AND l.l_shipdate < TIMESTAMP '1997-10-01'
+        )
+        SELECT 100.0 * promo / total AS promo_revenue_pct, promo, total FROM s
+    """,
+    tags=("agg", "conditional", "tpch"),
+)
+def tpch_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14: share of September-97 revenue from promo parts."""
+    l = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    p = T(spark, sf_dir, "part")
+    rev = dec("l_extendedprice", 2, 9) * (F.lit(1) - dec("l_discount", 2, 3))
+    zero = F.lit(0).cast("decimal(9,2)")
+    s = (
+        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(zero))
+            .cast("double")
+            .alias("promo"),
+            F.sum(rev).cast("double").alias("total"),
+        )
+    )
+    return s.select(
+        (F.lit(100.0) * F.col("promo") / F.col("total")).alias("promo_revenue_pct"),
+        "promo",
+        "total",
+    )
+
+
+# --------------------------------------------------------------------------
+# Map-valued HOFs: transform_values / map_filter over the parsed props map
+# — the declarative path for per-key feature rescaling in a map column.
+# --------------------------------------------------------------------------
+@query(
+    "map_transform_functions",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) * 10 AS k_scaled,
+               CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                    THEN 1 ELSE 0 END AS kept_after_filter
+        FROM events
+    """,
+    tags=("functions", "map", "lambda"),
+)
+def map_transform_functions(spark, sf_dir):
+    """transform_values (scale every value ×10) + map_filter (keep >50) on
+    the props map; emitted as scalars so the oracle compares engine-neutral
+    values rather than engine-specific map renderings."""
+    ev = T(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    scaled = F.transform_values(m, lambda _, v: v * 10)
+    kept = F.map_filter(m, lambda _, v: v > 50)
+    return ev.select(
+        "event_id",
+        F.element_at(scaled, "k").alias("k_scaled"),
+        F.size(kept).cast("int").alias("kept_after_filter"),
+    )
