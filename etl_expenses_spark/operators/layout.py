@@ -1,0 +1,56 @@
+"""Physical table layout: multi-dimensional clustering for file skipping.
+
+A 100 TB gold table answers predicates on several columns, but a file can
+only be sorted one way. Z-ordering interleaves the bucketed dimensions into
+one sort key so every written file covers a compact hyper-rectangle of the
+value space — parquet min/max footer stats then prune files for predicates
+on ANY clustered column (proof from real footers:
+tests/test_partition_pruning.py::test_zorder_layout_bounds_every_dimension_per_file).
+
+This is the open-source expression of what table formats call
+Z-ORDER/CLUSTER BY; here it's plain Spark: bucket → interleave
+(functions/ids.py:zorder_key) → repartitionByRange on the key (equal-sized
+files, range-disjoint) → sortWithinPartitions → write.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_expenses_spark.functions.ids import zorder_key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    n_files: int,
+    bits: int = 12,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` clustered on two columns via a Morton key.
+
+    ``cluster_cols`` are bucketed modulo 2^bits (values need not be small —
+    only locality within the bucket space matters). repartitionByRange gives
+    range-disjoint, size-balanced files; the within-file sort tightens row-
+    group stats too, so skipping works at row-group granularity as well.
+    """
+    if len(cluster_cols) != 2:
+        raise ValueError("z-order clustering here interleaves exactly 2 columns")
+    a, b = cluster_cols
+    mask = (1 << bits) - 1
+    xa = (F.abs(F.xxhash64(F.col(a)) if df.schema[a].dataType.simpleString() == "string"
+                else F.col(a).cast("long")) % (mask + 1)).cast("long")
+    xb = (F.abs(F.xxhash64(F.col(b)) if df.schema[b].dataType.simpleString() == "string"
+                else F.col(b).cast("long")) % (mask + 1)).cast("long")
+    keyed = df.withColumn("__zkey", zorder_key(xa, xb, bits=bits))
+    (
+        keyed.repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )

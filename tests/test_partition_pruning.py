@@ -162,3 +162,39 @@ def test_zorder_layout_bounds_every_dimension_per_file(spark, gold):
     assert min(c_spans) > 0.9 * day_span_global, c_spans
     # z-order layout: every file bounded to a fraction of the day range
     assert max(z_spans) < 0.25 * day_span_global, z_spans
+
+
+def test_write_zordered_api_round_trips_and_bounds_files(spark, gold):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from etl_expenses_spark.operators.layout import write_zordered
+    from etl_expenses_spark.sources.readers import load_table
+
+    o = load_table(spark, SF_DIR, "orders").withColumn(
+        "order_day",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).cast("long"),
+    )
+    path = f"{gold}/zapi"
+    write_zordered(o, path, ["o_custkey", "order_day"], n_files=8)
+    back = spark.read.parquet(path)
+    assert back.count() == o.count()
+    assert sorted(back.columns) == sorted(o.columns)  # __zkey not leaked
+    spans = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        md = pq.read_metadata(f)
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                if col.path_in_schema == "order_day" and col.statistics:
+                    st = col.statistics
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+        spans.append(hi - lo)
+    full = o.agg((F.max("order_day") - F.min("order_day")).alias("s")).first().s
+    assert max(spans) < 0.25 * full, spans
