@@ -357,3 +357,64 @@ def null_handling_functions(spark, sf_dir):
             "prio_or_floor"
         ),
     )
+
+
+@query(
+    "try_arithmetic_safety",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN CAST(l_quantity AS BIGINT) - 1 = 0 THEN NULL
+                    ELSE CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+                         / (CAST(l_quantity AS BIGINT) - 1) END AS price_per_extra_unit,
+               TRY_CAST(l_returnflag AS BIGINT) AS flag_as_number,
+               TRY_CAST(CAST(l_quantity AS VARCHAR) AS BIGINT) AS qty_roundtrip
+        FROM lineitem
+    """,
+    tags=("functions", "arithmetic", "nulls"),
+)
+def try_arithmetic_safety(spark, sf_dir):
+    """ANSI-safe arithmetic (F16 hardened): try_divide yields NULL on /0
+    (quantity 1 → zero denominator) and try_cast yields NULL on garbage —
+    the loaders' silent-skip behavior without disabling ANSI mode globally,
+    and without the crash a 100 TB batch job cannot afford 90% through."""
+    li = T(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("bigint")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice").cast("decimal(18,2)").cast("double"), qty - 1
+        ).alias("price_per_extra_unit"),
+        F.col("l_returnflag").try_cast("bigint").alias("flag_as_number"),
+        qty.cast("string").try_cast("bigint").alias("qty_roundtrip"),
+    )
+
+
+@query(
+    "agg_bitwise_flags",
+    oracle="""
+        SELECT event_type,
+               BIT_OR(CAST(user_id % 64 AS BIGINT)) AS flags_union,
+               BIT_AND(CAST(user_id % 64 + 64 AS BIGINT)) AS flags_common,
+               BIT_XOR(CAST(user_id AS BIGINT)) AS parity_fold
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("agg", "bitwise"),
+)
+def agg_bitwise_flags(spark, sf_dir):
+    """Bitwise aggregates (bit_or/bit_and/bit_xor): flag-set union /
+    intersection / parity folds — exact integer ops, associative and
+    commutative, so partial aggregation distributes freely."""
+    ev = T(spark, sf_dir, "events")
+    u = F.col("user_id").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bit_or(u % 64).alias("flags_union"),
+            F.bit_and(u % 64 + 64).alias("flags_common"),
+            F.bit_xor(u).alias("parity_fold"),
+        )
+        .orderBy("event_type")
+    )
