@@ -229,3 +229,28 @@ def test_webhook_custom_stream_source_exactly_once(spark, dirs):
     got = spark.table("webhook_stream_out")
     assert got.count() == 300
     assert got.select("webhook_id").distinct().count() == 300
+
+
+def test_transform_with_state_ttl_dedup(spark, dirs):
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState python worker needs protobuf (absent here)",
+    )
+    from etl_expenses_spark.streaming.stateful import dedup_events_ttl
+
+    bronze, _, ckpt, _ = dirs
+    _write_bronze(spark, bronze, with_dupes=True)  # 100 replayed rows
+    stream = read_event_stream(spark, str(bronze))
+    deduped = dedup_events_ttl(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("ttl_dedup_out")
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("ttl_dedup_out")
+    assert out.count() == 1000  # dupes collapsed
+    assert out.select("event_id").distinct().count() == 1000
