@@ -1217,3 +1217,114 @@ def map_transform_functions(spark, sf_dir):
         F.element_at(scaled, "k").alias("k_scaled"),
         F.size(kept).cast("int").alias("kept_after_filter"),
     )
+
+
+# --------------------------------------------------------------------------
+# Array-building aggregates: collect_list / collect_set. Collection order
+# is engine- and partitioning-dependent, so both sides sort before joining
+# to a string — the deterministic way to expose these aggregates.
+# --------------------------------------------------------------------------
+@query(
+    "agg_collect_priorities",
+    oracle="""
+        SELECT o_orderstatus,
+               array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|')
+                   AS priorities_seen,
+               len(list(DISTINCT o_orderpriority)) AS n_distinct_priorities,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    tags=("agg", "collect"),
+)
+def agg_collect_priorities(spark, sf_dir):
+    """collect_set per group, made deterministic by sort_array+array_join
+    (raw collection order depends on partitioning — never compare it)."""
+    o = T(spark, sf_dir, "orders")
+    cs = F.collect_set("o_orderpriority")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.array_join(F.sort_array(cs), "|").alias("priorities_seen"),
+            F.size(cs).alias("n_distinct_priorities"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q4 shape: EXISTS-driven count — how many orders per priority had
+# at least one late line. Catalyst plans the EXISTS as a left-semi join on
+# orderkey; the aggregate runs on the semi-join survivors.
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q4_order_priority_check",
+    oracle="""
+        SELECT o.o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """,
+    tags=("agg", "semi", "tpch"),
+)
+def tpch_q4_order_priority_check(spark, sf_dir):
+    """TPC-H Q4: orders with at least one line shipped >60 days after
+    ordering, counted per priority (correlated EXISTS → left-semi)."""
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate > F.date_add(o.o_orderdate, 60)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q6 shape: the pure filter-aggregate — no join, no group keys. The
+# whole query is one codegen'd scan stage with three pushed-down range
+# predicates; the "shuffle" carries exactly one row.
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))
+                        * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE)
+                   AS revenue_increase,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    tags=("agg", "filter", "tpch"),
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: revenue left on the table by mid-range discounts."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(dec("l_extendedprice", 2, 9) * dec("l_discount", 2, 3))
+        .cast("double")
+        .alias("revenue_increase"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
