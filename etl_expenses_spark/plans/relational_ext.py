@@ -1328,3 +1328,74 @@ def tpch_q6_forecast_revenue(spark, sf_dir):
         .alias("revenue_increase"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+# --------------------------------------------------------------------------
+# Star-schema denormalization: the "one big table" ELT materialization.
+# Single fact pass: lineitem⨝orders is the only fact-fact shuffle; all
+# four dims broadcast onto it. Bounded to one ship-year here so the
+# correctness gate's row compare stays cheap; the plan is identical
+# unbounded.
+# --------------------------------------------------------------------------
+@query(
+    "gold_denormalized_sales",
+    oracle="""
+        SELECT l.l_orderkey, l.l_linenumber,
+               CAST(l.l_quantity AS DOUBLE) AS quantity,
+               CAST(CAST(l.l_extendedprice AS DECIMAL(9,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(3,2))) AS DOUBLE)
+                   AS net_price,
+               o.o_orderdate, o.o_orderpriority,
+               c.c_name AS customer_name, c.c_mktsegment,
+               n.n_name AS customer_nation, r.r_name AS customer_region,
+               p.p_brand, p.p_type,
+               s.s_name AS supplier_name
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE l.l_shipdate >= TIMESTAMP '2000-01-01'
+          AND l.l_shipdate < TIMESTAMP '2001-01-01'
+    """,
+    tags=("join", "denormalize", "materialize"),
+)
+def gold_denormalized_sales(spark, sf_dir):
+    """Wide denormalized sales table (the dashboard-feeding materialization;
+    the reference's BigQuery-export analog at
+    `/root/reference/redshift_to_bq/lambda_function.py:172-182`)."""
+    l = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "2000-01-01") & (F.col("l_shipdate") < "2001-01-01")
+    )
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    p = T(spark, sf_dir, "part")
+    s = T(spark, sf_dir, "supplier")
+    net = dec("l_extendedprice", 2, 9) * (F.lit(1) - dec("l_discount", 2, 3))
+    return (
+        l.join(o, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("double").alias("quantity"),
+            net.cast("double").alias("net_price"),
+            "o_orderdate",
+            "o_orderpriority",
+            F.col("c_name").alias("customer_name"),
+            "c_mktsegment",
+            F.col("n_name").alias("customer_nation"),
+            F.col("r_name").alias("customer_region"),
+            "p_brand",
+            "p_type",
+            F.col("s_name").alias("supplier_name"),
+        )
+    )
