@@ -341,3 +341,78 @@ def funnel_view_click_purchase(spark, sf_dir):
         .crossJoin(c.agg(F.count("*").alias("n_clicked_after_view")))
         .crossJoin(p.agg(F.count("*").alias("n_purchased_after_click")))
     )
+
+
+@query(
+    "attribution_first_purchase_after_click",
+    oracle="""
+        WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+                   FROM events WHERE event_type = 'click'),
+             p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+                   FROM events WHERE event_type = 'purchase'),
+        pairs AS (
+            SELECT c.click_id, c.user_id, p.purchase_id, p.p_ts
+            FROM c JOIN p
+              ON p.p_user = c.user_id
+             AND p.p_ts > c.click_ts
+             AND p.p_ts <= c.click_ts + INTERVAL 1 DAY
+        ),
+        ranked AS (
+            SELECT click_id, user_id, purchase_id, CAST(p_ts AS TIMESTAMP) AS p_ts,
+                   ROW_NUMBER() OVER (PARTITION BY click_id
+                                      ORDER BY p_ts, purchase_id) AS rn
+            FROM pairs
+        )
+        SELECT click_id, user_id, purchase_id AS first_purchase_id,
+               p_ts AS first_purchase_ts
+        FROM ranked WHERE rn = 1
+    """,
+    tags=("temporal", "asof", "attribution"),
+)
+def attribution_first_purchase_after_click(spark, sf_dir):
+    """Forward attribution: each click picks the user's FIRST purchase
+    strictly after it, within 1 day — the forward twin of the backward
+    as-of join (which conversion did this click lead to?).
+
+    Same scale rewrite as the backward direction: the inequality join runs
+    as the bucketed equi join (operators/rangejoin.py; forward window
+    (t, t+W] expressed as the backward window of a probe shifted by +W),
+    then one per-click window picks the earliest qualifying purchase with
+    a total order (ts, id). DuckDB's ASOF JOIN is backward-only, so the
+    oracle uses the explicit window form — which is also exactly what the
+    Spark plan computes."""
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    # forward window (t, t+W]  ≡  backward (L-W, L] with probe L = t+W
+    shifted = clicks.withColumn(
+        "probe_ts", (F.col("click_ts") + F.expr("INTERVAL 1 DAY")).cast("timestamp")
+    )
+    pairs = bucketed_interval_pairs(
+        shifted,
+        purchases,
+        left_key="user_id",
+        right_key="p_user",
+        left_ts="probe_ts",
+        right_ts="p_ts",
+        window_s=86400,
+    )
+    w = W.partitionBy("click_id").orderBy("p_ts", "purchase_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "click_id",
+            "user_id",
+            F.col("purchase_id").alias("first_purchase_id"),
+            F.col("p_ts").alias("first_purchase_ts"),
+        )
+    )
