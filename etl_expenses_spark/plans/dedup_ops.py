@@ -302,3 +302,85 @@ def dataset_split_leakage_safe(spark, sf_dir):
         "cluster_id",
         F.when(pct < 80, "train").when(pct < 90, "val").otherwise("test").alias("split"),
     )
+
+
+@query(
+    "decontaminate_benchmark_overlap",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(text), '\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(CASE WHEN len(t) >= 8
+                       THEN list_transform(range(1, len(t) - 6),
+                            i -> array_to_string(list_slice(t, i, i + 7), ' '))
+                       ELSE [array_to_string(t, ' ')] END) AS shingles
+            FROM toks
+        ),
+        bench AS (
+            SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id < 50
+        ),
+        corpus AS (
+            SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id >= 50
+        ),
+        hits AS (
+            SELECT c.doc_id, COUNT(*) AS n_contaminated_shingles
+            FROM corpus c JOIN bench b ON c.s = b.s
+            GROUP BY c.doc_id
+        )
+        SELECT sh.doc_id,
+               COALESCE(h.n_contaminated_shingles, 0) AS n_contaminated_shingles,
+               h.doc_id IS NOT NULL AS is_contaminated
+        FROM sh LEFT JOIN hits h ON h.doc_id = sh.doc_id
+        WHERE sh.doc_id >= 50
+    """,
+    tags=("dedup", "decontamination", "training"),
+)
+def decontaminate_benchmark_overlap(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing ANY
+    8-token shingle with the held-out benchmark set (doc_id < 50 stands in
+    for the eval corpus).
+
+    The industry-standard eval-contamination gate, and structurally
+    different from near-dup dedup: asymmetric (corpus vs a small reference
+    set) and any-overlap rather than threshold-similarity. Scale shape:
+    the benchmark shingle set is tiny → broadcast — the corpus-side
+    explode streams through a broadcast-hash semi-join with NO shuffle of
+    the corpus, then one aggregate keyed by doc. Shingles join as
+    xxhash64 longs (collision-free in practice; set sizes match the
+    string oracle exactly)."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("t")
+    )
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(shingles_of_tokens(F.col("t"), 8), lambda s: F.xxhash64(s))
+        ).alias("shingles"),
+    )
+    bench = (
+        sh.filter(F.col("doc_id") < 50)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") >= 50)
+    exploded = corpus.select("doc_id", F.explode("shingles").alias("s"))
+    hits = (
+        exploded.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+        .withColumnRenamed("doc_id", "h_doc_id")
+    )
+    return corpus.join(
+        hits, corpus.doc_id == F.col("h_doc_id"), "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("n_contaminated_shingles"), F.lit(0)).alias(
+            "n_contaminated_shingles"
+        ),
+        F.col("h_doc_id").isNotNull().alias("is_contaminated"),
+    )
