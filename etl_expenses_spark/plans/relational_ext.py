@@ -1399,3 +1399,151 @@ def gold_denormalized_sales(spark, sf_dir):
             F.col("s_name").alias("supplier_name"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q7 shape: bilateral trade volume — supplier nation ↔ customer
+# nation pairs, yearly. Both nation dims broadcast twice under different
+# aliases; lineitem⨝orders is again the only big shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q7_nation_trade_volume",
+    oracle="""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(9,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+            OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY sn.n_name, cn.n_name, EXTRACT(year FROM l.l_shipdate)
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q7_nation_trade_volume(spark, sf_dir):
+    """TPC-H Q7: NATION_1↔NATION_2 shipping volume per direction per year
+    (testdata nations are synthetic NATION_k names)."""
+    l = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    cn = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = dec("l_extendedprice", 2, 9) * (F.lit(1) - dec("l_discount", 2, 3))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        l.join(o, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(cn), F.col("cn_key") == c.c_nationkey)
+        .join(F.broadcast(sn), F.col("sn_key") == s.s_nationkey)
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q8 shape: market share — a ratio of conditional to total aggregate
+# per year, over the full snowflake. The BRAZIL share divides two exact
+# decimal sums from the same grouped pass (one shuffle, one division).
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+        WITH flat AS (
+            SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(l.l_extendedprice AS DECIMAL(9,2))
+                       * (1 - CAST(l.l_discount AS DECIMAL(3,2))) AS volume,
+                   sn.n_name AS supp_nation
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = cn.n_regionkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE r.r_name = 'AMERICA'
+              AND p.p_type LIKE 'ECONOMY%'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        )
+        SELECT o_year,
+               CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                             ELSE CAST(0 AS DECIMAL(9,2)) END) AS DOUBLE)
+               / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+               COUNT(*) AS n_lines
+        FROM flat
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    tags=("join", "agg", "ratio", "tpch"),
+)
+def tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8: NATION_3's share of AMERICA's economy-part order volume."""
+    l = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = T(spark, sf_dir, "customer")
+    cn = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    s = T(spark, sf_dir, "supplier")
+    sn = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    p = T(spark, sf_dir, "part").filter(F.col("p_type").like("ECONOMY%"))
+    volume = dec("l_extendedprice", 2, 9) * (F.lit(1) - dec("l_discount", 2, 3))
+    zero = F.lit(0).cast("decimal(9,2)")
+    flat = (
+        l.join(o, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(cn), F.col("cn_key") == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == F.col("cn_region"))
+        .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(sn), F.col("sn_key") == s.s_nationkey)
+        .join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return (
+        flat.groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+                        zero
+                    )
+                ).cast("double")
+                / F.sum("volume").cast("double")
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_year")
+    )
