@@ -100,6 +100,10 @@ EXTRA = [
     "agg_collect_priorities",
     "gold_denormalized_sales",
     "zorder_layout_key",
+    "tpch_q7_nation_trade_volume",
+    "tpch_q8_market_share",
+    "attribution_first_purchase_after_click",
+    "decontaminate_benchmark_overlap",
 ]
 
 
