@@ -1,0 +1,66 @@
+"""Docs-vs-code consistency gate: COVERAGE.md and the query registry must
+reference each other completely.
+
+- every query registered in etl_expenses_spark.plans must be NAMED in
+  COVERAGE.md (an operator without a coverage row is invisible to review);
+- every backtick-quoted snake_case name in COVERAGE.md that LOOKS like a
+  query (matches a registry naming pattern) must actually exist (stale doc
+  rows rot silently otherwise).
+
+    python tools/coverage_check.py
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from etl_expenses_spark.plans import REGISTRY  # noqa: E402
+
+
+def main() -> int:
+    text = open("/root/repo/COVERAGE.md").read()
+    mentioned = set(re.findall(r"`([a-z0-9_]+)`", text))
+
+    unlisted = sorted(q for q in REGISTRY if q not in mentioned)
+    problems = []
+    if unlisted:
+        problems.append(f"{len(unlisted)} registered queries missing from COVERAGE.md: {unlisted}")
+
+    # names that look like queries (share a prefix with real query families)
+    # but aren't registered — likely renamed/stale
+    prefixes = {q.split("_")[0] for q in REGISTRY}
+    suspicious = sorted(
+        n
+        for n in mentioned
+        if n not in REGISTRY
+        and "_" in n
+        and n.split("_")[0] in prefixes
+        and not n.endswith((".py", ".md"))
+        # helper/API names legitimately documented alongside queries:
+        and n
+        not in {
+            "merge_append",
+            "dedup_events_ttl",
+            "window_agg",
+            "test_stream_merge_exactly_once",
+            "test_stream_windowed_counts_match_batch",
+            "test_stateful_running_totals_across_restarts",
+            "test_stream_interval_join_matches_batch",
+            "sql_surface",
+        }
+    )
+    if suspicious:
+        problems.append(f"possibly-stale names in COVERAGE.md: {suspicious}")
+
+    if problems:
+        print("\n".join(problems))
+        return 1
+    print(f"COVERAGE.md consistent: all {len(REGISTRY)} queries listed, no stale names")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
