@@ -116,3 +116,66 @@ def test_fix_two_digit_year_passthrough_non_dates(spark):
     df = spark.createDataFrame([("garbage",), ("1/2",), ("",)], "raw string")
     got = [r.out for r in df.select(fix_two_digit_year("raw").alias("out")).collect()]
     assert got == ["garbage", "1/2", ""]
+
+
+# --- bucketed range join ≡ naive non-equi join, on arbitrary event sets ---
+
+ts_micros = st.integers(
+    min_value=1_700_000_000_000_000, max_value=1_700_000_600_000_000  # a 10-min span
+)
+event_rows = st.lists(
+    st.tuples(st.integers(0, 4), ts_micros),  # (user_id, ts)
+    min_size=0,
+    max_size=40,
+)
+
+
+@SLOW
+@given(left_rows=event_rows, right_rows=event_rows, window_s=st.sampled_from([7, 60, 301]))
+def test_bucketed_interval_join_equals_naive_on_random_sets(
+    spark, left_rows, right_rows, window_s
+):
+    """For ANY point sets and window width (including windows that straddle
+    bucket boundaries and zero-size sides), the bucketed rewrite must
+    produce exactly the naive non-equi join's pair set."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from etl_expenses_spark.operators.rangejoin import bucketed_interval_pairs
+
+    schema_l = T.StructType(
+        [T.StructField("lid", T.LongType()), T.StructField("luser", T.LongType()),
+         T.StructField("lts", T.TimestampType())]
+    )
+    schema_r = T.StructType(
+        [T.StructField("rid", T.LongType()), T.StructField("ruser", T.LongType()),
+         T.StructField("rts", T.TimestampType())]
+    )
+    import datetime as dt
+
+    mk = lambda us: dt.datetime.fromtimestamp(us / 1e6, dt.timezone.utc).replace(  # noqa: E731
+        tzinfo=None
+    )
+    left = spark.createDataFrame(
+        [(i, u, mk(t)) for i, (u, t) in enumerate(left_rows)], schema_l
+    )
+    right = spark.createDataFrame(
+        [(i, u, mk(t)) for i, (u, t) in enumerate(right_rows)], schema_r
+    )
+    fast = {
+        (r.lid, r.rid)
+        for r in bucketed_interval_pairs(
+            left, right, "luser", "ruser", "lts", "rts", window_s=window_s
+        ).collect()
+    }
+    naive = {
+        (r.lid, r.rid)
+        for r in left.join(
+            right,
+            (F.col("ruser") == F.col("luser"))
+            & (F.col("rts") > F.col("lts") - F.expr(f"INTERVAL {window_s} SECONDS"))
+            & (F.col("rts") <= F.col("lts")),
+            "inner",
+        ).collect()
+    }
+    assert fast == naive
