@@ -384,3 +384,84 @@ def decontaminate_benchmark_overlap(spark, sf_dir):
         ),
         F.col("h_doc_id").isNotNull().alias("is_contaminated"),
     )
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, lang, source,
+                   list_filter(regexp_split_to_array(trim(text), '\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, t[1] AS blk,
+                   list_distinct(CASE WHEN len(t) >= 3
+                       THEN list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                       ELSE [array_to_string(t, ' ')] END) AS s
+            FROM toks
+        ),
+        batch AS (SELECT * FROM sh WHERE doc_id % 10 = 9),
+        corpus AS (SELECT * FROM sh WHERE doc_id % 10 <> 9),
+        matched AS (
+            SELECT DISTINCT b.doc_id
+            FROM batch b JOIN corpus c ON b.blk = c.blk
+            WHERE CAST(len(list_intersect(b.s, c.s)) AS DOUBLE)
+                  / GREATEST(CAST(len(b.s) + len(c.s)
+                             - len(list_intersect(b.s, c.s)) AS DOUBLE), 1.0)
+                  >= 0.5
+        )
+        SELECT b.doc_id,
+               m.doc_id IS NOT NULL AS is_near_dup_of_corpus,
+               CASE WHEN m.doc_id IS NOT NULL THEN 'drop' ELSE 'keep' END AS decision
+        FROM batch b LEFT JOIN matched m ON m.doc_id = b.doc_id
+    """,
+    tags=("dedup", "incremental", "training"),
+)
+def dedup_incremental_batch(spark, sf_dir):
+    """Incremental dedup: admit a NEW batch against the existing corpus.
+
+    The operational shape at 100 TB — you never re-pairwise the corpus;
+    each arriving batch (here the doc_id % 10 = 9 decile) compares only
+    batch×corpus within blocking groups, emitting a keep/drop decision per
+    batch document (exact 3-shingle Jaccard ≥ 0.5). Blocking is
+    CONTENT-derived (opening token) — metadata blocking would miss
+    re-ingested copies whose lang/source tags drifted, which is exactly
+    what the planted testdata dups simulate. Work is
+    Σ|batch_block|·|corpus_block|, linear in batch size for fixed corpus
+    density; in production the corpus side is the stored signature table,
+    read pre-bucketed so only matching blocks scan."""
+    d = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("toks"))
+        .select(
+            "doc_id",
+            F.element_at(F.col("toks"), 1).alias("blk"),
+            F.array_distinct(
+                F.transform(shingles_of_tokens(F.col("toks"), 3), lambda s: F.xxhash64(s))
+            ).alias("s"),
+        )
+        .persist()
+    )
+    batch = d.filter(F.col("doc_id") % 10 == 9)
+    corpus = d.filter(F.col("doc_id") % 10 != 9).select(
+        F.col("doc_id").alias("c_id"),
+        F.col("blk").alias("c_blk"),
+        F.col("s").alias("c_s"),
+    )
+    inter = F.size(F.array_intersect(F.col("s"), F.col("c_s"))).cast("double")
+    union = (F.size(F.col("s")) + F.size(F.col("c_s"))).cast("double") - inter
+    jac = inter / F.greatest(union, F.lit(1.0))
+    matched = (
+        batch.join(corpus, F.col("blk") == F.col("c_blk"))
+        .filter(jac >= 0.5)
+        .select(F.col("doc_id").alias("m_id"))
+        .distinct()
+    )
+    return batch.join(matched, batch.doc_id == F.col("m_id"), "left").select(
+        "doc_id",
+        F.col("m_id").isNotNull().alias("is_near_dup_of_corpus"),
+        F.when(F.col("m_id").isNotNull(), "drop").otherwise("keep").alias("decision"),
+    )
