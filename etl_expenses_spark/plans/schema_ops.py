@@ -379,3 +379,65 @@ def struct_field_surgery(spark, sf_dir):
         doc.getField("status").alias("doc_status"),
         doc.getField("audit").getField("version").alias("doc_version"),
     )
+
+
+@query(
+    "union_evolved_schemas",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice, source_version
+        FROM (
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(NULL AS DOUBLE) AS o_totalprice,
+                   'v1' AS source_version
+            FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL BY NAME
+            SELECT o_orderkey, o_orderstatus, o_totalprice,
+                   'v2' AS source_version
+            FROM orders WHERE o_orderkey % 2 = 1
+        )
+    """,
+    tags=("setop", "schema-evolution"),
+)
+def union_evolved_schemas(spark, sf_dir):
+    """Schema-evolution union: v1 rows (written before o_totalprice
+    existed) union with v2 rows by NAME, the missing column null-filled —
+    `unionByName(allowMissingColumns=True)`, the append path every
+    long-lived gold table eventually needs (positional UNION would
+    silently misalign columns instead)."""
+    o = T(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", F.lit("v1").alias("source_version")
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", F.lit("v2").alias("source_version")
+    )
+    return v1.unionByName(v2, allowMissingColumns=True).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "source_version"
+    )
+
+
+@query(
+    "sql_hinted_broadcast_join",
+    oracle="""
+        SELECT n.n_name AS nation, COUNT(*) AS n_customers
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+    """,
+    tags=("sql", "hint", "join"),
+)
+def sql_hinted_broadcast_join(spark, sf_dir):
+    """Join-strategy hints through SQL text (/*+ BROADCAST(n) */) — the
+    optimizer override surface generated SQL can use when statistics
+    mislead. Results are hint-invariant by definition; the strategy itself
+    is asserted in tests/test_bucketed_join.py."""
+    for t in ("customer", "nation"):
+        T(spark, sf_dir, t).createOrReplaceTempView(f"hint_{t}")
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(n) */ n.n_name AS nation, COUNT(*) AS n_customers
+        FROM hint_customer c JOIN hint_nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+        """
+    )

@@ -91,3 +91,18 @@ def test_diamond_plan_reuses_exchange(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "ReusedExchange" in plan, plan
+
+
+def test_sql_broadcast_hint_is_honored(spark):
+    from etl_expenses_spark.plans import REGISTRY
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["sql_hinted_broadcast_join"].build(
+            spark, "/root/testdata/sf0.001"
+        )
+        jvm = spark.sparkContext._jvm
+        plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "BroadcastHashJoin" in plan
