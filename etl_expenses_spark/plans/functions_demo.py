@@ -391,6 +391,132 @@ def try_arithmetic_safety(spark, sf_dir):
 
 
 @query(
+    "string_regex_functions",
+    oracle="""
+        SELECT p_partkey,
+               UPPER(p_name) AS name_upper,
+               LOWER(p_brand) AS brand_lower,
+               LENGTH(p_name) AS name_len,
+               SPLIT_PART(p_type, ' ', 1) AS type_head,
+               CONCAT_WS('-', p_brand, p_type) AS brand_type,
+               SUBSTRING(p_name, 1, 5) AS name_prefix,
+               REPLACE(p_name, ' ', '_') AS name_snake,
+               STRPOS(p_name, 'a') AS first_a,
+               TRIM(CONCAT('  ', p_name, ' ')) AS trimmed,
+               ENDS_WITH(p_type, 'STEEL') AS is_steel,
+               regexp_extract(p_brand, '#(\\d+)', 1) AS brand_num,
+               len(regexp_extract_all(p_type, '[AEIOU]')) AS n_vowels,
+               regexp_matches(p_type, 'STEEL$') AS is_steel_family,
+               array_to_string(regexp_extract_all(p_type, '[A-Z]+'), ',') AS type_words
+        FROM part
+    """,
+    tags=("functions", "string", "regex"),
+)
+def string_regex_functions(spark, sf_dir):
+    """F1-F8 plus the regex family in ONE scan-fused projection:
+    split/concat/length/replace/trim/substring/locate/case/suffix and
+    extract/extract_all/count/anchored-match — the full string surface the
+    reference's parsers use (`/root/reference/transform_data_mp/
+    lambda_function.py:23-47`). Pure row-level JVM expressions; at 100 TB
+    they fuse into the parquet scan's codegen stage — consolidating the
+    demos costs nothing at runtime and keeps the verified surface in one
+    query."""
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").alias("name_len"),
+        F.element_at(F.split("p_type", " "), 1).alias("type_head"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.locate("a", F.col("p_name")).cast("long").alias("first_a"),
+        F.trim(F.concat(F.lit("  "), "p_name", F.lit(" "))).alias("trimmed"),
+        F.col("p_type").endswith("STEEL").alias("is_steel"),
+        F.regexp_extract(F.col("p_brand"), r"#(\d+)", 1).alias("brand_num"),
+        F.regexp_count(F.col("p_type"), F.lit("[AEIOU]")).cast("long").alias("n_vowels"),
+        F.col("p_type").rlike("STEEL$").alias("is_steel_family"),
+        F.array_join(
+            F.regexp_extract_all(F.col("p_type"), F.lit("[A-Z]+"), 0), ","
+        ).alias("type_words"),
+    )
+
+
+@query(
+    "temporal_scalar_functions",
+    oracle="""
+        SELECT event_id,
+               EPOCH_MS(ts) AS ts_millis,
+               MAKE_TIMESTAMP(EPOCH_MS(ts) * 1000) AS ts_from_millis,
+               STRFTIME(ts, '%H:%M') AS hora_raw,
+               STRFTIME(ts, '%H:%M') || ':00' AS hora_padded,
+               ts - INTERVAL 3 HOUR AS ts_buenos_aires,
+               CAST(strftime(ts - INTERVAL 3 HOUR, '%Y-%m-%d') AS VARCHAR) AS local_date,
+               CAST(EXTRACT(hour FROM ts - INTERVAL 3 HOUR) AS INT) AS local_hour
+        FROM events
+    """,
+    tags=("functions", "date", "time", "timezone"),
+)
+def temporal_scalar_functions(spark, sf_dir):
+    """F12 + F14 + the timezone edge in ONE events projection: epoch-millis
+    roundtrip (Gmail internalDate, `/root/reference/extract_data_pdf/
+    lambda_function.py:121`), 'HH:MM'→'HH:MM:SS' padding
+    (`load_data/lambda_function.py:205-206`), and UTC→America/Argentina/
+    Buenos_Aires conversion (fixed UTC-3, no DST since 2009 — the oracle
+    mirrors it as a plain 3-hour shift). Row-local, scan-fused."""
+    e = T(spark, sf_dir, "events")
+    hora = F.date_format("ts", "HH:mm")
+    local = F.from_utc_timestamp(F.col("ts"), "America/Argentina/Buenos_Aires")
+    return e.select(
+        "event_id",
+        F.unix_millis("ts").alias("ts_millis"),
+        F.timestamp_millis(F.unix_millis("ts")).alias("ts_from_millis"),
+        hora.alias("hora_raw"),
+        pad_time(hora).alias("hora_padded"),
+        local.alias("ts_buenos_aires"),
+        F.date_format(local, "yyyy-MM-dd").alias("local_date"),
+        F.hour(local).alias("local_hour"),
+    )
+
+
+@query(
+    "codec_hash_functions",
+    oracle="""
+        SELECT doc_id,
+               MD5(CAST(doc_id AS VARCHAR) || '_' || lang || '_' || source) AS pay_id,
+               sha256(substring(text, 1, 24)) AS sha,
+               base64(encode(substring(text, 1, 24))) AS b64,
+               REPLACE(REPLACE(base64(encode(substring(text, 1, 24))), '+', '-'),
+                       '/', '_') AS b64_urlsafe,
+               decode(from_base64(base64(encode(substring(text, 1, 24))))) AS back
+        FROM documents
+    """,
+    tags=("functions", "hash", "codec"),
+)
+def codec_hash_functions(spark, sf_dir):
+    """F17 + F18 in ONE documents projection: the md5 natural-key recipe
+    (`/root/reference/transform_data_bank_pay/lambda_function.py:53-54`),
+    sha-256 content fingerprint (`transform_data_pdf/lambda_function.py:9-10`),
+    and base64/urlsafe-base64 encode+decode roundtrip (the reference decodes
+    urlsafe-b64 mail bodies, `extract_data_pdf/lambda_function.py:129`).
+    Pure codegen'd expressions — fuse into the scan stage."""
+    d = T(spark, sf_dir, "documents")
+    head = F.substring("text", 1, 24)
+    b64 = F.base64(F.encode(head, "UTF-8"))
+    return d.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws("_", F.col("doc_id").cast("string"), "lang", "source")
+        ).alias("pay_id"),
+        F.sha2(head, 256).alias("sha"),
+        b64.alias("b64"),
+        F.translate(b64, "+/", "-_").alias("b64_urlsafe"),
+        F.decode(F.unbase64(b64), "UTF-8").alias("back"),
+    )
+
+
+@query(
     "agg_bitwise_flags",
     oracle="""
         SELECT event_type,

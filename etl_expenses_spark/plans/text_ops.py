@@ -154,6 +154,72 @@ def text_bpe_token_count(spark, sf_dir):
 
 
 @query(
+    "text_features",
+    oracle=f"""
+        WITH hits AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '\\b(the|and|of|to|a|in|is|for|with|on)\\b')) AS BIGINT) AS en,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '\\b(el|la|de|que|y|en|un|por|con|para)\\b')) AS BIGINT) AS es
+            FROM documents)
+        SELECT d.doc_id,
+               CAST(len({_D_TOKENS}) AS BIGINT) AS n_tokens,
+               CAST({_D_PUNCT} AS BIGINT) AS n_punct,
+               CAST({_D_PUNCT} AS DOUBLE) / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE)
+                   AS punct_ratio,
+               LEAST(CAST(len({_D_TOKENS}) AS DOUBLE) / 64.0, 1.0) * 0.4
+               + (CASE WHEN CAST(GREATEST(LENGTH(text), 1) AS DOUBLE)
+                            / GREATEST(CAST(len({_D_TOKENS}) AS DOUBLE), CAST(1 AS DOUBLE))
+                            BETWEEN 3.0 AND 12.0
+                       THEN 1.0 ELSE 0.5 END) * 0.3
+               + (1.0 - LEAST(CAST({_D_PUNCT} AS DOUBLE)
+                              / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE) * 4.0, 1.0)) * 0.3
+                   AS quality,
+               CASE WHEN hits.en > hits.es AND hits.en > 0 THEN 'en'
+                    WHEN hits.es > hits.en AND hits.es > 0 THEN 'es'
+                    ELSE 'unk' END AS lang_guess,
+               CAST(len(regexp_extract_all(text,
+                   '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))
+                   AS BIGINT) AS n_bpe_ish,
+               CAST(len(regexp_extract_all(text,
+                   '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))
+                   AS DOUBLE)
+                 / CAST(GREATEST(len({_D_TOKENS}), 1) AS DOUBLE) AS fertility
+        FROM documents d JOIN hits ON d.doc_id = hits.doc_id
+    """,
+    tags=("text", "tokens"),
+)
+def text_features(spark, sf_dir):
+    """The per-document text-analysis feature vector in ONE scan-fused
+    projection: token/punctuation stats, the heuristic quality score,
+    stopword-majority language ID, and the BPE-ish subword count + fertility
+    (GPT-2-shaped pre-tokenizer regex, lookahead-free so Java and RE2 count
+    identically). One pass over `documents`, all row-local Column
+    expressions (functions/text.py) — the columns a training pipeline
+    filters on before dedup. Consolidates the four single-family demos so
+    the whole feature surface sits in one oracle-checked query."""
+    from etl_expenses_spark.functions.text import bpe_ish_token_count
+
+    d = T(spark, sf_dir, "documents")
+    words = token_count("text")
+    bpe = bpe_ish_token_count("text")
+    return d.select(
+        "doc_id",
+        words.alias("n_tokens"),
+        punct_count("text").alias("n_punct"),
+        (
+            punct_count("text").cast("double")
+            / F.greatest(F.length("text"), F.lit(1)).cast("double")
+        ).alias("punct_ratio"),
+        quality_score("text").alias("quality"),
+        lang_id("text").alias("lang_guess"),
+        bpe.alias("n_bpe_ish"),
+        (bpe.cast("double") / F.greatest(words, F.lit(1)).cast("double")).alias("fertility"),
+    )
+
+
+@query(
     "token_frequencies_top20",
     oracle=f"""
         SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
