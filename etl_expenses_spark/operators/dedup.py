@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_expenses_spark.caching import track
 from etl_expenses_spark.functions.text import tokens
 
 
@@ -112,6 +113,7 @@ def minhash_lsh_pairs(
         # persist so the signature computation runs once, not 4×
         .persist()
     )
+    track(sig)
     band_cols = [
         F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
             f"band{b}"
@@ -302,4 +304,5 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    track(labels)  # the surviving per-round cache; freed at the next query
     return labels.select("id", F.col("lbl").alias("cluster_id"))

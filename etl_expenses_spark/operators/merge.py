@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 
 
@@ -51,9 +52,17 @@ def merge_append(
     spark = batch.sparkSession
     try:
         target = spark.read.parquet(target_path)
+    except AnalysisException as e:
+        # Only a MISSING target means "first load". Any other analysis error
+        # (corrupt footer, schema problem, permissions surfaced as analysis)
+        # must propagate — swallowing it would append the full batch and
+        # silently break the exactly-once J1-J4 contract.
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            fresh = batch
+        else:
+            raise
+    else:
         fresh = new_rows(batch, target, keys)
-    except Exception:  # first load — target doesn't exist yet
-        fresh = batch
     fresh = fresh.cache()
     n = fresh.count()
     if n > 0:

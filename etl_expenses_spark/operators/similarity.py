@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_expenses_spark.caching import track
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double precision, sequential fold (deterministic)."""
@@ -184,6 +186,7 @@ def embedding_neardup_pairs_lsh(
             for band in range(bands)
         ],
     ).persist()
+    track(sig)
     banded = sig.select(
         "id",
         F.explode(
@@ -234,15 +237,19 @@ def train_centroids_sampled(
     sample: int = 4096,
     seed: int = 42,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ):
     """Spherical k-means on a bounded driver-side sample → (k, dims) numpy
     centroids (unit-norm). Training a coarse quantizer on a sample is the
     standard IVF recipe (at 100 TB you sample ~1M vectors, not the table);
-    only ASSIGNMENT runs distributed. Deterministic: fixed seed, fixed
-    sample order."""
+    only ASSIGNMENT runs distributed. Deterministic: fixed seed, and the
+    sample is the ``sample`` SMALLEST ids (TakeOrdered — a bare limit()
+    takes rows in partition-scan order, which shifts with partitioning, so
+    centroids would differ between environments)."""
     import numpy as np
 
-    rows = embeddings.select(vec_col).limit(sample).collect()
+    rows = embeddings.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    rows = [(r[1],) for r in rows]
     X = np.asarray([r[0] for r in rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -301,7 +308,9 @@ def cosine_topk_ivf(
     if cache_key is not None and (cache_key, n_centroids) in _CENTROID_CACHE:
         C = _CENTROID_CACHE[(cache_key, n_centroids)]
     else:
-        C = train_centroids_sampled(embeddings, k=n_centroids, vec_col=vec_col)
+        C = train_centroids_sampled(
+            embeddings, k=n_centroids, vec_col=vec_col, id_col=id_col
+        )
         if cache_key is not None:
             _CENTROID_CACHE[(cache_key, n_centroids)] = C
     assign = ivf_assign_udf(C)

@@ -35,7 +35,16 @@ def salted_join(
     ``buckets`` sub-keys. Every output row equals the unsalted join's; only
     shuffle placement changes. ``rand(seed)`` is evaluated per-row at scan
     time — retries of a failed task re-draw salts, which is safe because
-    salt never reaches the output."""
+    salt never reaches the output.
+
+    Only ``inner`` and ``left`` (fact-preserving) joins are supported: the
+    dim side is replicated ``buckets``×, so right/full/anti flavors would
+    see unmatched dim rows B times and duplicate or misclassify them."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how in ('inner','left'); got {how!r} — "
+            "the B×-replicated dim side breaks right/full/anti semantics"
+        )
     salted_fact = fact.withColumn("__salt", (F.rand(seed) * buckets).cast("int"))
     salts = F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))).alias("__salt")
     replicated_dim = dim.select("*", salts)

@@ -42,6 +42,26 @@ def _committed_versions(table_root: str) -> list[int]:
     return [int(v) for v in content.split(",") if v]
 
 
+def _claim_version(table_root: str) -> tuple[int, str]:
+    """Allocate the next version number with an O_EXCL claim marker so two
+    concurrent publishers on the same filesystem can never pick the same
+    version (each loser of the create race bumps and retries). The MANIFEST
+    swap itself remains last-writer-wins — run one publisher per table, or
+    front this with a real metastore/table-format commit at scale; the
+    marker guarantees version-dir isolation either way."""
+    os.makedirs(os.path.join(table_root, _STAGING), exist_ok=True)
+    committed = _committed_versions(table_root)
+    version = (max(committed) + 1) if committed else 1
+    while True:
+        marker = os.path.join(table_root, _STAGING, f"v{version}.claim")
+        try:
+            fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            return version, marker
+        except FileExistsError:
+            version += 1
+
+
 def publish_append(
     spark: SparkSession,
     df: DataFrame,
@@ -53,30 +73,33 @@ def publish_append(
     Returns the published version number; raises ValueError (table
     untouched) if any audit rejects the staged data.
     """
-    os.makedirs(os.path.join(table_root, _STAGING), exist_ok=True)
-    committed = _committed_versions(table_root)
-    version = (max(committed) + 1) if committed else 1
+    version, marker = _claim_version(table_root)
     staged = os.path.join(table_root, _STAGING, f"v{version}")
     final = os.path.join(table_root, f"v{version}")
 
-    # WRITE — invisible to readers (staging dir is not in any manifest)
-    df.write.mode("overwrite").parquet(staged)
+    try:
+        # WRITE — invisible to readers (staging dir is not in any manifest)
+        df.write.mode("overwrite").parquet(staged)
 
-    # AUDIT — on what was actually written, not the in-flight plan
-    staged_df = spark.read.parquet(staged)
-    for audit in audits or []:
-        err = audit(staged_df)
-        if err is not None:
-            shutil.rmtree(staged, ignore_errors=True)
-            raise ValueError(f"audit rejected staged v{version}: {err}")
+        # AUDIT — on what was actually written, not the in-flight plan
+        staged_df = spark.read.parquet(staged)
+        for audit in audits or []:
+            err = audit(staged_df)
+            if err is not None:
+                shutil.rmtree(staged, ignore_errors=True)
+                raise ValueError(f"audit rejected staged v{version}: {err}")
 
-    # PUBLISH — two renames, each atomic; readers resolve _CURRENT so the
-    # new version is invisible until the manifest swap (the second rename)
-    os.replace(staged, final)
-    tmp = os.path.join(table_root, f"{_CURRENT}.tmp")
-    with open(tmp, "w") as f:
-        f.write(",".join(str(v) for v in committed + [version]))
-    os.replace(tmp, os.path.join(table_root, _CURRENT))
+        # PUBLISH — two renames, each atomic; readers resolve _CURRENT so the
+        # new version is invisible until the manifest swap (the second rename)
+        os.replace(staged, final)
+        committed = _committed_versions(table_root)  # re-read: narrowest window
+        tmp = os.path.join(table_root, f"{_CURRENT}.tmp")
+        with open(tmp, "w") as f:
+            f.write(",".join(str(v) for v in committed + [version]))
+        os.replace(tmp, os.path.join(table_root, _CURRENT))
+    finally:
+        if os.path.exists(marker):
+            os.remove(marker)
     return version
 
 
@@ -152,30 +175,33 @@ def publish_append_observed(
     """
     from pyspark.sql import Observation
 
-    os.makedirs(os.path.join(table_root, _STAGING), exist_ok=True)
-    committed = _committed_versions(table_root)
-    version = (max(committed) + 1) if committed else 1
+    version, marker = _claim_version(table_root)
     staged = os.path.join(table_root, _STAGING, f"v{version}")
     final = os.path.join(table_root, f"v{version}")
 
-    obs = Observation(f"wap_audit_v{version}")
-    observed = df.observe(obs, *[c.alias(n) for n, c, _ in rules])
-    observed.write.mode("overwrite").parquet(staged)  # WRITE (+ metrics)
+    try:
+        obs = Observation(f"wap_audit_v{version}")
+        observed = df.observe(obs, *[c.alias(n) for n, c, _ in rules])
+        observed.write.mode("overwrite").parquet(staged)  # WRITE (+ metrics)
 
-    metrics = obs.get  # AUDIT — already computed by the write job
-    for n, _, pred in rules:
-        if not pred(metrics[n]):
-            shutil.rmtree(staged, ignore_errors=True)
-            raise ValueError(
-                f"observed audit rejected staged v{version}: "
-                f"rule '{n}' failed (value={metrics[n]!r})"
-            )
+        metrics = obs.get  # AUDIT — already computed by the write job
+        for n, _, pred in rules:
+            if not pred(metrics[n]):
+                shutil.rmtree(staged, ignore_errors=True)
+                raise ValueError(
+                    f"observed audit rejected staged v{version}: "
+                    f"rule '{n}' failed (value={metrics[n]!r})"
+                )
 
-    os.replace(staged, final)  # PUBLISH
-    tmp = os.path.join(table_root, f"{_CURRENT}.tmp")
-    with open(tmp, "w") as f:
-        f.write(",".join(str(v) for v in committed + [version]))
-    os.replace(tmp, os.path.join(table_root, _CURRENT))
+        os.replace(staged, final)  # PUBLISH
+        committed = _committed_versions(table_root)
+        tmp = os.path.join(table_root, f"{_CURRENT}.tmp")
+        with open(tmp, "w") as f:
+            f.write(",".join(str(v) for v in committed + [version]))
+        os.replace(tmp, os.path.join(table_root, _CURRENT))
+    finally:
+        if os.path.exists(marker):
+            os.remove(marker)
     return version
 
 
@@ -203,22 +229,25 @@ def compact_published(
     current = read_published(spark, table_root)
     n_before = current.count()
 
-    version = max(committed) + 1
+    version, marker = _claim_version(table_root)
     staged = os.path.join(table_root, _STAGING, f"v{version}")
     final = os.path.join(table_root, f"v{version}")
-    os.makedirs(os.path.join(table_root, _STAGING), exist_ok=True)
-    current.coalesce(target_files).write.mode("overwrite").parquet(staged)
+    try:
+        current.coalesce(target_files).write.mode("overwrite").parquet(staged)
 
-    n_after = spark.read.parquet(staged).count()
-    if n_after != n_before:
-        shutil.rmtree(staged, ignore_errors=True)
-        raise ValueError(f"compaction row drift: {n_before} -> {n_after}")
+        n_after = spark.read.parquet(staged).count()
+        if n_after != n_before:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise ValueError(f"compaction row drift: {n_before} -> {n_after}")
 
-    os.replace(staged, final)
-    tmp = os.path.join(table_root, f"{_CURRENT}.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(version))  # manifest now names ONLY the compacted version
-    os.replace(tmp, os.path.join(table_root, _CURRENT))
+        os.replace(staged, final)
+        tmp = os.path.join(table_root, f"{_CURRENT}.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(version))  # manifest now names ONLY the compacted version
+        os.replace(tmp, os.path.join(table_root, _CURRENT))
+    finally:
+        if os.path.exists(marker):
+            os.remove(marker)
     return version
 
 
@@ -229,25 +258,42 @@ def vacuum(table_root: str, keep_unreferenced: bool = False) -> list[str]:
 
     Safe by construction: the manifest (_CURRENT) is the single source of
     reader truth and this only deletes paths outside it — the analog of a
-    table format's expire-snapshots/vacuum with retention zero. Pass
-    ``keep_unreferenced=True`` to drop only staging garbage and retain
-    superseded versions for debugging.
+    table format's expire-snapshots/vacuum with retention zero. Anything
+    versioned NEWER than the manifest's high-water mark is skipped: it may
+    belong to a concurrent publisher that claimed/renamed its version dir
+    but has not yet swapped the manifest. Pass ``keep_unreferenced=True``
+    to drop only staging garbage and retain superseded versions for
+    debugging.
     """
+
+    def _vnum(name: str) -> int | None:
+        stem = name.split(".")[0]
+        if stem.startswith("v") and stem[1:].isdigit():
+            return int(stem[1:])
+        return None
+
+    committed = _committed_versions(table_root)
+    high_water = max(committed) if committed else 0
     removed: list[str] = []
     staging_root = os.path.join(table_root, _STAGING)
     if os.path.isdir(staging_root):
         for leftover in sorted(os.listdir(staging_root)):
+            v = _vnum(leftover)
+            if v is not None and v > high_water:
+                continue  # possibly a concurrent writer's in-flight stage/claim
             p = os.path.join(staging_root, leftover)
-            shutil.rmtree(p, ignore_errors=True)
+            shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else os.remove(p)
             removed.append(p)
     if not keep_unreferenced:
-        live = {f"v{v}" for v in _committed_versions(table_root)}
+        live = {f"v{v}" for v in committed}
         for entry in sorted(os.listdir(table_root)):
             p = os.path.join(table_root, entry)
+            v = _vnum(entry)
             if (
                 os.path.isdir(p)
-                and entry.startswith("v")
+                and v is not None
                 and entry not in live
+                and v <= high_water
                 and entry != _STAGING
             ):
                 shutil.rmtree(p, ignore_errors=True)

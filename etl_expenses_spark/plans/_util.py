@@ -12,6 +12,12 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+from etl_expenses_spark.caching import (  # noqa: F401  (re-export for plans)
+    clear_tracked_caches,
+    tracked_persist,
+)
+
+
 def dec(col: Column | str, scale: int = 2, precision: int = 18) -> Column:
     """Cast to decimal before aggregating.
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from etl_expenses_spark.caching import track
 from etl_expenses_spark.functions.text import tokens
 from etl_expenses_spark.operators.dedup import (
     connected_components,
@@ -115,6 +116,7 @@ def dedup_ngram_jaccard_pairs(spark, sf_dir):
         )
         .persist()  # both sides of the blocked self-join reuse this relation
     )
+    track(d)
     a, b = d.alias("a"), d.alias("b")
     inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s"))).cast("double")
     union = (
@@ -202,6 +204,7 @@ def dedup_cluster_components(spark, sf_dir):
         F.array_join(F.slice(F.col("t"), 1, 4), " ").alias("pre"),
         F.array_join(F.slice(F.col("t"), -4, 4), " ").alias("suf"),
     ).persist()
+    track(fp)
     a, b = fp.alias("a"), fp.alias("b")
     pre_pairs = a.join(
         b, (F.col("a.pre") == F.col("b.pre")) & (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -279,6 +282,7 @@ def dataset_split_leakage_safe(spark, sf_dir):
         F.array_join(F.slice(F.col("t"), 1, 4), " ").alias("pre"),
         F.array_join(F.slice(F.col("t"), -4, 4), " ").alias("suf"),
     ).persist()
+    track(fp)
     a, b = fp.alias("a"), fp.alias("b")
     pre_pairs = a.join(
         b, (F.col("a.pre") == F.col("b.pre")) & (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -445,6 +449,7 @@ def dedup_incremental_batch(spark, sf_dir):
         )
         .persist()
     )
+    track(d)
     batch = d.filter(F.col("doc_id") % 10 == 9)
     corpus = d.filter(F.col("doc_id") % 10 != 9).select(
         F.col("doc_id").alias("c_id"),

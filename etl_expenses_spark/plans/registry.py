@@ -40,7 +40,20 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     def deco(fn: Builder) -> Builder:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = Query(name=name, build=fn, oracle=oracle, tags=tags, doc=fn.__doc__ or "")
+
+        def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Drop the PREVIOUS query's tracked caches (this build's result
+            # hasn't been collected yet, so its own caches must stay live).
+            from etl_expenses_spark.caching import clear_tracked_caches
+
+            clear_tracked_caches()
+            return fn(spark, sf_dir)
+
+        build.__doc__ = fn.__doc__
+        build.__name__ = fn.__name__
+        REGISTRY[name] = Query(
+            name=name, build=build, oracle=oracle, tags=tags, doc=fn.__doc__ or ""
+        )
         return fn
 
     return deco

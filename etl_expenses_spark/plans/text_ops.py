@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from etl_expenses_spark.caching import track
 from etl_expenses_spark.functions.text import (
     lang_id,
     punct_count,
@@ -289,6 +290,7 @@ def tfidf_top_terms_per_doc(spark, sf_dir):
         .select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
         .persist()
     )
+    track(toks)
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
     n_docs = toks.agg(F.count_distinct("doc_id").alias("n_docs"))
