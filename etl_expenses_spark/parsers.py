@@ -37,11 +37,16 @@ from etl_expenses_spark.schemas import TICKET_CATEGORIES
 
 
 def pdf_bytes_to_text(data: bytes) -> str:
-    """Extract text from PDF bytes. Real implementation requires pdfplumber
-    (not in this container); the fallback decodes a deterministic fake:
-    fixture 'PDFs' are %PDF-prefixed UTF-8 text, which keeps the magic-number
-    gate (`extract_data_pdf/lambda_function.py:139`) and the full pipeline
-    testable without the binary dependency."""
+    """Extract text from PDF bytes — REAL extraction, three tiers:
+
+    1. pdfplumber when installed (exact parity with the reference,
+       `transform_data_pdf/lambda_function.py:14-26`);
+    2. the built-in pure-Python extractor (``etl_expenses_spark.pdftext``):
+       FlateDecode + Tj/'/TJ content-stream walk — covers the
+       machine-generated receipt/report PDFs this pipeline targets;
+    3. only for streamless legacy fixtures (%PDF-prefixed UTF-8 text, no
+       ``stream`` object at all): decode the remainder as UTF-8.
+    """
     if not data.startswith(b"%PDF"):
         raise ValueError("not a PDF payload (missing %PDF magic)")
     try:
@@ -52,8 +57,16 @@ def pdf_bytes_to_text(data: bytes) -> str:
         with pdfplumber.open(io.BytesIO(data)) as pdf:
             return "\n".join(page.extract_text() or "" for page in pdf.pages)
     except ImportError:
-        # STUB path: treat the remainder as UTF-8 text (deterministic fake).
+        pass
+    from etl_expenses_spark.pdftext import extract_text
+
+    text = extract_text(data)
+    if text.strip():
+        return text
+    if b"stream" not in data:
+        # legacy text fixture: %PDF magic + UTF-8 body, no real objects
         return data[len(b"%PDF") :].decode("utf-8", errors="replace")
+    return ""
 
 
 # --------------------------------------------------------------------------

@@ -70,6 +70,53 @@ def test_pdf_magic_gate():
     assert "hello" in pdf_bytes_to_text(b"%PDFhello")
 
 
+def test_real_pdf_roundtrip_compressed():
+    """Generate a REAL spec-conformant PDF (FlateDecode content streams,
+    Helvetica, Tj/Td) from the ticket fixture and extract it back: the
+    extracted lines must parse to the same items as the raw text."""
+    from etl_expenses_spark.pdftext import make_pdf
+
+    pdf = make_pdf([TICKET_TEXT], compress=True)
+    assert pdf.startswith(b"%PDF-1.4") and b"FlateDecode" in pdf
+    assert TICKET_TEXT.encode() not in pdf  # genuinely compressed, not embedded
+    text = pdf_bytes_to_text(pdf)
+    assert parse_ticket_text(text) == parse_ticket_text(TICKET_TEXT)
+
+
+def test_real_pdf_multipage_uncompressed_and_escapes():
+    from etl_expenses_spark.pdftext import extract_text, make_pdf
+
+    pages = ["Page (one) has \\ escapes", "Fecha 26/04/25 Hora 19:44\nNro T. 42"]
+    pdf = make_pdf(pages, compress=False)
+    text = extract_text(pdf)
+    assert "Page (one) has \\ escapes" in text
+    assert "Fecha 26/04/25 Hora 19:44" in text
+    lines = [ln for ln in text.splitlines() if ln]
+    assert lines[-1] == "Nro T. 42"  # Td line advance → newline
+
+
+def test_pdf_hex_strings_and_tj_arrays():
+    """Hand-written content stream: hex strings, TJ arrays with kerning
+    numbers, and the ' (move-and-show) operator."""
+    import zlib
+
+    content = b"BT /F1 10 Tf (AB) Tj <43443132> Tj T* [(kern) -120 (ed)] TJ (next) ' ET"
+    z = zlib.compress(content)
+    body = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length "
+        + str(len(z)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n"
+        + z
+        + b"\nendstream\nendobj\n%%EOF"
+    )
+    from etl_expenses_spark.pdftext import extract_text
+
+    text = extract_text(body)
+    assert "ABCD12" in text.replace("\n", "")
+    assert "kerned" in text  # TJ concatenates, kerning numbers skipped
+    assert "next" in text.splitlines()[-1]  # ' starts a new line
+
+
 def test_html_tokens_and_mail_record():
     toks = html_tokens(MAIL_HTML)
     assert "Monto" in toks and toks[toks.index("Monto") + 1] == "$12.345,67"
