@@ -101,22 +101,54 @@ def read_excel(spark: SparkSession, path: str, sheet: str | int = 0) -> DataFram
     `load_data/lambda_function.py:276`).
 
     Spark has no core XLSX reader; the scalable recipe is ingest-time
-    conversion: pandas parses the (small) workbook once, the result lands as
-    parquet bronze, and everything downstream is columnar. Requires
-    openpyxl, which this container doesn't ship — the call is gated so the
-    API surface exists and fails with a clear remedy.
+    conversion: the (small) workbook is parsed once driver-side, the result
+    lands as parquet bronze, and everything downstream is columnar. Parsing
+    uses pandas+openpyxl when installed, else the built-in pure-stdlib
+    reader (``sources/xlsx.py`` — zip+XML, shared/inline strings, typed
+    cells), so ingestion works in dependency-free containers too.
     """
     try:
         import openpyxl  # noqa: F401
         import pandas as _pd
-    except ImportError as e:  # pragma: no cover - container has no openpyxl
-        raise NotImplementedError(
-            "XLSX ingestion needs openpyxl (not in this container). "
-            "Convert the workbook to CSV/parquet at ingest, or install "
-            "openpyxl and re-call."
-        ) from e
-    pdf = _pd.read_excel(path, sheet_name=sheet)  # pragma: no cover
-    return spark.createDataFrame(pdf)  # pragma: no cover
+
+        pdf = _pd.read_excel(path, sheet_name=sheet)  # pragma: no cover
+        return spark.createDataFrame(pdf)  # pragma: no cover
+    except ImportError:
+        pass
+    from etl_expenses_spark.sources.xlsx import read_xlsx
+
+    rows = read_xlsx(path, sheet=sheet)
+    if not rows:
+        raise ValueError(f"empty worksheet in {path}")
+    header = [str(h) if h is not None else f"col{i}" for i, h in enumerate(rows[0])]
+    data = rows[1:]
+
+    def col_type(i: int) -> str:
+        vals = [r[i] for r in data if r[i] is not None]
+        if vals and all(isinstance(v, bool) for v in vals):
+            return "boolean"
+        if vals and all(isinstance(v, int) and not isinstance(v, bool) for v in vals):
+            return "bigint"
+        if vals and all(
+            isinstance(v, (int, float)) and not isinstance(v, bool) for v in vals
+        ):
+            return "double"
+        return "string"
+
+    types = [col_type(i) for i in range(len(header))]
+    schema_ddl = ", ".join(f"`{h}` {t}" for h, t in zip(header, types))
+
+    def coerce(v, t):
+        if v is None:
+            return None
+        if t == "double":
+            return float(v)
+        if t == "string" and not isinstance(v, str):
+            return str(v)
+        return v
+
+    coerced = [tuple(coerce(r[i], types[i]) for i in range(len(header))) for r in data]
+    return spark.createDataFrame(coerced, schema=schema_ddl)
 
 
 def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:

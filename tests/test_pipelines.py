@@ -134,10 +134,45 @@ def test_result_markdown_caps_rows(spark):
     assert len(md.splitlines()) == 22  # header + sep + 20 rows
 
 
-def test_read_excel_gated_with_clear_remedy(spark):
+def test_read_excel_real_workbook_to_parquet(spark, tmp_path):
+    """S2 end-to-end: a real XLSX workbook (zip+XML, shared strings, typed
+    cells) → read_excel → parquet bronze → reread. No openpyxl involved —
+    the stdlib reader (sources/xlsx.py) carries the MP-report shape
+    (`/root/reference/transform_data_mp/lambda_function.py:62`)."""
+    from etl_expenses_spark.sources.readers import read_excel
+    from etl_expenses_spark.sources.xlsx import make_xlsx
+
+    rows = [
+        ["report_id", "comercio", "monto", "cuotas", "aprobado"],
+        ["r-001", "MERPAGO*CAFE", 1234.56, 3, True],
+        ["r-002", "MERPAGO*CAFE", 99.0, 1, False],  # shared string deduped
+        ["r-003", None, 0.5, 12, True],  # gap cell stays NULL
+    ]
+    wb = tmp_path / "settlement.xlsx"
+    wb.write_bytes(make_xlsx(rows))
+
+    df = read_excel(spark, str(wb))
+    assert df.columns == ["report_id", "comercio", "monto", "cuotas", "aprobado"]
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "string", "string", "double", "bigint", "boolean",
+    ]
+    out = tmp_path / "bronze"
+    df.write.parquet(str(out))
+    back = spark.read.parquet(str(out))
+    got = {r["report_id"]: r for r in back.collect()}
+    assert got["r-001"]["monto"] == 1234.56 and got["r-001"]["cuotas"] == 3
+    assert got["r-003"]["comercio"] is None
+    assert got["r-002"]["aprobado"] is False
+
+
+def test_read_excel_sheet_selection_and_errors(spark, tmp_path):
+    from etl_expenses_spark.sources.xlsx import make_xlsx, read_xlsx
+
+    wb = make_xlsx([["a", "b"], [1, 2]], sheet_name="ventas")
+    assert read_xlsx(wb, sheet="ventas") == [["a", "b"], [1, 2]]
     import pytest as _pytest
 
-    from etl_expenses_spark.sources.readers import read_excel
-
-    with _pytest.raises(NotImplementedError, match="openpyxl"):
-        read_excel(spark, "/tmp/nonexistent.xlsx")
+    with _pytest.raises(ValueError, match="no sheet named"):
+        read_xlsx(wb, sheet="otra")
+    with _pytest.raises(ValueError, match="out of range"):
+        read_xlsx(wb, sheet=5)
