@@ -7,11 +7,13 @@ columnar batch (never row-at-a-time pickling). At 100 TB the payloads
 dominate: partition by (kind, date), keep metadata in its own (pruned)
 columns so planning-time filters never touch bytes.
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container — decode
-bodies are STUBS: a deterministic fake implementation behind
-``_HAVE_CODECS`` so the Spark-side plumbing (schemas, batch iteration, UDF
-signatures, partitioning) is real and tested. Swap ``_fake_*`` for real
-decoders when the libs exist.
+IMAGE decode/resize/featurize is REAL for PPM and 24-bit BMP payloads
+(operators/imagecodec.py — pure numpy; no PIL needed). Formats that
+require a codec library this container lacks (JPEG/PNG, audio, video
+codecs) fall back to a deterministic digest-derived fake behind the same
+API, so the Spark-side plumbing (schemas, batch iteration, UDF
+signatures, partitioning) is identical on both paths. Swap the fallbacks
+for PIL/ffmpeg/librosa calls when the libs exist.
 """
 
 from __future__ import annotations
@@ -23,14 +25,6 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
-
-try:  # pragma: no cover - real codec path, absent in this container
-    import PIL  # type: ignore  # noqa: F401
-
-    _HAVE_CODECS = True
-except ImportError:
-    _HAVE_CODECS = False
-
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -74,19 +68,29 @@ def _fake_feature(data: bytes) -> list[float]:
     ]
 
 
+def _feature_of(data: bytes) -> list[float]:
+    """REAL image features when the payload is a decodable format
+    (PPM/BMP via imagecodec.py), digest fake otherwise."""
+    from etl_expenses_spark.operators.imagecodec import decode_image, image_features
+
+    arr = decode_image(data)
+    if arr is not None:
+        return image_features(arr)
+    return _fake_feature(data)
+
+
 def decode_and_featurize(media: DataFrame) -> DataFrame:
-    """binary payload → feature vector. Arrow-batched mapInPandas; the
-    decode step raises if real codecs are required but absent."""
+    """binary payload → feature vector. Arrow-batched mapInPandas; PPM/BMP
+    image payloads are decoded for real (numpy codec), other formats get
+    the deterministic content-hash fallback."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            if _HAVE_CODECS:  # pragma: no cover
-                raise NotImplementedError("real codec path not implemented in this container")
             rows = {
                 "media_id": b["media_id"],
                 "kind": b["kind"],
                 "n_bytes": b["payload"].map(len).astype("int64"),
-                "feature": b["payload"].map(lambda p: _fake_feature(bytes(p))),
+                "feature": b["payload"].map(lambda p: _feature_of(bytes(p))),
             }
             yield pd.DataFrame(rows)
 
@@ -99,11 +103,12 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
     """Image resize stage (1 image → 1 image, new payload + updated meta).
 
     The stage every vision-training pipeline runs before featurization. The
-    Spark-side contract is the real part: payload AND metadata must change
-    together (a resized image whose meta still says the old dims poisons
-    downstream batch shaping), so the stage emits a fresh meta struct, never
-    mutates columns independently. Payload bytes are a deterministic fake
-    (digest-derived, length ∝ w×h) standing in for the PIL resample."""
+    Spark-side contract: payload AND metadata must change together (a
+    resized image whose meta still says the old dims poisons downstream
+    batch shaping), so the stage emits a fresh meta struct, never mutates
+    columns independently. PPM/BMP payloads are REALLY resampled
+    (nearest-neighbor, imagecodec.py) and re-encoded as PPM; undecodable
+    formats produce a deterministic digest-derived fake payload."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -125,17 +130,25 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etl_expenses_spark.operators.imagecodec import (
+            decode_image,
+            encode_ppm,
+            resize_nearest,
+        )
+
         for b in batches:
-            if _HAVE_CODECS:  # pragma: no cover
-                raise NotImplementedError("real codec path not implemented in this container")
             payloads, metas = [], []
             for payload, meta in zip(b["payload"], b["meta"]):
-                seed = hashlib.sha256(
-                    bytes(payload) + width.to_bytes(4, "big") + height.to_bytes(4, "big")
-                ).digest()
-                # fake resampled payload: digest tiled to a w*h-proportional size
-                size = max(1, (width * height) // 1024)
-                payloads.append((seed * (size // len(seed) + 1))[:size])
+                arr = decode_image(bytes(payload))
+                if arr is not None:  # REAL path: decode → resample → encode
+                    payloads.append(encode_ppm(resize_nearest(arr, width, height)))
+                else:
+                    seed = hashlib.sha256(
+                        bytes(payload) + width.to_bytes(4, "big") + height.to_bytes(4, "big")
+                    ).digest()
+                    # fake resampled payload: digest tiled to a w*h-proportional size
+                    size = max(1, (width * height) // 1024)
+                    payloads.append((seed * (size // len(seed) + 1))[:size])
                 metas.append(
                     {
                         "width": width,

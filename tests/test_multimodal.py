@@ -65,6 +65,86 @@ def test_resize_updates_payload_and_meta_together(spark):
     assert out.schema == _media(spark).schema
 
 
+def test_imagecodec_ppm_bmp_roundtrip():
+    """Real codec unit coverage: BMP and PPM decode to identical pixels,
+    PPM survives an encode/decode roundtrip, resize is exact on solid
+    quadrants."""
+    import struct
+
+    import numpy as np
+
+    from etl_expenses_spark.operators.imagecodec import (
+        decode_image,
+        encode_ppm,
+        image_features,
+        resize_nearest,
+    )
+
+    # 4x2 image: left half red, right half blue
+    arr = np.zeros((2, 4, 3), dtype=np.uint8)
+    arr[:, :2] = [255, 0, 0]
+    arr[:, 2:] = [0, 0, 255]
+
+    assert np.array_equal(decode_image(encode_ppm(arr)), arr)
+
+    # hand-built 24-bit BMP (bottom-up, BGR, 4-byte row padding)
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    px = bytearray()
+    for row in arr[::-1]:
+        for r, g, b in row:
+            px += bytes([b, g, r])
+        px += b"\x00" * (stride - w * 3)
+    bmp = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 2835, 2835, 0, 0)
+        + px
+    )
+    assert np.array_equal(decode_image(bmp), arr)
+
+    big = resize_nearest(arr, 8, 4)
+    assert big.shape == (4, 8, 3)
+    assert (big[:, :4] == [255, 0, 0]).all() and (big[:, 4:] == [0, 0, 255]).all()
+
+    feats = image_features(arr)
+    assert len(feats) == 8
+    assert abs(feats[0] - 0.5) < 1e-12 and feats[1] == 0.0  # mean R/G of half-red
+    assert feats[6] == 2.0  # aspect ratio w/h
+
+
+def test_real_image_path_through_spark_stages(spark):
+    """PPM payloads take the REAL decode path in both mapInPandas stages:
+    features reflect pixel content and resize emits a decodable PPM with
+    matching meta."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from etl_expenses_spark.operators.imagecodec import decode_image, encode_ppm
+    from etl_expenses_spark.operators.multimodal import resize_images
+
+    red = np.full((4, 4, 3), [255, 0, 0], dtype=np.uint8)
+    green = np.full((6, 2, 3), [0, 255, 0], dtype=np.uint8)
+    rows = [
+        Row(media_id=10, kind="image", payload=encode_ppm(red),
+            meta=Row(width=4, height=4, sample_rate=None, n_frames=None, duration_ms=None)),
+        Row(media_id=11, kind="image", payload=encode_ppm(green),
+            meta=Row(width=2, height=6, sample_rate=None, n_frames=None, duration_ms=None)),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+    feats = {r.media_id: r.feature for r in decode_and_featurize(media).collect()}
+    assert feats[10][0] == 1.0 and feats[10][1] == 0.0  # solid red: mean R=1, G=0
+    assert feats[11][1] == 1.0 and feats[11][0] == 0.0  # solid green
+
+    out = {r.media_id: r for r in resize_images(media, width=8, height=8).collect()}
+    for mid, src in ((10, red), (11, green)):
+        arr = decode_image(bytes(out[mid].payload))
+        assert arr is not None and arr.shape == (8, 8, 3)
+        assert (arr == src[0, 0]).all()  # solid color preserved exactly
+        assert (out[mid].meta.width, out[mid].meta.height) == (8, 8)
+
+
 def test_audio_chunk_windows_and_bounds(spark):
     from etl_expenses_spark.operators.multimodal import audio_chunk
 
