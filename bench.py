@@ -6,9 +6,11 @@ on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Methodology: all tables are warmed once (footer + page cache), then each
 query executes to the noop sink (full computation, no driver-side row
-serialization), twice; the per-query time is the best of two — first-run
-codegen compilation is amortizable in any real deployment and would
-otherwise dominate sub-second queries at this scale.
+serialization) three times; the per-query time is the MEDIAN of three —
+one untimed structural warm-up would hide codegen compilation entirely,
+while best-of-N hides variance; median-of-3 reports a typical steady run
+honestly. The first of the three still carries codegen for that query's
+plan shape; the median discards it unless runs are genuinely noisy.
 """
 
 from __future__ import annotations
@@ -42,6 +44,11 @@ HEADLINE = [
     "asof_join_events_orders",
     "window_tumbling_daily",
     "text_token_stats",
+    # the heaviest plans — iterative CC, bucketed range join, 8-table TPC-H —
+    # so regressions in the hard shapes are visible round-over-round
+    "dedup_cluster_components",
+    "range_join_recent_clicks",
+    "tpch_q8_market_share",
 ]
 
 
@@ -62,7 +69,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = REGISTRY[name]
-        timings[name] = round(min(run_once(q, spark, sf_dir) for _ in range(2)), 4)
+        runs = sorted(run_once(q, spark, sf_dir) for _ in range(3))
+        timings[name] = round(runs[1], 4)  # median of 3
 
     total = round(sum(timings.values()), 4)
     print(

@@ -236,17 +236,53 @@ def dataset_split_assign(spark, sf_dir):
     )
 
 
-@query("sample_stratified_by_lang", oracle=None, tags=("training", "sample", "rows_only"))
+# Corpus-curation policy: per-stratum keep fractions in basis points
+# (cap the dominant languages, keep all of the rare ones). A CONFIG, not a
+# computed value — at 100 TB the fractions come from a policy/dim table, so
+# the query path never needs a driver-side distinct-collect over the
+# stratum column (which breaks on high-cardinality strata).
+_LANG_KEEP_BP = {"en": 2500, "es": 5000}  # default: 10000 (keep all)
+
+
+@query(
+    "sample_stratified_by_lang",
+    oracle="""
+        SELECT doc_id, lang, source, n_chars
+        FROM (SELECT doc_id, lang, source, n_chars,
+                     CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|' || lang), 1, 8))
+                          AS BIGINT) % 10000 AS bucket
+              FROM documents)
+        WHERE bucket < (CASE WHEN lang = 'en' THEN 2500
+                             WHEN lang = 'es' THEN 5000
+                             ELSE 10000 END)
+    """,
+    tags=("training", "sample"),
+)
 def sample_stratified_by_lang(spark, sf_dir):
-    """Stratified downsampling (sampleBy): per-language keep fractions — the
-    rebalancing step of corpus curation (cap the dominant language, keep all
-    of the rare ones). Seeded Bernoulli per row; rows-only because the draw
-    depends on partition layout, not on a portable function. For exactly
-    reproducible curation use dataset_split_assign's hash-bucket approach."""
+    """Stratified downsampling with DETERMINISTIC per-stratum keep
+    fractions: a document survives iff hash(doc_id|lang) mod 10000 falls
+    under its language's configured basis points. Unlike seeded
+    ``sampleBy`` (partition-layout-dependent RNG), the draw is a pure
+    row-local expression — reproducible across runs/engines (hence the
+    DuckDB oracle), and admission-stable: a document's fate never changes
+    as the corpus grows, exactly what incremental curation needs. Hash
+    input is salted with '|lang' so sampling decorrelates from
+    dataset_split_assign's md5(doc_id) buckets."""
     d = T(spark, sf_dir, "documents")
-    langs = [r.lang for r in d.select("lang").distinct().collect()]
-    fractions = {lg: (0.25 if i % 2 == 0 else 1.0) for i, lg in enumerate(sorted(langs))}
-    return d.sampleBy("lang", fractions, seed=42)
+    thr = F.lit(10000)
+    for lang, bp in sorted(_LANG_KEEP_BP.items()):
+        thr = F.when(F.col("lang") == lang, bp).otherwise(thr)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.col("lang"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    return d.select("doc_id", "lang", "source", "n_chars").filter(bucket < thr)
 
 
 @query(

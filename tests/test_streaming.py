@@ -56,6 +56,62 @@ def test_stream_merge_exactly_once(spark, dirs):
     assert spark.read.parquet(str(gold)).count() == 1000
 
 
+def test_failure_alert_listener_quarantines_failed_query(spark, dirs):
+    """K6 analog: a micro-batch that raises terminates the query with an
+    exception, and the registered FailureAlertListener appends an alert
+    row (error text + query identity) to the quarantine table — the
+    engine's version of the reference's failure SNS publish
+    (`/root/reference/compensation_flow/lambda_function.py:63-68`)."""
+    import time
+
+    from etl_expenses_spark.streaming.alerts import FailureAlertListener
+    from etl_expenses_spark.streaming.pipeline import read_event_stream
+
+    bronze, _gold, ckpt, _ = dirs
+    _write_bronze(spark, bronze)
+    alerts_dir = str(bronze.parent / "alerts")
+    listener = FailureAlertListener(alerts_dir)
+    spark.streams.addListener(listener)
+    try:
+        def exploding_sink(batch_df, epoch_id):
+            raise RuntimeError("poison batch: simulated downstream failure")
+
+        q = (
+            read_event_stream(spark, str(bronze))
+            .writeStream.foreachBatch(exploding_sink)
+            .option("checkpointLocation", str(ckpt))
+            .queryName("alert_probe")
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(Exception, match="poison batch"):
+            q.awaitTermination()
+        # listener events are delivered asynchronously on the bus thread
+        deadline = time.time() + 30
+        while not listener.alerts_written and time.time() < deadline:
+            time.sleep(0.2)
+        assert listener.alerts_written, "no alert row written within 30s"
+
+        alerts = spark.read.parquet(alerts_dir)
+        row = alerts.orderBy("alert_ts").collect()[-1]
+        assert "poison batch" in row["error"]
+        assert row["run_id"] and row["query_id"]
+        # clean termination writes nothing: re-run a healthy no-op query
+        n_before = alerts.count()
+        q2 = (
+            read_event_stream(spark, str(bronze))
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(bronze.parent / "ckpt_ok"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+        time.sleep(1.0)
+        assert spark.read.parquet(alerts_dir).count() == n_before
+    finally:
+        spark.streams.removeListener(listener)
+
+
 def test_stream_windowed_counts_match_batch(spark, dirs):
     bronze, gold, ckpt, _ = dirs
     _write_bronze(spark, bronze)
