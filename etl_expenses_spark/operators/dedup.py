@@ -259,23 +259,26 @@ def connected_components(
     own and its neighbors' labels (one join + one groupBy per round),
     converging in O(component diameter) rounds. Near-dup components are
     shallow (dups of a common ancestor), so diameter is small; for
-    adversarially long chains at 100 TB you'd switch to large-star/
-    small-star (alternating pointer doubling, O(log d) rounds) — same
-    join/agg building blocks, more rounds in flight.
+    adversarially long chains use ``connected_components_star`` below
+    (alternating large-star/small-star, O(log d) rounds) — property-tested
+    equivalent on random graphs.
 
     The convergence probe (`limit(1).count()` per round) is one tiny driver
     action per round, not a data collect; every heavy structure stays
-    distributed and persisted.
+    distributed and persisted. Each round's labels are ``localCheckpoint``ed
+    (eager) so the logical plan stays ONE round deep — without it the plan
+    doubles every iteration and Catalyst analysis time dominates the
+    actual shuffles by round ~6.
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("u").alias("id")).distinct().withColumn("lbl", F.col("id"))
-    ).persist()
+    ).localCheckpoint()
     for _ in range(max_iters):
         nbr_min = (
             sym.join(labels, sym["v"] == labels["id"])
@@ -290,7 +293,7 @@ def connected_components(
                     labels["lbl"], F.coalesce(F.col("nbr_min"), labels["lbl"])
                 ).alias("lbl"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.withColumnRenamed("lbl", "new_lbl")
@@ -299,10 +302,84 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    sym.unpersist()
-    track(labels)  # the surviving per-round cache; freed at the next query
     return labels.select("id", F.col("lbl").alias("cluster_id"))
+
+
+def connected_components_star(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iters: int = 30
+) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SOCC'14) → same ``(id, cluster_id=component min)`` contract as
+    ``connected_components``.
+
+    Each round rewires the edge set toward star graphs:
+    - large-star: every node strictly LARGER than its neighbor u links to
+      m = min(Γ(u) ∪ {u})  — halves long chains (pointer doubling);
+    - small-star: every node's smaller neighbors (and itself) link to the
+      minimum of that set — flattens local trees into stars.
+
+    Converges in O(log d) rounds vs BSP's O(d), so it's the tier for
+    adversarial chain-shaped dup components at 100 TB. Per round: two
+    groupBy-min shuffles + joins on node id; edges only ever point
+    downward, and the edge count never grows above the input after the
+    first large-star. Convergence = small-star output equals its input
+    (set equality via a two-sided exceptAll probe on checkpointed, hence
+    stable, inputs)."""
+    raw = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    # nodes from RAW edges: a self-loop-only node has no proper edge but is
+    # still its own singleton component (BSP-contract parity)
+    nodes = (
+        raw.select(F.col("u").alias("id"))
+        .union(raw.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = raw.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+
+    def large_star(cur: DataFrame) -> DataFrame:
+        sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("u", "mn").alias("m"))
+        return (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(cur: DataFrame) -> DataFrame:
+        # orient every edge large→small, then link each node's small
+        # neighborhood (plus itself) to that neighborhood's minimum
+        dn = cur.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins = dn.groupBy("u").agg(F.min("v").alias("m"))
+        relink = dn.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+        self_link = mins.select("u", F.col("m").alias("v"))
+        return (
+            relink.union(self_link)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    for _ in range(max_iters):
+        nxt = small_star(large_star(e)).localCheckpoint()
+        changed = (
+            nxt.exceptAll(e).limit(1).count() + e.exceptAll(nxt).limit(1).count()
+        )
+        e = nxt
+        if changed == 0:
+            break
+
+    # fixpoint: e is a forest of stars (child → component-min root)
+    labels = nodes.join(e, nodes["id"] == e["u"], "left").select(
+        nodes["id"], F.coalesce(e["v"], nodes["id"]).alias("cluster_id")
+    )
+    return labels

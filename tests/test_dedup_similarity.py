@@ -117,6 +117,53 @@ def test_connected_components_chain_and_islands(spark):
     }
 
 
+def test_star_cc_equals_bsp_cc_on_random_graphs(spark):
+    """Property: large-star/small-star and BSP min-label propagation
+    compute identical components on random graphs — including the
+    adversarial long-chain shape the star variant exists for."""
+    import random
+
+    from etl_expenses_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    cases = []
+    # Erdős–Rényi-ish sparse graphs
+    for n, m in ((30, 20), (60, 45), (100, 80)):
+        cases.append([(rng.randrange(n), rng.randrange(n)) for _ in range(m)])
+    # adversarial: one long chain + islands + duplicate/self edges
+    chain = [(i, i + 1) for i in range(0, 64)]
+    cases.append(chain + [(200, 201), (300, 300), (5, 5), (10, 9)] + chain[:5])
+
+    for edges_py in cases:
+        edges = spark.createDataFrame(edges_py, ["src", "dst"])
+        bsp = {
+            (r.id, r.cluster_id)
+            for r in connected_components(edges, max_iters=80).collect()
+        }
+        star = {
+            (r.id, r.cluster_id)
+            for r in connected_components_star(edges).collect()
+        }
+        # star drops self-loop-only nodes' edges but keeps the nodes
+        assert star == bsp, (
+            sorted(star - bsp)[:5],
+            sorted(bsp - star)[:5],
+        )
+
+
+def test_star_cc_chain_converges_in_log_rounds(spark):
+    """A 64-link chain needs ~64 BSP rounds but must finish well inside
+    the star variant's 30-round cap (O(log d))."""
+    from etl_expenses_spark.operators.dedup import connected_components_star
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(64)], ["src", "dst"])
+    got = {(r.id, r.cluster_id) for r in connected_components_star(edges).collect()}
+    assert got == {(i, 0) for i in range(65)}
+
+
 def test_gemm_blocked_pairs_bit_identical_to_join_tier(spark):
     from etl_expenses_spark.operators.similarity import (
         embedding_neardup_pairs_blocked,

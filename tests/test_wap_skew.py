@@ -218,3 +218,46 @@ def test_upsert_is_idempotent(spark):
     twice = upsert(updates, once, ["o_orderkey"])
     assert once.count() == orders.count() == twice.count()
     assert {tuple(r) for r in once.collect()} == {tuple(r) for r in twice.collect()}
+
+
+def test_salted_asof_equals_unsalted_on_planted_skew(spark):
+    """The segmented-scan as-of (salted by time bucket) must produce
+    row-identical output to the plain window construction — including a
+    celebrity key holding most rows, ts ties (inclusive semantics), keys
+    with no right rows, and buckets containing only left rows."""
+    import random
+
+    from etl_expenses_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_backward_salted,
+    )
+
+    rng = random.Random(13)
+    lefts, rights = [], []
+    # celebrity key 0: dense timeline; keys 1-5: sparse; key 6: no rights
+    for i in range(2000):
+        lefts.append((0, float(rng.randrange(0, 100_000)), i))
+    for k in range(1, 7):
+        for i in range(40):
+            lefts.append((k, float(rng.randrange(0, 100_000)), 10_000 + k * 100 + i))
+    for t in range(0, 100_000, 500):
+        rights.append((0, float(t), f"q0-{t}"))
+    for k in range(1, 6):
+        for t in range(0, 100_000, 7000):
+            rights.append((k, float(t), f"q{k}-{t}"))
+    # exact-tie probes: left ts equal to a right ts (inclusive match)
+    lefts += [(0, 500.0, 99991), (3, 7000.0, 99992)]
+
+    left = spark.createDataFrame(lefts, ["uid", "ts", "probe_id"])
+    right = spark.createDataFrame(rights, ["uid", "ts", "quote"])
+
+    base = asof_join_backward(left, right, "uid", "uid", "ts", "ts", ["quote"])
+    salted = asof_join_backward_salted(
+        left, right, "uid", "uid", "ts", "ts", ["quote"], bucket_seconds=10_000.0
+    )
+    a = {tuple(r) for r in base.collect()}
+    b = {tuple(r) for r in salted.collect()}
+    assert a == b, (sorted(a - b)[:3], sorted(b - a)[:3])
+    # tie rows matched inclusively in both
+    tie = {r.probe_id: r.quote for r in salted.filter(F.col("probe_id") >= 99991).collect()}
+    assert tie == {99991: "q0-500", 99992: "q3-7000"}
