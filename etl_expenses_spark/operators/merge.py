@@ -53,11 +53,18 @@ def merge_append(
     try:
         target = spark.read.parquet(target_path)
     except AnalysisException as e:
-        # Only a MISSING target means "first load". Any other analysis error
-        # (corrupt footer, schema problem, permissions surfaced as analysis)
-        # must propagate — swallowing it would append the full batch and
-        # silently break the exactly-once J1-J4 contract.
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+        # Only a MISSING/EMPTY target means "first load": PATH_NOT_FOUND for
+        # an absent dir, UNABLE_TO_INFER_SCHEMA for a dir with no parquet
+        # files yet. Any other analysis error (corrupt footer, schema
+        # problem, permissions surfaced as analysis) must propagate —
+        # swallowing it would append the full batch and silently break the
+        # exactly-once J1-J4 contract.
+        msg = str(e)
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+        ):
             fresh = batch
         else:
             raise
