@@ -338,3 +338,137 @@ def explode_outer_rare_tokens(spark, sf_dir):
     d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     rare = F.filter(tokens(F.col("text")), lambda t: F.length(t) > 6)
     return d.select("doc_id", F.explode_outer(rare).alias("rare_token"))
+
+
+@query(
+    "doc_chunk_sliding",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_D_TOKENS} AS toks FROM documents),
+        s AS (
+            SELECT doc_id, toks, unnest(range(0, len(toks), 32)) AS start
+            FROM t WHERE len(toks) > 0)
+        SELECT doc_id,
+               CAST(start / 32 AS BIGINT) AS chunk_no,
+               CAST(least(start + 64, len(toks)) - start AS BIGINT) AS n_chunk_tokens,
+               array_to_string(list_slice(toks, start + 1, least(start + 64, len(toks))), ' ')
+                   AS chunk_text
+        FROM s
+    """,
+    tags=("text", "chunking", "rag"),
+)
+def doc_chunk_sliding(spark, sf_dir):
+    """RAG-style document chunking: overlapping token windows (size 64,
+    stride 32 → 50% overlap), the 1-doc→N-chunks stage every retrieval /
+    embedding pipeline runs before vectorization. Pure array algebra —
+    sequence → posexplode-by-start → slice — no Python, so the explosion
+    stays in the scan stage's codegen and partitions by doc_id afterwards.
+    At 100 TB chunk_no becomes part of the downstream embedding key."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") > 0)
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(32))
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, F.lit(64))
+    return (
+        d.select("doc_id", "toks", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / 32).cast("long").alias("chunk_no"),
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+@query(
+    "text_redact_pii",
+    oracle=r"""
+        WITH synth AS (
+            SELECT doc_id,
+                   'doc ' || CAST(doc_id AS VARCHAR) || ' contact user' ||
+                   CAST(doc_id AS VARCHAR) || '@mail.example.com or +54 11 ' ||
+                   CAST(4000 + doc_id % 1000 AS VARCHAR) || '-' ||
+                   CAST(1000 + doc_id % 9000 AS VARCHAR) || ' office'
+                       AS contact_line
+            FROM documents)
+        SELECT doc_id, contact_line,
+               regexp_replace(
+                   regexp_replace(contact_line,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                   '\+\d+[- ]\d+[- ]\d+-\d+', '[PHONE]', 'g') AS redacted
+        FROM synth
+    """,
+    tags=("text", "redaction", "pii"),
+)
+def text_redact_pii(spark, sf_dir):
+    """PII redaction — the compliance pass a training corpus runs before
+    release: mask emails and phone numbers with typed placeholders. The
+    PII is synthesized deterministically from doc_id (the corpus itself is
+    synthetic), then redacted with the same lookahead-free regexes in both
+    engines. Row-local regexp_replace chains — scan-fused, no Python."""
+    d = T(spark, sf_dir, "documents")
+    contact = F.concat(
+        F.lit("doc "), F.col("doc_id").cast("string"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +54 11 "),
+        (F.lit(4000) + F.col("doc_id") % 1000).cast("string"),
+        F.lit("-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        F.lit(" office"),
+    )
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\+\d+[- ]\d+[- ]\d+-\d+"
+    return d.select(
+        "doc_id",
+        contact.alias("contact_line"),
+        F.regexp_replace(
+            F.regexp_replace(contact, email_re, "[EMAIL]"), phone_re, "[PHONE]"
+        ).alias("redacted"),
+    )
+
+
+@query(
+    "text_repetition_ratio",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_D_TOKENS.replace("text", "lower(text)")} AS toks
+            FROM documents),
+        bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+            FROM t WHERE len(toks) >= 2),
+        counts AS (
+            SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram)
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               CAST(MAX(c) AS BIGINT) AS max_bigram_count,
+               CAST(MAX(c) AS DOUBLE) / SUM(c) AS repetition_ratio
+        FROM counts GROUP BY doc_id
+    """,
+    tags=("text", "quality", "dedup"),
+)
+def text_repetition_ratio(spark, sf_dir):
+    """Repetition-ratio quality signal: share of a document's bigrams taken
+    by its single most frequent bigram — the cheap detector for boilerplate
+    / template / keyword-stuffed documents that near-dup similarity misses
+    (the page repeats ITSELF, not another page). Filter threshold upstream
+    of pretraining. explode → two hash aggregates keyed by doc_id — partial
+    aggregation collapses the bigram explosion map-side."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
+    ).filter(F.size("toks") >= 2)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat_ws(" ", F.element_at("toks", i), F.element_at("toks", i + 1)),
+    )
+    counts = (
+        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("max_bigram_count"),
+        (F.max("c").cast("double") / F.sum("c")).alias("repetition_ratio"),
+    )
