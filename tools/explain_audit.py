@@ -42,6 +42,8 @@ BNLJ_OK: set[str] = {
     # constant-cost per-partition probe
     "tfidf_top_terms_per_doc",
     "funnel_view_click_purchase",
+    # scalar-average subquery: the broadcast side is the one-row avg_bal
+    "tpch_q22_global_sales_opportunity",
 }
 
 
@@ -104,6 +106,21 @@ EXTRA = [
     "tpch_q8_market_share",
     "attribution_first_purchase_after_click",
     "decontaminate_benchmark_overlap",
+    "tpch_q9_nation_profit",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q22_global_sales_opportunity",
+    "doc_chunk_sliding",
+    "text_redact_pii",
+    "text_repetition_ratio",
+    "sample_stratified_by_lang",
+    "string_regex_functions",
+    "temporal_scalar_functions",
+    "codec_hash_functions",
+    "text_features",
 ]
 
 
