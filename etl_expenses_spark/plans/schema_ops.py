@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from etl_expenses_spark.plans._util import T, dsum
+from etl_expenses_spark.plans._util import T, dec, dsum
 from etl_expenses_spark.plans.registry import query
 from etl_expenses_spark.quality import infer_and_cast, normalize_columns
 from etl_expenses_spark.sources.readers import TESTDATA_TABLES, register_views
@@ -440,4 +440,155 @@ def sql_hinted_broadcast_join(spark, sf_dir):
         GROUP BY n.n_name
         ORDER BY n.n_name
         """
+    )
+
+
+@query(
+    "table_profile_orders",
+    oracle="""
+        SELECT 'o_orderkey' AS column_name,
+               COUNT(*) AS n_rows,
+               COUNT(o_orderkey) AS n_nonnull,
+               COUNT(DISTINCT o_orderkey) AS n_distinct,
+               CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+               CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+               COUNT(DISTINCT o_orderstatus),
+               CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+               COUNT(DISTINCT o_orderpriority),
+               CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+               COUNT(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))),
+               CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+               CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+        FROM orders
+    """,
+    tags=("catalog", "profile", "agg"),
+)
+def table_profile_orders(spark, sf_dir):
+    """Column profiling — the catalog/quality report every warehouse tool
+    (and the reference's manual eyeballing of loaded CSVs) needs: row
+    count, non-null count, distinct count, min/max per column, rendered as
+    one (column_name, metrics...) row each.
+
+    Plan shape is the point: ONE scan computes every column's metrics
+    simultaneously (a single aggregate over 4×N aggregate expressions),
+    then a tiny literal unpivot — NOT one scan per column like the naive
+    UNION oracle. At 100 TB that's a 4× I/O difference; distinct counts
+    dominate the shuffle and would drop to approx_count_distinct when
+    exactness isn't contractual. Values stringify through DECIMAL so both
+    engines render identical text for doubles."""
+    o = T(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    prof = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderkey").alias("nn_key"),
+        F.count_distinct("o_orderkey").alias("nd_key"),
+        F.min("o_orderkey").cast("string").alias("min_key"),
+        F.max("o_orderkey").cast("string").alias("max_key"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.count_distinct("o_orderstatus").alias("nd_status"),
+        F.min("o_orderstatus").alias("min_status"),
+        F.max("o_orderstatus").alias("max_status"),
+        F.count("o_orderpriority").alias("nn_prio"),
+        F.count_distinct("o_orderpriority").alias("nd_prio"),
+        F.min("o_orderpriority").alias("min_prio"),
+        F.max("o_orderpriority").alias("max_prio"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.count_distinct(price).alias("nd_price"),
+        F.min(price).cast("string").alias("min_price"),
+        F.max(price).cast("string").alias("max_price"),
+    )
+    row = F.struct
+    cols = F.array(
+        row(
+            F.lit("o_orderkey").alias("column_name"),
+            F.col("n_rows"),
+            F.col("nn_key").alias("n_nonnull"),
+            F.col("nd_key").alias("n_distinct"),
+            F.col("min_key").alias("min_value"),
+            F.col("max_key").alias("max_value"),
+        ),
+        row(
+            F.lit("o_orderstatus").alias("column_name"),
+            F.col("n_rows"),
+            F.col("nn_status").alias("n_nonnull"),
+            F.col("nd_status").alias("n_distinct"),
+            F.col("min_status").alias("min_value"),
+            F.col("max_status").alias("max_value"),
+        ),
+        row(
+            F.lit("o_orderpriority").alias("column_name"),
+            F.col("n_rows"),
+            F.col("nn_prio").alias("n_nonnull"),
+            F.col("nd_prio").alias("n_distinct"),
+            F.col("min_prio").alias("min_value"),
+            F.col("max_prio").alias("max_value"),
+        ),
+        row(
+            F.lit("o_totalprice").alias("column_name"),
+            F.col("n_rows"),
+            F.col("nn_price").alias("n_nonnull"),
+            F.col("nd_price").alias("n_distinct"),
+            F.col("min_price").alias("min_value"),
+            F.col("max_price").alias("max_value"),
+        ),
+    )
+    return prof.select(F.explode(cols).alias("m")).select("m.*")
+
+
+@query(
+    "agg_partial_remerge_monthly",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(DATE_TRUNC('day', o_orderdate) AS TIMESTAMP) AS day,
+                   o_orderstatus,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS part_spend,
+                   COUNT(*) AS part_n,
+                   MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS part_max
+            FROM orders
+            GROUP BY 1, 2)
+        SELECT CAST(DATE_TRUNC('month', day) AS TIMESTAMP) AS month,
+               o_orderstatus,
+               CAST(SUM(part_spend) AS DOUBLE) AS spend,
+               CAST(SUM(part_n) AS BIGINT) AS n_orders,
+               CAST(MAX(part_max) AS DOUBLE) AS max_order
+        FROM daily
+        GROUP BY 1, 2
+    """,
+    tags=("agg", "incremental", "rollup"),
+)
+def agg_partial_remerge_monthly(spark, sf_dir):
+    """Partial-aggregate re-merge — the incremental-view-maintenance
+    contract: DAILY partials (what an hourly/daily batch job materializes)
+    merge into MONTHLY rollups without touching raw facts again. Works
+    because every metric is a commutative monoid: decimal SUM re-sums,
+    COUNT sums, MAX re-maxes. The oracle computes the same two-level
+    cascade; both engines agree bit-exactly because the partials stay
+    DECIMAL until the final cast.
+
+    At 100 TB this is the difference between reading yesterday's 400 GB of
+    partials and re-scanning the 100 TB fact table every refresh."""
+    o = T(spark, sf_dir, "orders")
+    price = dec("o_totalprice", 2, 18)
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day"), "o_orderstatus"
+    ).agg(
+        F.sum(price).alias("part_spend"),
+        F.count(F.lit(1)).alias("part_n"),
+        F.max(price).alias("part_max"),
+    )
+    return daily.groupBy(
+        F.date_trunc("month", F.col("day")).alias("month"), "o_orderstatus"
+    ).agg(
+        F.sum("part_spend").cast("double").alias("spend"),
+        F.sum("part_n").cast("bigint").alias("n_orders"),
+        F.max("part_max").cast("double").alias("max_order"),
     )
