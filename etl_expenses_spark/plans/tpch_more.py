@@ -354,3 +354,301 @@ def tpch_q22_global_sales_opportunity(spark, sf_dir):
             F.sum(dec("c_acctbal", 2, 18)).cast("double").alias("totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Synthetic partsupp: the testdata ships no partsupp table, so Q2/Q11/Q20
+# derive one DETERMINISTICALLY from the (part, supplier) pairs that occur
+# in lineitem — cost and availqty are md5-bucket functions of the key pair,
+# computable bit-identically in Spark and DuckDB (same recipe as
+# dataset_split_assign). Money stays in integer CENTS until the final
+# cast, so every aggregate is exact.
+# --------------------------------------------------------------------------
+_PS_SQL = """(
+    SELECT ps_partkey, ps_suppkey,
+           CAST(concat('0x', substr(md5(CAST(ps_partkey AS VARCHAR) || '_' ||
+                CAST(ps_suppkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100000 + 100
+               AS ps_supplycost_cents,
+           CAST(concat('0x', substr(md5(CAST(ps_suppkey AS VARCHAR) || '_' ||
+                CAST(ps_partkey AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 + 1
+               AS ps_availqty
+    FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+          FROM lineitem))"""
+
+
+def _h8(col):
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _partsupp(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    pair = li.select(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).distinct()
+    fwd = F.concat(
+        F.col("ps_partkey").cast("string"), F.lit("_"), F.col("ps_suppkey").cast("string")
+    )
+    rev = F.concat(
+        F.col("ps_suppkey").cast("string"), F.lit("_"), F.col("ps_partkey").cast("string")
+    )
+    return pair.withColumn("ps_supplycost_cents", _h8(fwd) % 100000 + 100).withColumn(
+        "ps_availqty", _h8(rev) % 1000 + 1
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+        WITH ps AS {_PS_SQL},
+        costs AS (
+            SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost_cents,
+                   s.s_acctbal, s.s_name, n.n_name
+            FROM ps
+            JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'ASIA'),
+        mins AS (
+            SELECT ps_partkey, MIN(ps_supplycost_cents) AS mc
+            FROM costs GROUP BY ps_partkey)
+        SELECT c.s_acctbal, c.s_name, c.n_name, c.ps_partkey, c.ps_suppkey,
+               CAST(c.ps_supplycost_cents AS DOUBLE) / 100.0 AS supplycost
+        FROM costs c
+        JOIN mins m ON m.ps_partkey = c.ps_partkey
+                   AND c.ps_supplycost_cents = m.mc
+        JOIN part p ON p.p_partkey = c.ps_partkey
+        WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
+        ORDER BY c.s_acctbal DESC, c.ps_partkey, c.ps_suppkey
+        LIMIT 20
+    """,
+    tags=("join", "subquery", "tpch"),
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2: for each part in a (size, type) family, the ASIA
+    supplier(s) at the minimum supply cost — the correlated-MIN subquery
+    decorrelated into a per-part min + re-join, over the synthetic
+    partsupp (module note). Region/nation/supplier broadcast; the min and
+    the re-join shuffle on ps_partkey only. Integer-cent costs make the
+    min and the equality join exact."""
+    s, n, r, p = (
+        T(spark, sf_dir, "supplier"),
+        T(spark, sf_dir, "nation"),
+        T(spark, sf_dir, "region"),
+        T(spark, sf_dir, "part"),
+    )
+    ps = _partsupp(spark, sf_dir)
+    asia_sup = (
+        s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+              F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    costs = ps.join(asia_sup, F.col("s_suppkey") == F.col("ps_suppkey"))
+    mins = costs.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
+        F.min("ps_supplycost_cents").alias("mc")
+    )
+    pf = p.filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+    return (
+        costs.join(
+            mins,
+            (F.col("m_partkey") == F.col("ps_partkey"))
+            & (F.col("ps_supplycost_cents") == F.col("mc")),
+        )
+        .join(F.broadcast(pf), F.col("p_partkey") == F.col("ps_partkey"), "left_semi")
+        .select(
+            "s_acctbal", "s_name", "n_name", "ps_partkey", "ps_suppkey",
+            (F.col("ps_supplycost_cents").cast("double") / 100.0).alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "ps_partkey", "ps_suppkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle=f"""
+        WITH ps AS {_PS_SQL},
+        natps AS (
+            SELECT ps.ps_partkey,
+                   ps.ps_supplycost_cents * ps.ps_availqty AS v
+            FROM ps
+            JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE n.n_name = 'NATION_3'),
+        tot AS (SELECT CAST(SUM(v) AS BIGINT) AS t,
+                       COUNT(DISTINCT ps_partkey) AS np FROM natps)
+        SELECT ps_partkey,
+               CAST(SUM(v) AS BIGINT) AS value_cents
+        FROM natps, tot
+        GROUP BY ps_partkey, t, np
+        HAVING CAST(SUM(v) AS DOUBLE) > CAST(t AS DOUBLE) / np * 2.0
+    """,
+    tags=("agg", "subquery", "tpch"),
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11: per-part inventory value within one nation, kept only
+    when it exceeds TWICE THE MEAN per-part value — the
+    scalar-subquery-in-HAVING shape with a scale-free threshold (the
+    official fixed fraction empties as part count grows with sf). Value
+    stays in exact integer cents; the threshold compare casts both sides
+    to double identically. The total is a one-row broadcast, the per-part
+    aggregate shuffles once."""
+    s, n = T(spark, sf_dir, "supplier"), T(spark, sf_dir, "nation")
+    ps = _partsupp(spark, sf_dir)
+    nat = (
+        s.join(
+            F.broadcast(n.filter(F.col("n_name") == "NATION_3")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        ).select("s_suppkey")
+    )
+    natps = ps.join(nat, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi").select(
+        "ps_partkey", (F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("v")
+    )
+    tot = natps.agg(
+        F.sum("v").cast("bigint").alias("t"),
+        F.count_distinct("ps_partkey").alias("np"),
+    )
+    return (
+        natps.groupBy("ps_partkey")
+        .agg(F.sum("v").cast("bigint").alias("value_cents"))
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("value_cents").cast("double")
+            > F.col("t").cast("double") / F.col("np") * 2.0
+        )
+        .select("ps_partkey", "value_cents")
+    )
+
+
+@query(
+    "tpch_q20_excess_stock_suppliers",
+    oracle=f"""
+        WITH ps AS {_PS_SQL},
+        shipped AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_partkey, l_suppkey)
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_5'
+          AND s.s_suppkey IN (
+              SELECT ps.ps_suppkey
+              FROM ps
+              JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                             AND sh.l_suppkey = ps.ps_suppkey
+              JOIN part p ON p.p_partkey = ps.ps_partkey
+              WHERE p.p_name LIKE 'small%'
+                AND CAST(ps.ps_availqty AS DOUBLE) > 0.5 * CAST(sh.q AS DOUBLE))
+    """,
+    tags=("join", "semi", "subquery", "tpch"),
+)
+def tpch_q20_excess_stock_suppliers(spark, sf_dir):
+    """TPC-H Q20: suppliers in one nation holding excess stock of a part
+    family relative to what they shipped in a year — the nested
+    IN-subquery chain as two semi joins. The shipped aggregate shuffles on
+    (part, supplier); part and nation broadcast; the final supplier probe
+    is a semi join so no duplication ever materializes."""
+    s, n, p = T(spark, sf_dir, "supplier"), T(spark, sf_dir, "nation"), T(spark, sf_dir, "part")
+    li = T(spark, sf_dir, "lineitem")
+    ps = _partsupp(spark, sf_dir)
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
+    )
+    excess = (
+        ps.join(
+            shipped,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(
+            F.broadcast(p.filter(F.col("p_name").like("small%"))),
+            F.col("p_partkey") == F.col("ps_partkey"),
+            "left_semi",
+        )
+        .filter(F.col("ps_availqty").cast("double") > F.lit(0.5) * F.col("q").cast("double"))
+        .select("ps_suppkey")
+    )
+    return (
+        s.join(
+            F.broadcast(n.filter(F.col("n_name") == "NATION_5")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+            "left_semi",
+        )
+        .join(excess, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@query(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+        WITH late AS (
+            SELECT l.l_orderkey, l.l_suppkey
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderstatus = 'F'
+              AND DATE_DIFF('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) > 100)
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM late l1
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 10
+    """,
+    tags=("join", "semi", "anti", "tpch"),
+)
+def tpch_q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on
+    multi-supplier finalized orders. ADAPTED lateness predicate: shipped
+    more than 100 days after the order date (the testdata has no
+    commit/receipt dates). The EXISTS becomes a left_semi with an
+    inequality residual, the NOT EXISTS a left_anti on the same late
+    relation — the hardest subquery shape in the suite, and the
+    anti-join's build side is the (small) late subset, not raw lineitem."""
+    li, o, s = T(spark, sf_dir, "lineitem"), T(spark, sf_dir, "orders"), T(spark, sf_dir, "supplier")
+    late = (
+        li.join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .filter(
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 100
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("sk"))
+    others = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sk2"))
+    late3 = late.select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("sk3"))
+    sole_late = (
+        l1.join(
+            others,
+            (F.col("k") == F.col("k2")) & (F.col("sk") != F.col("sk2")),
+            "left_semi",
+        ).join(
+            late3,
+            (F.col("k") == F.col("k3")) & (F.col("sk") != F.col("sk3")),
+            "left_anti",
+        )
+    )
+    return (
+        sole_late.join(F.broadcast(s), F.col("s_suppkey") == F.col("sk"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )

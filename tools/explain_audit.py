@@ -44,6 +44,8 @@ BNLJ_OK: set[str] = {
     "funnel_view_click_purchase",
     # scalar-average subquery: the broadcast side is the one-row avg_bal
     "tpch_q22_global_sales_opportunity",
+    # one-row (total, part-count) broadcast for the HAVING threshold
+    "tpch_q11_important_stock",
 }
 
 
@@ -113,6 +115,12 @@ EXTRA = [
     "tpch_q17_small_quantity_revenue",
     "tpch_q18_large_volume_customers",
     "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q20_excess_stock_suppliers",
+    "tpch_q21_waiting_supplier",
+    "table_profile_orders",
+    "agg_partial_remerge_monthly",
     "doc_chunk_sliding",
     "text_redact_pii",
     "text_repetition_ratio",
