@@ -54,3 +54,49 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_sized(
+    df: DataFrame,
+    path: str,
+    target_mb: int = 256,
+    sample_rows: int = 2000,
+    mode: str = "overwrite",
+) -> int:
+    """Write parquet with files sized toward ``target_mb`` each — the
+    chronic 100 TB hygiene task: too-small files bloat listings and footer
+    reads; too-large files serialize task retries and kill scan
+    parallelism granularity.
+
+    Recipe: estimate bytes/row from a bounded driver-side sample (Spark
+    rows → their parquet-ish size via the columns' serialized width is
+    unknowable cheaply, so the sample is written through the SAME encoder:
+    a one-file scratch write of ``sample_rows`` rows, measured on disk,
+    then extrapolated), derive the file count, and repartition to it.
+    Returns the number of files written. Compression ratios vary by data,
+    which is exactly why the probe writes real parquet instead of trusting
+    a constant."""
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    n = df.count()
+    if n == 0:
+        df.write.mode(mode).parquet(path)
+        return 0
+    probe_n = min(sample_rows, n)
+    scratch = tempfile.mkdtemp(prefix="sizeprobe_")
+    try:
+        df.limit(probe_n).coalesce(1).write.mode("overwrite").parquet(scratch)
+        probe_bytes = sum(
+            os.path.getsize(os.path.join(scratch, f))
+            for f in os.listdir(scratch)
+            if f.endswith(".parquet")
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    est_total = probe_bytes * (n / probe_n)
+    n_files = max(1, math.ceil(est_total / (target_mb * 1024 * 1024)))
+    df.repartition(n_files).write.mode(mode).parquet(path)
+    return n_files

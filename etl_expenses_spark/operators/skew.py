@@ -52,6 +52,34 @@ def salted_join(
     return out.drop("__salt")
 
 
+def detect_hot_keys(
+    df: DataFrame,
+    key: str,
+    min_share: float = 0.01,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> list:
+    """Keys carrying at least ``min_share`` of the rows — the input
+    ``salted_join_hot_keys`` wants when skew isn't known a priori.
+
+    With ``sample_fraction`` the frequencies come from a Bernoulli sample:
+    at 100 TB a 0.1% sample bounds the detection scan to ~100 GB, and any
+    key hot enough to matter (≥1% of rows) appears tens of thousands of
+    times in the sample, so the share estimate's relative error is
+    negligible exactly for the keys that qualify. Rare keys are estimated
+    badly — and irrelevant, since they can't clear ``min_share``.
+
+    Returns a driver-side list (bounded: at most 1/min_share keys can
+    exceed a min_share fraction each)."""
+    src = df.sample(fraction=sample_fraction, seed=seed) if sample_fraction else df
+    counts = src.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+    total = src.count()
+    if total == 0:
+        return []
+    hot = counts.filter(F.col("__n") >= total * min_share)
+    return [r[0] for r in hot.select(key).collect()]
+
+
 def salted_join_hot_keys(
     fact: DataFrame,
     dim: DataFrame,

@@ -261,3 +261,44 @@ def test_salted_asof_equals_unsalted_on_planted_skew(spark):
     # tie rows matched inclusively in both
     tie = {r.probe_id: r.quote for r in salted.filter(F.col("probe_id") >= 99991).collect()}
     assert tie == {99991: "q0-500", 99992: "q3-7000"}
+
+
+def test_detect_hot_keys_full_and_sampled(spark):
+    """Planted 40%-hot key is found by the exact pass AND by a 10% sample;
+    the uniform long tail never qualifies."""
+    from etl_expenses_spark.operators.skew import detect_hot_keys
+
+    rows = [(0,)] * 4000 + [(k,) for k in range(1, 601) for _ in range(10)]
+    df = spark.createDataFrame(rows, ["uid"]).repartition(8)
+    assert detect_hot_keys(df, "uid", min_share=0.05) == [0]
+    assert detect_hot_keys(df, "uid", min_share=0.05, sample_fraction=0.1) == [0]
+    assert detect_hot_keys(df.filter("uid < 0"), "uid", min_share=0.05) == []
+
+
+def test_write_sized_targets_file_size(spark, tmp_path):
+    """~20 MB of incompressible data (2×128-hex-char cols × 80k rows) at
+    target_mb=2 → ~10 files, each within a loose factor of the target; a
+    tiny frame still writes one file."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_expenses_spark.operators.layout import write_sized
+
+    df = spark.range(80_000).select(
+        "id",
+        F.sha2(F.col("id").cast("string"), 512).alias("a"),
+        F.sha2((F.col("id") + 1).cast("string"), 512).alias("b"),
+    )
+    out = tmp_path / "sized"
+    n_files = write_sized(df, str(out), target_mb=2)
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == n_files and 5 <= n_files <= 20
+    sizes = [os.path.getsize(out / f) for f in files]
+    for s in sizes:
+        assert 0.3 * 2 * 1024 * 1024 < s < 3 * 2 * 1024 * 1024, sizes
+    # rows survive exactly
+    assert spark.read.parquet(str(out)).count() == 80_000
+
+    small = tmp_path / "small"
+    assert write_sized(spark.range(10), str(small), target_mb=256) == 1
