@@ -167,14 +167,36 @@ def _extract_stream_text(content: bytes) -> str:
     return "".join(out)
 
 
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
+
+
 def _decode_object_stream(body: bytes) -> bytes | None:
     """Return the decoded stream payload of one object body, or None if the
-    object has no stream / an unsupported filter."""
-    sm = _STREAM_RE.search(body)
-    if not sm:
+    object has no stream / an unsupported filter.
+
+    The payload is sliced by the dict's direct /Length when present —
+    scanning for ``endstream`` alone is WRONG for compressed data, whose
+    bytes can legitimately end in ``\\r``/``\\n`` that a permissive
+    ``\\r?\\n endstream`` regex would steal (seen in practice: an adler32
+    checksum ending 0x0A 0x0D). Indirect /Length (``N 0 R``) falls back to
+    the regex scan."""
+    kw = body.find(b"stream")
+    if kw < 0:
         return None
-    payload = sm.group(1)
-    head = body[: sm.start()]
+    head = body[:kw]
+    lm = _LENGTH_RE.search(head)
+    if lm and b"R" not in body[lm.end() : lm.end() + 4]:
+        start = kw + len(b"stream")
+        if body[start : start + 2] == b"\r\n":
+            start += 2
+        elif body[start : start + 1] == b"\n":
+            start += 1
+        payload = body[start : start + int(lm.group(1))]
+    else:
+        sm = _STREAM_RE.search(body)
+        if not sm:
+            return None
+        payload = sm.group(1)
     if b"/FlateDecode" in head:
         try:
             return zlib.decompress(payload)

@@ -179,3 +179,70 @@ def test_bucketed_interval_join_equals_naive_on_random_sets(
         ).collect()
     }
     assert fast == naive
+
+
+# ---------------------------------------------------------------------------
+# Codec roundtrips: the pure-Python PDF and XLSX readers must invert their
+# test writers for arbitrary content — escapes, unicode (latin-1 plane for
+# PDF simple fonts), shared-string dedup, mixed cell types.
+# ---------------------------------------------------------------------------
+
+# exclude \x7f and \x85 (NEL): str.splitlines treats NEL as a line break,
+# so the writer legitimately splits it — not a roundtrip violation
+_pdf_line = st.text(
+    alphabet=st.characters(
+        min_codepoint=0x20, max_codepoint=0xFF, exclude_characters="\x7f\x85"
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.lists(_pdf_line, min_size=1, max_size=8), min_size=1, max_size=3))
+def test_pdf_writer_reader_roundtrip(pages):
+    from etl_expenses_spark.pdftext import extract_text, make_pdf
+
+    rendered = pages
+    pdf = make_pdf(["\n".join(page) for page in rendered], compress=True)
+    got = extract_text(pdf)
+    got_lines = got.splitlines()
+    for page in rendered:
+        for line in page:
+            if line.strip():
+                assert line in got_lines, (line, got_lines[:10])
+
+
+_cell = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**40), max_value=2**40),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x2FF),
+        max_size=24,
+    ),
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.lists(_cell, min_size=1, max_size=6), min_size=1, max_size=10))
+def test_xlsx_writer_reader_roundtrip(rows):
+    from etl_expenses_spark.sources.xlsx import make_xlsx, read_xlsx
+
+    width = max(len(r) for r in rows)
+    padded = [r + [None] * (width - len(r)) for r in rows]
+    got = read_xlsx(make_xlsx(padded))
+    assert len(got) == len(padded)
+    for want_row, got_row in zip(padded, got):
+        for want, g in zip(want_row, got_row):
+            if want is None:
+                assert g is None
+            elif isinstance(want, bool):
+                assert g is want
+            elif isinstance(want, str):
+                assert g == want
+            elif isinstance(want, int):
+                assert g == want
+            else:
+                assert g == pytest.approx(float(want), rel=0, abs=0) or g == float(want)
