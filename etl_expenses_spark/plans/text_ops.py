@@ -472,3 +472,79 @@ def text_repetition_ratio(spark, sf_dir):
         F.max("c").alias("max_bigram_count"),
         (F.max("c").cast("double") / F.sum("c")).alias("repetition_ratio"),
     )
+
+
+@query(
+    "corpus_mixture_rebalance",
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id, source,
+                   CAST(len({_D_TOKENS}) AS BIGINT) AS n_tokens
+            FROM documents),
+        per_src AS (
+            SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+            FROM docs GROUP BY source),
+        tot AS (
+            SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+                   COUNT(*) AS n_sources
+            FROM per_src),
+        budget AS (
+            SELECT p.source, p.src_tokens,
+                   LEAST(CAST(10000 AS BIGINT),
+                         CAST(FLOOR(0.6 * t.total_tokens * 10000.0
+                                    / (t.n_sources * p.src_tokens)) AS BIGINT))
+                       AS keep_bp
+            FROM per_src p, tot t)
+        SELECT d.doc_id, d.source, d.n_tokens, b.keep_bp
+        FROM docs d
+        JOIN budget b ON b.source = d.source
+        WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || '|mix'), 1, 8))
+                   AS BIGINT) % 10000 < b.keep_bp
+    """,
+    tags=("text", "sample", "training", "mixture"),
+)
+def corpus_mixture_rebalance(spark, sf_dir):
+    """Corpus MIXTURE rebalancing — the data-mixing step of pretraining:
+    give every source an equal share of a token budget (60% of the mean
+    source size here), turn each source's budget into a keep-fraction in
+    basis points, and admit documents by deterministic hash threshold.
+    Over-represented sources get downsampled; small sources keep
+    everything (fraction capped at 1).
+
+    Two aggregates (per-source, then 1-row total) + a broadcast join of
+    the ~|sources| budget table back onto the corpus — the corpus itself
+    shuffles zero times, and the hash-threshold draw is admission-stable
+    under corpus growth, same property as sample_stratified_by_lang."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").alias("n_tokens")
+    )
+    per_src = d.groupBy("source").agg(F.sum("n_tokens").cast("bigint").alias("src_tokens"))
+    tot = per_src.agg(
+        F.sum("src_tokens").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    budget = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(10000).cast("bigint"),
+            F.floor(
+                F.lit(0.6)
+                * F.col("total_tokens")
+                * 10000.0
+                / (F.col("n_sources") * F.col("src_tokens"))
+            ).cast("bigint"),
+        ).alias("keep_bp"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|mix"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    return (
+        d.join(F.broadcast(budget), "source")
+        .filter(bucket < F.col("keep_bp"))
+        .select("doc_id", "source", "n_tokens", "keep_bp")
+    )

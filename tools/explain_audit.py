@@ -46,6 +46,8 @@ BNLJ_OK: set[str] = {
     "tpch_q22_global_sales_opportunity",
     # one-row (total, part-count) broadcast for the HAVING threshold
     "tpch_q11_important_stock",
+    # one-row (total_tokens, n_sources) broadcast building the budget table
+    "corpus_mixture_rebalance",
 }
 
 
@@ -121,6 +123,7 @@ EXTRA = [
     "tpch_q21_waiting_supplier",
     "table_profile_orders",
     "agg_partial_remerge_monthly",
+    "corpus_mixture_rebalance",
     "doc_chunk_sliding",
     "text_redact_pii",
     "text_repetition_ratio",
