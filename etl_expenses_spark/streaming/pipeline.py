@@ -127,3 +127,43 @@ def run_events_stream_once(
         .start()
         .awaitTermination()
     )
+
+
+def run_events_stream_to_wap(
+    spark: SparkSession,
+    bronze_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    audits=None,
+) -> None:
+    """availableNow run publishing each micro-batch through write-audit-
+    publish (operators/wap.py): the batch stages invisibly, audits run on
+    what was actually written, and the manifest swap makes it visible
+    atomically — readers never see a torn micro-batch, and a failed audit
+    quarantines the batch without poisoning the table.
+
+    Exactly-once composition: the streaming checkpoint guarantees each
+    input file feeds exactly one successful foreachBatch epoch; WAP
+    guarantees that epoch becomes exactly one atomically-visible version.
+    A crash between them replays the epoch into a NEW version — so batches
+    must be idempotent at read time (dedup on event_id below) or the
+    replayed version must be vacuumed; the restart test covers the clean
+    path."""
+    from etl_expenses_spark.operators.wap import publish_append
+
+    events = read_event_stream(spark, bronze_dir).withWatermark("ts", "1 hour").dropDuplicates(
+        ["event_id"]
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        publish_append(spark, batch_df, table_root, audits=audits or [])
+
+    (
+        events.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

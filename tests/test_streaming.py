@@ -310,3 +310,44 @@ def test_transform_with_state_ttl_dedup(spark, dirs):
     out = spark.table("ttl_dedup_out")
     assert out.count() == 1000  # dupes collapsed
     assert out.select("event_id").distinct().count() == 1000
+
+
+def test_stream_to_wap_publishes_atomic_versions(spark, dirs):
+    """foreachBatch → write-audit-publish: every micro-batch becomes one
+    committed version, read_published equals the batch-dedup result, a
+    checkpointed restart publishes nothing new, and a rejecting audit
+    leaves the table untouched."""
+    import pytest as _pytest
+
+    from etl_expenses_spark.operators.wap import (
+        audit_min_rows,
+        publish_append,
+        read_published,
+        _committed_versions,
+    )
+    from etl_expenses_spark.streaming.pipeline import run_events_stream_to_wap
+
+    bronze, gold, ckpt, _ = dirs
+    _write_bronze(spark, bronze, with_dupes=True)
+    table_root = str(gold)
+    run_events_stream_to_wap(
+        spark, str(bronze), table_root, str(ckpt), audits=[audit_min_rows(1)]
+    )
+    published = read_published(spark, table_root)
+    assert published.count() == 1000
+    assert published.select("event_id").distinct().count() == 1000
+    versions_before = _committed_versions(table_root)
+    assert versions_before
+
+    # restart on the same checkpoint: no new input → no new version
+    run_events_stream_to_wap(
+        spark, str(bronze), table_root, str(ckpt), audits=[audit_min_rows(1)]
+    )
+    assert _committed_versions(table_root) == versions_before
+
+    # a rejecting audit never publishes
+    batch = spark.range(5).selectExpr("id AS event_id")
+    with _pytest.raises(ValueError, match="audit rejected"):
+        publish_append(spark, batch, table_root, audits=[audit_min_rows(10)])
+    assert _committed_versions(table_root) == versions_before
+    assert read_published(spark, table_root).count() == 1000
