@@ -49,6 +49,7 @@ HEADLINE = [
     "dedup_cluster_components",
     "range_join_recent_clicks",
     "tpch_q8_market_share",
+    "tpch_q21_waiting_supplier",
 ]
 
 
