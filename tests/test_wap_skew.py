@@ -252,12 +252,17 @@ def test_salted_asof_equals_unsalted_on_planted_skew(spark):
     right = spark.createDataFrame(rights, ["uid", "ts", "quote"])
 
     base = asof_join_backward(left, right, "uid", "uid", "ts", "ts", ["quote"])
+    a = {tuple(r) for r in base.collect()}
+    # three regimes: many buckets, a handful, and one bucket (≡ unsalted)
+    for width in (300.0, 10_000.0, 1e9):
+        salted = asof_join_backward_salted(
+            left, right, "uid", "uid", "ts", "ts", ["quote"], bucket_seconds=width
+        )
+        b = {tuple(r) for r in salted.collect()}
+        assert a == b, (width, sorted(a - b)[:3], sorted(b - a)[:3])
     salted = asof_join_backward_salted(
         left, right, "uid", "uid", "ts", "ts", ["quote"], bucket_seconds=10_000.0
     )
-    a = {tuple(r) for r in base.collect()}
-    b = {tuple(r) for r in salted.collect()}
-    assert a == b, (sorted(a - b)[:3], sorted(b - a)[:3])
     # tie rows matched inclusively in both
     tie = {r.probe_id: r.quote for r in salted.filter(F.col("probe_id") >= 99991).collect()}
     assert tie == {99991: "q0-500", 99992: "q3-7000"}
