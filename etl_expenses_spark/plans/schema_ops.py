@@ -592,3 +592,90 @@ def agg_partial_remerge_monthly(spark, sf_dir):
         F.sum("part_n").cast("bigint").alias("n_orders"),
         F.max("part_max").cast("double").alias("max_order"),
     )
+
+
+@query(
+    "pdf_ticket_pipeline",
+    oracle="""
+        WITH t AS (SELECT unnest(range(0, 200)) AS i)
+        SELECT CAST(700000 + i AS BIGINT) AS nro_ticket,
+               CAST(1 + i % 28 AS VARCHAR) || '/' ||
+               CAST(1 + i % 12 AS VARCHAR) || '/25' AS fecha,
+               'Bebidas' AS categ,
+               'Agua Mineral 2L' AS prod,
+               CAST(1 + i % 3 AS BIGINT) AS cant,
+               CAST(0.0 AS DOUBLE) AS peso,
+               CAST(850 + i AS DOUBLE) AS p_unit,
+               CAST((1 + i % 3) * (850 + i) AS DOUBLE) AS p_total,
+               CAST(10 * (1 + i % 7) AS DOUBLE) AS descuento
+        FROM t
+        UNION ALL
+        SELECT CAST(700000 + i AS BIGINT),
+               CAST(1 + i % 28 AS VARCHAR) || '/' ||
+               CAST(1 + i % 12 AS VARCHAR) || '/25',
+               'Carniceria',
+               'Carne Picada',
+               CAST(0 AS BIGINT),
+               (1 + i % 3) * 0.25,
+               CAST(5600 AS DOUBLE),
+               (1 + i % 3) * 0.25 * 5600,
+               CAST(10 * (1 + i % 7) AS DOUBLE)
+        FROM t
+    """,
+    tags=("source", "pdf", "udtf", "pipeline"),
+)
+def pdf_ticket_pipeline(spark, sf_dir):
+    """EP1 end-to-end, ORACLE-CHECKED: synthesize 200 closed-form store
+    tickets, render each as a REAL compressed PDF (pdftext.make_pdf),
+    extract the text back (FlateDecode + Tj walk), and run the stateful
+    ticket parser (parsers.parse_ticket_text) — binary bytes → item rows,
+    entirely inside Arrow-batched mapInPandas workers. Because every
+    ticket value is a closed-form function of its index (weights in exact
+    quarters so money stays binary-exact), DuckDB can predict the parsed
+    output row-for-row — the strongest correctness statement the binary
+    ingestion path can make. Reference behavior:
+    `/root/reference/transform_data_pdf/lambda_function.py:12-133`."""
+    import pandas as pd
+
+    from etl_expenses_spark.parsers import TICKET_ITEM_SCHEMA
+
+    def gen(batches):
+        from etl_expenses_spark.parsers import parse_ticket_text, pdf_bytes_to_text
+        from etl_expenses_spark.pdftext import make_pdf
+
+        cols = [f.name for f in TICKET_ITEM_SCHEMA.fields]
+        for b in batches:
+            rows = []
+            for raw in b["id"]:
+                i = int(raw)
+                cant = 1 + i % 3
+                unit = 850 + i
+                k = 1 + i % 3
+                peso_str = {1: "0,25", 2: "0,5", 3: "0,75"}[k]
+                wtotal = k * 25 * 56  # (k/4)*5600, exact integer
+                desc = 10 * (1 + i % 7)
+                text = "\n".join(
+                    [
+                        "SUPERMERCADO EJEMPLO S.A.",
+                        f"Fecha {1 + i % 28}/{1 + i % 12}/25 Hora 19:44",
+                        f"Local 001 P.V. 0003 Nro T. {700000 + i}",
+                        "Caja 05",
+                        "Bebidas",
+                        "Agua Mineral 2L",
+                        f"{cant} x {unit},00 (x) {cant * unit},00",
+                        "Carniceria",
+                        "Carne Picada",
+                        f"{peso_str} x 5600,00 (x) {wtotal},00",
+                        f"AHORRO TOTAL $ {desc},00",
+                        f"TOTAL {cant * unit + wtotal},00",
+                    ]
+                )
+                pdf = make_pdf([text], compress=True)
+                rows.extend(parse_ticket_text(pdf_bytes_to_text(pdf)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        spark.range(200)
+        .repartition(8)
+        .mapInPandas(gen, schema=TICKET_ITEM_SCHEMA)
+    )

@@ -48,6 +48,7 @@ BNLJ_OK: set[str] = {
     "tpch_q11_important_stock",
     # one-row (total_tokens, n_sources) broadcast building the budget table
     "corpus_mixture_rebalance",
+    "pdf_ticket_pipeline",
 }
 
 
