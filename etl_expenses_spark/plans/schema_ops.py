@@ -679,3 +679,63 @@ def pdf_ticket_pipeline(spark, sf_dir):
         .repartition(8)
         .mapInPandas(gen, schema=TICKET_ITEM_SCHEMA)
     )
+
+
+@query(
+    "xlsx_report_pipeline",
+    oracle="""
+        WITH t AS (SELECT unnest(range(0, 150)) AS i)
+        SELECT 'r-' || CAST(1000 + i AS VARCHAR) AS report_id,
+               'MERPAGO*STORE' || CAST(i % 12 AS VARCHAR) AS comercio,
+               CAST(CAST(100 + i AS DOUBLE) + (i % 4) * 0.25 AS DOUBLE) AS monto,
+               CAST(1 + i % 6 AS BIGINT) AS cuotas,
+               (i % 3 = 0) AS aprobado
+        FROM t
+    """,
+    tags=("source", "excel", "pipeline"),
+)
+def xlsx_report_pipeline(spark, sf_dir):
+    """S2 end-to-end, ORACLE-CHECKED: each worker renders closed-form MP
+    settlement rows into a REAL XLSX workbook (sources/xlsx.make_xlsx —
+    zip, sharedStrings, typed cells), then reads it back with the stdlib
+    reader (read_xlsx) and emits the rows — workbook bytes → typed rows
+    entirely inside mapInPandas, with DuckDB predicting the output from
+    the same closed forms (money offsets in exact binary quarters).
+    Reference behavior: `pd.read_excel(BytesIO)` at
+    `/root/reference/transform_data_mp/lambda_function.py:62`."""
+    import pandas as pd
+
+    def gen(batches):
+        from etl_expenses_spark.sources.xlsx import make_xlsx, read_xlsx
+
+        header = ["report_id", "comercio", "monto", "cuotas", "aprobado"]
+        for b in batches:
+            out = []
+            for raw in b["id"]:
+                i = int(raw)
+                row = [
+                    f"r-{1000 + i}",
+                    f"MERPAGO*STORE{i % 12}",
+                    float(100 + i) + (i % 4) * 0.25,
+                    1 + i % 6,
+                    i % 3 == 0,
+                ]
+                wb = make_xlsx([header, row])
+                parsed = read_xlsx(wb)
+                assert parsed[0] == header
+                got = parsed[1]
+                out.append(
+                    {
+                        "report_id": got[0],
+                        "comercio": got[1],
+                        "monto": float(got[2]),
+                        "cuotas": int(got[3]),
+                        "aprobado": bool(got[4]),
+                    }
+                )
+            yield pd.DataFrame(out, columns=header)
+
+    schema = (
+        "report_id string, comercio string, monto double, cuotas bigint, aprobado boolean"
+    )
+    return spark.range(150).repartition(8).mapInPandas(gen, schema=schema)

@@ -48,7 +48,6 @@ BNLJ_OK: set[str] = {
     "tpch_q11_important_stock",
     # one-row (total_tokens, n_sources) broadcast building the budget table
     "corpus_mixture_rebalance",
-    "pdf_ticket_pipeline",
 }
 
 
@@ -121,10 +120,12 @@ EXTRA = [
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",
     "tpch_q20_excess_stock_suppliers",
-    "tpch_q21_waiting_supplier",
+    # (tpch_q21_waiting_supplier is audited via bench HEADLINE)
     "table_profile_orders",
     "agg_partial_remerge_monthly",
     "corpus_mixture_rebalance",
+    "pdf_ticket_pipeline",
+    "xlsx_report_pipeline",
     "doc_chunk_sliding",
     "text_redact_pii",
     "text_repetition_ratio",
