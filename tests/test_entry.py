@@ -51,3 +51,19 @@ def test_registry_consistency(spark):
     # every callable is (spark, sf_dir) -> DataFrame; smoke one cheap one
     df = qs["distinct_segments"](spark, "/root/testdata/sf0.001")
     assert df.count() > 0
+
+
+def test_tracked_caches_cleared_between_query_builds(spark):
+    """Persisted intermediates (e.g. tfidf's exploded tokens) must be
+    dropped when the NEXT registry query builds — a 50-query driver
+    session holds at most one query's cached blocks."""
+    from etl_expenses_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    jmap = spark.sparkContext._jsc.getPersistentRDDs
+    base = jmap().size()
+    df = REGISTRY["tfidf_top_terms_per_doc"].build(spark, sf)
+    df.count()
+    assert jmap().size() > base  # the tracked persist is live during the action
+    REGISTRY["distinct_segments"].build(spark, sf)  # next build clears it
+    assert jmap().size() == base
