@@ -548,3 +548,54 @@ def corpus_mixture_rebalance(spark, sf_dir):
         .filter(bucket < F.col("keep_bp"))
         .select("doc_id", "source", "n_tokens", "keep_bp")
     )
+
+
+@query(
+    "corpus_pack_sequences",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   CAST(len({_D_TOKENS}) AS BIGINT) AS n_tokens
+            FROM documents),
+        c AS (
+            SELECT doc_id, source, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cum_before
+            FROM d)
+        SELECT doc_id, source, n_tokens,
+               CAST(FLOOR(cum_before / 2048) AS BIGINT) AS seq_id,
+               CAST(cum_before % 2048 AS BIGINT) AS seq_offset
+        FROM c
+    """,
+    tags=("text", "packing", "training"),
+)
+def corpus_pack_sequences(spark, sf_dir):
+    """Sequence PACKING — the last step before tokenized pretraining data
+    ships: concatenate documents (per source, in stable doc_id order) into
+    fixed 2048-token training sequences, assigning each document the
+    sequence it STARTS in and its token offset there. One window over
+    (source, doc_id) — integer cumulative sums, so the assignment is
+    bit-deterministic and incremental (appending documents never moves
+    earlier ones). At 100 TB the partition key is source (or a
+    hash-bucketed refinement) and the window never materializes more than
+    a partition's running counter."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").alias("n_tokens")
+    )
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(cum_before / 2048).cast("long").alias("seq_id"),
+        (cum_before % 2048).cast("long").alias("seq_offset"),
+    )

@@ -124,6 +124,7 @@ EXTRA = [
     "table_profile_orders",
     "agg_partial_remerge_monthly",
     "corpus_mixture_rebalance",
+    "corpus_pack_sequences",
     "pdf_ticket_pipeline",
     "xlsx_report_pipeline",
     "doc_chunk_sliding",
