@@ -57,13 +57,18 @@ def test_tracked_caches_cleared_between_query_builds(spark):
     """Persisted intermediates (e.g. tfidf's exploded tokens) must be
     dropped when the NEXT registry query builds — a 50-query driver
     session holds at most one query's cached blocks."""
+    from etl_expenses_spark import caching
     from etl_expenses_spark.plans import REGISTRY
 
     sf = "/root/testdata/sf0.001"
-    jmap = spark.sparkContext._jsc.getPersistentRDDs
-    base = jmap().size()
+    caching.clear_tracked_caches()  # earlier tests may have left tracked caches
     df = REGISTRY["tfidf_top_terms_per_doc"].build(spark, sf)
     df.count()
-    assert jmap().size() > base  # the tracked persist is live during the action
+    live = list(caching._TRACKED_CACHES)
+    assert live, "tfidf should register a tracked persist"
+    assert all(c.storageLevel.useMemory or c.storageLevel.useDisk for c in live)
     REGISTRY["distinct_segments"].build(spark, sf)  # next build clears it
-    assert jmap().size() == base
+    assert not caching._TRACKED_CACHES
+    assert all(
+        not (c.storageLevel.useMemory or c.storageLevel.useDisk) for c in live
+    ), "tracked caches must be unpersisted by the next build"
