@@ -739,3 +739,82 @@ def xlsx_report_pipeline(spark, sf_dir):
         "report_id string, comercio string, monto double, cuotas bigint, aprobado boolean"
     )
     return spark.range(150).repartition(8).mapInPandas(gen, schema=schema)
+
+
+@query(
+    "snapshot_diff_cdc",
+    oracle="""
+        WITH old AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS price
+            FROM orders),
+        new AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 5 = 0
+                        THEN CAST(o_totalprice AS DECIMAL(18,2)) + 1
+                        ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+            FROM orders WHERE o_orderkey % 97 <> 0
+            UNION ALL
+            SELECT o_orderkey + 100000000, 'O',
+                   CAST(o_totalprice AS DECIMAL(18,2))
+            FROM orders WHERE o_orderkey % 101 = 0)
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                    WHEN n.o_orderkey IS NULL THEN 'D'
+                    ELSE 'U' END AS op,
+               CAST(o.price AS DOUBLE) AS old_price,
+               CAST(n.price AS DOUBLE) AS new_price
+        FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+        WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+           OR o.price <> n.price OR o.o_orderstatus <> n.o_orderstatus
+    """,
+    tags=("merge", "cdc", "diff"),
+)
+def snapshot_diff_cdc(spark, sf_dir):
+    """Snapshot DIFF → change-data-capture rows: full-outer-join two table
+    versions on the business key and classify each row I(nsert) /
+    U(pdate) / D(elete), dropping unchanged rows — how a warehouse derives
+    a CDC feed when the source can't emit one (the reference re-loads full
+    CSVs and diffs by key existence only, `/root/reference/load_data/
+    lambda_function.py:39-73`; this adds the update/delete classes).
+    The 'new' snapshot is synthesized deterministically from orders
+    (drops keys %97, bumps prices %5 by exactly 1, inserts shifted keys
+    %101). One co-partitioned shuffle on the key; at 100 TB both sides
+    bucket by key so the diff is zero-exchange. Prices compare in DECIMAL
+    (exact), surfaced as double."""
+    o = T(spark, sf_dir, "orders")
+    price = dec("o_totalprice", 2, 18)
+    old = o.select("o_orderkey", "o_orderstatus", price.alias("price"))
+    new = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 5 == 0, price + 1).otherwise(price).alias("price"),
+        )
+        .unionAll(
+            o.filter(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                F.lit("O").alias("o_orderstatus"),
+                price.alias("price"),
+            )
+        )
+    )
+    j = old.alias("o").join(
+        new.alias("n"), F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer"
+    )
+    changed = (
+        F.col("o.o_orderkey").isNull()
+        | F.col("n.o_orderkey").isNull()
+        | (F.col("o.price") != F.col("n.price"))
+        | (F.col("o.o_orderstatus") != F.col("n.o_orderstatus"))
+    )
+    return j.filter(changed).select(
+        F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias("o_orderkey"),
+        F.when(F.col("o.o_orderkey").isNull(), "I")
+        .when(F.col("n.o_orderkey").isNull(), "D")
+        .otherwise("U")
+        .alias("op"),
+        F.col("o.price").cast("double").alias("old_price"),
+        F.col("n.price").cast("double").alias("new_price"),
+    )

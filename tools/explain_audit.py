@@ -123,6 +123,7 @@ EXTRA = [
     # (tpch_q21_waiting_supplier is audited via bench HEADLINE)
     "table_profile_orders",
     "agg_partial_remerge_monthly",
+    "snapshot_diff_cdc",
     "corpus_mixture_rebalance",
     "corpus_pack_sequences",
     "pdf_ticket_pipeline",
