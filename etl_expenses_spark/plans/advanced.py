@@ -350,3 +350,38 @@ def sketch_hll_distinct_users(spark, sf_dir):
     )
     global_exact = ev.agg(F.count_distinct("user_id").alias("exact_users"))
     return per_out.unionByName(merged.crossJoin(global_exact)).orderBy("event_type")
+
+
+@query(
+    "heavy_hitters_users",
+    oracle="""
+        WITH counts AS (
+            SELECT user_id, COUNT(*) AS n
+            FROM events GROUP BY user_id),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t,
+                       COUNT(*) AS nu FROM counts)
+        SELECT user_id, n,
+               CAST(n AS DOUBLE) / t AS share
+        FROM counts, tot
+        WHERE CAST(n AS DOUBLE) >= 1.25 * t / nu
+    """,
+    tags=("agg", "skew", "subquery"),
+)
+def heavy_hitters_users(spark, sf_dir):
+    """Exact heavy hitters: keys at ≥1.25× the mean per-key event count
+    (scale-free — a fixed share empties as the key universe grows) — the
+    detection pass that feeds skew mitigation (operators/skew.py:
+    detect_hot_keys is the sampled production variant; this exact tier is
+    its correctness baseline and the judge of its estimates). One hash
+    aggregate + a one-row total broadcast; output is bounded by
+    1/threshold keys regardless of input size."""
+    ev = T(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").cast("bigint").alias("t"), F.count(F.lit(1)).alias("nu")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .filter(F.col("n").cast("double") >= F.lit(1.25) * F.col("t") / F.col("nu"))
+        .select("user_id", "n", (F.col("n").cast("double") / F.col("t")).alias("share"))
+    )

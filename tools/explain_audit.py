@@ -48,6 +48,8 @@ BNLJ_OK: set[str] = {
     "tpch_q11_important_stock",
     # one-row (total_tokens, n_sources) broadcast building the budget table
     "corpus_mixture_rebalance",
+    # one-row (total, n_users) broadcast for the share threshold
+    "heavy_hitters_users",
 }
 
 
@@ -124,6 +126,7 @@ EXTRA = [
     "table_profile_orders",
     "agg_partial_remerge_monthly",
     "snapshot_diff_cdc",
+    "heavy_hitters_users",
     "corpus_mixture_rebalance",
     "corpus_pack_sequences",
     "pdf_ticket_pipeline",
