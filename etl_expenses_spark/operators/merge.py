@@ -19,6 +19,7 @@ from collections.abc import Sequence
 
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def new_rows(batch: DataFrame, target: DataFrame, keys: Sequence[str]) -> DataFrame:
@@ -79,3 +80,58 @@ def merge_append(
         writer.parquet(target_path)
     fresh.unpersist()
     return n
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Classify the change between two table versions into a CDC feed:
+    one row per inserted / updated / deleted key — ``op`` ('I'/'U'/'D')
+    plus the NEW image of every non-key column (NULL for deletes).
+    Unchanged rows are dropped. One co-partitioned full-outer shuffle on
+    the key; with both versions bucketed by key it is exchange-free.
+
+    The inverse is ``apply_diff``: ``apply_diff(old, snapshot_diff(old,
+    new), keys)`` reconstructs ``new`` exactly (property test in
+    tests/test_merge.py) — which is what makes the feed safe to ship to a
+    downstream consumer instead of the full snapshot."""
+    val_cols = [c for c in new.columns if c not in keys]
+    # alias both sides: old/new often share lineage (same source table), and
+    # unqualified key references would be ambiguous in the self-join
+    o = old.select(
+        *keys, F.struct(*[F.col(c) for c in val_cols]).alias("__old")
+    ).alias("__o")
+    n = new.select(
+        *keys, F.struct(*[F.col(c) for c in val_cols]).alias("__new")
+    ).alias("__n")
+    kcond = [
+        F.col(f"__o.{k}").eqNullSafe(F.col(f"__n.{k}")) for k in keys
+    ]
+    j = o.join(n, kcond, "full_outer")
+    old_present = F.col(f"__o.{keys[0]}").isNotNull()
+    new_present = F.col(f"__n.{keys[0]}").isNotNull()
+    op = (
+        F.when(~old_present, "I")
+        .when(~new_present, "D")
+        .otherwise("U")
+    )
+    changed = ~old_present | ~new_present | ~F.col("__old").eqNullSafe(F.col("__new"))
+    out_keys = [
+        F.coalesce(F.col(f"__o.{k}"), F.col(f"__n.{k}")).alias(k) for k in keys
+    ]
+    return j.filter(changed).select(
+        *out_keys,
+        op.alias("op"),
+        *[F.col(f"__new.{c}").alias(c) for c in val_cols],
+    )
+
+
+def apply_diff(old: DataFrame, diff: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Apply a ``snapshot_diff`` feed to ``old``, reconstructing the new
+    version: drop every changed key (U and D), then union the new images
+    (I and U). One anti-join shuffle + a union — the CDC consumer's merge,
+    and exactly ``upsert`` + deletes in one pass."""
+    touched = diff.select(*keys)
+    kept = old.join(touched, on=list(keys), how="left_anti")
+    new_rows_df = diff.filter(F.col("op") != "D").drop("op")
+    return kept.unionByName(new_rows_df)

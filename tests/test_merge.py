@@ -42,3 +42,40 @@ def test_new_rows_composite_key(spark):
     target = spark.createDataFrame([(1, "a", 99.0)], ["k1", "k2", "v"])
     got = sorted(tuple(r) for r in new_rows(df, target, ["k1", "k2"]).collect())
     assert got == [(1, "b", 20.0), (2, "a", 30.0)]
+
+
+def test_snapshot_diff_apply_roundtrip(spark):
+    """CDC invariant: apply_diff(old, snapshot_diff(old, new)) == new —
+    including deletes, NULL→value and value→NULL updates, and inserts."""
+    from pyspark.sql import functions as F
+
+    from etl_expenses_spark.operators.merge import apply_diff, snapshot_diff
+
+    old = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        old.filter(F.col("o_orderkey") % 11 != 0)  # deletes
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1)
+            .when(F.col("o_orderkey") % 13 == 0, F.lit(None))  # value→NULL update
+            .otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(  # inserts, one with a NULL value column
+            spark.createDataFrame(
+                [(90000001, "O", 10.5), (90000002, "F", None)],
+                "o_orderkey long, o_orderstatus string, o_totalprice double",
+            )
+        )
+    )
+    diff = snapshot_diff(old, new, ["o_orderkey"])
+    ops = {r.op for r in diff.select("op").distinct().collect()}
+    assert ops == {"I", "U", "D"}
+    # unchanged rows are NOT in the feed
+    assert diff.count() < old.count()
+
+    rebuilt = apply_diff(old, diff, ["o_orderkey"])
+    want = {tuple(r) for r in new.collect()}
+    got = {tuple(r) for r in rebuilt.collect()}
+    assert got == want, (len(got), len(want))
