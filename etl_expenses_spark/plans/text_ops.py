@@ -599,3 +599,55 @@ def corpus_pack_sequences(spark, sf_dir):
         F.floor(cum_before / 2048).cast("long").alias("seq_id"),
         (cum_before % 2048).cast("long").alias("seq_offset"),
     )
+
+
+@query(
+    "text_normalize_spanish",
+    oracle="""
+        WITH synth AS (
+            SELECT doc_id,
+                   'Categoría: ' ||
+                   CASE doc_id % 4 WHEN 0 THEN 'Almacén'
+                                   WHEN 1 THEN 'Carnicería'
+                                   WHEN 2 THEN 'Panadería'
+                                   ELSE 'Electrónica' END ||
+                   '  — Año ' || CAST(2020 + doc_id % 5 AS VARCHAR) ||
+                   '  ÑANDÚ  ' AS raw
+            FROM documents)
+        SELECT doc_id, raw,
+               trim(regexp_replace(
+                   translate(lower(raw),
+                             'áéíóúüñ', 'aeiouun'),
+                   '\\s+', ' ', 'g')) AS norm
+        FROM synth
+    """,
+    tags=("text", "normalize", "locale"),
+)
+def text_normalize_spanish(spark, sf_dir):
+    """Locale text normalization — the matching key every Spanish-language
+    pipeline needs before joins/dedup (the reference's categories and
+    merchants carry accents inconsistently across sources): lowercase,
+    fold the Spanish accent set (áéíóúüñ → aeiouun) with a single
+    ``translate`` (O(1) per char; `regexp_replace` per accent would be 7
+    regex passes), collapse whitespace, trim. Identical translate/regex
+    chains in both engines; scan-fused, no Python."""
+    d = T(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("Categoría: "),
+        F.element_at(
+            F.array(
+                F.lit("Almacén"), F.lit("Carnicería"),
+                F.lit("Panadería"), F.lit("Electrónica"),
+            ),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ),
+        F.lit("  — Año "),
+        (F.lit(2020) + F.col("doc_id") % 5).cast("string"),
+        F.lit("  ÑANDÚ  "),
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.translate(F.lower(raw), "áéíóúüñ", "aeiouun"), r"\s+", " "
+        )
+    )
+    return d.select("doc_id", raw.alias("raw"), norm.alias("norm"))
