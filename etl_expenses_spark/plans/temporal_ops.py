@@ -416,3 +416,74 @@ def attribution_first_purchase_after_click(spark, sf_dir):
             F.col("p_ts").alias("first_purchase_ts"),
         )
     )
+
+
+@query(
+    "sequence_gap_detection",
+    oracle="""
+        WITH s AS (
+            SELECT event_id,
+                   LEAD(event_id) OVER (ORDER BY event_id) AS next_id
+            FROM events WHERE event_id % 17 <> 0)
+        SELECT event_id AS gap_after,
+               next_id AS resumes_at,
+               CAST(next_id - event_id - 1 AS BIGINT) AS n_missing
+        FROM s
+        WHERE next_id - event_id > 1
+    """,
+    tags=("temporal", "window", "gaps"),
+)
+def sequence_gap_detection(spark, sf_dir):
+    """Gap detection over a dense id sequence (islands-and-gaps): after
+    dropping every 17th event (simulated loss), report where the sequence
+    breaks and how many ids are missing — the completeness check an
+    ingestion pipeline runs against monotonic source ids (the reference's
+    ticket numbers / report ids). One global-order window; at scale the
+    sequence is range-partitioned by id so LEAD crosses partitions only at
+    boundaries (Spark handles the boundary exchange automatically)."""
+    ev = T(spark, sf_dir, "events").filter(F.col("event_id") % 17 != 0)
+    w = W.orderBy("event_id")
+    s = ev.select("event_id", F.lead("event_id").over(w).alias("next_id"))
+    return s.filter(F.col("next_id") - F.col("event_id") > 1).select(
+        F.col("event_id").alias("gap_after"),
+        F.col("next_id").alias("resumes_at"),
+        (F.col("next_id") - F.col("event_id") - 1).cast("bigint").alias("n_missing"),
+    )
+
+
+@query(
+    "monthly_spend_mom_delta",
+    oracle="""
+        WITH m AS (
+            SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+            FROM orders GROUP BY 1)
+        SELECT month, spend,
+               LAG(spend) OVER (ORDER BY month) AS prev_spend,
+               spend - LAG(spend) OVER (ORDER BY month) AS delta,
+               spend / LAG(spend) OVER (ORDER BY month) AS mom_ratio
+        FROM m
+    """,
+    tags=("temporal", "window", "agg"),
+)
+def monthly_spend_mom_delta(spark, sf_dir):
+    """Month-over-month spend movement: the time-series LAG shape every
+    finance rollup ends in ('cuánto más gasté que el mes pasado' — the
+    agent question one step past monthly_spend). Aggregate first
+    (decimal-exact), THEN window over the ~months-sized result — the
+    window's global order costs nothing because its input is tiny; doing
+    it the other way (window over raw orders) would sort the fact table.
+    Subtraction/division on identical doubles → identical results."""
+    o = T(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month")).agg(
+        F.sum(dec("o_totalprice", 2, 18)).cast("double").alias("spend")
+    )
+    w = W.orderBy("month")
+    prev = F.lag("spend").over(w)
+    return m.select(
+        "month",
+        "spend",
+        prev.alias("prev_spend"),
+        (F.col("spend") - prev).alias("delta"),
+        (F.col("spend") / prev).alias("mom_ratio"),
+    )

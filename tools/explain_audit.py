@@ -50,6 +50,8 @@ BNLJ_OK: set[str] = {
     "corpus_mixture_rebalance",
     # one-row (total, n_users) broadcast for the share threshold
     "heavy_hitters_users",
+    "sequence_gap_detection",
+    "monthly_spend_mom_delta",
 }
 
 
@@ -127,6 +129,8 @@ EXTRA = [
     "agg_partial_remerge_monthly",
     "snapshot_diff_cdc",
     "heavy_hitters_users",
+    "sequence_gap_detection",
+    "monthly_spend_mom_delta",
     "corpus_mixture_rebalance",
     "corpus_pack_sequences",
     "pdf_ticket_pipeline",
