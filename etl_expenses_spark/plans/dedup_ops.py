@@ -470,3 +470,97 @@ def dedup_incremental_batch(spark, sf_dir):
         F.col("m_id").isNotNull().alias("is_near_dup_of_corpus"),
         F.when(F.col("m_id").isNotNull(), "drop").otherwise("keep").alias("decision"),
     )
+
+
+@query(
+    "dedup_keep_best_quality",
+    oracle="""
+        WITH RECURSIVE
+        fp AS (
+            SELECT doc_id,
+                   array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ') AS pre,
+                   array_to_string(list_slice(string_split(text, ' '), -4, -1), ' ') AS suf
+            FROM documents
+        ),
+        e AS (
+            SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM fp a JOIN fp b ON a.pre = b.pre AND a.doc_id < b.doc_id
+            UNION
+            SELECT a.doc_id, b.doc_id
+            FROM fp a JOIN fp b ON a.suf = b.suf AND a.doc_id < b.doc_id
+        ),
+        sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        reach(id, r) AS (
+            SELECT DISTINCT src, src FROM sym
+            UNION
+            SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+        ),
+        cc AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        q AS (
+            SELECT doc_id,
+                   LEAST(CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                              t -> t <> '')) AS DOUBLE) / 64.0, 1.0) * 0.4
+                   + (CASE WHEN CAST(GREATEST(LENGTH(text), 1) AS DOUBLE)
+                                / GREATEST(CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                                                t -> t <> '')) AS DOUBLE),
+                                           CAST(1 AS DOUBLE))
+                                BETWEEN 3.0 AND 12.0
+                           THEN 1.0 ELSE 0.5 END) * 0.3
+                   + (1.0 - LEAST(CAST(len(regexp_extract_all(text, '[.,;:!?"''()\\-]')) AS DOUBLE)
+                                  / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE) * 4.0, 1.0)) * 0.3
+                       AS quality
+            FROM documents),
+        ranked AS (
+            SELECT cc.doc_id, cc.cluster_id, q.quality,
+                   ROW_NUMBER() OVER (PARTITION BY cc.cluster_id
+                                      ORDER BY q.quality DESC, cc.doc_id) AS rn
+            FROM cc JOIN q ON q.doc_id = cc.doc_id)
+        SELECT doc_id, cluster_id, quality, rn = 1 AS is_kept
+        FROM ranked
+    """,
+    tags=("dedup", "clustering", "quality"),
+)
+def dedup_keep_best_quality(spark, sf_dir):
+    """The production dedup POLICY: within each near-dup cluster keep the
+    HIGHEST-QUALITY document (min doc_id only as tiebreak), not the
+    arbitrary minimum id — what a curation pipeline actually ships.
+    Composes three verified pieces: fingerprint-edge connected components
+    (dedup_cluster_components), the heuristic quality score
+    (text_quality_score — deterministic doubles, so the DESC ordering is
+    engine-stable), and a per-cluster ROW_NUMBER. Costs one extra
+    broadcast-sized join + window over the (small) clustered subset beyond
+    the CC itself."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    fp = d.select(
+        "doc_id",
+        F.array_join(F.slice(F.col("t"), 1, 4), " ").alias("pre"),
+        F.array_join(F.slice(F.col("t"), -4, 4), " ").alias("suf"),
+    ).persist()
+    track(fp)
+    a, b = fp.alias("a"), fp.alias("b")
+    pre_pairs = a.join(
+        b, (F.col("a.pre") == F.col("b.pre")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    suf_pairs = a.join(
+        b, (F.col("a.suf") == F.col("b.suf")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    cc = connected_components(pre_pairs.union(suf_pairs).distinct())
+
+    from etl_expenses_spark.functions.text import quality_score
+
+    q = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("q_doc_id"), quality_score("text").alias("quality")
+    )
+    ranked = cc.join(q, F.col("id") == F.col("q_doc_id"))
+    w = W.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("id"))
+    return (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .select(
+            F.col("id").alias("doc_id"),
+            "cluster_id",
+            "quality",
+            (F.col("rn") == 1).alias("is_kept"),
+        )
+    )

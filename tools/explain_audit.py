@@ -51,6 +51,7 @@ BNLJ_OK: set[str] = {
     # one-row (total, n_users) broadcast for the share threshold
     "heavy_hitters_users",
     "sequence_gap_detection",
+    "dedup_keep_best_quality",
     "monthly_spend_mom_delta",
 }
 
@@ -130,6 +131,7 @@ EXTRA = [
     "snapshot_diff_cdc",
     "heavy_hitters_users",
     "sequence_gap_detection",
+    "dedup_keep_best_quality",
     "monthly_spend_mom_delta",
     "corpus_mixture_rebalance",
     "corpus_pack_sequences",
