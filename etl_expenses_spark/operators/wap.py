@@ -299,3 +299,22 @@ def vacuum(table_root: str, keep_unreferenced: bool = False) -> list[str]:
                 shutil.rmtree(p, ignore_errors=True)
                 removed.append(p)
     return removed
+
+
+def versions(table_root: str) -> list[int]:
+    """The committed version list (manifest order) — the table's readable
+    history. Superseded versions (dropped from the manifest by compaction)
+    remain on disk until vacuum and stay individually readable via
+    ``read_version``."""
+    return _committed_versions(table_root)
+
+
+def read_version(spark: SparkSession, table_root: str, version: int) -> DataFrame:
+    """Time-travel-ish read of ONE version dir (a single publish's rows —
+    audit forensics, incremental consumers reading exactly the batches
+    they haven't seen). Any version that was ever published and not yet
+    vacuumed is readable, including ones compaction superseded."""
+    path = os.path.join(table_root, f"v{version}")
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"version {version} not on disk under {table_root}")
+    return spark.read.parquet(path)

@@ -307,3 +307,37 @@ def test_write_sized_targets_file_size(spark, tmp_path):
 
     small = tmp_path / "small"
     assert write_sized(spark.range(10), str(small), target_mb=256) == 1
+
+
+def test_read_version_and_history(spark, table_root):
+    """Each publish stays individually readable (incremental consumers);
+    the manifest lists history in order; a vacuumed superseded version
+    stops being readable while the live table is unaffected."""
+    from etl_expenses_spark.operators.wap import (
+        compact_published,
+        publish_append,
+        read_published,
+        read_version,
+        vacuum,
+        versions,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders")
+    a = orders.filter(F.col("o_orderkey") % 3 == 0)
+    b = orders.filter(F.col("o_orderkey") % 3 == 1)
+    v1 = publish_append(spark, a, table_root)
+    v2 = publish_append(spark, b, table_root)
+    assert versions(table_root) == [v1, v2]
+    assert read_version(spark, table_root, v1).count() == a.count()
+    assert read_version(spark, table_root, v2).count() == b.count()
+
+    v3 = compact_published(spark, table_root)
+    assert versions(table_root) == [v3]
+    # superseded versions remain readable until vacuum
+    assert read_version(spark, table_root, v1).count() == a.count()
+    vacuum(table_root)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_version(spark, table_root, v1)
+    assert read_published(spark, table_root).count() == a.count() + b.count()
