@@ -818,3 +818,33 @@ def snapshot_diff_cdc(spark, sf_dir):
         F.col("o.price").cast("double").alias("old_price"),
         F.col("n.price").cast("double").alias("new_price"),
     )
+
+
+@query(
+    "sql_pipe_syntax_agg",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+    """,
+    tags=("sql", "pipe-syntax", "agg"),
+)
+def sql_pipe_syntax_agg(spark, sf_dir):
+    """Spark 4 SQL PIPE syntax (`FROM … |> WHERE … |> AGGREGATE`) on the
+    agent-facing SQL surface — the modern linear dialect an NL→SQL
+    generator increasingly emits. Catalyst plans it identically to the
+    nested ANSI form (the DuckDB oracle is that form), so supporting it
+    costs nothing at any scale; this query pins that equivalence."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE COUNT(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+           GROUP BY o_orderpriority
+        """
+    )
