@@ -53,6 +53,7 @@ BNLJ_OK: set[str] = {
     "sequence_gap_detection",
     "dedup_keep_best_quality",
     "monthly_spend_mom_delta",
+    "sql_pipe_syntax_agg",
 }
 
 
@@ -133,6 +134,7 @@ EXTRA = [
     "sequence_gap_detection",
     "dedup_keep_best_quality",
     "monthly_spend_mom_delta",
+    "sql_pipe_syntax_agg",
     "corpus_mixture_rebalance",
     "corpus_pack_sequences",
     "pdf_ticket_pipeline",
