@@ -848,3 +848,26 @@ def sql_pipe_syntax_agg(spark, sf_dir):
            GROUP BY o_orderpriority
         """
     )
+
+
+_GROUP_BY_ALL_SQL = """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        FROM orders
+        GROUP BY ALL
+"""
+
+
+@query(
+    "sql_group_by_all",
+    oracle=_GROUP_BY_ALL_SQL,
+    tags=("sql", "agg", "sugar"),
+)
+def sql_group_by_all(spark, sf_dir):
+    """GROUP BY ALL — the exact same SQL text runs on Spark and DuckDB
+    (both infer the grouping key as every non-aggregate select item), so
+    the agent can emit the modern shorthand unchanged. Plans as a plain
+    hash aggregate."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUP_BY_ALL_SQL)
