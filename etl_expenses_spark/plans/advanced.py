@@ -385,3 +385,34 @@ def heavy_hitters_users(spark, sf_dir):
         .filter(F.col("n").cast("double") >= F.lit(1.25) * F.col("t") / F.col("nu"))
         .select("user_id", "n", (F.col("n").cast("double") / F.col("t")).alias("share"))
     )
+
+
+@query(
+    "sample_n_per_group",
+    oracle="""
+        SELECT doc_id, lang, rn
+        FROM (SELECT doc_id, lang,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY lang
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents)
+        WHERE rn <= 20
+    """,
+    tags=("training", "sample", "window"),
+)
+def sample_n_per_group(spark, sf_dir):
+    """Deterministic N-per-group sampling — balanced eval/validation set
+    construction (exactly 20 docs per language here): order each group by
+    a content-independent hash of the id (md5 hex sorts identically in
+    both engines; doc_id as tiebreak) and take the first N. Unlike
+    rand()-based sampleBy, membership is stable across runs, partitionings,
+    and engines — and appending new documents can only displace items at
+    the selection boundary, never reshuffle the whole sample. One window
+    shuffle on the group key; at 100 TB N≪group so TakeOrdered-per-group
+    semantics keep state tiny."""
+    d = T(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+    )

@@ -143,6 +143,7 @@ EXTRA = [
     "text_redact_pii",
     "text_repetition_ratio",
     "sample_stratified_by_lang",
+    "sample_n_per_group",
     "string_regex_functions",
     "temporal_scalar_functions",
     "codec_hash_functions",
