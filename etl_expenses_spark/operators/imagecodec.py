@@ -21,8 +21,11 @@ import numpy as np
 
 def decode_image(data: bytes) -> np.ndarray | None:
     """bytes → (H, W, 3) uint8 RGB array, or None if the format is not one
-    of the supported real codecs (PPM P6/P3, BMP 24-bit uncompressed)."""
-    if data[:2] in (b"P6", b"P3"):
+    of the supported real codecs (PPM P6/P3, PGM P5 grayscale — the
+    payload video frame-sampling emits — and BMP 24-bit uncompressed).
+    Grayscale decodes to RGB with replicated channels so every downstream
+    stage sees one array contract."""
+    if data[:2] in (b"P6", b"P3", b"P5"):
         return _decode_ppm(data)
     if data[:2] == b"BM":
         return _decode_bmp(data)
@@ -54,6 +57,12 @@ def _decode_ppm(data: bytes) -> np.ndarray | None:
         return None
     if w <= 0 or h <= 0 or maxval <= 0 or maxval > 255:
         return None
+    if data[:2] == b"P5":
+        i += 1  # single whitespace after maxval
+        pix = np.frombuffer(data, dtype=np.uint8, count=w * h, offset=i)
+        if pix.size < w * h:
+            return None
+        return np.repeat(pix.reshape(h, w, 1), 3, axis=2)
     if data[:2] == b"P6":
         i += 1  # single whitespace after maxval
         pix = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=i)

@@ -7,13 +7,21 @@ columnar batch (never row-at-a-time pickling). At 100 TB the payloads
 dominate: partition by (kind, date), keep metadata in its own (pruned)
 columns so planning-time filters never touch bytes.
 
-IMAGE decode/resize/featurize is REAL for PPM and 24-bit BMP payloads
-(operators/imagecodec.py — pure numpy; no PIL needed). Formats that
-require a codec library this container lacks (JPEG/PNG, audio, video
-codecs) fall back to a deterministic digest-derived fake behind the same
-API, so the Spark-side plumbing (schemas, batch iteration, UDF
-signatures, partitioning) is identical on both paths. Swap the fallbacks
-for PIL/ffmpeg/librosa calls when the libs exist.
+All three modalities have a REAL decode path for the formats this
+container can parse without binary deps:
+
+- image: PPM (P6/P3), PGM (P5), 24-bit BMP (operators/imagecodec.py)
+- audio: RIFF/WAVE 16-bit PCM (operators/audiocodec.py) — chunking slices
+  actual samples and re-encodes standalone WAV payloads
+- video: YUV4MPEG2 (operators/videocodec.py) — frame sampling extracts
+  actual luma planes re-encoded as PGM, which feed back into the image
+  featurizer
+
+Formats that require a codec library this container lacks (JPEG/PNG,
+MP3/AAC, MP4/H.264) fall back to a deterministic digest-derived fake
+behind the same API, so the Spark-side plumbing (schemas, batch
+iteration, UDF signatures, partitioning) is identical on both paths.
+Swap the fallbacks for PIL/ffmpeg/librosa calls when the libs exist.
 """
 
 from __future__ import annotations
@@ -69,20 +77,30 @@ def _fake_feature(data: bytes) -> list[float]:
 
 
 def _feature_of(data: bytes) -> list[float]:
-    """REAL image features when the payload is a decodable format
-    (PPM/BMP via imagecodec.py), digest fake otherwise."""
+    """REAL content features when the payload is a decodable format —
+    PPM/PGM/BMP images, PCM WAV audio, Y4M video — digest fake otherwise.
+    Dispatch is by payload magic bytes, not the declared kind column, so a
+    mislabeled row still featurizes by its actual content."""
+    from etl_expenses_spark.operators.audiocodec import audio_features, decode_wav
     from etl_expenses_spark.operators.imagecodec import decode_image, image_features
+    from etl_expenses_spark.operators.videocodec import decode_y4m, video_features
 
     arr = decode_image(data)
     if arr is not None:
         return image_features(arr)
+    wav = decode_wav(data)
+    if wav is not None:
+        return audio_features(*wav)
+    vid = decode_y4m(data)
+    if vid is not None:
+        return video_features(*vid)
     return _fake_feature(data)
 
 
 def decode_and_featurize(media: DataFrame) -> DataFrame:
-    """binary payload → feature vector. Arrow-batched mapInPandas; PPM/BMP
-    image payloads are decoded for real (numpy codec), other formats get
-    the deterministic content-hash fallback."""
+    """binary payload → feature vector. Arrow-batched mapInPandas;
+    PPM/PGM/BMP, WAV, and Y4M payloads are decoded for real (numpy
+    codecs), other formats get the deterministic content-hash fallback."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -174,8 +192,12 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
 
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame sampling (UDTF-shaped: 1 video → n_frames/every_n rows).
-    Frame payloads are deterministic fakes (digest-derived); the row
-    explosion + schema is the real part."""
+
+    Y4M payloads take the REAL path: the actual luma plane of every
+    every_n-th frame, re-encoded as a standalone PGM image — directly
+    decodable by decode_and_featurize / imagecodec. Undecodable containers
+    (MP4 etc.) fall back to the meta-driven deterministic fake so the
+    explosion shape is identical on both paths."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -185,9 +207,19 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etl_expenses_spark.operators.videocodec import decode_y4m, encode_pgm
+
         for b in batches:
             ids, frame_nos, frames = [], [], []
             for mid, payload, meta in zip(b["media_id"], b["payload"], b["meta"]):
+                decoded = decode_y4m(bytes(payload))
+                if decoded is not None:  # REAL path: actual luma planes
+                    stack, _w, _h = decoded
+                    for f in range(0, stack.shape[0], every_n):
+                        ids.append(mid)
+                        frame_nos.append(f)
+                        frames.append(encode_pgm(stack[f]))
+                    continue
                 n = int(meta["n_frames"] or 0)
                 for f in range(0, n, every_n):
                     ids.append(mid)
@@ -205,11 +237,15 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
 def audio_chunk(media: DataFrame, chunk_ms: int = 5000) -> DataFrame:
     """Audio chunking (UDTF-shaped: 1 track → ceil(duration/chunk) rows):
     fixed-duration windows with [start_ms, end_ms) metadata — the unit a
-    transcription/embedding stage consumes. Chunk payloads are
-    deterministic fakes (digest-derived; real decoder gated out of this
-    container); the explosion, metadata arithmetic, and Arrow batching are
-    the real, tested part. At 100 TB the chunker is the repartition point:
-    downstream stages key on (media_id, chunk_no), never the whole track."""
+    transcription/embedding stage consumes.
+
+    PCM WAV payloads take the REAL path: duration comes from the actual
+    sample count, each chunk is a sample-exact slice re-encoded as a
+    standalone playable WAV (adjacent chunks tile the track — no overlap,
+    no dropped samples). Compressed formats fall back to the meta-driven
+    deterministic fake with identical explosion shape. At 100 TB the
+    chunker is the repartition point: downstream stages key on
+    (media_id, chunk_no), never the whole track."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -221,9 +257,28 @@ def audio_chunk(media: DataFrame, chunk_ms: int = 5000) -> DataFrame:
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etl_expenses_spark.operators.audiocodec import (
+            decode_wav,
+            duration_ms,
+            encode_wav,
+            slice_wav,
+        )
+
         for b in batches:
             ids, nos, starts, ends, chunks = [], [], [], [], []
             for mid, payload, meta in zip(b["media_id"], b["payload"], b["meta"]):
+                decoded = decode_wav(bytes(payload))
+                if decoded is not None:  # REAL path: sample-exact slices
+                    samples, rate = decoded
+                    dur = duration_ms(samples, rate)
+                    for i, start in enumerate(range(0, dur, chunk_ms)):
+                        end = min(start + chunk_ms, dur)
+                        ids.append(mid)
+                        nos.append(i)
+                        starts.append(start)
+                        ends.append(end)
+                        chunks.append(encode_wav(slice_wav(samples, rate, start, end), rate))
+                    continue
                 dur = int(meta["duration_ms"] or 0)
                 for i, start in enumerate(range(0, dur, chunk_ms)):
                     ids.append(mid)

@@ -416,3 +416,104 @@ def sample_n_per_group(spark, sf_dir):
         d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 20)
     )
+
+
+@query(
+    "multimodal_codec_roundtrip",
+    oracle="""
+        WITH sel AS (
+            SELECT doc_id, doc_id % 3 AS m, doc_id % 256 AS c
+            FROM documents
+            WHERE doc_id % 10 < 3
+        )
+        SELECT CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(ROUND(CASE m
+                    WHEN 0 THEN 0.0
+                    WHEN 1 THEN (1000 + (doc_id % 10) * 500) / 1000.0
+                    ELSE CAST(5 + doc_id % 7 AS DOUBLE) END, 6) AS DECIMAL(16,6)))
+                    AS DOUBLE) AS sum_scale,
+               CAST(SUM(CAST(ROUND(CASE m
+                    WHEN 1 THEN 0.0
+                    ELSE CAST(c AS DOUBLE) END, 3) AS DECIMAL(16,3)))
+                    AS DOUBLE) AS sum_level
+        FROM sel
+        GROUP BY m
+    """,
+    tags=("multimodal", "codec"),
+)
+def multimodal_codec_roundtrip(spark, sf_dir):
+    """The multimodal decode path oracle-checked END TO END: real media
+    payloads (solid-color PPM images, 440 Hz PCM-WAV tones, constant-luma
+    Y4M videos) are synthesized with closed-form parameters derived from
+    doc_id, then decoded by the REAL codecs (operators/imagecodec.py /
+    audiocodec.py / videocodec.py) inside Arrow-batched mapInPandas —
+    and DuckDB predicts the decoded features exactly:
+
+    - sum_scale folds feature slot 5 (audio duration_s from the actual
+      sample count; video frame count from the actual FRAME markers;
+      0 for solid images, whose slot 5 is the blue-channel std).
+    - sum_level folds feature slot 0 ×255 (decoded mean R / mean luma —
+      recovering the integer channel value planted at encode time; ×255
+      then round-3 because the feature array is float32 and c/255 at 6
+      decimals straddles the f32 boundary for c ∈ {80, 131, 182}).
+
+    Per-row values are rounded then decimal-summed, so the fold is exact
+    and associative in both engines. This is the strongest possible
+    correctness statement for a codec stage without binary media libs:
+    encode → Spark-distributed decode → feature extraction reproduces the
+    planted signal bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_expenses_spark.operators.audiocodec import make_tone
+    from etl_expenses_spark.operators.imagecodec import encode_ppm
+    from etl_expenses_spark.operators.multimodal import MEDIA_SCHEMA, decode_and_featurize
+    from etl_expenses_spark.operators.videocodec import encode_y4m
+
+    docs = (
+        T(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 10) < 3)
+        .select("doc_id")
+    )
+
+    def gen(batches):
+        meta = {"width": None, "height": None, "sample_rate": None,
+                "n_frames": None, "duration_ms": None}
+        for b in batches:
+            ids, kinds, payloads = [], [], []
+            for did in b["doc_id"]:
+                did = int(did)
+                c = did % 256
+                m = did % 3
+                if m == 0:
+                    arr = np.empty((3 + did % 4, 4 + did % 5, 3), np.uint8)
+                    arr[:, :] = (c, (c * 7) % 256, (c * 13) % 256)
+                    kinds.append("image")
+                    payloads.append(encode_ppm(arr))
+                elif m == 1:
+                    kinds.append("audio")
+                    payloads.append(
+                        make_tone(440.0, 1000 + (did % 10) * 500, sample_rate=8000)
+                    )
+                else:
+                    frames = np.full((5 + did % 7, 6, 8), c, np.uint8)
+                    kinds.append("video")
+                    payloads.append(encode_y4m(frames))
+                ids.append(did)
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "payload": payloads,
+                 "meta": [meta] * len(ids)}
+            )
+
+    media = docs.mapInPandas(gen, schema=MEDIA_SCHEMA)
+    feats = decode_and_featurize(media)
+    scale = F.round(F.element_at("feature", 6).cast("double"), 6)
+    level = F.when(F.col("kind") == "audio", F.lit(0.0)).otherwise(
+        F.round(F.element_at("feature", 1).cast("double") * 255.0, 3)
+    )
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(scale.cast("decimal(16,6)")).cast("double").alias("sum_scale"),
+        F.sum(level.cast("decimal(16,3)")).cast("double").alias("sum_level"),
+    )
