@@ -18,6 +18,7 @@ replays from the checkpoint instead of running rollback UPDATEs
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -159,6 +160,84 @@ def run_events_stream_to_wap(
         if batch_df.isEmpty():
             return
         publish_append(spark, batch_df, table_root, audits=audits or [])
+
+    (
+        events.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def stream_dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once event feed via ``dropDuplicatesWithinWatermark``
+    (Spark 3.5+). Unlike plain ``dropDuplicates([key])`` — whose state
+    grows FOREVER when the dedup key excludes the event-time column —
+    this variant guarantees eviction: a key's state is dropped once the
+    watermark passes its first-seen timestamp, so duplicates arriving
+    within the watermark interval are suppressed and state is bounded by
+    (events per watermark window), not (all keys ever seen). At 100 TB
+    of events/day this is the difference between a state store that
+    holds an hour and one that holds the corpus."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_events_stream_upsert(
+    spark: SparkSession,
+    bronze_dir: str,
+    gold_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """availableNow run maintaining a LATEST-STATE-PER-USER gold table via
+    foreachBatch upsert (operators/merge.py:upsert) — the streaming form
+    of the K3 row-INSERT sink when the contract is "current value", not
+    "append log": each micro-batch reduces to one row per user (latest ts
+    wins, event_id tiebreak), then replaces that user's gold row.
+
+    Restart semantics: an epoch replayed after a crash recomputes the same
+    per-user latest rows, and upsert converges to the same table —
+    idempotent by construction, no dedup state needed."""
+    from etl_expenses_spark.operators.merge import upsert
+    from pyspark.sql.window import Window
+
+    events = read_event_stream(spark, bronze_dir)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("user_id", "ts", "event_type", "value")
+        )
+        spark_ = batch_df.sparkSession
+        try:
+            target = spark_.read.parquet(gold_path)
+        except AnalysisException as e:
+            # same contract as merge_append: only a missing/empty target
+            # means "first load"; real errors must fail the epoch so the
+            # checkpoint replays it instead of silently dropping state
+            msg = str(e)
+            if not (
+                "PATH_NOT_FOUND" in msg
+                or "Path does not exist" in msg
+                or "UNABLE_TO_INFER_SCHEMA" in msg
+            ):
+                raise
+            latest.write.mode("overwrite").parquet(gold_path)
+            return
+        merged = upsert(latest, target, keys=["user_id"])
+        # two-phase write: materialize the merge before overwriting the
+        # dir it reads from (parquet has no transactional replace)
+        tmp = gold_path.rstrip("/") + "__tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark_.read.parquet(tmp).write.mode("overwrite").parquet(gold_path)
 
     (
         events.writeStream.foreachBatch(sink)

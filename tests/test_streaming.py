@@ -351,3 +351,61 @@ def test_stream_to_wap_publishes_atomic_versions(spark, dirs):
         publish_append(spark, batch, table_root, audits=[audit_min_rows(10)])
     assert _committed_versions(table_root) == versions_before
     assert read_published(spark, table_root).count() == 1000
+
+
+def test_stream_upsert_maintains_latest_state_per_user(spark, dirs):
+    """foreachBatch upsert sink: gold holds exactly one CURRENT row per
+    user (latest ts, event_id tiebreak), converges across micro-batches,
+    and a full replay from a fresh checkpoint reproduces the same table."""
+    from etl_expenses_spark.streaming.pipeline import run_events_stream_upsert
+
+    bronze, gold, ckpt, ckpt2 = dirs
+    _write_bronze(spark, bronze)
+    run_events_stream_upsert(spark, str(bronze), str(gold), str(ckpt))
+
+    out = spark.read.parquet(str(gold))
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_id") < 1000)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    expected = (
+        batch.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "ts", "event_type", "value")
+    )
+    assert out.count() == expected.count() == out.select("user_id").distinct().count()
+    assert out.exceptAll(expected).isEmpty() and expected.exceptAll(out).isEmpty()
+
+    # replay everything through a fresh checkpoint: converges, no dupes
+    run_events_stream_upsert(spark, str(bronze), str(gold), str(ckpt2))
+    out2 = spark.read.parquet(str(gold))
+    assert out2.count() == expected.count()
+    assert out2.exceptAll(expected).isEmpty()
+
+
+def test_dedup_within_watermark_suppresses_replayed_events(spark, dirs):
+    """dropDuplicatesWithinWatermark: replayed duplicate events inside the
+    watermark interval are suppressed; output matches batch DISTINCT while
+    dedup state stays bounded by the watermark (not all-keys-ever)."""
+    from etl_expenses_spark.streaming.pipeline import stream_dedup_within_watermark
+
+    bronze, gold, ckpt, _ = dirs
+    _write_bronze(spark, bronze, with_dupes=True)  # 100 replayed events
+
+    deduped = stream_dedup_within_watermark(
+        read_event_stream(spark, str(bronze))
+    )
+    (
+        deduped.writeStream.format("parquet")
+        .option("path", str(gold))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    out = spark.read.parquet(str(gold))
+    assert out.count() == 1000
+    assert out.select("event_id").distinct().count() == 1000
