@@ -517,3 +517,91 @@ def multimodal_codec_roundtrip(spark, sf_dir):
         F.sum(scale.cast("decimal(16,6)")).cast("double").alias("sum_scale"),
         F.sum(level.cast("decimal(16,3)")).cast("double").alias("sum_level"),
     )
+
+
+@query(
+    "corpus_shuffle_deterministic",
+    oracle="""
+        SELECT doc_id, bucket, pos_in_bucket
+        FROM (
+            SELECT doc_id,
+                   CAST(substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 4)
+                        AS VARCHAR) AS _h,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 4))::BIGINT
+                        % 16 AS INTEGER) AS bucket,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 4))::BIGINT % 16
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id
+                   ) AS pos_in_bucket
+            FROM documents
+        )
+    """,
+    tags=("training", "shuffle"),
+)
+def corpus_shuffle_deterministic(spark, sf_dir):
+    """Seeded global corpus shuffle — the order a training run consumes
+    documents in, reproducible across runs/engines/layouts. The global
+    order is the pair (bucket, pos_in_bucket): bucket = 4 hex digits of
+    md5(doc_id:seed) mod B, position = rank of the full hash within the
+    bucket. Readers stream buckets 0..B-1 in turn and get a deterministic
+    permutation of the corpus.
+
+    Scale shape: this is DELIBERATELY not one global ROW_NUMBER (a
+    single-partition sort). Each bucket orders independently — B parallel
+    TakeOrdered-sized sorts after one hash-partition exchange; B is the
+    parallelism knob (here 16 to keep the oracle small; 2-4x cluster
+    cores in production). Reshuffling for a new epoch = new seed, same
+    plan. The md5-derived key is content-independent, so appending new
+    documents never reorders existing (bucket, pos) prefixes beyond the
+    insertion points."""
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42")))
+    bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 16
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", h.alias("_h"), bucket.cast("int").alias("bucket")
+    )
+    w = W.partitionBy("bucket").orderBy("_h", "doc_id")
+    return d.select(
+        "doc_id", "bucket", F.row_number().over(w).alias("pos_in_bucket")
+    )
+
+
+@query(
+    "curriculum_quality_bins",
+    oracle="""
+        SELECT bin,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS sum_chars,
+               MIN(n_chars) AS min_chars,
+               MAX(n_chars) AS max_chars
+        FROM (
+            SELECT n_chars,
+                   NTILE(5) OVER (ORDER BY n_chars, doc_id) AS bin
+            FROM documents
+        )
+        GROUP BY bin
+    """,
+    tags=("training", "curriculum", "window"),
+)
+def curriculum_quality_bins(spark, sf_dir):
+    """Curriculum binning: rank the corpus by a quality/difficulty proxy
+    (document length here; swap in text_quality_score for the full
+    signal) and cut it into 5 equal-population tiers — the schedule a
+    curriculum-learning run consumes (easy tiers first), also the unit
+    for per-tier mixture weights. NTILE over a TOTAL order (proxy +
+    doc_id tiebreak) makes tier membership deterministic across engines
+    and runs. The single global window is the oracle-sized layout; at
+    100 TB the same tiers come from approx quantile cutpoints
+    (percentile_approx(n_chars, [.2,.4,.6,.8])) broadcast as literals —
+    one scan, no global sort — with ties broken by hash threshold."""
+    d = T(spark, sf_dir, "documents")
+    w = W.orderBy("n_chars", "doc_id")
+    return (
+        d.select("n_chars", F.ntile(5).over(w).alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )

@@ -564,3 +564,74 @@ def dedup_keep_best_quality(spark, sf_dir):
             (F.col("rn") == 1).alias("is_kept"),
         )
     )
+
+
+@query(
+    "dedup_spans_keep_first",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        ),
+        s AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   md5(array_to_string(words[(i*10+1):(i*10+10)], ' ')) AS span_key
+            FROM w, LATERAL (
+                SELECT unnest(range(CAST(ceil(len(words) / 10.0) AS BIGINT))) AS i
+            )
+        ),
+        r AS (
+            SELECT doc_id, pos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY span_key ORDER BY doc_id, pos) AS rk
+            FROM s
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_spans,
+               SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS n_kept
+        FROM r
+        GROUP BY doc_id
+    """,
+    tags=("dedup", "training", "span"),
+)
+def dedup_spans_keep_first(spark, sf_dir):
+    """Span-level (paragraph/line) dedup — the C4/RefinedWeb move that
+    document-level near-dup cannot make: boilerplate REGIONS repeated
+    across otherwise-distinct documents are removed individually. Each doc
+    is cut into consecutive 10-word spans; a span survives only at its
+    FIRST corpus occurrence (doc_id, then position — deterministic, not
+    arrival order). Output: per-doc span budget vs survivors.
+
+    Scale shape: spans shuffle once, keyed by md5(span) — 16 bytes per
+    span regardless of span length, so the exchange carries fingerprints,
+    not text. One window per span-key (the keep-first rank), one hash agg
+    back to doc grain. No all-pairs anything: cost is linear in corpus
+    token count. The 100 TB upgrade is only sizing: spans/partition
+    bounded by shuffle.partitions, and the span width (10 words) trades
+    recall (shorter = more aggressive) against key cardinality."""
+    words = F.split(F.col("text"), " ")
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", words.alias("words")
+    )
+    n_spans = F.ceil(F.size("words") / F.lit(10.0)).cast("int")
+    spans = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.md5(
+                    F.array_join(F.slice("words", i * 10 + 1, 10), " ")
+                ),
+            )
+        ).alias("pos", "span_key"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "span_key")
+    rk = F.row_number().over(
+        W.partitionBy("span_key").orderBy("doc_id", "pos")
+    )
+    return (
+        spans.withColumn("rk", rk)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("rk") == 1, 1).otherwise(0)).alias("n_kept"),
+        )
+    )
