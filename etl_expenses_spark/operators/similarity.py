@@ -413,3 +413,159 @@ def embedding_neardup_pairs_blocked_gemm(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def pq_train_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 10,
+    sample: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Product-quantization codebooks: split each vector into ``m``
+    subvectors and run per-subspace k-means (Lloyd, euclidean) on a
+    bounded driver-side sample → (m, k, d/m) numpy array.
+
+    Same offline-training recipe as the IVF coarse quantizer: at 100 TB
+    you train on ~1M sampled vectors once and serve every encode/query
+    from the frozen codebooks; only ENCODING runs distributed.
+    Deterministic: seeded init, sample = the ``sample`` smallest ids."""
+    import numpy as np
+
+    rows = embeddings.select(vec_col).orderBy(id_col).limit(sample).collect()
+    X = np.asarray([np.asarray(r[0], dtype=np.float64) for r in rows])
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dims {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, sub))
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub]
+        C = S[rng.choice(len(S), size=min(k, len(S)), replace=False)]
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(C)):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed PQ encoding: vector → m uint codes (nearest codeword
+    per subspace) + reconstruction error. One Arrow-batched mapInPandas
+    stage; the inner loop is m batched (n, k) distance matrices — BLAS
+    shapes, no per-row Python.
+
+    Storage math at scale: m=8, k=16 → 8 codes ≤ 1 byte each vs 64
+    float32 dims = 256 bytes — a 32x cut for the candidate-scan tier
+    (rerank still reads the float tier for the shortlist only)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, k, sub = B.shape
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+            T.StructField("recon_err", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+            n = len(X)
+            codes = np.empty((n, m), dtype=np.int32)
+            recon = np.empty_like(X)
+            for j in range(m):
+                S = X[:, j * sub : (j + 1) * sub]
+                d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+                cj = d2.argmin(axis=1)
+                codes[:, j] = cj
+                recon[:, j * sub : (j + 1) * sub] = B[j][cj]
+            err = np.sqrt(((X - recon) ** 2).sum(axis=1))
+            yield pd.DataFrame(
+                {id_col: b[id_col], "codes": list(codes), "recon_err": err}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(gen, schema=out_schema)
+
+
+def cosine_topk_pq(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    shortlist: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_key: str | None = None,
+) -> DataFrame:
+    """PQ-ADC top-k with exact rerank: score every vector from its codes
+    via asymmetric distance (per-subspace lookup tables of q·codeword —
+    m table lookups + adds per vector, never touching the floats), take a
+    shortlist of ``shortlist``×k candidates, then rerank the SHORTLIST
+    exactly on the float tier. The classic two-tier ANN serving layout:
+    the code tier is 32x smaller (scan-bound), the float tier is touched
+    O(k) per query (seek-bound)."""
+    import numpy as np
+
+    key = (cache_key, "pq", m, n_codes)
+    if cache_key is not None and key in _CENTROID_CACHE:
+        B = _CENTROID_CACHE[key]
+    else:
+        B = pq_train_codebooks(
+            embeddings, m=m, k=n_codes, id_col=id_col, vec_col=vec_col
+        )
+        if cache_key is not None:
+            _CENTROID_CACHE[key] = B
+    qv = np.asarray(query.select("q").first()[0], dtype=np.float64)
+    sub = B.shape[2]
+    # ADC tables: table[j][c] = q_j · codeword_jc  → score = Σ_j table[j][codes[j]]
+    tables = np.stack([B[j] @ qv[j * sub : (j + 1) * sub] for j in range(B.shape[0])])
+    norms = np.stack([np.linalg.norm(B[j], axis=1) ** 2 for j in range(B.shape[0])])
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def adc_score(codes: pd.Series) -> pd.Series:
+        if not len(codes):
+            return pd.Series(np.zeros(0))
+        C = np.asarray([np.asarray(c, dtype=np.int64) for c in codes])
+        j = np.arange(C.shape[1])
+        dots = tables[j, C].sum(axis=1)
+        nrm = np.sqrt(np.maximum(norms[j, C].sum(axis=1), 1e-30))
+        return pd.Series(dots / nrm)
+
+    encoded = pq_encode(embeddings, B, id_col=id_col, vec_col=vec_col)
+    cands = (
+        encoded.select(id_col, adc_score(F.col("codes")).alias("adc"))
+        .orderBy(F.col("adc").desc(), F.col(id_col))
+        .limit(shortlist * k)
+    )
+    # exact rerank on the float tier, shortlist-sized join
+    rerank = cands.join(embeddings.select(id_col, vec_col), on=id_col, how="inner")
+    sim = cosine(F.col(vec_col), F.col("q"))
+    return (
+        rerank.crossJoin(F.broadcast(query))
+        .select(F.col(id_col), sim.cast("decimal(18,6)").cast("double").alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -282,3 +282,37 @@ def embedding_quantize_int8(spark, sf_dir):
         .cast("double")
         .alias("cos_orig_deq"),
     )
+
+
+@query("embedding_pq_codes", oracle=None, tags=("similarity", "pq", "rows_only"))
+def embedding_pq_codes(spark, sf_dir):
+    """Product-quantization encode of the embedding table: per-subspace
+    k-means codebooks (m=8 subspaces x 16 codes, trained offline on a
+    bounded seeded sample) → 8 small-int codes + reconstruction error per
+    vector. The 32x-smaller candidate-scan tier for two-tier ANN serving;
+    quality contract (codes in range, recon error beats the zero-vector
+    baseline, determinism) is property-tested in
+    tests/test_dedup_similarity.py."""
+    from etl_expenses_spark.operators.similarity import pq_encode, pq_train_codebooks
+
+    e = T(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(e, m=8, k=16)
+    out = pq_encode(e, books)
+    return out.select(
+        "vec_id",
+        "codes",
+        F.round(F.col("recon_err"), 6).alias("recon_err"),
+    )
+
+
+@query("similarity_cosine_topk_pq", oracle=None, tags=("similarity", "topk", "pq", "rows_only"))
+def similarity_cosine_topk_pq(spark, sf_dir):
+    """PQ-ADC ANN top-10 with exact rerank: vectors scored from their 8
+    codes via per-subspace lookup tables (asymmetric distance — the float
+    tier is never scanned), a 4x-k shortlist reranked exactly. Recall vs
+    the exact scan is pinned in tests/test_dedup_similarity.py."""
+    from etl_expenses_spark.operators.similarity import cosine_topk_pq
+
+    return cosine_topk_pq(
+        T(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), cache_key=sf_dir
+    )
