@@ -1,0 +1,125 @@
+"""Custom Python data-sink (Spark 4 DataSource writer API): JSONL export
+with write-stage-commit atomicity.
+
+The reference's export sinks are driver-side loops: per-row INSERTs
+(`/root/reference/load_data/lambda_function.py:17-36`) and a
+whole-DataFrame CSV upload. This sink is the distributed, atomic form of
+"push rows to an external consumer as JSON lines":
+
+- every TASK stages its partition to ``<path>/_staging/<unique>.jsonl``
+  and returns a commit message naming the staged file + row count;
+- ``commit()`` (driver, exactly once) renames the staged files of the
+  SUCCESSFUL attempts into place as ``part-NNNNN.jsonl``, writes a
+  ``_SUCCESS`` manifest with the total row count, and sweeps any
+  leftover staging garbage from failed/zombie attempts;
+- ``abort()`` removes the staging dir — a failed job leaves the target
+  exactly as it was (no partial visibility, the same WAP discipline as
+  operators/wap.py).
+
+Task retries are safe: each attempt stages under a fresh unique name, and
+only the attempt whose commit message Spark delivers gets renamed in —
+a retried task's orphan file is swept, never committed twice.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+class JsonlCommit(WriterCommitMessage):
+    def __init__(self, staged: str, rows: int):
+        self.staged = staged
+        self.rows = rows
+
+
+def _default(o):
+    """JSON fallback for non-native types (timestamps, dates, decimals,
+    bytes): ISO/str text — the lossless-enough export form."""
+    if isinstance(o, (bytes, bytearray)):
+        return o.hex()
+    return str(o)
+
+
+class JsonlWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl sink requires .option('path', ...)")
+        self.overwrite = overwrite
+
+    def write(self, iterator: Iterator) -> JsonlCommit:
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        name = os.path.join(staging, f"{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(name, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(
+                    json.dumps(
+                        row.asDict(recursive=True),
+                        separators=(",", ":"),
+                        sort_keys=True,
+                        default=_default,
+                    )
+                )
+                f.write("\n")
+                n += 1
+        return JsonlCommit(staged=name, rows=n)
+
+    def commit(self, messages) -> None:
+        staging = os.path.join(self.path, "_staging")
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".jsonl") and f.startswith("part-"):
+                    os.remove(os.path.join(self.path, f))
+        existing = [
+            f for f in os.listdir(self.path)
+            if f.startswith("part-") and f.endswith(".jsonl")
+        ]
+        base = len(existing)  # append mode continues the part numbering
+        total = 0
+        committed = set()
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"part-{base + i:05d}.jsonl")
+            os.replace(m.staged, final)
+            committed.add(m.staged)
+            total += m.rows
+        # sweep failed/zombie attempts' staging garbage
+        if os.path.isdir(staging):
+            for f in os.listdir(staging):
+                os.remove(os.path.join(staging, f))
+            os.rmdir(staging)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            json.dump({"rows": total, "files": len(messages)}, f)
+
+    def abort(self, messages) -> None:
+        staging = os.path.join(self.path, "_staging")
+        if os.path.isdir(staging):
+            for f in os.listdir(staging):
+                os.remove(os.path.join(staging, f))
+            os.rmdir(staging)
+
+
+class JsonlSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def schema(self) -> str:  # pragma: no cover - writer-only source
+        return "value string"
+
+    def writer(self, schema, overwrite: bool) -> JsonlWriter:
+        return JsonlWriter(self.options, overwrite)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(JsonlSinkDataSource)

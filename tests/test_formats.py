@@ -146,3 +146,62 @@ def test_csv_permissive_mode_captures_corrupt_rows(spark, tmp):
             .csv(str(path))
             .collect()
         )
+
+
+def test_jsonl_sink_atomic_write_and_abort(spark, tmp_path):
+    """Custom Python data-sink (Spark 4 writer API): staged task files
+    become visible only at commit (with _SUCCESS manifest + part files),
+    append continues numbering, overwrite replaces, and a failing job
+    leaves the target untouched."""
+    import json
+    import os
+
+    import pytest
+
+    from etl_expenses_spark.sources.jsonl_sink import register
+    from etl_expenses_spark.sources.readers import load_table
+
+    register(spark)
+    out = tmp_path / "export"
+    out.mkdir()
+    orders = (
+        load_table(spark, "/root/testdata/sf0.001", "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(100)
+    )
+    orders.repartition(4).write.format("jsonl_sink").option(
+        "path", str(out)
+    ).mode("append").save()
+
+    manifest = json.loads((out / "_SUCCESS").read_text())
+    parts = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    assert manifest["rows"] == 100 and manifest["files"] == len(parts) == 4
+    assert not (out / "_staging").exists()
+
+    back = spark.read.json(str(out))
+    assert back.count() == 100
+    assert set(back.columns) == {"o_orderkey", "o_custkey", "o_totalprice"}
+
+    # append: part numbering continues, rows accumulate
+    orders.limit(10).repartition(1).write.format("jsonl_sink").option(
+        "path", str(out)
+    ).mode("append").save()
+    assert spark.read.json(str(out)).count() == 110
+    assert len([f for f in os.listdir(out) if f.startswith("part-")]) == 5
+
+    # overwrite: replaces everything
+    orders.limit(7).repartition(1).write.format("jsonl_sink").option(
+        "path", str(out)
+    ).mode("overwrite").save()
+    assert spark.read.json(str(out)).count() == 7
+
+    # abort: a poison partition fails the job; target is untouched
+    from pyspark.sql import functions as F
+
+    poison = orders.withColumn("boom", F.udf(lambda k: 1 // 0)("o_orderkey"))
+    with pytest.raises(Exception):
+        poison.write.format("jsonl_sink").option("path", str(out)).mode(
+            "append"
+        ).save()
+    assert spark.read.json(str(out)).count() == 7
+    assert not (out / "_staging").exists() or not os.listdir(out / "_staging")
