@@ -44,12 +44,14 @@ HEADLINE = [
     "asof_join_events_orders",
     "window_tumbling_daily",
     "text_token_stats",
-    # the heaviest plans — iterative CC, bucketed range join, 8-table TPC-H —
-    # so regressions in the hard shapes are visible round-over-round
+    # the heaviest plans — iterative CC, bucketed range join, 8-table TPC-H,
+    # corpus-wide span dedup — so regressions in the hard shapes are visible
+    # round-over-round
     "dedup_cluster_components",
     "range_join_recent_clicks",
     "tpch_q8_market_share",
     "tpch_q21_waiting_supplier",
+    "dedup_spans_keep_first",
 ]
 
 

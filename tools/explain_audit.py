@@ -37,6 +37,7 @@ NO_CODEGEN_OK: set[str] = set()
 BNLJ_OK: set[str] = {
     "similarity_cosine_topk",
     "similarity_cosine_topk_ivf",
+    "similarity_cosine_topk_pq",  # one-row query vector crossJoined for rerank
     # single-row aggregate crossJoins (corpus size / funnel stage counts):
     # the broadcast side is exactly 1 row, so the "nested loop" is a
     # constant-cost per-partition probe
@@ -148,6 +149,12 @@ EXTRA = [
     "temporal_scalar_functions",
     "codec_hash_functions",
     "text_features",
+    # round 3
+    "corpus_shuffle_deterministic",
+    "curriculum_quality_bins",
+    "multimodal_codec_roundtrip",
+    "embedding_pq_codes",
+    "similarity_cosine_topk_pq",
 ]
 
 
