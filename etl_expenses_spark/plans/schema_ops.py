@@ -871,3 +871,66 @@ def sql_group_by_all(spark, sf_dir):
     hash aggregate."""
     register_views(spark, sf_dir)
     return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+@query(
+    "agg_listagg_ordered",
+    oracle="""
+        SELECT l_orderkey,
+               string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS lines,
+               string_agg(l_returnflag, '' ORDER BY l_linenumber) AS flags
+        FROM lineitem
+        WHERE l_orderkey % 50 = 0
+        GROUP BY l_orderkey
+    """,
+    tags=("sql", "agg", "listagg"),
+)
+def agg_listagg_ordered(spark, sf_dir):
+    """LISTAGG (SQL:2016, Spark 4) — ordered string aggregation, the
+    canonical 'concatenate the group' export op. WITHIN GROUP (ORDER BY)
+    makes the output deterministic (an unordered listagg varies with
+    partitioning — useless for diffing/exporting); DuckDB spells the same
+    op string_agg(... ORDER BY). Plans as a sort-based aggregate: one
+    shuffle on the group key, no driver-side collect."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               listagg(CAST(l_linenumber AS STRING), ',')
+                   WITHIN GROUP (ORDER BY l_linenumber) AS lines,
+               listagg(l_returnflag, '')
+                   WITHIN GROUP (ORDER BY l_linenumber) AS flags
+        FROM lineitem
+        WHERE l_orderkey % 50 = 0
+        GROUP BY l_orderkey
+        """
+    )
+
+
+_LATERAL_SQL = """
+        SELECT n.n_name, t.c_custkey, t.acctbal
+        FROM nation n, LATERAL (
+            SELECT c_custkey,
+                   CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+            FROM customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey
+            LIMIT 3
+        ) t
+"""
+
+
+@query(
+    "sql_lateral_topk_per_group",
+    oracle=_LATERAL_SQL,
+    tags=("sql", "lateral", "topk"),
+)
+def sql_lateral_topk_per_group(spark, sf_dir):
+    """LATERAL correlated subquery — top-3 customers by balance per
+    nation, written as the per-row subquery an agent naturally emits. The
+    IDENTICAL SQL text runs on Spark and DuckDB. Catalyst decorrelates
+    the lateral into a window/rank plan (no per-row re-execution), so the
+    sugar costs nothing at scale; total order inside the subquery
+    (balance, custkey) keeps row picks engine-stable."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)

@@ -246,3 +246,52 @@ def test_xlsx_writer_reader_roundtrip(rows):
                 assert g == want
             else:
                 assert g == pytest.approx(float(want), rel=0, abs=0) or g == float(want)
+
+
+@given(
+    data=st.lists(
+        st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=64),
+        min_size=1,
+        max_size=8,
+    ).filter(lambda rows: len({len(r) for r in rows}) == 1),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=50, deadline=None)
+def test_wav_roundtrip_any_pcm(data, rate):
+    """Pure-codec property: ANY int16 sample block survives
+    encode_wav→decode_wav bit-exactly at any channel count / rate."""
+    import numpy as np
+
+    from etl_expenses_spark.operators.audiocodec import decode_wav, encode_wav
+
+    samples = np.asarray(data, dtype=np.int16).T  # (n_samples, n_channels)
+    decoded = decode_wav(encode_wav(samples, rate))
+    assert decoded is not None
+    out, r = decoded
+    assert r == rate and np.array_equal(out, samples)
+
+
+@given(
+    shape=st.tuples(
+        st.integers(min_value=1, max_value=6),   # frames
+        st.integers(min_value=1, max_value=16),  # height
+        st.integers(min_value=1, max_value=16),  # width
+    ),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    chroma=st.sampled_from([b"420", b"422", b"444", b"mono"]),
+)
+@settings(max_examples=50, deadline=None)
+def test_y4m_roundtrip_any_luma(shape, seed, chroma):
+    """Pure-codec property: ANY uint8 luma stack survives
+    encode_y4m→decode_y4m bit-exactly in every supported colorspace.
+    (Odd dims: chroma plane sizes floor-divide, matching ffmpeg.)"""
+    import numpy as np
+
+    from etl_expenses_spark.operators.videocodec import decode_y4m, encode_y4m
+
+    frames = np.random.default_rng(seed).integers(0, 256, size=shape, dtype=np.uint8)
+    decoded = decode_y4m(encode_y4m(frames, chroma=chroma))
+    assert decoded is not None
+    stack, w, h = decoded
+    assert (w, h) == (shape[2], shape[1])
+    assert np.array_equal(stack, frames)
