@@ -877,8 +877,10 @@ def sql_group_by_all(spark, sf_dir):
     "agg_listagg_ordered",
     oracle="""
         SELECT l_orderkey,
-               string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS lines,
-               string_agg(l_returnflag, '' ORDER BY l_linenumber) AS flags
+               string_agg(CAST(l_linenumber AS VARCHAR), ','
+                          ORDER BY l_linenumber, l_returnflag) AS lines,
+               string_agg(l_returnflag, ''
+                          ORDER BY l_linenumber, l_returnflag) AS flags
         FROM lineitem
         WHERE l_orderkey % 50 = 0
         GROUP BY l_orderkey
@@ -897,9 +899,9 @@ def agg_listagg_ordered(spark, sf_dir):
         """
         SELECT l_orderkey,
                listagg(CAST(l_linenumber AS STRING), ',')
-                   WITHIN GROUP (ORDER BY l_linenumber) AS lines,
+                   WITHIN GROUP (ORDER BY l_linenumber, l_returnflag) AS lines,
                listagg(l_returnflag, '')
-                   WITHIN GROUP (ORDER BY l_linenumber) AS flags
+                   WITHIN GROUP (ORDER BY l_linenumber, l_returnflag) AS flags
         FROM lineitem
         WHERE l_orderkey % 50 = 0
         GROUP BY l_orderkey
@@ -934,3 +936,87 @@ def sql_lateral_topk_per_group(spark, sf_dir):
     (balance, custkey) keeps row picks engine-stable."""
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "dq_constraint_checks",
+    oracle="""
+        SELECT 'orders_pk_unique' AS check_name,
+               COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'orders_custkey_fk', COUNT(*)
+        FROM orders o WHERE NOT EXISTS (
+            SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'lineitem_orderkey_fk', COUNT(*)
+        FROM lineitem l WHERE NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'lineitem_qty_range', COUNT(*)
+        FROM lineitem
+        WHERE l_quantity < 1 OR l_quantity > 50
+        UNION ALL
+        SELECT 'orders_status_domain', COUNT(*)
+        FROM orders
+        WHERE o_orderstatus NOT IN ('F', 'O', 'P')
+        UNION ALL
+        SELECT 'customer_acctbal_not_null', COUNT(*)
+        FROM customer
+        WHERE c_acctbal IS NULL
+    """,
+    tags=("quality", "constraints"),
+)
+def dq_constraint_checks(spark, sf_dir):
+    """Declarative constraint validation — the dbt-tests/Great-Expectations
+    layer as one engine query: primary-key uniqueness, referential
+    integrity (FK orphans via broadcast anti semantics), accepted-value
+    domains, range checks, not-null. Output is the (check, violation
+    count) table a CI gate asserts all-zeros on.
+
+    Scale shape: each check is a scan-local aggregate or a broadcast/
+    shuffle anti join keyed on the FK — no check is worse than the join it
+    validates. At 100 TB you run the suite per-partition-increment (the
+    WAP audit hook, operators/wap.py:publish_append_observed) instead of
+    full-table; the query here is that audit expressed standalone."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    li = T(spark, sf_dir, "lineitem")
+
+    def one(name, df):
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_violations"),
+        )
+
+    pk = o.agg(
+        (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey"))).alias(
+            "n_violations"
+        )
+    ).select(F.lit("orders_pk_unique").alias("check_name"), "n_violations")
+    fk_orders = one(
+        "orders_custkey_fk",
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti"),
+    )
+    fk_lineitem = one(
+        "lineitem_orderkey_fk",
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"),
+    )
+    qty = one(
+        "lineitem_qty_range",
+        li.filter((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
+    )
+    domain = one(
+        "orders_status_domain",
+        o.filter(~F.col("o_orderstatus").isin("F", "O", "P")),
+    )
+    notnull = one(
+        "customer_acctbal_not_null", c.filter(F.col("c_acctbal").isNull())
+    )
+    return (
+        pk.unionByName(fk_orders)
+        .unionByName(fk_lineitem)
+        .unionByName(qty)
+        .unionByName(domain)
+        .unionByName(notnull)
+    )

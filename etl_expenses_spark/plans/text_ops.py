@@ -651,3 +651,68 @@ def text_normalize_spanish(spark, sf_dir):
         )
     )
     return d.select("doc_id", raw.alias("raw"), norm.alias("norm"))
+
+
+@query(
+    "token_bigram_counts",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        ),
+        b AS (
+            SELECT words[i + 1] || ' ' || words[i + 2] AS bigram
+            FROM t, LATERAL (
+                SELECT unnest(range(GREATEST(len(words) - 1, 0))) AS i
+            )
+        )
+        SELECT bigram, COUNT(*) AS n
+        FROM b
+        GROUP BY bigram
+        ORDER BY n DESC, bigram
+        LIMIT 20
+    """,
+    tags=("text", "bpe", "ngram"),
+)
+def token_bigram_counts(spark, sf_dir):
+    """Corpus-wide adjacent-pair (bigram) counts — the distributed half of
+    one BPE merge round (operators/bpe.py builds the full trainer on this
+    shape) and the standard collocation statistic. Pairs are materialized
+    per-doc with array algebra (no self-join on position: transform over
+    an index sequence), then one hash aggregate; top-20 under a total
+    order. At 100 TB this is explode→count — the same shape as term
+    frequencies, cost linear in token count."""
+    words = F.split(F.col("text"), " ")
+    d = T(spark, sf_dir, "documents").select(words.alias("words"))
+    pairs = F.when(
+        F.size("words") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("words") - 2),
+            lambda i: F.concat(
+                F.element_at("words", i + 1), F.lit(" "), F.element_at("words", i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
+
+
+@query("bpe_trained_segmentation", oracle=None, tags=("text", "bpe", "rows_only"))
+def bpe_trained_segmentation(spark, sf_dir):
+    """End-to-end BPE tokenizer pipeline on the corpus: distributed word
+    counting → deterministic driver-side merge training (40 merges over
+    the bounded vocabulary — the standard trainer shape; see
+    operators/bpe.py) → distributed Arrow-batched segmentation. Output:
+    per-doc word/subword-piece counts, the fertility table a tokenizer
+    report is built from. Rows-only (the merge loop is not
+    SQL-expressible); the trainer's algebra is pinned by hand-computable
+    fixtures in tests/test_bpe.py."""
+    from etl_expenses_spark.operators.bpe import bpe_segment, train_bpe
+
+    d = T(spark, sf_dir, "documents")
+    merges = train_bpe(d, n_merges=40)
+    return bpe_segment(d, merges)
