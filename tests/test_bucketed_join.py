@@ -106,3 +106,57 @@ def test_sql_broadcast_hint_is_honored(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "BroadcastHashJoin" in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime row-level filtering (InjectRuntimeFilter): with a selective
+    dim-side predicate and a shuffle join, Catalyst plants a bloom-filter
+    might_contain() on the FACT side's join key — rows that cannot join
+    are dropped at the scan, before the shuffle. At 100 TB this is the
+    difference between shuffling the whole fact table and shuffling the
+    matching ~fraction; the size thresholds here are lowered because
+    sf0.1 is below the production defaults (10 GB application side).
+    Results must be identical with and without the filter."""
+    from etl_expenses_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.01"
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+
+    def build():
+        li = load_table(spark, sf, "lineitem")
+        o = load_table(spark, sf, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("qty"),
+            )
+        )
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        filtered = build()
+        plan = filtered._jdf.queryExecution().toString()
+        assert "might_contain" in plan, "bloom runtime filter not injected"
+        with_bloom = filtered.collect()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    plain = build()
+    assert "might_contain" not in plain._jdf.queryExecution().toString()
+    assert sorted(map(tuple, with_bloom)) == sorted(map(tuple, plain.collect()))
