@@ -43,7 +43,10 @@ _PRIORITY = [
     "join_left_order_counts",
     "join_semi_big_spenders",
     "join_anti_customers_without_orders",
-    "join_full_outer_nation_activity",
+    # multimodal decode path (real WAV/Y4M codecs) — driver-verify the one
+    # operator the round-1 verdict called a facade; J5 full-outer keeps five
+    # sibling driver-pass join queries outside the swap
+    "multimodal_codec_roundtrip",
     "agg_order_stats",
     "distinct_segments",
     "agg_watermark_max_date",

@@ -36,6 +36,7 @@ def test_correctness_window_priority():
         "similarity_cosine_topk",
         "webhook_source_ingest",
         "gold_denormalized_sales",
+        "multimodal_codec_roundtrip",  # real-codec decode, driver-verified
     }
     assert must <= set(window), must - set(window)
     # nothing silently dropped: priority reordering preserves the registry
