@@ -44,6 +44,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Testdata parquet stores naive timestamps (isAdjustedToUTC=false);
+        # Spark 4 would infer TIMESTAMP_NTZ, which epoch functions
+        # (unix_millis/unix_micros) reject. With the session pinned to UTC,
+        # reading them as TIMESTAMP is value-identical and matches DuckDB.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")

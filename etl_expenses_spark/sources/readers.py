@@ -45,6 +45,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # vanilla session (the driver constructs its own SparkSession).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Naive parquet timestamps (isAdjustedToUTC=false) would infer as
+    # TIMESTAMP_NTZ on Spark 4, which epoch functions reject; with the
+    # session pinned to UTC, plain TIMESTAMP is value-identical and matches
+    # what DuckDB's oracle sees.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for f_ in df.schema.fields:
         if f_.name == "ts" and f_.dataType.typeName() in ("long", "bigint"):
