@@ -1,0 +1,84 @@
+"""Distributed global prefix sum (cumulative sum over a total order).
+
+The naive Spark plan — ``SUM(x) OVER (ORDER BY k)`` with no PARTITION BY —
+collapses the whole table into ONE window partition: a single task holds
+100 TB. The scale-safe shape is the classic two-phase scan:
+
+1. bucket rows by a *range* of the order key (order-preserving),
+2. cumulative sum WITHIN each bucket (bounded window partitions),
+3. per-bucket totals → running offset across buckets (a window over the
+   tiny bucket-totals relation), broadcast-joined back.
+
+Total cost: one bounded window pass + one broadcast join; no driver
+collect, no single-partition stage. Same recurrence as Blelloch's scan,
+expressed as two DataFrame windows.
+
+Used by :func:`pps_sample` — probability-proportional-to-size sampling
+(pick training docs ∝ length/quality) — which stays in exact integer
+arithmetic so the DuckDB oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    bucket: Column,
+    out_col: str = "cum",
+) -> DataFrame:
+    """Inclusive cumulative sum of ``value_col`` in ``order_col`` order.
+
+    ``bucket`` must be a monotone function of the order key (e.g.
+    ``F.floor(F.col("doc_id") / 1000)`` or a repartitionByRange id): all
+    rows of bucket b sort before all rows of bucket b+1. Bucket count
+    should be ~#partitions × small-k; per-bucket row count bounds window
+    partition size.
+    """
+    b = df.withColumn("__b", bucket)
+    in_bucket = W.partitionBy("__b").orderBy(order_col).rowsBetween(W.unboundedPreceding, 0)
+    b = b.withColumn("__cum_in", F.sum(value_col).over(in_bucket))
+    totals = b.groupBy("__b").agg(F.sum(value_col).alias("__tot"))
+    off_w = W.orderBy("__b").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.withColumn("__off", F.coalesce(F.sum("__tot").over(off_w), F.lit(0)))
+    # offsets has one row per bucket — broadcast; the big side never re-shuffles
+    out = b.join(F.broadcast(offsets.select("__b", "__off")), "__b")
+    return out.withColumn(out_col, F.col("__cum_in") + F.col("__off")).drop(
+        "__b", "__cum_in", "__off"
+    )
+
+
+def pps_sample(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    k: int,
+    bucket: Column,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sample of ~``k`` rows.
+
+    Lay all rows on a line segment sized by integer ``weight_col`` (in
+    ``order_col`` order), then take every ``total/k``-th point: a row is
+    selected iff its weight interval ``(cum - w, cum]`` covers a multiple
+    of the step. Selection count per row = how many multiples it covers
+    (heavy rows can be picked >1×; we expose the multiplicity).
+
+    Exact integer arithmetic end to end — floor divisions only — so Spark
+    and the SQL oracle agree bit-for-bit, unlike u^(1/w) weighted sampling
+    whose libm pow/log differ across engines in the last ulp.
+    """
+    cum = distributed_cumsum(df, order_col, weight_col, bucket)
+    total_step = cum.agg(
+        (F.floor(F.sum(weight_col) / F.lit(int(k)))).cast("long").alias("__step")
+    )
+    out = cum.join(F.broadcast(total_step))
+    picks = (
+        F.floor(F.col("cum") / F.col("__step"))
+        - F.floor((F.col("cum") - F.col(weight_col)) / F.col("__step"))
+    ).cast("long")
+    return out.withColumn("n_picks", picks).filter(F.col("n_picks") >= 1).drop("__step")

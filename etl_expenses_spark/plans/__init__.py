@@ -13,3 +13,4 @@ from etl_expenses_spark.plans import advanced  # noqa: F401,E402
 from etl_expenses_spark.plans import schema_ops  # noqa: F401,E402
 from etl_expenses_spark.plans import relational_ext  # noqa: F401,E402
 from etl_expenses_spark.plans import tpch_more  # noqa: F401,E402
+from etl_expenses_spark.plans import behavior_ops  # noqa: F401,E402

@@ -1,0 +1,255 @@
+"""Behavioral / entity-resolution analytics: cohort retention, event
+transition matrices, blocked fuzzy matching, and PPS sampling.
+
+Each query has an exact DuckDB oracle. These extend the engine's
+user-analytics surface (the reference's expense "behavior over time"
+questions, e.g. month-over-month concept tracking in
+`/root/reference/ai_agent/lambda_function.py` prompt rules) to the shapes a
+product-analytics team actually runs: cohorts, funnels (temporal_ops),
+Markov transitions, and match-the-dirty-feed entity resolution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from etl_expenses_spark.operators.fuzzy import blocked_fuzzy_pairs, fuzzy_join_best_match
+from etl_expenses_spark.operators.prefixsum import distributed_cumsum, pps_sample
+from etl_expenses_spark.plans._util import T
+from etl_expenses_spark.plans.registry import query
+
+
+@query(
+    "cohort_retention_monthly",
+    oracle="""
+        WITH first AS (
+            SELECT user_id, CAST(DATE_TRUNC('month', MIN(ts)) AS TIMESTAMP) AS cohort_month
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT e.user_id, f.cohort_month,
+                   DATEDIFF('month', f.cohort_month,
+                            CAST(DATE_TRUNC('month', e.ts) AS TIMESTAMP)) AS months_since
+            FROM events e JOIN first f ON f.user_id = e.user_id
+        )
+        SELECT cohort_month, months_since, COUNT(*) AS n_active_users
+        FROM activity GROUP BY cohort_month, months_since
+    """,
+    tags=("behavior", "cohort", "agg"),
+)
+def cohort_retention_monthly(spark, sf_dir):
+    """Classic retention triangle: users grouped by first-seen month
+    (cohort), counted as active in each subsequent month.
+
+    Both stages key by user_id — the first-event aggregate and the
+    activity join reuse one shuffle partitioning; the final rollup groups
+    on (cohort_month, months_since), cardinality = months², tiny. No
+    per-user sorting, no sessionization state; at 100 TB this is two
+    hash aggregates and one equi join."""
+    ev = T(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).alias("cohort_month")
+    )
+    activity = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_month",
+            (
+                (F.year(F.date_trunc("month", F.col("ts"))) - F.year("cohort_month")) * 12
+                + (F.month(F.date_trunc("month", F.col("ts"))) - F.month("cohort_month"))
+            ).cast("long").alias("months_since"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_month", "months_since").agg(
+        F.count("*").alias("n_active_users")
+    )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        ),
+        counts AS (
+            SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        )
+        SELECT prev_type, next_type, n,
+               CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+        FROM counts
+    """,
+    tags=("behavior", "markov", "window"),
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event streams:
+    P(next_type | prev_type), estimated from adjacent event pairs.
+
+    lag() needs per-user time order — one shuffle partitioned by user_id
+    with SORT WITHIN partitions (no global sort). The transition counts
+    then collapse to |types|² rows, so the probability normalization
+    window runs on a trivially small relation. The n/Σn division happens
+    on exact bigints cast to double, identical IEEE ops on both engines."""
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    seq = ev.withColumn(
+        "prev_type",
+        F.lag("event_type").over(W.partitionBy("user_id").orderBy("ts", "event_id")),
+    )
+    counts = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    norm = W.partitionBy("prev_type")
+    return counts.withColumn(
+        "p", F.col("n").cast("double") / F.sum("n").over(norm).cast("double")
+    )
+
+
+@query(
+    "fuzzy_match_part_names",
+    oracle="""
+        WITH names AS (SELECT DISTINCT p_name FROM part),
+        a AS (SELECT p_name, SPLIT_PART(p_name, ' ', 1) AS blk FROM names)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               LEVENSHTEIN(a.p_name, b.p_name) AS dist
+        FROM a JOIN a b ON a.blk = b.blk AND a.p_name < b.p_name
+        WHERE LEVENSHTEIN(a.p_name, b.p_name) <= 4
+    """,
+    tags=("fuzzy", "entity_resolution", "join"),
+)
+def fuzzy_match_part_names(spark, sf_dir):
+    """Entity resolution within one catalog: near-identical part names,
+    blocked on the first token so the edit-distance verify never goes
+    cartesian (operators/fuzzy.py — Σ|block|², not n²)."""
+    names = T(spark, sf_dir, "part").select("p_name").distinct()
+    pairs = blocked_fuzzy_pairs(
+        names,
+        id_col="p_name",
+        text_col="p_name",
+        block=F.split(F.col("p_name"), " ")[0],
+        max_dist=4,
+    )
+    # id and text are the same column here; expose the pair + distance
+    return pairs.select(
+        F.col("id_a").alias("name_a"), F.col("id_b").alias("name_b"), "dist"
+    )
+
+
+@query(
+    "fuzzy_best_match_dirty_parts",
+    oracle="""
+        WITH canon AS (SELECT DISTINCT p_name FROM part),
+        dirty AS (
+            SELECT p_partkey, SUBSTR(p_name, 1, LENGTH(p_name) - 1) AS dirty_name
+            FROM part WHERE p_partkey % 10 = 0
+        ),
+        cand AS (
+            SELECT d.p_partkey, d.dirty_name, c.p_name,
+                   LEVENSHTEIN(d.dirty_name, c.p_name) AS dist
+            FROM dirty d JOIN canon c
+              ON SPLIT_PART(d.dirty_name, ' ', 1) = SPLIT_PART(c.p_name, ' ', 1)
+            WHERE LEVENSHTEIN(d.dirty_name, c.p_name) <= 3
+        ),
+        ranked AS (
+            SELECT p_partkey, dirty_name, p_name AS match_text, dist,
+                   ROW_NUMBER() OVER (PARTITION BY p_partkey, dirty_name
+                                      ORDER BY dist, p_name) AS rn
+            FROM cand
+        )
+        SELECT p_partkey AS l_id, dirty_name AS l_text, match_text, dist
+        FROM ranked WHERE rn = 1
+    """,
+    tags=("fuzzy", "entity_resolution", "join"),
+)
+def fuzzy_best_match_dirty_parts(spark, sf_dir):
+    """Match a dirty feed against a canonical dimension: every 10th part
+    name, deterministically truncated by one character, resolved back to
+    its closest catalog name (lowest edit distance, ties by name).
+
+    The dirty side is derived in-query so the oracle can reproduce it
+    exactly; in production this is the incoming-feed side. Blocked on
+    first token; argmin via min_by on a (dist, name) struct — a partial-
+    aggregatable JVM builtin, so the per-entity reduction map-side
+    combines instead of sorting candidates."""
+    part = T(spark, sf_dir, "part")
+    canon = part.select("p_name").distinct()
+    dirty = part.filter(F.col("p_partkey") % 10 == 0).select(
+        "p_partkey",
+        F.expr("substr(p_name, 1, length(p_name) - 1)").alias("dirty_name"),
+    )
+    best = fuzzy_join_best_match(
+        dirty,
+        canon,
+        left_id="p_partkey",
+        left_text="dirty_name",
+        right_id="p_name",
+        right_text="p_name",
+        block_left=F.split(F.col("dirty_name"), " ")[0],
+        block_right=F.split(F.col("p_name"), " ")[0],
+        max_dist=3,
+    )
+    return best.select("l_id", "l_text", F.col("match_text"), "dist")
+
+
+@query(
+    "prefix_sum_document_bytes",
+    oracle="""
+        SELECT doc_id, n_chars,
+               SUM(n_chars) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum
+        FROM documents
+    """,
+    tags=("scan_prefix", "window"),
+)
+def prefix_sum_document_bytes(spark, sf_dir):
+    """Global running total of document sizes in doc_id order — the
+    two-phase distributed scan (operators/prefixsum.py). The oracle's
+    single `SUM OVER (ORDER BY)` is exactly the plan shape this operator
+    exists to AVOID on Spark: one window partition holding the whole
+    table. Here: bounded per-bucket windows + a broadcast of ~#buckets
+    offset rows."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return distributed_cumsum(
+        docs, "doc_id", "n_chars", bucket=F.floor(F.col("doc_id") / F.lit(1024))
+    )
+
+
+@query(
+    "pps_sample_documents",
+    oracle="""
+        WITH cum AS (
+            SELECT doc_id, n_chars,
+                   SUM(n_chars) OVER (ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum
+            FROM documents
+        ),
+        stepped AS (
+            SELECT *, (SELECT SUM(n_chars) // 200 FROM documents) AS step FROM cum
+        )
+        SELECT doc_id, n_chars, cum,
+               (cum // step) - ((cum - n_chars) // step) AS n_picks
+        FROM stepped
+        WHERE (cum // step) - ((cum - n_chars) // step) >= 1
+    """,
+    tags=("sampling", "pps"),
+)
+def pps_sample_documents(spark, sf_dir):
+    """Systematic PPS sample: ~200 documents drawn proportional to length
+    (long docs likelier — the standard 'sample tokens, not docs' recipe
+    for training-mix work). Exact integer arithmetic throughout, so both
+    engines select the identical row set — no libm pow/log in sight."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pps_sample(
+        docs, "doc_id", "n_chars", k=200, bucket=F.floor(F.col("doc_id") / F.lit(1024))
+    )

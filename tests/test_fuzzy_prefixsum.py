@@ -1,0 +1,68 @@
+"""Blocked fuzzy matching (operators/fuzzy.py) and the two-phase
+distributed prefix sum / PPS sampler (operators/prefixsum.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_expenses_spark.operators.fuzzy import blocked_fuzzy_pairs, fuzzy_join_best_match
+from etl_expenses_spark.operators.prefixsum import distributed_cumsum, pps_sample
+
+
+def test_blocked_pairs_match_naive_within_block(spark):
+    rows = [
+        (1, "small ring"),
+        (2, "small rings"),   # dist 1 from #1
+        (3, "small gear"),    # dist 4 from "small ring"
+        (4, "red ring"),      # different block — never compared
+        (5, "smallish ring"), # block "smallish" — never compared
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in blocked_fuzzy_pairs(
+            df, "id", "name", F.split(F.col("name"), " ")[0], max_dist=4
+        ).collect()
+    }
+    assert got == {(1, 2, 1), (1, 3, 4), (2, 3, 5)} - {(2, 3, 5)}
+    # pair (4, x) absent: blocking correctly prunes cross-block candidates
+
+
+def test_best_match_picks_lowest_distance_with_deterministic_ties(spark):
+    left = spark.createDataFrame([(10, "blue bolt")], ["id", "name"])
+    right = spark.createDataFrame(
+        [(1, "blue bolts"), (2, "blue bort"), (3, "blue colt")], ["rid", "rname"]
+    )
+    out = fuzzy_join_best_match(
+        left, right, "id", "name", "rid", "rname",
+        F.split(F.col("name"), " ")[0], F.split(F.col("rname"), " ")[0],
+        max_dist=2,
+    ).collect()
+    assert len(out) == 1
+    # all three candidates are dist 1; tie broken by lowest right id
+    assert out[0].match_id == 1 and out[0].dist == 1
+
+
+def test_distributed_cumsum_equals_single_window(spark):
+    df = spark.range(0, 500).select(
+        F.col("id"), (F.col("id") % 7 + 1).alias("w")
+    )
+    fast = distributed_cumsum(df, "id", "w", bucket=F.floor(F.col("id") / 64))
+    from pyspark.sql.window import Window as W
+
+    single = W.orderBy("id").rowsBetween(W.unboundedPreceding, 0)
+    expected = {r.id: r.c for r in df.select("id", F.sum("w").over(single).alias("c")).collect()}
+    got = {r.id: r.cum for r in fast.collect()}
+    assert got == expected
+
+
+def test_pps_sample_total_picks_and_weight_bias(spark):
+    df = spark.range(0, 1000).select(F.col("id"), (F.col("id") % 10 + 1).alias("w"))
+    out = pps_sample(df, "id", "w", k=50, bucket=F.floor(F.col("id") / 128))
+    rows = out.collect()
+    # systematic sampling yields k or k+1 picks (boundary multiple)
+    assert 50 <= sum(r.n_picks for r in rows) <= 51
+    # heavier rows must be over-represented: mean weight of picks > population mean
+    pop_mean = 5.5
+    pick_mean = sum(r.w * r.n_picks for r in rows) / sum(r.n_picks for r in rows)
+    assert pick_mean > pop_mean

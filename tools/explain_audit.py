@@ -55,6 +55,8 @@ BNLJ_OK: set[str] = {
     "dedup_keep_best_quality",
     "monthly_spend_mom_delta",
     "sql_pipe_syntax_agg",
+    # one-row (total_weight // k) step broadcast for systematic PPS picks
+    "pps_sample_documents",
 }
 
 
@@ -155,6 +157,13 @@ EXTRA = [
     "multimodal_codec_roundtrip",
     "embedding_pq_codes",
     "similarity_cosine_topk_pq",
+    # behavior / entity-resolution / prefix-sum surface
+    "cohort_retention_monthly",
+    "event_transition_matrix",
+    "fuzzy_match_part_names",
+    "fuzzy_best_match_dirty_parts",
+    "prefix_sum_document_bytes",
+    "pps_sample_documents",
 ]
 
 
