@@ -253,3 +253,112 @@ def pps_sample_documents(spark, sf_dir):
     return pps_sample(
         docs, "doc_id", "n_chars", k=200, bucket=F.floor(F.col("doc_id") / F.lit(1024))
     )
+
+
+@query(
+    "doc_length_outliers",
+    oracle="""
+        WITH g AS (
+            SELECT source, lang, COUNT(*) AS n,
+                   SUM(n_chars) AS sx, SUM(n_chars * n_chars) AS sxx
+            FROM documents GROUP BY source, lang
+        )
+        SELECT d.doc_id, d.source, d.lang, d.n_chars,
+               CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE) AS group_mean
+        FROM documents d JOIN g ON g.source = d.source AND g.lang = d.lang
+        WHERE g.n >= 3
+          AND (g.n * d.n_chars - g.sx) * (g.n * d.n_chars - g.sx)
+              > 4 * (g.n * g.sxx - g.sx * g.sx)
+    """,
+    tags=("behavior", "quality", "outlier"),
+)
+def doc_length_outliers(spark, sf_dir):
+    """Per-(source, lang) length outliers: documents more than 2 population
+    standard deviations from their group mean — the cheap 'this doc is not
+    like its source' screen that runs before expensive quality models.
+
+    The z-score test is algebraically rearranged to pure int64 arithmetic
+    ((n·x − Σx)² > z²·(n·Σx² − (Σx)²)) so no sqrt/float enters the
+    PREDICATE — both engines pick the identical row set regardless of libm.
+    Shape: one grouped aggregate (|sources|×|langs| rows, broadcast back) +
+    one scan; the corpus shuffles zero times."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "lang", "n_chars")
+    g = d.groupBy("source", "lang").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+    )
+    j = d.join(F.broadcast(g), ["source", "lang"])
+    dev = F.col("n") * F.col("n_chars") - F.col("sx")
+    var_n2 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        j.filter((F.col("n") >= 3) & (dev * dev > 4 * var_n2))
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            (F.col("sx").cast("double") / F.col("n").cast("double")).alias("group_mean"),
+        )
+    )
+
+
+@query(
+    "ab_experiment_lift",
+    oracle="""
+        WITH assigned AS (
+            SELECT DISTINCT user_id,
+                   CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR) || '|ab'), 1, 8))
+                        AS BIGINT) % 2 AS variant
+            FROM events
+        ),
+        conv AS (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        )
+        SELECT a.variant,
+               COUNT(*) AS n_users,
+               COUNT(c.user_id) AS n_converted,
+               CAST(COUNT(c.user_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 AS conv_rate
+        FROM assigned a LEFT JOIN conv c ON c.user_id = a.user_id
+        GROUP BY a.variant
+    """,
+    tags=("behavior", "experiment", "agg"),
+)
+def ab_experiment_lift(spark, sf_dir):
+    """A/B experiment readout: users deterministically hash-assigned to a
+    variant (md5 bucket — same assignment on any engine, any run, any
+    cluster layout), conversion = at least one purchase event.
+
+    Assignment-by-hash is the production pattern: no assignment table to
+    join at 100 TB, and a user's variant is stable under replays and
+    backfills. One distinct (shuffle on user_id), one semi-style left join
+    reusing that key, and a 2-row final aggregate; rates are exact-count
+    divisions, bit-identical across engines."""
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type")
+    variant = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("user_id").cast("string"), F.lit("|ab"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    assigned = ev.select("user_id").distinct().withColumn("variant", variant)
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    return (
+        assigned.join(conv, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.count("converted").alias("n_converted"),
+            (
+                F.count("converted").cast("double") / F.count("*").cast("double")
+            ).alias("conv_rate"),
+        )
+    )

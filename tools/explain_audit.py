@@ -164,6 +164,8 @@ EXTRA = [
     "fuzzy_best_match_dirty_parts",
     "prefix_sum_document_bytes",
     "pps_sample_documents",
+    "doc_length_outliers",
+    "ab_experiment_lift",
 ]
 
 
