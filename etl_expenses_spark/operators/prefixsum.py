@@ -27,21 +27,24 @@ from pyspark.sql.window import Window as W
 
 def distributed_cumsum(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list[str],
     value_col: str,
     bucket: Column,
     out_col: str = "cum",
 ) -> DataFrame:
-    """Inclusive cumulative sum of ``value_col`` in ``order_col`` order.
+    """Inclusive cumulative sum of ``value_col`` in ``order_col`` order
+    (a single column or a list — pass a unique tiebreaker when the leading
+    key has duplicates, else the cumsum at tied rows is order-dependent).
 
-    ``bucket`` must be a monotone function of the order key (e.g.
+    ``bucket`` must be a monotone function of the LEADING order key (e.g.
     ``F.floor(F.col("doc_id") / 1000)`` or a repartitionByRange id): all
     rows of bucket b sort before all rows of bucket b+1. Bucket count
     should be ~#partitions × small-k; per-bucket row count bounds window
     partition size.
     """
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     b = df.withColumn("__b", bucket)
-    in_bucket = W.partitionBy("__b").orderBy(order_col).rowsBetween(W.unboundedPreceding, 0)
+    in_bucket = W.partitionBy("__b").orderBy(*order_cols).rowsBetween(W.unboundedPreceding, 0)
     b = b.withColumn("__cum_in", F.sum(value_col).over(in_bucket))
     totals = b.groupBy("__b").agg(F.sum(value_col).alias("__tot"))
     off_w = W.orderBy("__b").rowsBetween(W.unboundedPreceding, -1)
@@ -82,3 +85,20 @@ def pps_sample(
         - F.floor((F.col("cum") - F.col(weight_col)) / F.col("__step"))
     ).cast("long")
     return out.withColumn("n_picks", picks).filter(F.col("n_picks") >= 1).drop("__step")
+
+
+def distributed_rank(
+    df: DataFrame,
+    order_col: str | list[str],
+    bucket: Column,
+    out_col: str = "rnk",
+) -> DataFrame:
+    """Global 1-based row number in ``order_col`` order WITHOUT the
+    single-partition ``ROW_NUMBER() OVER (ORDER BY …)`` window: it is just
+    the distributed cumulative sum of 1s. Needs a unique (possibly
+    composite) order key for determinism."""
+    with_one = df.withColumn("__one", F.lit(1))
+    return (
+        distributed_cumsum(with_one, order_col, "__one", bucket, out_col=out_col)
+        .drop("__one")
+    )

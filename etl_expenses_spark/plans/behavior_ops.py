@@ -15,7 +15,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from etl_expenses_spark.operators.fuzzy import blocked_fuzzy_pairs, fuzzy_join_best_match
-from etl_expenses_spark.operators.prefixsum import distributed_cumsum, pps_sample
+from etl_expenses_spark.operators.prefixsum import (
+    distributed_cumsum,
+    distributed_rank,
+    pps_sample,
+)
 from etl_expenses_spark.plans._util import T
 from etl_expenses_spark.plans.registry import query
 
@@ -360,5 +364,53 @@ def ab_experiment_lift(spark, sf_dir):
             (
                 F.count("converted").cast("double") / F.count("*").cast("double")
             ).alias("conv_rate"),
+        )
+    )
+
+
+@query(
+    "equidepth_histogram_totals",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_totalprice,
+                   ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS r,
+                   (SELECT COUNT(*) FROM orders) AS n
+            FROM orders
+        )
+        SELECT (r - 1) * 10 // n AS bucket,
+               COUNT(*) AS n_rows,
+               MIN(o_totalprice) AS lo,
+               MAX(o_totalprice) AS hi
+        FROM ranked GROUP BY 1
+    """,
+    tags=("behavior", "histogram", "prefix_sum"),
+)
+def equidepth_histogram_totals(spark, sf_dir):
+    """Equi-DEPTH (equal-count) histogram of order totals — decile
+    boundaries computed from the GLOBAL rank, not a sampled sketch.
+
+    The oracle's ROW_NUMBER() OVER (ORDER BY …) is the single-partition
+    plan this implementation avoids: global rank comes from the two-phase
+    distributed scan (operators/prefixsum.py:distributed_rank) bucketed by
+    a monotone range of the sort key, so every window partition is bounded
+    and the offset relation is ~#buckets rows. Bucket id is exact integer
+    arithmetic ((r−1)·k div n) — identical row placement on both engines,
+    unlike ntile-vs-formula or percentile-sketch approaches."""
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = distributed_rank(
+        orders,
+        ["o_totalprice", "o_orderkey"],
+        bucket=F.floor(F.col("o_totalprice") / F.lit(25000.0)),
+        out_col="r",
+    )
+    n = orders.agg(F.count("*").alias("n"))
+    return (
+        ranked.join(F.broadcast(n))
+        .withColumn("bucket", F.floor((F.col("r") - 1) * 10 / F.col("n")).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
         )
     )

@@ -1547,3 +1547,108 @@ def tpch_q8_market_share(spark, sf_dir):
         )
         .orderBy("o_year")
     )
+
+
+# --------------------------------------------------------------------------
+# Gap-filling, interpolation tier: where LOCF (gapfill_daily_user_values)
+# carries the last value flat, this draws the line between the bracketing
+# observations. Same spine + one extra first(ignorenulls) forward window;
+# edge gaps (no bracket on one side) fall back to the known side.
+# --------------------------------------------------------------------------
+@query(
+    "gapfill_interpolate_linear",
+    oracle="""
+        WITH bounds AS (
+            SELECT user_id,
+                   CAST(DATE_TRUNC('day', MIN(ts)) AS DATE) AS d0,
+                   CAST(DATE_TRUNC('day', MAX(ts)) AS DATE) AS d1
+            FROM events WHERE user_id < 20 GROUP BY user_id
+        ),
+        spine AS (
+            SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+            FROM bounds
+        ),
+        daily AS (
+            SELECT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+            FROM events WHERE user_id < 20 GROUP BY 1, 2
+        ),
+        j AS (
+            SELECT s.user_id, s.day, d.day_value,
+                   LAST_VALUE(CASE WHEN d.day_value IS NULL THEN NULL
+                                   ELSE struct_pack(d := d.day, v := d.day_value)
+                              END IGNORE NULLS)
+                       OVER (PARTITION BY s.user_id ORDER BY s.day
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                   FIRST_VALUE(CASE WHEN d.day_value IS NULL THEN NULL
+                                    ELSE struct_pack(d := d.day, v := d.day_value)
+                               END IGNORE NULLS)
+                       OVER (PARTITION BY s.user_id ORDER BY s.day
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+            FROM spine s LEFT JOIN daily d
+              ON d.user_id = s.user_id AND d.day = s.day
+        )
+        SELECT user_id, day,
+               CASE WHEN day_value IS NOT NULL THEN day_value
+                    WHEN pv IS NULL THEN nv.v
+                    WHEN nv IS NULL THEN pv.v
+                    ELSE pv.v + (nv.v - pv.v)
+                         * (CAST(DATEDIFF('day', pv.d, day) AS DOUBLE)
+                            / CAST(DATEDIFF('day', pv.d, nv.d) AS DOUBLE))
+               END AS filled_value,
+               (day_value IS NULL) AS was_gap
+        FROM j
+    """,
+    tags=("temporal", "gapfill", "window"),
+)
+def gapfill_interpolate_linear(spark, sf_dir):
+    """Linear interpolation across daily gaps: missing days get the value
+    on the straight line between the previous and next observed days;
+    leading/trailing gaps fall back to the nearest known value.
+
+    Two ignorenulls windows over the same (user_id, day) shuffle — the
+    backward bracket via last(), the forward via first() — each carrying a
+    (day, value) struct so slope and distance come from one pass. The
+    interpolation arithmetic is the same IEEE expression tree on both
+    engines (double add/sub/mul/div in identical order), so results are
+    bit-identical."""
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.sum(dec("value")).cast("double").alias("day_value"))
+    bounds = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("d0"),
+        F.date_trunc("day", F.max("ts")).cast("date").alias("d1"),
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    obs = F.when(
+        F.col("day_value").isNotNull(), F.struct(F.col("day").alias("d"), F.col("day_value").alias("v"))
+    )
+    back = (
+        W.partitionBy("user_id").orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy("user_id").orderBy("day").rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    j = j.withColumn("pv", F.last(obs, ignorenulls=True).over(back)).withColumn(
+        "nv", F.first(obs, ignorenulls=True).over(fwd)
+    )
+    frac = F.datediff(F.col("day"), F.col("pv.d")).cast("double") / F.datediff(
+        F.col("nv.d"), F.col("pv.d")
+    ).cast("double")
+    filled = (
+        F.when(F.col("day_value").isNotNull(), F.col("day_value"))
+        .when(F.col("pv").isNull(), F.col("nv.v"))
+        .when(F.col("nv").isNull(), F.col("pv.v"))
+        .otherwise(F.col("pv.v") + (F.col("nv.v") - F.col("pv.v")) * frac)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        filled.alias("filled_value"),
+        F.col("day_value").isNull().alias("was_gap"),
+    )

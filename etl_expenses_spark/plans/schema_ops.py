@@ -1020,3 +1020,59 @@ def dq_constraint_checks(spark, sf_dir):
         .unionByName(domain)
         .unionByName(notnull)
     )
+
+
+@query(
+    "table_checksum_orders",
+    oracle="""
+        WITH h AS (
+            SELECT CAST(concat('0x',
+                       substr(md5(concat_ws('|',
+                           CAST(o_orderkey AS VARCHAR),
+                           CAST(o_custkey AS VARCHAR),
+                           o_orderstatus,
+                           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                           strftime(o_orderdate, '%Y-%m-%d'),
+                           o_orderpriority)), 1, 15))
+                   AS BIGINT) AS rh
+            FROM orders
+        )
+        SELECT COUNT(*) AS n_rows,
+               bit_xor(rh) AS xor_hash,
+               CAST(SUM(CAST(rh AS HUGEINT)) AS VARCHAR) AS sum_hash
+        FROM h
+    """,
+    tags=("quality", "checksum", "agg"),
+)
+def table_checksum_orders(spark, sf_dir):
+    """Order-insensitive table fingerprint: md5 each row's canonical string
+    form, fold with XOR and an exact wide-integer SUM. Two warehouses (or a
+    pre/post-copy pair, K4) hold the same relation iff (n_rows, xor_hash,
+    sum_hash) agree — no sort, no row shipping, one partial-aggregated scan.
+
+    Canonicalization pins every engine-variant surface: integers and
+    decimals via CAST-to-string (identical text both engines), dates via
+    explicit pattern, '|' field separator. XOR catches any single-row
+    difference; the exact decimal-domain SUM (Spark DECIMAL(38,0), DuckDB
+    HUGEINT, compared as text) catches the paired flips XOR cancels.
+
+    This is the engine-side replica of the driver's own value-hash gate —
+    the same idea the reference applies by re-SELECTing after load
+    (`/root/reference/load_data/lambda_function.py` post-insert check),
+    made shuffle-free."""
+    o = T(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        dec("o_totalprice").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"),
+    )
+    rh = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return o.select(rh.alias("rh")).agg(
+        F.count("*").alias("n_rows"),
+        F.expr("bit_xor(rh)").alias("xor_hash"),
+        F.sum(F.col("rh").cast("decimal(38,0)")).cast("string").alias("sum_hash"),
+    )

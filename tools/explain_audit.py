@@ -57,6 +57,8 @@ BNLJ_OK: set[str] = {
     "sql_pipe_syntax_agg",
     # one-row (total_weight // k) step broadcast for systematic PPS picks
     "pps_sample_documents",
+    # one-row COUNT(*) broadcast fixing the decile denominator
+    "equidepth_histogram_totals",
 }
 
 
@@ -166,6 +168,9 @@ EXTRA = [
     "pps_sample_documents",
     "doc_length_outliers",
     "ab_experiment_lift",
+    "equidepth_histogram_totals",
+    "gapfill_interpolate_linear",
+    "table_checksum_orders",
 ]
 
 
