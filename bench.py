@@ -52,6 +52,11 @@ HEADLINE = [
     "tpch_q8_market_share",
     "tpch_q21_waiting_supplier",
     "dedup_spans_keep_first",
+    # round-2 additions: the two-phase global-rank scan and the blocked
+    # fuzzy self-join — new plan shapes worth regression-tracking
+    "equidepth_histogram_totals",
+    "fuzzy_match_part_names",
+    "cohort_retention_monthly",
 ]
 
 

@@ -487,3 +487,122 @@ def monthly_spend_mom_delta(spark, sf_dir):
         (F.col("spend") - prev).alias("delta"),
         (F.col("spend") / prev).alias("mom_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Point-in-time (PIT) join: facts against an SCD2 dimension AT fact time —
+# the correctness backbone of feature generation (no future leakage). Scale
+# shape: plain equi join on the entity key + validity predicate; fan-out is
+# bounded by versions-per-key (2 here), so no range bucketing is needed —
+# the non-equi part never drives the join strategy.
+# --------------------------------------------------------------------------
+@query(
+    "pit_join_events_user_tier",
+    oracle="""
+        WITH hist AS (
+            SELECT user_id, 'basic' AS tier,
+                   TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+                   CASE WHEN user_id % 5 = 0 THEN TIMESTAMP '2024-01-15 00:00:00' END
+                     AS valid_to
+            FROM (SELECT DISTINCT user_id FROM events)
+            UNION ALL
+            SELECT user_id, 'premium', TIMESTAMP '2024-01-15 00:00:00', NULL
+            FROM (SELECT DISTINCT user_id FROM events) WHERE user_id % 5 = 0
+        )
+        SELECT e.event_id, e.user_id, e.ts, h.tier
+        FROM events e JOIN hist h
+          ON h.user_id = e.user_id
+         AND e.ts >= h.valid_from
+         AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+        WHERE e.event_type = 'purchase'
+    """,
+    tags=("temporal", "pit_join", "scd2"),
+)
+def pit_join_events_user_tier(spark, sf_dir):
+    """As-of-fact-time dimension lookup: every purchase event picks the
+    tier version valid AT its timestamp from a two-version SCD2 history
+    (every 5th user upgrades to premium on Jan 15).
+
+    The history is derived in-query so the oracle reproduces it exactly;
+    in production it is the SCD2 gold table (scd2_customer_segments). The
+    join is an EQUI join on user_id — the validity interval is a post-join
+    filter, not a join condition — so Catalyst picks a hash join and the
+    per-key fan-out (≤ #versions) bounds the intermediate. Joining on the
+    interval instead would force a nested loop."""
+    ev = T(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    users = T(spark, sf_dir, "events").select("user_id").distinct()
+    t0 = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    t1 = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    basic = users.select(
+        "user_id",
+        F.lit("basic").alias("tier"),
+        t0.alias("valid_from"),
+        F.when(F.col("user_id") % 5 == 0, t1).alias("valid_to"),
+    )
+    premium = users.filter(F.col("user_id") % 5 == 0).select(
+        "user_id",
+        F.lit("premium").alias("tier"),
+        t1.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    hist = basic.unionByName(premium)
+    return (
+        ev.join(hist, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+        )
+        .select("event_id", "user_id", "ts", "tier")
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-day distinct actives: COUNT(DISTINCT) over a sliding window is
+# not directly expressible (neither engine supports DISTINCT in a RANGE
+# frame). The scale pattern: reduce to (day, user) pairs first (the big
+# dedup), then explode each pair to the ≤7 report days it contributes to —
+# bounded 7× replication of the SMALL day-grain relation — and count
+# distinct per report day.
+# --------------------------------------------------------------------------
+@query(
+    "rolling_7d_active_users",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT CAST(DATE_TRUNC('day', ts) AS DATE) AS day, user_id
+            FROM events
+        ),
+        days AS (SELECT DISTINCT day FROM du),
+        contrib AS (
+            SELECT d.day AS report_day, u.user_id
+            FROM days d JOIN du u
+              ON u.day <= d.day AND u.day > d.day - INTERVAL 7 DAY
+        )
+        SELECT report_day, COUNT(DISTINCT user_id) AS active_7d
+        FROM contrib GROUP BY report_day
+    """,
+    tags=("temporal", "rolling", "distinct"),
+)
+def rolling_7d_active_users(spark, sf_dir):
+    """Trailing-7-day distinct active users per day.
+
+    events → distinct (day, user) collapses the raw volume first (at
+    100 TB this is the only pass over the fact table); each day-grain pair
+    then explodes to exactly the 7 report days it can serve via
+    sequence(), a bounded fan-out that replaces the unbounded
+    day×day-range join the oracle writes. One exact distinct aggregate per
+    report day closes it out."""
+    du = (
+        T(spark, sf_dir, "events")
+        .select(F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id")
+        .distinct()
+    )
+    days = du.select("day").distinct()
+    contrib = du.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6), F.expr("INTERVAL 1 DAY"))
+        ).alias("report_day"),
+    ).join(F.broadcast(days.select(F.col("day").alias("report_day"))), "report_day")
+    return contrib.groupBy("report_day").agg(
+        F.count_distinct("user_id").alias("active_7d")
+    )

@@ -171,6 +171,8 @@ EXTRA = [
     "equidepth_histogram_totals",
     "gapfill_interpolate_linear",
     "table_checksum_orders",
+    "pit_join_events_user_tier",
+    "rolling_7d_active_users",
 ]
 
 
