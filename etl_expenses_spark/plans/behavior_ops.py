@@ -414,3 +414,62 @@ def equidepth_histogram_totals(spark, sf_dir):
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@query(
+    "trend_daily_spend_slope",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id,
+                   DATEDIFF('day', DATE '2024-01-01',
+                            CAST(DATE_TRUNC('day', ts) AS DATE)) AS x,
+                   SUM(CAST(value AS DECIMAL(18,2))) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT user_id, COUNT(*) AS n, SUM(x) AS sx, SUM(x*x) AS sxx,
+                   SUM(y) AS sy, SUM(CAST(x AS DECIMAL(18,2)) * y) AS sxy
+            FROM daily GROUP BY user_id
+        )
+        SELECT user_id, n,
+               CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE) AS slope
+        FROM s WHERE n >= 2 AND n * sxx - sx * sx <> 0
+    """,
+    tags=("behavior", "regression", "agg"),
+)
+def trend_daily_spend_slope(spark, sf_dir):
+    """Per-user linear trend (OLS slope) of daily spend — 'is this user
+    ramping up or churning' — computed from closed-form sufficient
+    statistics, not an iterative fit.
+
+    Everything up to the final division is EXACT arithmetic (bigint days,
+    decimal sums), so the one double division at the end is the identical
+    IEEE op on both engines. Two keyed aggregates that reuse the user_id
+    shuffle; the sufficient statistics (n, Σx, Σx², Σy, Σxy) are all
+    partial-aggregatable, so the whole fit is map-side combined — the
+    standard way to run millions of tiny regressions on a cluster."""
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id",
+        F.datediff(
+            F.date_trunc("day", F.col("ts")).cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("x"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("y"))
+    s = daily.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(18,2)") * F.col("y")).alias("sxy"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    numer = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        s.filter((F.col("n") >= 2) & (denom != 0))
+        .select(
+            "user_id",
+            "n",
+            (numer.cast("double") / denom.cast("double")).alias("slope"),
+        )
+    )

@@ -173,6 +173,7 @@ EXTRA = [
     "table_checksum_orders",
     "pit_join_events_user_tier",
     "rolling_7d_active_users",
+    "trend_daily_spend_slope",
 ]
 
 
