@@ -473,3 +473,71 @@ def trend_daily_spend_slope(spark, sf_dir):
             (numer.cast("double") / denom.cast("double")).alias("slope"),
         )
     )
+
+
+@query(
+    "keyset_pagination_orders",
+    oracle="""
+        SELECT o_orderkey, o_orderdate, o_totalprice
+        FROM orders
+        WHERE o_orderkey > 7000
+        ORDER BY o_orderkey
+        LIMIT 100
+    """,
+    tags=("pagination", "topk"),
+)
+def keyset_pagination_orders(spark, sf_dir):
+    """Keyset (seek) pagination: page N+1 starts AFTER the last key of
+    page N, never at OFFSET N·page_size.
+
+    OFFSET pagination is a scale antipattern — Spark materializes and
+    discards the first N rows of a global sort on every page. The keyset
+    predicate pushes to the parquet scan (min/max row-group pruning skips
+    everything below the cursor) and the LIMIT becomes TakeOrderedAndProject
+    — per-partition top-k then a k-row merge, no global sort. Cursor 7000
+    stands in for 'last key the client saw'."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderkey") > 7000)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "feature_hashing_tokens",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                              t -> t <> '')) AS tok
+            FROM documents WHERE doc_id < 100
+        )
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS bucket,
+               COUNT(*) AS weight
+        FROM tok GROUP BY doc_id, bucket
+    """,
+    tags=("text", "features", "hashing_trick"),
+)
+def feature_hashing_tokens(spark, sf_dir):
+    """The hashing trick: unbounded token vocabulary → fixed 256-dim sparse
+    count vector per document, no dictionary to build, broadcast, or keep
+    consistent across batches — THE property that matters for incremental
+    100 TB featurization (a vocab dictionary is global mutable state; a
+    hash function isn't).
+
+    Output is sparse COO triples (doc_id, bucket, weight): explode →
+    one hash agg keyed by (doc_id, bucket), partial-aggregated map-side.
+    Bucket = md5-prefix mod 256, identical on both engines (same scheme as
+    the corpus-mixture admission hash)."""
+    from etl_expenses_spark.functions.text import tokens
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long") % 256
+    )
+    return tok.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count("*").alias("weight")
+    )

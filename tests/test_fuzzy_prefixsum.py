@@ -66,3 +66,72 @@ def test_pps_sample_total_picks_and_weight_bias(spark):
     pop_mean = 5.5
     pick_mean = sum(r.w * r.n_picks for r in rows) / sum(r.n_picks for r in rows)
     assert pick_mean > pop_mean
+
+
+# ---------------------------------------------------------------------------
+# Property tests: the distributed implementations equal their naive
+# single-node definitions on arbitrary inputs.
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings, strategies as st
+
+PROP = settings(max_examples=6, deadline=None)
+
+
+@PROP
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=200),
+    st.integers(min_value=1, max_value=50),
+)
+def test_cumsum_property_equals_python_prefix_sum(spark, weights, bucket_width):
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = {
+        r.id: r.cum
+        for r in distributed_cumsum(
+            df, "id", "w", bucket=F.floor(F.col("id") / bucket_width)
+        ).collect()
+    }
+    acc, want = 0, {}
+    for i, w in enumerate(weights):
+        acc += w
+        want[i] = acc
+    assert got == want
+
+
+@PROP
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=8).filter(lambda s: s.strip()),
+        min_size=2,
+        max_size=25,
+        unique=True,
+    ),
+    st.integers(min_value=0, max_value=3),
+)
+def test_blocked_fuzzy_pairs_property_equals_naive(spark, names, max_dist):
+    import itertools
+
+    rows = list(enumerate(names))
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in blocked_fuzzy_pairs(
+            df, "id", "name", F.split(F.trim(F.col("name")), r"\s+")[0], max_dist
+        ).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (i, j, lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if a.strip().split()[0] == b.strip().split()[0] and lev(a, b) <= max_dist
+    }
+    assert got == want

@@ -174,6 +174,8 @@ EXTRA = [
     "pit_join_events_user_tier",
     "rolling_7d_active_users",
     "trend_daily_spend_slope",
+    "keyset_pagination_orders",
+    "feature_hashing_tokens",
 ]
 
 
