@@ -1,0 +1,162 @@
+"""Scaling study: measure how query time grows as data grows.
+
+The design claim everywhere in this repo is "the plan survives a 100×
+scale-up"; this tool measures it instead of asserting it. Two data axes:
+
+1. The driver's real testdata at sf0.001 / sf0.01 / sf0.1 — a 100× span.
+2. A synthetic ×10 of sf0.1 ("sf1_synth", ~6M-row facts) built by unioning
+   10 key-shifted copies — ONLY for relational/temporal shapes. Dedup and
+   similarity queries are excluded from the synthetic tier: replicating
+   documents manufactures artificial near-duplicates, which changes the
+   problem size quadratically inside LSH buckets instead of scaling it.
+
+Per (query, scale): median-of-3 wall time to the noop sink after a warm-up
+count per table. Output: one JSON line + SCALING.md with per-decade ratios
+(time multiplier when data grows 10×; ≤ ~10 ⇒ at-most-linear in that
+decade; small-SF decades are overhead-dominated and read < 1×...~2×).
+
+Usage: python tools/scaling_study.py [--skip-synth]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_expenses_spark.plans import REGISTRY  # noqa: E402
+from etl_expenses_spark.session import get_spark  # noqa: E402
+from etl_expenses_spark.sources.readers import TESTDATA_TABLES, load_table  # noqa: E402
+
+REAL_SCALES = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+SYNTH_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "spark-warehouse", "sf1_synth"
+)
+SYNTH_COPIES = 10
+
+# Key columns to shift per table so ×10 replication keeps joins/groupings
+# realistic (10× keys, same per-key density) instead of inflating per-key
+# fan-out 10×.
+SHIFT_KEYS = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    # dims stay as-is (broadcast side should NOT grow with the fact side)
+    "region": [],
+    "nation": [],
+    "supplier": [],
+    "part": [],
+}
+
+QUERIES_ALL_SCALES = [
+    "flagship_spend_by_category",   # scan + broadcast dim join + agg
+    "pricing_summary",              # full-scan hash agg
+    "join_inner_orders_customer",   # shuffled equi join
+    "asof_join_events_orders",      # union + window as-of
+    "window_tumbling_daily",        # keyed window agg
+    "cohort_retention_monthly",     # two keyed aggs + join
+    "rolling_7d_active_users",      # dedup + bounded fan-out
+    "equidepth_histogram_totals",   # two-phase global rank
+    "range_join_recent_clicks",     # bucketed non-equi → equi
+    "dedup_minhash_lsh",            # LSH banding (REAL scales only)
+    "dedup_cluster_components",     # iterative CC (REAL scales only)
+]
+SYNTH_EXCLUDE = {"dedup_minhash_lsh", "dedup_cluster_components"}
+
+
+def build_synth(spark) -> None:
+    """Materialize ×SYNTH_COPIES of sf0.1 with key-shifted copies."""
+    os.makedirs(SYNTH_DIR, exist_ok=True)
+    for t in TESTDATA_TABLES:
+        out = os.path.join(SYNTH_DIR, f"{t}.parquet")
+        if os.path.exists(out):
+            continue
+        base = load_table(spark, "/root/testdata/sf0.1", t)
+        keys = SHIFT_KEYS.get(t, [])
+        if not keys:
+            base.write.mode("overwrite").parquet(out)
+            continue
+        # offset each copy's keys by copy_idx * 10^12 — far above any real id
+        copies = None
+        for i in range(SYNTH_COPIES):
+            c = base
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * 1_000_000_000_000))
+            copies = c if copies is None else copies.unionByName(c)
+        copies.write.mode("overwrite").parquet(out)
+
+
+def time_query(spark, name: str, sf_dir: str) -> float:
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        REGISTRY[name].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runs.append(time.perf_counter() - t0)
+    return round(statistics.median(runs), 4)
+
+
+def main() -> None:
+    skip_synth = "--skip-synth" in sys.argv
+    spark = get_spark("scaling_study")
+    scales = list(REAL_SCALES)
+    if not skip_synth:
+        build_synth(spark)
+        scales.append(SYNTH_DIR)
+
+    results: dict[str, dict[str, float]] = {}
+    for sf_dir in scales:
+        label = os.path.basename(sf_dir.rstrip("/"))
+        for t in TESTDATA_TABLES:
+            load_table(spark, sf_dir, t).count()
+        for name in QUERIES_ALL_SCALES:
+            if sf_dir == SYNTH_DIR and name in SYNTH_EXCLUDE:
+                continue
+            results.setdefault(name, {})[label] = time_query(spark, name, sf_dir)
+            print(f"{label:12s} {name:32s} {results[name][label]:.3f}s", flush=True)
+
+    labels = [os.path.basename(s.rstrip("/")) for s in scales]
+    lines = [
+        "# SCALING — measured query time vs data size",
+        "",
+        "Generated by `tools/scaling_study.py`. Median-of-3 to the noop sink,",
+        "local[32]. Real testdata spans 100× (sf0.001 → sf0.1); `sf1_synth`",
+        "is ×10 of sf0.1 with key-shifted copies (10× keys, same per-key",
+        "density; dims stay fixed so broadcast sides don't grow). Dedup/LSH",
+        "queries skip the synthetic tier — replication manufactures",
+        "artificial near-duplicates and changes the problem, not the scale.",
+        "",
+        "Ratio columns: time multiplier across each 10× data step. ≲ 2 ⇒",
+        "overhead-dominated (fixed job/codegen cost hides data growth);",
+        "≈ 10 ⇒ linear; ≫ 10 ⇒ super-linear — a scale bug.",
+        "",
+        "| query | " + " | ".join(labels) + " | " + " | ".join(
+            f"{labels[i]}→{labels[i+1]}" for i in range(len(labels) - 1)
+        ) + " |",
+        "|---|" + "---|" * (2 * len(labels) - 1),
+    ]
+    for name, by_scale in results.items():
+        cells = [f"{by_scale.get(l, float('nan')):.3f}s" if l in by_scale else "—" for l in labels]
+        ratios = []
+        for i in range(len(labels) - 1):
+            a, b = by_scale.get(labels[i]), by_scale.get(labels[i + 1])
+            ratios.append(f"{b / a:.1f}×" if a and b else "—")
+        lines.append(f"| {name} | " + " | ".join(cells + ratios) + " |")
+
+    md = "\n".join(lines) + "\n"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "SCALING.md"), "w") as f:
+        f.write(md)
+    print(json.dumps({"metric": "scaling_study", "results": results}))
+
+
+if __name__ == "__main__":
+    main()
