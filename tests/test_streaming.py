@@ -409,3 +409,56 @@ def test_dedup_within_watermark_suppresses_replayed_events(spark, dirs):
     out = spark.read.parquet(str(gold))
     assert out.count() == 1000
     assert out.select("event_id").distinct().count() == 1000
+
+
+def test_stream_pit_enrich_joins_version_valid_at_event_time(spark, dirs):
+    """Streaming point-in-time enrichment: each event lands with the SCD2
+    dimension version valid AT its timestamp — events before the tier
+    change get 'basic', events after get 'premium' — and the result equals
+    the batch PIT join over the same inputs."""
+    from etl_expenses_spark.streaming.pipeline import run_events_stream_pit_enrich
+
+    bronze, gold, ckpt, _ = dirs
+    _write_bronze(spark, bronze)
+
+    # two-version SCD2 dim: every user upgrades basic → premium on Jan 15
+    users = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_id") < 1000)
+        .select("user_id")
+        .distinct()
+    )
+    t1 = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    dim = users.select(
+        "user_id",
+        F.lit("basic").alias("tier"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        t1.alias("valid_to"),
+    ).unionByName(
+        users.select(
+            "user_id",
+            F.lit("premium").alias("tier"),
+            t1.alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+        )
+    )
+    dim_path = str(bronze.parent / "dim")
+    dim.write.parquet(dim_path)
+
+    run_events_stream_pit_enrich(spark, str(bronze), dim_path, str(gold), str(ckpt))
+    out = spark.read.parquet(str(gold))
+
+    batch = load_table(spark, SF_DIR, "events").filter(F.col("event_id") < 1000)
+    expected = (
+        batch.join(dim, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+        )
+        .select("event_id", "user_id", "ts", "event_type", "value", "tier")
+    )
+    assert out.count() == expected.count() == 1000  # every event matches exactly 1 version
+    assert out.exceptAll(expected).isEmpty() and expected.exceptAll(out).isEmpty()
+    # the time split is real: both tiers appear
+    tiers = {r.tier for r in out.select("tier").distinct().collect()}
+    assert tiers == {"basic", "premium"}
