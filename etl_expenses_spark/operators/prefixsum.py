@@ -76,8 +76,13 @@ def pps_sample(
     whose libm pow/log differ across engines in the last ulp.
     """
     cum = distributed_cumsum(df, order_col, weight_col, bucket)
+    # step >= 1: when total weight < k the walk degenerates to "take every
+    # row at most once per weight unit" instead of dividing by zero
     total_step = cum.agg(
-        (F.floor(F.sum(weight_col) / F.lit(int(k)))).cast("long").alias("__step")
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(F.sum(weight_col) / F.lit(int(k))).cast("long"),
+        ).alias("__step")
     )
     out = cum.join(F.broadcast(total_step))
     picks = (

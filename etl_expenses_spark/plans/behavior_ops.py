@@ -239,7 +239,7 @@ def prefix_sum_document_bytes(spark, sf_dir):
             FROM documents
         ),
         stepped AS (
-            SELECT *, (SELECT SUM(n_chars) // 200 FROM documents) AS step FROM cum
+            SELECT *, (SELECT GREATEST(1, SUM(n_chars) // 200) FROM documents) AS step FROM cum
         )
         SELECT doc_id, n_chars, cum,
                (cum // step) - ((cum - n_chars) // step) AS n_picks
