@@ -54,12 +54,11 @@ _PRIORITY = [
     # windows + set ops (union covered by the schema-evolution union)
     "window_latest_order_per_customer",
     "window_running_user_spend",
-    "window_rank_parts_by_price",
     "except_inactive_customers",
     "union_evolved_schemas",
-    # scalar-function surface (consolidated)
+    # scalar-function surface (consolidated; date_functions' F10/F11 surface
+    # is inside temporal_scalar_functions + two_digit_year_repair)
     "string_regex_functions",
-    "date_functions",
     "temporal_scalar_functions",
     "two_digit_year_repair",
     "money_parse_roundtrip",
@@ -91,6 +90,11 @@ _PRIORITY = [
     "sql_surface_agent_query",
     "webhook_source_ingest",
     "gold_denormalized_sales",
+    # real-codec ingestion pipelines (S4+/S2+): binary PDFs → FlateDecode →
+    # stateful parse; real XLSX workbooks → stdlib read-back — the two
+    # "make it real" asks from the round-1 verdict, driver-verified
+    "pdf_ticket_pipeline",
+    "xlsx_report_pipeline",
 ]
 
 

@@ -37,6 +37,8 @@ def test_correctness_window_priority():
         "webhook_source_ingest",
         "gold_denormalized_sales",
         "multimodal_codec_roundtrip",  # real-codec decode, driver-verified
+        "pdf_ticket_pipeline",  # S4+: real binary PDF ingestion end-to-end
+        "xlsx_report_pipeline",  # S2+: real XLSX ingestion end-to-end
     }
     assert must <= set(window), must - set(window)
     # nothing silently dropped: priority reordering preserves the registry
