@@ -43,6 +43,7 @@ from etl_expenses_spark.plans.registry import query
     tags=("flagship", "join", "agg", "topk"),
 )
 def flagship_spend_by_category(spark, sf_dir):
+    """Flagship: dated lineitem scan -> broadcast part-dim join -> spend by category, top-20. Pushed date filter, hash agg, TakeOrderedAndProject."""
     lineitem = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") >= "1998-01-01")
     part = T(spark, sf_dir, "part")
     # decimal-domain money math: inputs are clean 2-decimal values, so the
@@ -88,6 +89,7 @@ def flagship_spend_by_category(spark, sf_dir):
     tags=("agg",),
 )
 def pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: full-scan hash aggregate over line status groups, decimal-exact sums surfaced as doubles."""
     li = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
     disc_price = dec("l_extendedprice", 2, 9) * (F.lit(1) - dec("l_discount", 2, 3))
     charge = disc_price * (F.lit(1) + dec("l_tax", 2, 3))
@@ -225,6 +227,7 @@ def conditional_mapping(spark, sf_dir):
     tags=("join",),
 )
 def join_inner_orders_customer(spark, sf_dir):
+    """J5 inner equi join orders x customer on the shuffled custkey."""
     o = T(spark, sf_dir, "orders")
     c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     return o.join(c, o.o_custkey == c.c_custkey).select(
@@ -272,6 +275,7 @@ def join_dims_agg(spark, sf_dir):
     tags=("join", "agg"),
 )
 def join_left_order_counts(spark, sf_dir):
+    """J5 left join preserving order-less customers, counting per customer."""
     c = T(spark, sf_dir, "customer")
     o = T(spark, sf_dir, "orders")
     return (
@@ -292,6 +296,7 @@ def join_left_order_counts(spark, sf_dir):
     tags=("join", "semi"),
 )
 def join_semi_big_spenders(spark, sf_dir):
+    """LEFT SEMI: customers having a qualifying order; no fan-out, key-only probe side."""
     c = T(spark, sf_dir, "customer")
     o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000.0)
     return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
@@ -328,6 +333,7 @@ def join_anti_customers_without_orders(spark, sf_dir):
     tags=("join", "outer"),
 )
 def join_full_outer_nation_activity(spark, sf_dir):
+    """FULL OUTER join of two per-nation aggregates; null-safe totals on both sides."""
     cn = (
         T(spark, sf_dir, "customer")
         .groupBy(F.col("c_nationkey").alias("k"))
@@ -363,6 +369,7 @@ def join_full_outer_nation_activity(spark, sf_dir):
     tags=("agg",),
 )
 def agg_order_stats(spark, sf_dir):
+    """A3/A4: count/min/max/sum/avg per order priority; sums in the decimal domain so both engines agree bit-exactly."""
     return (
         T(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
@@ -399,6 +406,7 @@ def distinct_segments(spark, sf_dir):
     tags=("agg", "distinct"),
 )
 def count_distinct_suppliers(spark, sf_dir):
+    """A4+: exact COUNT(DISTINCT) per nation -- two-level hash agg (dedup then count), the scale-safe distinct plan."""
     return (
         T(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
@@ -435,6 +443,7 @@ def approx_count_distinct_parts(spark, sf_dir):
     tags=("agg", "rollup"),
 )
 def rollup_spend(spark, sf_dir):
+    """ROLLUP month -> (month, priority) spend hierarchy in a single pass."""
     o = T(spark, sf_dir, "orders")
     c = T(spark, sf_dir, "customer")
     n = T(spark, sf_dir, "nation")
@@ -461,6 +470,7 @@ def rollup_spend(spark, sf_dir):
     tags=("agg", "cube"),
 )
 def cube_lineitem_status(spark, sf_dir):
+    """CUBE over (returnflag, linestatus): all four grouping-set combinations in one shuffle."""
     return (
         T(spark, sf_dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
@@ -524,6 +534,7 @@ def window_latest_order_per_customer(spark, sf_dir):
     tags=("window",),
 )
 def window_running_user_spend(spark, sf_dir):
+    """Running per-user spend: sum over an unbounded-preceding row frame, one shuffle on user_id."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     e = T(spark, sf_dir, "events")
@@ -547,6 +558,7 @@ def window_running_user_spend(spark, sf_dir):
     tags=("window",),
 )
 def window_rank_parts_by_price(spark, sf_dir):
+    """rank()/dense_rank() of parts by price within brand, deterministic tiebreak."""
     w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
     return T(spark, sf_dir, "part").select(
         "p_partkey",
@@ -609,6 +621,7 @@ def union_ledger(spark, sf_dir):
     tags=("setop",),
 )
 def intersect_active_actors(spark, sf_dir):
+    """INTERSECT of two activity predicates; dedup-then-semi plan."""
     o = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("actor_id"))
     e = T(spark, sf_dir, "events").select(F.col("user_id").alias("actor_id"))
     return o.intersect(e)
@@ -624,6 +637,7 @@ def intersect_active_actors(spark, sf_dir):
     tags=("setop",),
 )
 def except_inactive_customers(spark, sf_dir):
+    """EXCEPT: customers minus recent actors -- hash anti semantics on the whole row."""
     c = T(spark, sf_dir, "customer").select(F.col("c_custkey").alias("actor_id"))
     o = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("actor_id"))
     return c.subtract(o)  # EXCEPT (distinct semantics), matching the SQL oracle
