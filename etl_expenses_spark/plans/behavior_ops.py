@@ -541,3 +541,147 @@ def feature_hashing_tokens(spark, sf_dir):
     return tok.groupBy("doc_id", bucket.alias("bucket")).agg(
         F.count("*").alias("weight")
     )
+
+
+@query(
+    "installment_schedule_expansion",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                   1 + (o_orderkey % 6) AS n_cuotas,
+                   CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS m0
+            FROM orders WHERE o_orderkey % 25 = 0
+        ),
+        exploded AS (
+            SELECT b.o_orderkey, b.n_cuotas, b.cents, b.m0,
+                   unnest(generate_series(1, b.n_cuotas)) AS k
+            FROM base b
+        )
+        SELECT o_orderkey, n_cuotas, k AS cuota,
+               m0 + (k - 1) * INTERVAL 1 MONTH AS due_month,
+               CAST(CAST(cents // n_cuotas
+                         + CASE WHEN k <= cents % n_cuotas THEN 1 ELSE 0 END
+                         AS DECIMAL(18,0)) / 100 AS DOUBLE) AS cuota_amount
+        FROM exploded
+    """,
+    tags=("finance", "installments", "explode"),
+)
+def installment_schedule_expansion(spark, sf_dir):
+    """Installment ("cuotas") schedule expansion — the reference's credit
+    purchases carry a `cuotas` count (DDL int column, SURVEY §1.2); this
+    turns one purchase into its N monthly due rows with the amount split
+    in EXACT integer cents: every installment gets cents÷n, and the
+    remainder cents land on the earliest installments — the schedule sums
+    back to the original to the cent, by construction, on any engine.
+
+    Row-local explode via sequence(): one purchase → ≤6 rows, no shuffle
+    at all until a downstream aggregate; at 100 TB the expansion is a
+    map-side flatMap fused into the scan."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 25 == 0)
+    base = o.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+        (F.lit(1) + F.col("o_orderkey") % 6).alias("n_cuotas"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("m0"),
+    )
+    e = base.select(
+        "o_orderkey",
+        "n_cuotas",
+        "cents",
+        "m0",
+        F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("n_cuotas"))).alias("k"),
+    )
+    per = F.col("cents") / F.col("n_cuotas")
+    return e.select(
+        "o_orderkey",
+        "n_cuotas",
+        F.col("k").alias("cuota"),
+        (F.col("m0") + (F.col("k") - 1).cast("int") * F.expr("INTERVAL 1 MONTH")).alias(
+            "due_month"
+        ),
+        (
+            (
+                F.floor(per)
+                + F.when(F.col("k") <= F.col("cents") % F.col("n_cuotas"), 1).otherwise(0)
+            ).cast("decimal(18,0)")
+            / 100
+        )
+        .cast("double")
+        .alias("cuota_amount"),
+    )
+
+
+@query(
+    "fx_convert_order_totals",
+    oracle="""
+        WITH months AS (
+            SELECT DISTINCT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS m
+            FROM orders
+        ),
+        rates AS (
+            SELECT m,
+                   CAST(800 + 7 * ((12 * EXTRACT(YEAR FROM m) + EXTRACT(MONTH FROM m))
+                                   % 50) AS DECIMAL(10,2)) AS ars_per_usd
+            FROM months
+        )
+        SELECT o.o_orderkey,
+               CAST(DATE_TRUNC('month', o.o_orderdate) AS TIMESTAMP) AS m,
+               r.ars_per_usd,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * r.ars_per_usd AS DOUBLE)
+                 AS total_ars,
+               CAST(CAST((100 * CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                         // CAST(r.ars_per_usd * 100 AS BIGINT)
+                         AS DECIMAL(18,0)) / 100 AS DOUBLE) AS total_usd
+        FROM orders o
+        JOIN rates r ON r.m = CAST(DATE_TRUNC('month', o.o_orderdate) AS TIMESTAMP)
+        WHERE o.o_orderkey % 50 = 0
+    """,
+    tags=("finance", "fx", "join"),
+)
+def fx_convert_order_totals(spark, sf_dir):
+    """Currency conversion against a monthly FX-rate dimension — the
+    reference's dual-currency reality (divisa USD/ARS,
+    `/root/reference/transform_data_bank_pay/lambda_function.py:35`) at
+    warehouse scale: amounts join their month's rate and convert in the
+    exact domain (decimal multiply for ARS; integer cents floor-division
+    for USD), so totals are engine-identical with no float drift and no
+    decimal-division rounding-rule differences.
+
+    The rate table is derived deterministically in-query (one row per
+    month) so the oracle reproduces it; in production it's a dim table.
+    Plan: tiny rates relation broadcast onto the fact scan — the fact side
+    never shuffles."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    months = (
+        T(spark, sf_dir, "orders")
+        .select(F.date_trunc("month", F.col("o_orderdate")).alias("m"))
+        .distinct()
+    )
+    rates = months.select(
+        "m",
+        (
+            F.lit(800)
+            + 7 * ((12 * F.year("m") + F.month("m")) % 50)
+        ).cast("decimal(10,2)").alias("ars_per_usd"),
+    )
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    j = o.withColumn("m", F.date_trunc("month", F.col("o_orderdate"))).join(
+        F.broadcast(rates), "m"
+    )
+    # cent-exact USD: usd_cents = (100·price_cents) div rate_cents — pure
+    # bigint floor division, immune to decimal-division rounding rules
+    price_cents = (price * 100).cast("bigint")
+    rate_cents = (F.col("ars_per_usd") * 100).cast("bigint")
+    usd_cents = F.expr("_pc100 div _rc").cast("decimal(18,0)")
+    return (
+        j.withColumn("_pc100", F.lit(100) * price_cents)
+        .withColumn("_rc", rate_cents)
+        .select(
+            "o_orderkey",
+            "m",
+            "ars_per_usd",
+            (price * F.col("ars_per_usd")).cast("double").alias("total_ars"),
+            (usd_cents / 100).cast("double").alias("total_usd"),
+        )
+    )

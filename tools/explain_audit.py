@@ -176,6 +176,8 @@ EXTRA = [
     "trend_daily_spend_slope",
     "keyset_pagination_orders",
     "feature_hashing_tokens",
+    "installment_schedule_expansion",
+    "fx_convert_order_totals",
 ]
 
 
