@@ -606,3 +606,129 @@ def rolling_7d_active_users(spark, sf_dir):
     return contrib.groupBy("report_day").agg(
         F.count_distinct("user_id").alias("active_7d")
     )
+
+
+# --------------------------------------------------------------------------
+# Conditional scan (running total with resets): the "balance since last
+# deposit" / "spend since signup" shape. Islands come from a cumulative
+# count of reset markers; the value scan then runs WITHIN (user, island) —
+# two stacked windows over the SAME (user_id, ts) shuffle, zero extra
+# exchanges.
+# --------------------------------------------------------------------------
+@query(
+    "running_value_resets_on_signup",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CAST(value AS DECIMAL(18,2)) AS v,
+                   SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS island
+            FROM events
+        )
+        SELECT user_id, event_id, island,
+               CAST(SUM(CASE WHEN event_type <> 'signup' THEN v ELSE CAST(0 AS DECIMAL(18,2)) END)
+                        OVER (PARTITION BY user_id, island ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS run_since_signup
+        FROM marked
+    """,
+    tags=("temporal", "conditional_scan", "window"),
+)
+def running_value_resets_on_signup(spark, sf_dir):
+    """Running per-user value total that RESETS at each signup event — the
+    conditional-scan pattern (balance since last deposit, spend since
+    session start, distance since refuel).
+
+    Island id = running count of reset markers; the inner scan partitions
+    by (user, island). Both windows sort by the same (ts, event_id) key
+    inside the same user_id shuffle, so Catalyst evaluates them in one
+    Window operator chain without re-exchanging. Decimal-domain sums keep
+    both engines bit-identical."""
+    ev = T(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    w_mark = (
+        W.partitionBy("user_id").orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    )
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    ).withColumn(
+        "island",
+        F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0)).over(w_mark),
+    )
+    w_run = (
+        W.partitionBy("user_id", "island")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    contrib = F.when(
+        F.col("event_type") != "signup", F.col("v")
+    ).otherwise(F.lit(0).cast("decimal(18,2)"))
+    return marked.select(
+        "user_id",
+        "event_id",
+        "island",
+        F.sum(contrib).over(w_run).cast("double").alias("run_since_signup"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence mining: most common opening journeys (first 3 event types per
+# user). One sort_array over per-user collected structs — deterministic by
+# (ts, event_id) — then a count by journey string.
+# --------------------------------------------------------------------------
+@query(
+    "top_user_journeys",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id,
+                   LIST(event_type ORDER BY ts, event_id) AS types
+            FROM events GROUP BY user_id
+        ),
+        j AS (
+            SELECT user_id,
+                   ARRAY_TO_STRING(types[1:3], '>') AS journey
+            FROM seq
+        )
+        SELECT journey, COUNT(*) AS n_users
+        FROM j GROUP BY journey
+        ORDER BY n_users DESC, journey
+        LIMIT 10
+    """,
+    tags=("behavior", "sequence_mining", "agg"),
+)
+def top_user_journeys(spark, sf_dir):
+    """Most common opening journeys: each user's first three event types
+    (time order), counted across the population — 'how do people start'.
+
+    collect_list under groupBy is order-nondeterministic, so events are
+    collected as (ts, event_id, type) structs and sort_array imposes the
+    total order INSIDE the aggregate's result — one shuffle on user_id,
+    no window pass. slice(3) + concat, then a tiny count-by-journey
+    aggregate with a total-order top-10."""
+    ev = T(spark, sf_dir, "events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            "user_id",
+            F.array_join(
+                F.slice(F.transform("evs", lambda e: e["event_type"]), 1, 3), ">"
+            ).alias("journey"),
+        )
+    )
+    return (
+        seq.groupBy("journey")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "journey")
+        .limit(10)
+    )

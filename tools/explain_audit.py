@@ -178,6 +178,8 @@ EXTRA = [
     "feature_hashing_tokens",
     "installment_schedule_expansion",
     "fx_convert_order_totals",
+    "running_value_resets_on_signup",
+    "top_user_journeys",
 ]
 
 
