@@ -685,3 +685,77 @@ def fx_convert_order_totals(spark, sf_dir):
             (usd_cents / 100).cast("double").alias("total_usd"),
         )
     )
+
+
+@query(
+    "proportional_budget_allocation",
+    oracle="""
+        WITH o AS (
+            SELECT o_orderkey,
+                   CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS m,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+            FROM orders WHERE o_orderkey % 100 = 0
+        ),
+        tot AS (SELECT m, SUM(cents) AS mtot, COUNT(*) AS n FROM o GROUP BY m),
+        alloc AS (
+            SELECT o.o_orderkey, o.m, o.cents, t.mtot,
+                   (1000000 * o.cents) // t.mtot AS floor_share,
+                   (1000000 * o.cents) % t.mtot AS rem_part,
+                   1000000 - SUM((1000000 * o.cents) // t.mtot) OVER (PARTITION BY o.m)
+                     AS leftover
+            FROM o JOIN tot t ON t.m = o.m
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY m
+                                         ORDER BY rem_part DESC, o_orderkey) AS rk
+            FROM alloc
+        )
+        SELECT o_orderkey, m,
+               floor_share + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                 AS alloc_cents
+        FROM ranked
+    """,
+    tags=("finance", "allocation", "window"),
+)
+def proportional_budget_allocation(spark, sf_dir):
+    """Largest-remainder proration: a 10,000.00 monthly budget (1,000,000
+    cents) split across that month's orders proportional to their totals,
+    in EXACT cents — each order gets its floor share and the leftover
+    cents go to the largest fractional remainders (ties by key), so every
+    month's allocations sum to the budget to the cent, by construction.
+
+    The apportionment-theory standard (Hamilton's method) as two windows
+    over one month-keyed shuffle: a sum for the leftover, a rank over
+    remainders. All arithmetic is bigint — identical row-level grants on
+    any engine. At 100 TB, months are the natural partition and each
+    month's window is bounded by its order count."""
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    tot = o.groupBy("m").agg(F.sum("cents").alias("mtot"))
+    budget = F.lit(1_000_000).cast("bigint")
+    j = o.join(F.broadcast(tot), "m")
+    j = j.withColumn("floor_share", F.expr("(1000000 * cents) div mtot")).withColumn(
+        "rem_part", (budget * F.col("cents")) % F.col("mtot")
+    )
+    w_m = W.partitionBy("m")
+    j = j.withColumn("leftover", budget - F.sum("floor_share").over(w_m))
+    rk = F.row_number().over(
+        W.partitionBy("m").orderBy(F.col("rem_part").desc(), F.col("o_orderkey"))
+    )
+    return j.withColumn("rk", rk).select(
+        "o_orderkey",
+        "m",
+        (
+            F.col("floor_share")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("alloc_cents"),
+    )

@@ -180,6 +180,7 @@ EXTRA = [
     "fx_convert_order_totals",
     "running_value_resets_on_signup",
     "top_user_journeys",
+    "proportional_budget_allocation",
 ]
 
 
