@@ -732,3 +732,77 @@ def top_user_journeys(spark, sf_dir):
         .orderBy(F.col("n_users").desc(), "journey")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-touch attribution (U-shaped): each purchase's preceding clicks get
+# position-based credit in exact basis points — 40% first touch, 40% last,
+# 20% split over the middles by largest remainder. Candidates come from the
+# bucketed range join (same operator as range_join_recent_clicks), so the
+# non-equi window never becomes a nested loop.
+# --------------------------------------------------------------------------
+@query(
+    "multitouch_attribution_credits",
+    oracle="""
+        WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+                   WHERE event_type = 'purchase'),
+             c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts FROM events
+                   WHERE event_type = 'click'),
+        pairs AS (
+            SELECT p.p_id, c.c_id, c.c_ts
+            FROM p JOIN c ON c.c_user = p.user_id
+             AND c.c_ts > p.p_ts - INTERVAL 1 DAY AND c.c_ts <= p.p_ts
+        ),
+        ranked AS (
+            SELECT p_id, c_id,
+                   ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY c_ts, c_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY p_id) AS n
+            FROM pairs
+        )
+        SELECT p_id, c_id,
+               CASE WHEN n = 1 THEN 10000
+                    WHEN n = 2 THEN 5000
+                    WHEN rn = 1 OR rn = n THEN 4000
+                    ELSE 2000 // (n - 2)
+                         + CASE WHEN rn - 1 <= 2000 % (n - 2) THEN 1 ELSE 0 END
+               END AS credit_bp
+        FROM ranked
+    """,
+    tags=("temporal", "attribution", "window"),
+)
+def multitouch_attribution_credits(spark, sf_dir):
+    """U-shaped multi-touch attribution: clicks within 24 h before a
+    purchase share its credit — 40% to the first touch, 40% to the last,
+    20% across the middles — in EXACT basis points with leftover points
+    to the earliest middles, so every purchase's credits sum to 10000 bp
+    by construction on any engine.
+
+    Candidate (purchase, click) pairs come from the bucketed interval
+    join (operators/rangejoin.py) — a shuffled equi join, never a nested
+    loop; one window pass per purchase ranks the touches. Integer-only
+    credit arithmetic, no float shares."""
+    ev = T(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id"), F.col("ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    pairs = bucketed_interval_pairs(
+        purchases, clicks, "user_id", "c_user", "ts", "c_ts", window_s=86400
+    ).select("p_id", "c_id", "c_ts")
+    w = W.partitionBy("p_id")
+    ranked = pairs.withColumn(
+        "rn", F.row_number().over(w.orderBy("c_ts", "c_id"))
+    ).withColumn("n", F.count("*").over(w))
+    mid_base = F.expr("2000 div (n - 2)")
+    mid_extra = F.when((F.col("rn") - 1) <= 2000 % (F.col("n") - 2), 1).otherwise(0)
+    credit = (
+        F.when(F.col("n") == 1, 10000)
+        .when(F.col("n") == 2, 5000)
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), 4000)
+        .otherwise(mid_base + mid_extra)
+    )
+    return ranked.select("p_id", "c_id", credit.cast("long").alias("credit_bp"))

@@ -181,6 +181,7 @@ EXTRA = [
     "running_value_resets_on_signup",
     "top_user_journeys",
     "proportional_budget_allocation",
+    "multitouch_attribution_credits",
 ]
 
 
