@@ -759,3 +759,73 @@ def proportional_budget_allocation(spark, sf_dir):
             + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
         ).alias("alloc_cents"),
     )
+
+
+@query(
+    "correlation_r2_qty_price",
+    oracle="""
+        WITH pts AS (
+            SELECT l.l_partkey % 64 AS grp,
+                   CAST(l.l_quantity AS BIGINT) AS x,
+                   CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+            FROM lineitem l
+        ),
+        s AS (
+            SELECT grp, COUNT(*) AS n,
+                   SUM(x) AS sx, SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+                   SUM(y) AS sy, SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+                   SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+            FROM pts GROUP BY grp
+        )
+        SELECT grp, n,
+               CAST(CAST((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy)
+                         * (n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) AS DOUBLE)
+                    / CAST((n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+                           * (n * syy - CAST(sy AS DECIMAL(38,0)) * sy) AS DOUBLE)
+                    AS DOUBLE) AS r2
+        FROM s
+        WHERE n >= 3
+          AND (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx) <> 0
+          AND (n * syy - CAST(sy AS DECIMAL(38,0)) * sy) <> 0
+    """,
+    tags=("behavior", "regression", "agg"),
+)
+def correlation_r2_qty_price(spark, sf_dir):
+    """Coefficient of determination (r²) between quantity and line price
+    per part-group — the strength companion to trend_daily_spend_slope's
+    direction. Same sufficient-statistic recipe: numerator and denominator
+    stay EXACT (bigint inputs, wide-decimal products), one double division
+    at the end — so both engines emit bit-identical r².
+
+    One partial-aggregatable pass computes (n, Σx, Σx², Σy, Σy², Σxy) for
+    all groups; millions of correlations cost one shuffle of six numbers
+    per group."""
+    pts = T(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 64).alias("grp"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = pts.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+    )
+    cov_n = F.col("n") * F.col("sxy") - d38("sx") * F.col("sy")
+    varx_n = F.col("n") * F.col("sxx") - d38("sx") * F.col("sx")
+    vary_n = F.col("n") * F.col("syy") - d38("sy") * F.col("sy")
+    return (
+        s.filter((F.col("n") >= 3) & (varx_n != 0) & (vary_n != 0))
+        .select(
+            "grp",
+            "n",
+            ((cov_n * cov_n).cast("double") / (varx_n * vary_n).cast("double")).alias(
+                "r2"
+            ),
+        )
+    )

@@ -182,6 +182,7 @@ EXTRA = [
     "top_user_journeys",
     "proportional_budget_allocation",
     "multitouch_attribution_credits",
+    "correlation_r2_qty_price",
 ]
 
 
