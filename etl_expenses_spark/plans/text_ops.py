@@ -716,3 +716,56 @@ def bpe_trained_segmentation(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     merges = train_bpe(d, n_merges=40)
     return bpe_segment(d, merges)
+
+
+@query(
+    "corpus_summary_card",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, lang, source, n_chars,
+                   LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1
+                     AS n_tokens
+            FROM documents
+        )
+        SELECT COUNT(*) AS n_docs,
+               COUNT(DISTINCT lang) AS n_langs,
+               COUNT(DISTINCT source) AS n_sources,
+               SUM(n_chars) AS total_chars,
+               SUM(n_tokens) AS total_tokens,
+               MIN(n_chars) AS min_chars,
+               MAX(n_chars) AS max_chars,
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
+               SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS n_short_docs
+        FROM t
+    """,
+    tags=("text", "profile", "dataset_card"),
+)
+def corpus_summary_card(spark, sf_dir):
+    """Dataset-card headline numbers in ONE scan: doc/lang/source counts,
+    char and whitespace-token totals, length extremes and mean, short-doc
+    count — the summary block every corpus release ships.
+
+    All nine statistics are partial-aggregatable (distincts via two-level
+    hash agg), so the whole card costs a single pass over the corpus and
+    one tiny shuffle; at 100 TB this is the cheapest honest profile you
+    can produce. Token counts use the simple single-space convention so
+    the oracle is expressible in portable SQL (the richer tokenizer lives
+    in text_token_stats/text_features)."""
+    d = T(spark, sf_dir, "documents")
+    n_tokens = (
+        F.length(F.trim(F.col("text")))
+        - F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit("")))
+        + 1
+    )
+    t = d.select("doc_id", "lang", "source", "n_chars", n_tokens.alias("n_tokens"))
+    return t.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("mean_chars"),
+        F.sum(F.when(F.col("n_chars") < 100, 1).otherwise(0)).alias("n_short_docs"),
+    )

@@ -183,6 +183,7 @@ EXTRA = [
     "proportional_budget_allocation",
     "multitouch_attribution_credits",
     "correlation_r2_qty_price",
+    "corpus_summary_card",
 ]
 
 
