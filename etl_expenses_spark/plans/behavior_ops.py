@@ -1,12 +1,16 @@
-"""Behavioral / entity-resolution analytics: cohort retention, event
-transition matrices, blocked fuzzy matching, and PPS sampling.
+"""Behavioral, entity-resolution, sampling, and finance analytics:
+cohort retention, Markov transitions, blocked fuzzy matching, PPS
+sampling, equi-depth histograms, outlier screens, A/B readouts, OLS
+trends and r², keyset pagination, feature hashing, installment
+expansion, FX conversion, and largest-remainder allocation.
 
-Each query has an exact DuckDB oracle. These extend the engine's
+Each query has an exact DuckDB oracle; money/credit splits are integer
+cents / basis points so conservation invariants hold to the cent
+(tests/test_exact_invariants.py). These extend the engine's
 user-analytics surface (the reference's expense "behavior over time"
 questions, e.g. month-over-month concept tracking in
 `/root/reference/ai_agent/lambda_function.py` prompt rules) to the shapes a
-product-analytics team actually runs: cohorts, funnels (temporal_ops),
-Markov transitions, and match-the-dirty-feed entity resolution.
+product-analytics and finance team actually runs.
 """
 
 from __future__ import annotations
