@@ -833,3 +833,60 @@ def correlation_r2_qty_price(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "growth_accounting_daily",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT CAST(DATE_TRUNC('day', ts) AS DATE) AS day, user_id
+            FROM events
+        ),
+        first_seen AS (
+            SELECT user_id, MIN(day) AS d0 FROM du GROUP BY user_id
+        ),
+        daily AS (
+            SELECT du.day,
+                   SUM(CASE WHEN f.d0 = du.day THEN 1 ELSE 0 END) AS n_new,
+                   SUM(CASE WHEN f.d0 < du.day THEN 1 ELSE 0 END) AS n_returning
+            FROM du JOIN first_seen f ON f.user_id = du.user_id
+            GROUP BY du.day
+        )
+        SELECT day, n_new, n_returning,
+               SUM(n_new) OVER (ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum_users
+        FROM daily
+    """,
+    tags=("behavior", "growth", "window"),
+)
+def growth_accounting_daily(spark, sf_dir):
+    """Growth accounting: per day, how many active users are NEW (first
+    ever seen) vs RETURNING, plus the cumulative user base — the DAU
+    decomposition every growth team tracks.
+
+    The raw volume collapses to day-grain (day, user) pairs first; the
+    first-seen aggregate and the classification join both key on user_id
+    (one shuffle reused), and the final cumulative sum runs over the
+    |days|-row relation — small enough that its single window partition
+    is free, unlike a row-level global window."""
+    du = (
+        T(spark, sf_dir, "events")
+        .select(F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id")
+        .distinct()
+    )
+    first_seen = du.groupBy("user_id").agg(F.min("day").alias("d0"))
+    daily = (
+        du.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("d0") == F.col("day"), 1).otherwise(0)).alias("n_new"),
+            F.sum(F.when(F.col("d0") < F.col("day"), 1).otherwise(0)).alias(
+                "n_returning"
+            ),
+        )
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select(
+        "day", "n_new", "n_returning", F.sum("n_new").over(w).alias("cum_users")
+    )

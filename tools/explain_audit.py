@@ -184,6 +184,7 @@ EXTRA = [
     "multitouch_attribution_credits",
     "correlation_r2_qty_price",
     "corpus_summary_card",
+    "growth_accounting_daily",
 ]
 
 
