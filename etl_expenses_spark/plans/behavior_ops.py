@@ -890,3 +890,93 @@ def growth_accounting_daily(spark, sf_dir):
     return daily.select(
         "day", "n_new", "n_returning", F.sum("n_new").over(w).alias("cum_users")
     )
+
+
+@query(
+    "rfm_segmentation",
+    oracle="""
+        WITH rfm AS (
+            SELECT user_id,
+                   DATEDIFF('day', CAST(DATE_TRUNC('day', MAX(ts)) AS DATE),
+                            DATE '2024-02-01') AS recency_d,
+                   COUNT(*) AS freq,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(value AS DECIMAL(18,2))
+                                 ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT)
+                     AS monetary_c
+            FROM events GROUP BY user_id
+        ),
+        n AS (SELECT COUNT(*) AS n FROM rfm),
+        scored AS (
+            SELECT r.user_id, r.recency_d, r.freq, r.monetary_c,
+                   1 + (ROW_NUMBER() OVER (ORDER BY r.recency_d, r.user_id) - 1) * 5 // n.n
+                     AS r_score,
+                   1 + (ROW_NUMBER() OVER (ORDER BY r.freq, r.user_id) - 1) * 5 // n.n
+                     AS f_score,
+                   1 + (ROW_NUMBER() OVER (ORDER BY r.monetary_c, r.user_id) - 1) * 5 // n.n
+                     AS m_score
+            FROM rfm r, n
+        )
+        SELECT user_id, recency_d, freq, monetary_c, r_score, f_score, m_score,
+               CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                 || CAST(m_score AS VARCHAR) AS segment
+        FROM scored
+    """,
+    tags=("behavior", "rfm", "prefix_sum"),
+)
+def rfm_segmentation(spark, sf_dir):
+    """RFM segmentation: every user scored 1–5 on Recency, Frequency, and
+    Monetary value by exact population quintile (row-number formula, not a
+    sampled percentile sketch), concatenated into the classic '555'-style
+    segment label.
+
+    Each score needs a GLOBAL rank over the per-user aggregate — three
+    single-partition ROW_NUMBER windows in the naive plan. Here each rank
+    is a two-phase distributed scan (operators/prefixsum.py:
+    distributed_rank) bucketed by a monotone range of its metric, so all
+    three quintiles compute with bounded window partitions. Quintile
+    placement is integer arithmetic — identical on both engines."""
+    ev = T(spark, sf_dir, "events")
+    rfm = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.lit("2024-02-01").cast("date"),
+            F.date_trunc("day", F.max("ts")).cast("date"),
+        ).alias("recency_d"),
+        F.count("*").alias("freq"),
+        (
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(18,2)"),
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+            )
+            * 100
+        )
+        .cast("bigint")
+        .alias("monetary_c"),
+    )
+    n = rfm.agg(F.count("*").alias("n"))
+
+    def score(df, metric, bucket, out):
+        ranked = distributed_rank(df, [metric, "user_id"], bucket=bucket, out_col="__r")
+        return ranked.join(F.broadcast(n)).withColumn(
+            out, (1 + F.expr(f"(__r - 1) * 5 div n")).cast("long")
+        ).drop("__r", "n")
+
+    s = score(rfm, "recency_d", F.floor(F.col("recency_d") / 4), "r_score")
+    s = score(s, "freq", F.floor(F.col("freq") / 16), "f_score")
+    s = score(s, "monetary_c", F.floor(F.col("monetary_c") / 100_000), "m_score")
+    return s.select(
+        "user_id",
+        "recency_d",
+        "freq",
+        "monetary_c",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment"),
+    )

@@ -59,6 +59,8 @@ BNLJ_OK: set[str] = {
     "pps_sample_documents",
     # one-row COUNT(*) broadcast fixing the decile denominator
     "equidepth_histogram_totals",
+    # three one-row COUNT(*) broadcasts fixing the quintile denominators
+    "rfm_segmentation",
 }
 
 
@@ -185,6 +187,7 @@ EXTRA = [
     "correlation_r2_qty_price",
     "corpus_summary_card",
     "growth_accounting_daily",
+    "rfm_segmentation",
 ]
 
 
