@@ -980,3 +980,83 @@ def rfm_segmentation(spark, sf_dir):
             F.col("m_score").cast("string"),
         ).alias("segment"),
     )
+
+
+@query(
+    "basket_pair_lift",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey % 64 AS item
+            FROM lineitem
+        ),
+        n AS (SELECT COUNT(DISTINCT ok) AS n_baskets FROM items),
+        item_n AS (SELECT item, COUNT(*) AS cnt FROM items GROUP BY item),
+        pairs AS (
+            SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS both_cnt
+            FROM items a JOIN items b ON a.ok = b.ok AND a.item < b.item
+            GROUP BY a.item, b.item
+        )
+        SELECT p.item_a, p.item_b, p.both_cnt,
+               ia.cnt AS cnt_a, ib.cnt AS cnt_b,
+               CAST(p.both_cnt AS DOUBLE) / CAST(n.n_baskets AS DOUBLE) AS support,
+               CAST(p.both_cnt AS DOUBLE) / CAST(ia.cnt AS DOUBLE) AS confidence_a_b,
+               CAST(CAST(p.both_cnt AS DECIMAL(38,0)) * n.n_baskets AS DOUBLE)
+                 / CAST(CAST(ia.cnt AS DECIMAL(38,0)) * ib.cnt AS DOUBLE) AS lift
+        FROM pairs p
+        JOIN item_n ia ON ia.item = p.item_a
+        JOIN item_n ib ON ib.item = p.item_b
+        CROSS JOIN n
+        WHERE p.both_cnt >= 5
+    """,
+    tags=("behavior", "basket", "join"),
+)
+def basket_pair_lift(spark, sf_dir):
+    """Market-basket pair mining: support, confidence, and lift for item
+    pairs co-occurring in an order — the association-rule readout behind
+    'frequently bought together'.
+
+    The pair join is WITHIN baskets (equi join on order key, a.item <
+    b.item), so work is Σ|basket|², bounded by basket size — never a
+    cross-item cartesian. Ratios derive from exact counts (wide-decimal
+    numerators before the one double division), so support/confidence/
+    lift are bit-identical across engines. Item-frequency joins broadcast
+    (|items| is small); min-support prunes the tail before they attach."""
+    items = (
+        T(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), (F.col("l_partkey") % 64).alias("item"))
+        .distinct()
+    )
+    n = items.agg(F.count_distinct("ok").alias("n_baskets"))
+    item_n = items.groupBy("item").agg(F.count("*").alias("cnt"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count("*").alias("both_cnt"))
+        .filter(F.col("both_cnt") >= 5)
+    )
+    ia = item_n.select(F.col("item").alias("item_a"), F.col("cnt").alias("cnt_a"))
+    ib = item_n.select(F.col("item").alias("item_b"), F.col("cnt").alias("cnt_b"))
+    out = (
+        pairs.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .join(F.broadcast(n))
+    )
+    return out.select(
+        "item_a",
+        "item_b",
+        "both_cnt",
+        "cnt_a",
+        "cnt_b",
+        (F.col("both_cnt").cast("double") / F.col("n_baskets").cast("double")).alias(
+            "support"
+        ),
+        (F.col("both_cnt").cast("double") / F.col("cnt_a").cast("double")).alias(
+            "confidence_a_b"
+        ),
+        (
+            (F.col("both_cnt").cast("decimal(38,0)") * F.col("n_baskets")).cast("double")
+            / (F.col("cnt_a").cast("decimal(38,0)") * F.col("cnt_b")).cast("double")
+        ).alias("lift"),
+    )

@@ -61,6 +61,8 @@ BNLJ_OK: set[str] = {
     "equidepth_histogram_totals",
     # three one-row COUNT(*) broadcasts fixing the quintile denominators
     "rfm_segmentation",
+    # one-row basket-count broadcast for support/lift denominators
+    "basket_pair_lift",
 }
 
 
@@ -188,6 +190,7 @@ EXTRA = [
     "corpus_summary_card",
     "growth_accounting_daily",
     "rfm_segmentation",
+    "basket_pair_lift",
 ]
 
 
