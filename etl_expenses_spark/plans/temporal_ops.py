@@ -806,3 +806,70 @@ def multitouch_attribution_credits(spark, sf_dir):
         .otherwise(mid_base + mid_extra)
     )
     return ranked.select("p_id", "c_id", credit.cast("long").alias("credit_bp"))
+
+
+# --------------------------------------------------------------------------
+# Forecast backtest: seasonal-naive (value a week earlier) scored with
+# exact-arithmetic MAE/bias per user. The lag is an equi self-join on the
+# shifted day — at scale the same one-shuffle shape as any keyed join; no
+# per-user ordering, no state.
+# --------------------------------------------------------------------------
+@query(
+    "seasonal_naive_backtest",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+                   SUM(CAST(value AS DECIMAL(18,2))) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT a.user_id, a.day, a.v AS actual, f.v AS forecast,
+                   ABS(a.v - f.v) AS abs_err, a.v - f.v AS err
+            FROM daily a JOIN daily f
+              ON f.user_id = a.user_id AND f.day = a.day - INTERVAL 7 DAY
+        )
+        SELECT user_id, COUNT(*) AS n_days,
+               CAST(SUM(abs_err) AS DOUBLE) / COUNT(*) AS mae,
+               CAST(SUM(err) AS DOUBLE) / COUNT(*) AS bias
+        FROM scored GROUP BY user_id
+        HAVING COUNT(*) >= 5
+    """,
+    tags=("temporal", "forecast", "backtest"),
+)
+def seasonal_naive_backtest(spark, sf_dir):
+    """Backtest of the seasonal-naive forecast (predict today = same day
+    last week): per-user MAE and signed bias — the baseline every real
+    forecasting model must beat, and the exact yardstick to measure it
+    with.
+
+    Errors accumulate in the DECIMAL domain (abs/sub are exact); the
+    single double division per metric happens identically on both
+    engines. The 7-day lag is an equi join on (user, day−7) — one keyed
+    shuffle, no window sort, no state; the same plan at 100 TB."""
+    daily = (
+        T(spark, sf_dir, "events")
+        .groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    )
+    f = daily.select(
+        "user_id",
+        F.date_add(F.col("day"), 7).alias("day"),
+        F.col("v").alias("fv"),
+    )
+    scored = daily.join(f, ["user_id", "day"]).select(
+        "user_id",
+        "day",
+        F.abs(F.col("v") - F.col("fv")).alias("abs_err"),
+        (F.col("v") - F.col("fv")).alias("err"),
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_days"),
+            (F.sum("abs_err").cast("double") / F.count("*")).alias("mae"),
+            (F.sum("err").cast("double") / F.count("*")).alias("bias"),
+        )
+        .filter(F.col("n_days") >= 5)
+    )

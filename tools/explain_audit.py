@@ -191,6 +191,7 @@ EXTRA = [
     "growth_accounting_daily",
     "rfm_segmentation",
     "basket_pair_lift",
+    "seasonal_naive_backtest",
 ]
 
 
