@@ -205,3 +205,28 @@ def test_jsonl_sink_atomic_write_and_abort(spark, tmp_path):
         ).save()
     assert spark.read.json(str(out)).count() == 7
     assert not (out / "_staging").exists() or not os.listdir(out / "_staging")
+
+
+def test_parquet_corrupt_file_quarantine_via_ignore_corrupt(spark, tmp):
+    """A garbage .parquet file in a landing dir: default read FAILS (no
+    silent data loss), and the explicit ignoreCorruptFiles opt-in skips it
+    while keeping every good row — the parquet analog of the CSV
+    PERMISSIVE/_corrupt_record quarantine contract."""
+    import pytest as _pytest
+
+    d = tmp / "landing"
+    spark.range(100).selectExpr("id", "id * 2 AS v").write.parquet(str(d))
+    (d / "garbage.parquet").write_bytes(b"PAR1 this is not a real parquet file")
+
+    with _pytest.raises(Exception):
+        spark.read.parquet(str(d)).count()
+
+    # ignoreCorruptFiles governs the DATA read; schema inference would
+    # still trip on the bad footer, so a landing read declares its schema
+    # (the bronze contract anyway) and lets the option skip the garbage
+    good = (
+        spark.read.schema("id BIGINT, v BIGINT")
+        .option("ignoreCorruptFiles", "true")
+        .parquet(str(d))
+    )
+    assert good.count() == 100

@@ -341,3 +341,29 @@ def test_read_version_and_history(spark, table_root):
     with _pytest.raises(FileNotFoundError):
         read_version(spark, table_root, v1)
     assert read_published(spark, table_root).count() == a.count() + b.count()
+
+
+def test_concurrent_version_claims_never_collide(tmp_path):
+    """Two publishers racing for the next version get DISTINCT versions —
+    the O_EXCL claim marker makes the loser bump and retry (ADVICE round 1:
+    concurrent writers must not clobber each other's staging dirs)."""
+    import threading
+
+    from etl_expenses_spark.operators.wap import _claim_version
+
+    root = str(tmp_path / "t")
+    got: list[int] = []
+    lock = threading.Lock()
+
+    def claim():
+        v, _ = _claim_version(root)
+        with lock:
+            got.append(v)
+
+    threads = [threading.Thread(target=claim) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(got) == 8
+    assert len(set(got)) == 8  # all distinct — no clobbered version dirs
