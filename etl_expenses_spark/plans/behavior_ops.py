@@ -1060,3 +1060,59 @@ def basket_pair_lift(spark, sf_dir):
             / (F.col("cnt_a").cast("decimal(38,0)") * F.col("cnt_b")).cast("double")
         ).alias("lift"),
     )
+
+
+@query(
+    "fuzzy_entity_clusters",
+    oracle="""
+        WITH RECURSIVE
+        names AS (SELECT DISTINCT p_name FROM part),
+        e AS (
+            SELECT a.p_name AS src, b.p_name AS dst
+            FROM names a JOIN names b
+              ON SPLIT_PART(a.p_name, ' ', 1) = SPLIT_PART(b.p_name, ' ', 1)
+             AND a.p_name < b.p_name
+            WHERE LEVENSHTEIN(a.p_name, b.p_name) <= 4
+        ),
+        sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        reach(id, r) AS (
+            SELECT DISTINCT src, src FROM sym
+            UNION
+            SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+        ),
+        cc AS (SELECT id AS name, MIN(r) AS canonical FROM reach GROUP BY id)
+        SELECT name, canonical, name = canonical AS is_canonical,
+               COUNT(*) OVER (PARTITION BY canonical) AS cluster_size
+        FROM cc
+    """,
+    tags=("fuzzy", "entity_resolution", "graph"),
+)
+def fuzzy_entity_clusters(spark, sf_dir):
+    """Entity resolution ENDGAME: fuzzy pair candidates (blocked
+    levenshtein, operators/fuzzy.py) become edges; transitively-connected
+    name variants collapse into one entity via distributed connected
+    components (operators/dedup.py); the canonical form is the component
+    minimum — A~B and B~C merge even when A and C differ by more than the
+    edit threshold.
+
+    The same composition the dedup stack uses (candidates → CC →
+    canonical), re-instantiated on a different blocker — operator
+    composability is the point. Only names that appear in some fuzzy pair
+    enter the graph; singletons never shuffle."""
+    from etl_expenses_spark.operators.dedup import connected_components
+
+    names = T(spark, sf_dir, "part").select("p_name").distinct()
+    pairs = blocked_fuzzy_pairs(
+        names,
+        id_col="p_name",
+        text_col="p_name",
+        block=F.split(F.col("p_name"), " ")[0],
+        max_dist=4,
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(pairs, "src", "dst")
+    w = W.partitionBy("canonical")
+    return (
+        cc.select(F.col("id").alias("name"), F.col("cluster_id").alias("canonical"))
+        .withColumn("is_canonical", F.col("name") == F.col("canonical"))
+        .withColumn("cluster_size", F.count("*").over(w))
+    )

@@ -192,6 +192,7 @@ EXTRA = [
     "rfm_segmentation",
     "basket_pair_lift",
     "seasonal_naive_backtest",
+    "fuzzy_entity_clusters",
 ]
 
 
