@@ -1116,3 +1116,88 @@ def fuzzy_entity_clusters(spark, sf_dir):
         .withColumn("is_canonical", F.col("name") == F.col("canonical"))
         .withColumn("cluster_size", F.count("*").over(w))
     )
+
+
+@query(
+    "data_drift_monitor",
+    oracle="""
+        WITH tagged AS (
+            SELECT CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'ref'
+                        ELSE 'cur' END AS period,
+                   value, props, event_type
+            FROM events
+        ),
+        stats AS (
+            SELECT period,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                     AS mean_value,
+                   CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*) AS null_rate_props,
+                   COUNT(DISTINCT event_type) AS n_types
+            FROM tagged GROUP BY period
+        )
+        SELECT r.n AS ref_n, c.n AS cur_n,
+               r.mean_value AS ref_mean, c.mean_value AS cur_mean,
+               c.mean_value - r.mean_value AS mean_drift,
+               c.null_rate_props - r.null_rate_props AS null_rate_drift,
+               c.n_types - r.n_types AS type_cardinality_drift
+        FROM (SELECT * FROM stats WHERE period = 'ref') r
+        CROSS JOIN (SELECT * FROM stats WHERE period = 'cur') c
+    """,
+    tags=("quality", "drift", "mlops"),
+)
+def data_drift_monitor(spark, sf_dir):
+    """Data-drift monitor: reference window vs current window compared on
+    the statistics that break models silently — volume, mean value, null
+    rate, category cardinality. The one-row delta report a feature
+    pipeline gates deploys on.
+
+    One scan computes both periods' stats (CASE-tagged partial
+    aggregates); the two one-row sides cross-join for the deltas. Means
+    come from exact decimal sums over exact counts, and both means are
+    computed before the single subtraction — the drift numbers are
+    engine-identical."""
+    ev = T(spark, sf_dir, "events")
+    tagged = ev.select(
+        F.when(
+            F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), "ref"
+        )
+        .otherwise("cur")
+        .alias("period"),
+        "value",
+        "props",
+        "event_type",
+    )
+    stats = tagged.groupBy("period").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("*")
+        ).alias("mean_value"),
+        (
+            F.sum(F.when(F.col("props").isNull(), 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("null_rate_props"),
+        F.count_distinct("event_type").alias("n_types"),
+    )
+    r = stats.filter(F.col("period") == "ref").select(
+        F.col("n").alias("ref_n"),
+        F.col("mean_value").alias("ref_mean"),
+        F.col("null_rate_props").alias("ref_null_rate"),
+        F.col("n_types").alias("ref_types"),
+    )
+    c = stats.filter(F.col("period") == "cur").select(
+        F.col("n").alias("cur_n"),
+        F.col("mean_value").alias("cur_mean"),
+        F.col("null_rate_props").alias("cur_null_rate"),
+        F.col("n_types").alias("cur_types"),
+    )
+    return r.crossJoin(c).select(
+        "ref_n",
+        "cur_n",
+        "ref_mean",
+        "cur_mean",
+        (F.col("cur_mean") - F.col("ref_mean")).alias("mean_drift"),
+        (F.col("cur_null_rate") - F.col("ref_null_rate")).alias("null_rate_drift"),
+        (F.col("cur_types") - F.col("ref_types")).alias("type_cardinality_drift"),
+    )

@@ -63,6 +63,8 @@ BNLJ_OK: set[str] = {
     "rfm_segmentation",
     # one-row basket-count broadcast for support/lift denominators
     "basket_pair_lift",
+    # ref-vs-cur one-row stat sides cross-joined for the delta report
+    "data_drift_monitor",
 }
 
 
@@ -193,6 +195,7 @@ EXTRA = [
     "basket_pair_lift",
     "seasonal_naive_backtest",
     "fuzzy_entity_clusters",
+    "data_drift_monitor",
 ]
 
 
