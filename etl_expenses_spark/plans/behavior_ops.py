@@ -1201,3 +1201,45 @@ def data_drift_monitor(spark, sf_dir):
         (F.col("cur_null_rate") - F.col("ref_null_rate")).alias("null_rate_drift"),
         (F.col("cur_types") - F.col("ref_types")).alias("type_cardinality_drift"),
     )
+
+
+@query(
+    "benford_first_digit_screen",
+    oracle="""
+        WITH d AS (
+            SELECT SUBSTR(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+                     AS digit
+            FROM orders WHERE o_totalprice >= 1
+        ),
+        n AS (SELECT COUNT(*) AS n FROM d)
+        SELECT d.digit, COUNT(*) AS cnt,
+               CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n.n) AS DOUBLE) AS share
+        FROM d CROSS JOIN n
+        GROUP BY d.digit
+    """,
+    tags=("quality", "benford", "audit"),
+)
+def benford_first_digit_screen(spark, sf_dir):
+    """Benford first-digit screen — the forensic-accounting check the
+    reference's expense domain calls for: the leading-digit distribution
+    of amounts, to compare against Benford's expected shares (fabricated
+    numbers skew uniform; organic spend skews log).
+
+    The first digit comes from the DECIMAL's string form — no log10, no
+    float classification, so bucketing is engine-exact; shares are exact
+    counts over an exact total with one double division each. One scan,
+    nine output rows."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1)
+        .alias("digit")
+    )
+    n = d.agg(F.count("*").alias("n"))
+    return (
+        d.crossJoin(F.broadcast(n))
+        .groupBy("digit")
+        .agg(
+            F.count("*").alias("cnt"),
+            (F.count("*").cast("double") / F.max("n").cast("double")).alias("share"),
+        )
+    )

@@ -65,6 +65,8 @@ BNLJ_OK: set[str] = {
     "basket_pair_lift",
     # ref-vs-cur one-row stat sides cross-joined for the delta report
     "data_drift_monitor",
+    # one-row total broadcast for the digit shares
+    "benford_first_digit_screen",
 }
 
 
@@ -196,6 +198,7 @@ EXTRA = [
     "seasonal_naive_backtest",
     "fuzzy_entity_clusters",
     "data_drift_monitor",
+    "benford_first_digit_screen",
 ]
 
 
