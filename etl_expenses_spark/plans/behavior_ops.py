@@ -1243,3 +1243,75 @@ def benford_first_digit_screen(spark, sf_dir):
             (F.count("*").cast("double") / F.max("n").cast("double")).alias("share"),
         )
     )
+
+
+@query(
+    "pareto_revenue_concentration",
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey,
+                   SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                     AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT o_custkey, cents,
+                   ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS r,
+                   SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum,
+                   (SELECT COUNT(*) FROM spend) AS n,
+                   (SELECT SUM(cents) FROM spend) AS total
+            FROM spend
+        )
+        SELECT (r - 1) * 10 // n AS decile,
+               COUNT(*) AS n_customers,
+               CAST(MAX(cum) AS DOUBLE) / CAST(MAX(total) AS DOUBLE)
+                 AS cum_revenue_share
+        FROM ranked GROUP BY 1
+    """,
+    tags=("behavior", "pareto", "prefix_sum"),
+)
+def pareto_revenue_concentration(spark, sf_dir):
+    """Pareto / 80-20 concentration: customers ranked by spend (best
+    first), reporting each decile's CUMULATIVE revenue share — 'the top
+    10% of customers carry X% of revenue'.
+
+    Rank AND running revenue both come from the two-phase distributed
+    scan (operators/prefixsum.py) over the per-customer aggregate —
+    bucketed by a monotone range of negated spend, so neither needs the
+    single-partition global window the oracle writes. Spend stays integer
+    cents until the final share division."""
+    spend = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+            ).alias("cents")
+        )
+        # negate so ascending rank order = biggest spender first, and the
+        # range bucket stays a monotone function of the order key
+        .withColumn("neg", -F.col("cents"))
+    )
+    ranked = distributed_rank(
+        spend, ["neg", "o_custkey"], bucket=F.floor(F.col("neg") / 50_000_000), out_col="r"
+    )
+    cum = distributed_cumsum(
+        ranked, ["neg", "o_custkey"], "cents",
+        bucket=F.floor(F.col("neg") / 50_000_000), out_col="cum",
+    )
+    tot = spend.agg(
+        F.count("*").alias("n"), F.sum("cents").alias("total")
+    )
+    return (
+        cum.join(F.broadcast(tot))
+        .withColumn("decile", F.expr("(r - 1) * 10 div n"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            (F.max("cum").cast("double") / F.max("total").cast("double")).alias(
+                "cum_revenue_share"
+            ),
+        )
+    )

@@ -67,6 +67,8 @@ BNLJ_OK: set[str] = {
     "data_drift_monitor",
     # one-row total broadcast for the digit shares
     "benford_first_digit_screen",
+    # one-row (n, total) broadcast for decile boundaries and shares
+    "pareto_revenue_concentration",
 }
 
 
@@ -199,6 +201,7 @@ EXTRA = [
     "fuzzy_entity_clusters",
     "data_drift_monitor",
     "benford_first_digit_screen",
+    "pareto_revenue_concentration",
 ]
 
 
