@@ -1315,3 +1315,62 @@ def pareto_revenue_concentration(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "gini_spend_inequality",
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey,
+                   SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                     AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT cents,
+                   ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS r
+            FROM spend
+        )
+        SELECT COUNT(*) AS n_customers,
+               CAST(CAST(2 * SUM(CAST(r AS DECIMAL(38,0)) * cents)
+                         - (COUNT(*) + 1) * SUM(CAST(cents AS DECIMAL(38,0)))
+                         AS DOUBLE)
+                    / CAST(COUNT(*) * SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
+                    AS DOUBLE) AS gini
+        FROM ranked
+    """,
+    tags=("behavior", "inequality", "prefix_sum"),
+)
+def gini_spend_inequality(spark, sf_dir):
+    """Gini coefficient of customer spend — the single-number inequality
+    companion to the Pareto decile curve, from the closed form
+    G = (2·Σ(rᵢ·xᵢ) − (n+1)·Σxᵢ) / (n·Σxᵢ) over ascending-ranked spend.
+
+    The rank is the two-phase distributed scan (no single-partition
+    window); both Σ terms accumulate in wide decimals over integer cents,
+    so the whole statistic is exact until one final double division —
+    identical on any engine, any partitioning."""
+    spend = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    ranked = distributed_rank(
+        spend, ["cents", "o_custkey"], bucket=F.floor(F.col("cents") / 50_000_000), out_col="r"
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("r").cast("decimal(38,0)") * F.col("cents")).alias("srx"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sx"),
+    )
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        (
+            (2 * F.col("srx") - (F.col("n") + 1) * F.col("sx")).cast("double")
+            / (F.col("n") * F.col("sx")).cast("double")
+        ).alias("gini"),
+    )

@@ -202,6 +202,7 @@ EXTRA = [
     "data_drift_monitor",
     "benford_first_digit_screen",
     "pareto_revenue_concentration",
+    "gini_spend_inequality",
 ]
 
 
