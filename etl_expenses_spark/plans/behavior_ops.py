@@ -1374,3 +1374,60 @@ def gini_spend_inequality(spark, sf_dir):
             / (F.col("n") * F.col("sx")).cast("double")
         ).alias("gini"),
     )
+
+
+@query(
+    "weighted_median_spend",
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey,
+                   SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                     AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        c AS (
+            SELECT o_custkey, cents,
+                   SUM(cents) OVER (ORDER BY cents, o_custkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum,
+                   (SELECT SUM(cents) FROM spend) AS total
+            FROM spend
+        )
+        SELECT o_custkey, cents AS median_cents
+        FROM c
+        WHERE 2 * cum >= total AND 2 * (cum - cents) < total
+    """,
+    tags=("behavior", "weighted_median", "prefix_sum"),
+)
+def weighted_median_spend(spark, sf_dir):
+    """Revenue-weighted median customer: the spend level at which half of
+    ALL revenue sits below — 'the median dollar', not the median customer
+    — found as the cumulative-weight crossing point 2·cum ≥ total.
+
+    The crossing test is pure bigint (2·cum vs total — no division at
+    all), and the running weight is the two-phase distributed scan, so
+    the selection is exact and plan-safe at any scale. Selecting by
+    crossing predicate instead of rank also hands back the WHOLE row,
+    which a percentile sketch cannot."""
+    spend = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    cum = distributed_cumsum(
+        spend, ["cents", "o_custkey"], "cents",
+        bucket=F.floor(F.col("cents") / 50_000_000), out_col="cum",
+    )
+    tot = spend.agg(F.sum("cents").alias("total"))
+    return (
+        cum.join(F.broadcast(tot))
+        .filter(
+            (2 * F.col("cum") >= F.col("total"))
+            & (2 * (F.col("cum") - F.col("cents")) < F.col("total"))
+        )
+        .select("o_custkey", F.col("cents").alias("median_cents"))
+    )

@@ -69,6 +69,8 @@ BNLJ_OK: set[str] = {
     "benford_first_digit_screen",
     # one-row (n, total) broadcast for decile boundaries and shares
     "pareto_revenue_concentration",
+    # one-row total-weight broadcast for the crossing predicate
+    "weighted_median_spend",
 }
 
 
@@ -203,6 +205,7 @@ EXTRA = [
     "benford_first_digit_screen",
     "pareto_revenue_concentration",
     "gini_spend_inequality",
+    "weighted_median_spend",
 ]
 
 
