@@ -25,6 +25,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 
+def single_defined_partition(col: Column) -> Column:
+    """Partition key for a window over a KNOWN-SMALL relation (bucket
+    totals, months, days): constant 0 for every row, but written as
+    ``pmod(col, 1)`` because Catalyst constant-folds ``lit(0)`` out of the
+    partition spec entirely, degrading the window to the unpartitioned
+    escape hatch (and its "No Partition Defined" warning). The pmod form
+    survives optimization, so the plan keeps an explicit single-partition
+    spec — same execution, declared intent."""
+    return F.pmod(col, F.lit(1))
+
+
 def distributed_cumsum(
     df: DataFrame,
     order_col: str | list[str],
@@ -47,7 +58,11 @@ def distributed_cumsum(
     in_bucket = W.partitionBy("__b").orderBy(*order_cols).rowsBetween(W.unboundedPreceding, 0)
     b = b.withColumn("__cum_in", F.sum(value_col).over(in_bucket))
     totals = b.groupBy("__b").agg(F.sum(value_col).alias("__tot"))
-    off_w = W.orderBy("__b").rowsBetween(W.unboundedPreceding, -1)
+    off_w = (
+        W.partitionBy(single_defined_partition(F.col("__b")))
+        .orderBy("__b")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
     offsets = totals.withColumn("__off", F.coalesce(F.sum("__tot").over(off_w), F.lit(0)))
     # offsets has one row per bucket — broadcast; the big side never re-shuffles
     out = b.join(F.broadcast(offsets.select("__b", "__off")), "__b")
@@ -78,16 +93,19 @@ def pps_sample(
     cum = distributed_cumsum(df, order_col, weight_col, bucket)
     # step >= 1: when total weight < k the walk degenerates to "take every
     # row at most once per weight unit" instead of dividing by zero
+    # `div` = integral division: the quotient never routes through a
+    # double, so it stays exact at any magnitude (floor(x/y) on doubles is
+    # only bit-identical to `x // y` while the operands fit in 2^53)
     total_step = cum.agg(
         F.greatest(
             F.lit(1).cast("long"),
-            F.floor(F.sum(weight_col) / F.lit(int(k))).cast("long"),
+            F.expr(f"sum({weight_col}) div {int(k)}").cast("long"),
         ).alias("__step")
     )
     out = cum.join(F.broadcast(total_step))
     picks = (
-        F.floor(F.col("cum") / F.col("__step"))
-        - F.floor((F.col("cum") - F.col(weight_col)) / F.col("__step"))
+        F.expr("cum div __step")
+        - F.expr(f"(cum - {weight_col}) div __step")
     ).cast("long")
     return out.withColumn("n_picks", picks).filter(F.col("n_picks") >= 1).drop("__step")
 

@@ -589,14 +589,32 @@ def curriculum_quality_bins(spark, sf_dir):
     curriculum-learning run consumes (easy tiers first), also the unit
     for per-tier mixture weights. NTILE over a TOTAL order (proxy +
     doc_id tiebreak) makes tier membership deterministic across engines
-    and runs. The single global window is the oracle-sized layout; at
-    100 TB the same tiers come from approx quantile cutpoints
-    (percentile_approx(n_chars, [.2,.4,.6,.8])) broadcast as literals —
-    one scan, no global sort — with ties broken by hash threshold."""
-    d = T(spark, sf_dir, "documents")
-    w = W.orderBy("n_chars", "doc_id")
+    and runs.
+
+    Scale shape: exact distributed NTILE, no global sort. Global rank
+    comes from the two-phase scan (operators/prefixsum.py:
+    distributed_rank, bucketed by a monotone range of the sort key so
+    every window partition is bounded), then NTILE's exact fill rule —
+    the first n%k tiles get ceil(n/k) rows, the rest floor(n/k) — is
+    pure integer arithmetic on (rank, n): identical tier membership to
+    the oracle's windowed NTILE at any scale, one broadcast row for n."""
+    from etl_expenses_spark.operators.prefixsum import distributed_rank
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = distributed_rank(
+        d, ["n_chars", "doc_id"], bucket=F.expr("n_chars div 64"), out_col="r"
+    )
+    n = d.agg(F.count("*").alias("n"))
+    # NTILE(k): q = n div k rows per tile, the first m = n mod k tiles
+    # take one extra row each
+    bin_expr = F.expr(
+        "CASE WHEN r <= (n % 5) * ((n div 5) + 1) "
+        "THEN (r - 1) div ((n div 5) + 1) + 1 "
+        "ELSE (n % 5) + (r - (n % 5) * ((n div 5) + 1) - 1) div (n div 5) + 1 END"
+    ).cast("int")
     return (
-        d.select("n_chars", F.ntile(5).over(w).alias("bin"))
+        ranked.join(F.broadcast(n))
+        .select("n_chars", bin_expr.alias("bin"))
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

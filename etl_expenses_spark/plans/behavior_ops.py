@@ -23,6 +23,7 @@ from etl_expenses_spark.operators.prefixsum import (
     distributed_cumsum,
     distributed_rank,
     pps_sample,
+    single_defined_partition,
 )
 from etl_expenses_spark.plans._util import T
 from etl_expenses_spark.plans.registry import query
@@ -297,8 +298,13 @@ def doc_length_outliers(spark, sf_dir):
         F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
     )
     j = d.join(F.broadcast(g), ["source", "lang"])
-    dev = F.col("n") * F.col("n_chars") - F.col("sx")
-    var_n2 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # dev^2 reaches ~1e20 for n~1e6, n_chars~1e4 — past int64. Promote to
+    # decimal(38,0) before any product (Spark long math wraps silently,
+    # non-ANSI, while the DuckDB oracle promotes to HUGEINT — same pattern
+    # as correlation_r2_qty_price below).
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dev = d38(F.col("n")) * F.col("n_chars") - F.col("sx")
+    var_n2 = d38(F.col("n")) * F.col("sxx") - d38(F.col("sx")) * F.col("sx")
     return (
         j.filter((F.col("n") >= 3) & (dev * dev > 4 * var_n2))
         .select(
@@ -410,7 +416,7 @@ def equidepth_histogram_totals(spark, sf_dir):
     n = orders.agg(F.count("*").alias("n"))
     return (
         ranked.join(F.broadcast(n))
-        .withColumn("bucket", F.floor((F.col("r") - 1) * 10 / F.col("n")).cast("long"))
+        .withColumn("bucket", F.expr("(r - 1) * 10 div n"))
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n_rows"),
@@ -886,7 +892,9 @@ def growth_accounting_daily(spark, sf_dir):
             ),
         )
     )
-    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    w = W.partitionBy(single_defined_partition(F.unix_date(F.col("day")))).orderBy(
+        "day"
+    ).rowsBetween(W.unboundedPreceding, 0)  # ~days rows, defined single partition
     return daily.select(
         "day", "n_new", "n_returning", F.sum("n_new").over(w).alias("cum_users")
     )

@@ -256,7 +256,10 @@ def json_struct_roundtrip(spark, sf_dir):
     schema (from_json), and surface the typed fields — the mail-doc
     JSON-tree semantics (`/root/reference/extract_data_bank_pay/lambda_function.py:182-195`)
     under full type fidelity (long/double/timestamp survive the round
-    trip). Row-local; fuses into the scan stage."""
+    trip). `odate` is declared TimestampType (zoned) to match what
+    load_table produces (parquet NTZ inference disabled), so to_json's
+    offset-bearing string parses back losslessly. Row-local; fuses into
+    the scan stage."""
     from pyspark.sql import types as T_
 
     schema = T_.StructType(
@@ -268,7 +271,7 @@ def json_struct_roundtrip(spark, sf_dir):
                 T_.StructType(
                     [
                         T_.StructField("total", T_.DoubleType()),
-                        T_.StructField("odate", T_.TimestampNTZType()),
+                        T_.StructField("odate", T_.TimestampType()),
                     ]
                 ),
             ),

@@ -13,6 +13,7 @@ from pyspark.sql.window import Window as W
 from etl_expenses_spark.operators.asof import asof_join_backward
 from etl_expenses_spark.operators.rangejoin import bucketed_interval_pairs
 from etl_expenses_spark.operators.merge import new_rows
+from etl_expenses_spark.operators.prefixsum import single_defined_partition
 from etl_expenses_spark.plans._util import T, dec
 from etl_expenses_spark.plans.registry import query
 
@@ -438,17 +439,56 @@ def sequence_gap_detection(spark, sf_dir):
     dropping every 17th event (simulated loss), report where the sequence
     breaks and how many ids are missing — the completeness check an
     ingestion pipeline runs against monotonic source ids (the reference's
-    ticket numbers / report ids). One global-order window; at scale the
-    sequence is range-partitioned by id so LEAD crosses partitions only at
-    boundaries (Spark handles the boundary exchange automatically)."""
+    ticket numbers / report ids).
+
+    Scale shape: a three-level bucket cascade instead of one global-order
+    LEAD (which would move the whole fact table to a single partition).
+    Level 1 buckets ids by `div 2^20` and runs LEAD *partitioned by
+    bucket* — every window partition is bounded by the bucket width. A
+    consecutive-id pair spanning two buckets is exactly (hi of bucket k,
+    lo of the next non-empty bucket), so level 2 repeats the same trick on
+    the one-row-per-bucket bounds relation (super-bucket = `bkt div
+    2^20`), and level 3 closes the last seam over the one-row-per-super
+    relation — at most id_space/2^40 rows, single defined partition, no
+    unpartitioned window anywhere in the plan. Each level only ever sees a
+    pair the lower level provably cannot (the in-between bucket would be
+    non-empty), so the union is exact and duplicate-free."""
     ev = T(spark, sf_dir, "events").filter(F.col("event_id") % 17 != 0)
-    w = W.orderBy("event_id")
-    s = ev.select("event_id", F.lead("event_id").over(w).alias("next_id"))
-    return s.filter(F.col("next_id") - F.col("event_id") > 1).select(
-        F.col("event_id").alias("gap_after"),
-        F.col("next_id").alias("resumes_at"),
-        (F.col("next_id") - F.col("event_id") - 1).cast("bigint").alias("n_missing"),
+    b = ev.select("event_id", F.expr("event_id div 1048576").alias("bkt"))
+
+    def gaps(df, id_col, next_col):
+        return df.filter(F.col(next_col) - F.col(id_col) > 1).select(
+            F.col(id_col).alias("gap_after"),
+            F.col(next_col).alias("resumes_at"),
+            (F.col(next_col) - F.col(id_col) - 1).cast("bigint").alias("n_missing"),
+        )
+
+    # level 1: gaps whose endpoints share a bucket
+    w1 = W.partitionBy("bkt").orderBy("event_id")
+    l1 = gaps(
+        b.select("event_id", F.lead("event_id").over(w1).alias("next_id")),
+        "event_id",
+        "next_id",
     )
+    # level 2: gaps between adjacent non-empty buckets of the same super
+    bounds = b.groupBy("bkt").agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).withColumn("super", F.expr("bkt div 1048576"))
+    w2 = W.partitionBy("super").orderBy("bkt")
+    l2 = gaps(
+        bounds.select("hi", F.lead("lo").over(w2).alias("next_lo")), "hi", "next_lo"
+    )
+    # level 3: gaps between adjacent non-empty supers (rows = #supers,
+    # bounded by id_space / 2^40 — a defined single partition, not a
+    # fallback global window)
+    sup = bounds.groupBy("super").agg(
+        F.min("lo").alias("s_lo"), F.max("hi").alias("s_hi")
+    )
+    w3 = W.partitionBy(single_defined_partition(F.col("super"))).orderBy("super")
+    l3 = gaps(
+        sup.select("s_hi", F.lead("s_lo").over(w3).alias("next_lo")), "s_hi", "next_lo"
+    )
+    return l1.unionByName(l2).unionByName(l3)
 
 
 @query(
@@ -478,7 +518,9 @@ def monthly_spend_mom_delta(spark, sf_dir):
     m = o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month")).agg(
         F.sum(dec("o_totalprice", 2, 18)).cast("double").alias("spend")
     )
-    w = W.orderBy("month")
+    w = W.partitionBy(single_defined_partition(F.col("month").cast("long"))).orderBy(
+        "month"
+    )  # ~months rows, defined single partition
     prev = F.lag("spend").over(w)
     return m.select(
         "month",

@@ -248,6 +248,33 @@ def run_events_stream_upsert(
     )
 
 
+def pit_enrich_sink(dim_path: str, gold_path: str):
+    """foreachBatch sink for the streaming point-in-time enrichment.
+
+    Exposed at module level so replay-idempotency is directly testable:
+    calling it twice with the same ``epoch_id`` (what an at-least-once
+    replay does after a crash between write and checkpoint commit) must
+    leave the gold table unchanged, which the epoch-keyed
+    ``mode("overwrite")`` write guarantees."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark_ = batch_df.sparkSession
+        dim = spark_.read.parquet(dim_path)
+        enriched = (
+            batch_df.join(F.broadcast(dim), "user_id")
+            .filter(
+                (F.col("ts") >= F.col("valid_from"))
+                & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+            )
+            .select("event_id", "user_id", "ts", "event_type", "value", "tier")
+        )
+        enriched.write.mode("overwrite").parquet(f"{gold_path}/epoch={epoch_id}")
+
+    return sink
+
+
 def run_events_stream_pit_enrich(
     spark: SparkSession,
     bronze_dir: str,
@@ -266,27 +293,17 @@ def run_events_stream_pit_enrich(
     batches) and broadcast — dim version history is small relative to the
     stream; the join stays an equi join on the key with the validity
     interval as a post-join filter, same plan shape as the batch PIT join.
-    Replay-idempotent: enriched rows are appended per epoch via parquet
-    append keyed by the checkpoint's exactly-once epoch tracking."""
+
+    Replay-idempotent for real: foreachBatch is at-least-once (a crash
+    after the write but before the epoch commits to the checkpoint replays
+    the epoch), so each epoch lands in its own `epoch=N` partition
+    directory with mode("overwrite") — a replayed epoch overwrites its own
+    directory instead of appending duplicates. Readers see `epoch` as an
+    ordinary discovered partition column; no cross-epoch rewrite, no
+    read-the-target dedup join, O(epoch) work per batch at any scale."""
     events = read_event_stream(spark, bronze_dir)
-
-    def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark_ = batch_df.sparkSession
-        dim = spark_.read.parquet(dim_path)
-        enriched = (
-            batch_df.join(F.broadcast(dim), "user_id")
-            .filter(
-                (F.col("ts") >= F.col("valid_from"))
-                & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
-            )
-            .select("event_id", "user_id", "ts", "event_type", "value", "tier")
-        )
-        enriched.write.mode("append").parquet(gold_path)
-
     (
-        events.writeStream.foreachBatch(sink)
+        events.writeStream.foreachBatch(pit_enrich_sink(dim_path, gold_path))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

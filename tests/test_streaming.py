@@ -446,7 +446,9 @@ def test_stream_pit_enrich_joins_version_valid_at_event_time(spark, dirs):
     dim.write.parquet(dim_path)
 
     run_events_stream_pit_enrich(spark, str(bronze), dim_path, str(gold), str(ckpt))
-    out = spark.read.parquet(str(gold))
+    # the idempotent sink lands each epoch under gold/epoch=N — the epoch id
+    # is sink bookkeeping, not part of the enriched row
+    out = spark.read.parquet(str(gold)).drop("epoch")
 
     batch = load_table(spark, SF_DIR, "events").filter(F.col("event_id") < 1000)
     expected = (
@@ -462,3 +464,15 @@ def test_stream_pit_enrich_joins_version_valid_at_event_time(spark, dirs):
     # the time split is real: both tiers appear
     tiers = {r.tier for r in out.select("tier").distinct().collect()}
     assert tiers == {"basic", "premium"}
+
+    # replay-idempotency: foreachBatch is at-least-once — re-running the
+    # sink with an epoch_id it already wrote (crash between write and
+    # checkpoint commit) must NOT duplicate rows
+    from etl_expenses_spark.streaming.pipeline import pit_enrich_sink
+
+    sink = pit_enrich_sink(dim_path, str(gold))
+    replay_batch = load_table(spark, SF_DIR, "events").filter(F.col("event_id") < 1000)
+    sink(replay_batch, 0)  # epoch 0 was already committed by the run above
+    after = spark.read.parquet(str(gold)).drop("epoch")
+    assert after.count() == 1000
+    assert after.exceptAll(expected).isEmpty()

@@ -59,6 +59,8 @@ BNLJ_OK: set[str] = {
     "pps_sample_documents",
     # one-row COUNT(*) broadcast fixing the decile denominator
     "equidepth_histogram_totals",
+    # one-row COUNT(*) broadcast feeding NTILE's exact fill rule
+    "curriculum_quality_bins",
     # three one-row COUNT(*) broadcasts fixing the quintile denominators
     "rfm_segmentation",
     # one-row basket-count broadcast for support/lift denominators
