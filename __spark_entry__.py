@@ -31,70 +31,69 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # registered after the window and is verified by tools/check_oracle.py
 # (the local replica of the same gate) across all scale factors.
 _PRIORITY = [
-    # flagship + core relational
+    # ---- round-3 rotation: the round-2 verdict asked that ~20 slots go to
+    # queries that have NEVER had a driver-side CORRECTNESS row (everything
+    # green in CORRECTNESS_r01/r02 stays on record); each §2 family keeps at
+    # least one previously-driver-green representative ----
+    # flagship + core relational (kept reps)
     "flagship_spend_by_category",
-    "pricing_summary",
     "derived_columns",
     "filter_events_threshold",
     "required_fields_filter",
     "conditional_mapping",
-    "join_inner_orders_customer",
     "join_dims_agg",
-    "join_left_order_counts",
-    "join_semi_big_spenders",
-    "join_anti_customers_without_orders",
-    # multimodal decode path (real WAV/Y4M codecs) — driver-verify the one
-    # operator the round-1 verdict called a facade; J5 full-outer keeps five
-    # sibling driver-pass join queries outside the swap
     "multimodal_codec_roundtrip",
     "agg_order_stats",
-    "distinct_segments",
-    "agg_watermark_max_date",
-    "topk_orders",
-    # windows + set ops (union covered by the schema-evolution union)
-    "window_latest_order_per_customer",
-    "window_running_user_spend",
-    "except_inactive_customers",
     "union_evolved_schemas",
-    # scalar-function surface (consolidated; date_functions' F10/F11 surface
-    # is inside temporal_scalar_functions + two_digit_year_repair)
     "string_regex_functions",
     "temporal_scalar_functions",
-    "two_digit_year_repair",
-    "money_parse_roundtrip",
-    "codec_hash_functions",
-    "json_field_access",
-    # text analysis (consolidated)
     "text_features",
-    "doc_fingerprint",
-    "tfidf_top_terms_per_doc",
-    # dedup / similarity / training-data ops
-    "dedup_keep_first",
-    "dedup_ngram_jaccard_pairs",
     "dedup_cluster_components",
-    "dedup_embedding_cosine_pairs",
     "similarity_cosine_topk",
     "decontaminate_benchmark_overlap",
     "dedup_incremental_batch",
     "dataset_split_leakage_safe",
-    # temporal / incremental / streaming batch twins
     "incremental_merge_new_orders",
     "asof_join_events_orders",
     "range_join_recent_clicks",
     "window_tumbling_daily",
     "session_windows_30m",
-    # schema modes + SQL surface + sources/sinks
     "schema_inference_cascade",
     "dual_header_normalize",
     "agg_arg_extremes",
     "sql_surface_agent_query",
     "webhook_source_ingest",
     "gold_denormalized_sales",
-    # real-codec ingestion pipelines (S4+/S2+): binary PDFs → FlateDecode →
-    # stateful parse; real XLSX workbooks → stdlib read-back — the two
-    # "make it real" asks from the round-1 verdict, driver-verified
     "pdf_ticket_pipeline",
     "xlsx_report_pipeline",
+    # ---- swap-ins: never driver-checked before round 3 ----
+    # the round-2 wrong answer, fixed this round — driver-verify the fix
+    "json_struct_roundtrip",
+    # the two round-2 perf-weak rewrites — driver-verify same answers
+    "sequence_gap_detection",
+    "curriculum_quality_bins",
+    # ADVICE-fixed exact-arithmetic queries
+    "doc_length_outliers",
+    "pps_sample_documents",
+    "equidepth_histogram_totals",
+    # TPC-H heavy joins
+    "tpch_q8_market_share",
+    "tpch_q21_waiting_supplier",
+    # prefix-sum / rank family
+    "prefix_sum_document_bytes",
+    "rfm_segmentation",
+    # merge/upsert/CDC family (K3)
+    "merge_upsert_orders",
+    "scd2_customer_segments",
+    "snapshot_diff_cdc",
+    # grouping sets, RANGE frames, PIT, gap-fill, behavior, fuzzy
+    "grouping_sets_spend",
+    "window_range_1h_user_spend",
+    "pit_join_events_user_tier",
+    "gapfill_interpolate_linear",
+    "basket_pair_lift",
+    "monthly_spend_mom_delta",
+    "fuzzy_entity_clusters",
 ]
 
 

@@ -21,6 +21,7 @@ def test_correctness_window_priority():
     window = qs[:50]
     assert all(n in os_ for n in window), [n for n in window if n not in os_]
     must = {
+        # per-family reps kept from the round-2 window
         "incremental_merge_new_orders",
         "asof_join_events_orders",
         "range_join_recent_clicks",
@@ -29,16 +30,28 @@ def test_correctness_window_priority():
         "dual_header_normalize",
         "schema_inference_cascade",
         "agg_arg_extremes",
-        "codec_hash_functions",  # F17+F18 (base64) consolidated
         "sql_surface_agent_query",
         "dedup_cluster_components",
-        "dedup_embedding_cosine_pairs",
         "similarity_cosine_topk",
         "webhook_source_ingest",
         "gold_denormalized_sales",
         "multimodal_codec_roundtrip",  # real-codec decode, driver-verified
         "pdf_ticket_pipeline",  # S4+: real binary PDF ingestion end-to-end
         "xlsx_report_pipeline",  # S2+: real XLSX ingestion end-to-end
+        # round-3 rotation: never-driver-checked swap-ins the round-2
+        # verdict named, incl. the fixed wrong answer and both perf rewrites
+        "json_struct_roundtrip",
+        "sequence_gap_detection",
+        "curriculum_quality_bins",
+        "tpch_q8_market_share",
+        "tpch_q21_waiting_supplier",
+        "equidepth_histogram_totals",
+        "rfm_segmentation",
+        "fuzzy_entity_clusters",
+        "prefix_sum_document_bytes",
+        "pit_join_events_user_tier",
+        "basket_pair_lift",
+        "gapfill_interpolate_linear",
     }
     assert must <= set(window), must - set(window)
     # nothing silently dropped: priority reordering preserves the registry
