@@ -94,21 +94,43 @@ def minhash_lsh_pairs(
     min_jaccard: float = 0.5,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash, verified with exact
-    shingle-set Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    shingle-set Jaccard (on 64-bit shingle fingerprints). Returns
+    (id_a, id_b, jaccard) with id_a < id_b.
 
     Scale shape: signatures are narrow (num_perm longs); candidates come from
     a groupBy on (band_idx, band_hash) — data volume after the explode is
     bands× the doc count, not doc²; the exact-Jaccard verify only touches
     bucket collisions.
-    """
+
+    Hash-first shingling: tokens are xxhash64'd ONCE to longs, then a
+    k-gram's fingerprint is the zip_with chain xxhash64(xxhash64(t1,t2),t3)
+    — shingle strings are never materialized (the concat_ws allocation was
+    ~half the signature cost, measured at sf0.1), and the verify set is
+    array<long> instead of array<string> (8 bytes/shingle in the shuffle).
+    Jaccard over distinct 64-bit fingerprints equals Jaccard over distinct
+    shingle strings up to hash collisions (~n²·2⁻⁶⁴, negligible)."""
     rows_per_band = num_perm // bands
+    tok = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
+    th = F.transform("toks", lambda x: F.xxhash64(x))
+    n_tok = F.size("toks")
+
+    def shingle_fingerprints(thcol):
+        acc = thcol
+        for off in range(1, shingle_k):
+            shifted = F.slice(thcol, off + 1, F.greatest(n_tok - off, F.lit(0)))
+            acc = F.zip_with(
+                acc, shifted, lambda a, b: F.when(b.isNotNull(), F.xxhash64(a, b))
+            )
+        full = F.filter(acc, lambda x: x.isNotNull())
+        # shorter-than-k doc: one fingerprint for the whole token stream
+        return F.when(n_tok >= shingle_k, full).otherwise(
+            F.array(F.xxhash64(F.concat_ws(" ", F.col("toks"))))
+        )
+
     sig = (
-        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
-        .select("id", shingles_of_tokens(F.col("toks"), shingle_k).alias("shingles"))
-        # hash every shingle string to a long ONCE; the num_perm permuted
-        # hashes then work on longs (string hashing is the dominant cost)
-        .select("id", "shingles", F.transform("shingles", lambda x: F.xxhash64(x)).alias("hs"))
-        .select("id", "shingles", *_minhash_sig(F.col("hs"), num_perm))
+        tok.select("id", "toks", th.alias("th"))
+        .select("id", shingle_fingerprints(F.col("th")).alias("hs"))
+        .select("id", "hs", *_minhash_sig(F.col("hs"), num_perm))
         # reused by both the banded candidate join and the verify re-join —
         # persist so the signature computation runs once, not 4×
         .persist()
@@ -149,7 +171,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sets = sig.select("id", F.array_distinct("shingles").alias("s"))
+    sets = sig.select("id", F.array_distinct("hs").alias("s"))
     verified = (
         candidates.join(sets.select(F.col("id").alias("id_a"), F.col("s").alias("sh_a")), "id_a")
         .join(sets.select(F.col("id").alias("id_b"), F.col("s").alias("sh_b")), "id_b")

