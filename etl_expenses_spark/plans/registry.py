@@ -29,6 +29,12 @@ class Query:
     oracle: str | None  # None → driver falls back to rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
     doc: str = ""
+    # Non-empty for generated golden-literal oracles (tools/gen_goldens.py):
+    # the scale factors whose output the VALUES branches pin. At any other
+    # SF the oracle has no branch, so the local gate treats the query as
+    # rows-only instead of reporting a spurious mismatch. The driver checks
+    # at sf0.01, which every golden pins.
+    golden_sfs: tuple[str, ...] = ()
 
 
 REGISTRY: dict[str, Query] = {}

@@ -81,6 +81,12 @@ def main() -> int:
         if q.oracle is None:
             print(f"ok    {name}: rows-only ({len(s_rows)} rows)")
             continue
+        sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        if q.golden_sfs and sf_tag not in q.golden_sfs:
+            # golden-literal oracle with no branch for this SF — value check
+            # happens at the pinned SFs (driver checks 0.01, always pinned)
+            print(f"ok    {name}: rows-only at sf{sf_tag} (golden pins {q.golden_sfs})")
+            continue
         try:
             res = con.execute(q.oracle)
             d_cols = [d[0] for d in res.description]
