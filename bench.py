@@ -57,6 +57,17 @@ HEADLINE = [
     "equidepth_histogram_totals",
     "fuzzy_match_part_names",
     "cohort_retention_monthly",
+    # round-3 additions: prefix-sum / behavior family representatives plus
+    # the two rewritten scale shapes (3-level gap cascade, distributed
+    # NTILE) so the perf gate covers every family with a plan worth
+    # regression-tracking
+    "rfm_segmentation",
+    "prefix_sum_document_bytes",
+    "growth_accounting_daily",
+    "sequence_gap_detection",
+    "curriculum_quality_bins",
+    "basket_pair_lift",
+    "pit_join_events_user_tier",
 ]
 
 

@@ -14,6 +14,11 @@ for local runs:
   across engines (and match the DuckDB correctness oracle).
 """
 
+# PROCESS GUARD: any behavioral edit to this file changes how EVERY query
+# reads data — run the FULL-registry oracle sweep before committing
+# (python tools/check_oracle.py /root/testdata/sf0.01 --vanilla); the
+# round-2 json_struct_roundtrip wrong answer escaped exactly this way.
+
 from __future__ import annotations
 
 import os

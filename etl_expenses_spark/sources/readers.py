@@ -10,6 +10,11 @@ and prune columns down to the scan; directory-listing + suffix filtering
 rather than imperative loops.
 """
 
+# PROCESS GUARD: any behavioral edit to this file changes how EVERY query
+# reads data — run the FULL-registry oracle sweep before committing
+# (python tools/check_oracle.py /root/testdata/sf0.01 --vanilla); the
+# round-2 json_struct_roundtrip wrong answer escaped exactly this way.
+
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
