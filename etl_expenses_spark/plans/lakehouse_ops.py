@@ -1,0 +1,246 @@
+"""Lakehouse-layout queries: bucketed co-located joins, z-order
+clustering, compaction planning, data-quality expectations, and
+deterministic sampling (operators/lakehouse.py).
+
+The reference's warehouse layer leaves layout to Redshift
+(`load_data/lambda_function.py` row INSERTs; `redshift_to_bq` bulk copy);
+on a Spark lakehouse the layout IS the optimizer's main input, so these
+ship as first-class operators with oracle-checked semantics and
+plan-pinned physical shapes (tests/test_lakehouse.py asserts the
+no-Exchange bucketed join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from etl_expenses_spark.operators.lakehouse import (
+    colocated_join,
+    compaction_plan,
+    write_bucketed,
+    zvalue2,
+)
+from etl_expenses_spark.plans._util import T, dec
+from etl_expenses_spark.plans.registry import query
+
+# DuckDB twin of operators/lakehouse._spread16 — same shift/or/mask
+# dilation, spelled with SQL operators
+_SPREAD_SQL = """
+        sp{n} AS (
+            SELECT *,
+                   ((b{n}3 | (b{n}3 << 1)) & 1431655765) AS s{n}
+            FROM (
+                SELECT *, ((b{n}2 | (b{n}2 << 2)) & 858993459) AS b{n}3
+                FROM (
+                    SELECT *, ((b{n}1 | (b{n}1 << 4)) & 252645135) AS b{n}2
+                    FROM (
+                        SELECT *, ((b{n}0 | (b{n}0 << 8)) & 16711935) AS b{n}1
+                        FROM base{n}
+                    )
+                )
+            )
+        )"""
+
+
+@query(
+    "zorder_curve_values",
+    oracle=(
+        "WITH base0 AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,\n"
+        "                      l_partkey & 65535 AS b00, l_suppkey & 65535 AS bX\n"
+        "               FROM lineitem),"
+        + _SPREAD_SQL.format(n=0)
+        + ",\n base1 AS (SELECT *, bX AS b10 FROM sp0),"
+        + _SPREAD_SQL.format(n=1)
+        + """
+        SELECT l_orderkey, l_linenumber,
+               s0 + (s1 << 1) AS zval
+        FROM sp1
+        ORDER BY zval, l_orderkey, l_linenumber
+        LIMIT 100
+    """
+    ),
+    tags=("lakehouse", "zorder", "layout"),
+)
+def zorder_curve_values(spark, sf_dir):
+    """Morton z-values over (l_partkey, l_suppkey): the one-dimensional
+    sort key whose range-partitioned layout clusters BOTH columns at once,
+    giving footer min/max skipping on either predicate
+    (operators/lakehouse.zvalue2; layout writer = zorder_layout, whose
+    per-file span shrink is measured in tests/test_lakehouse.py). Pure
+    shift/or/mask bit math — bit-identical on any engine, total-ordered
+    output (unique (orderkey, linenumber) tiebreak)."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    z = li.withColumn("zval", zvalue2(F.col("l_partkey"), F.col("l_suppkey")))
+    return (
+        z.orderBy("zval", "l_orderkey", "l_linenumber")
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "zval")
+    )
+
+
+@query(
+    "colocated_join_spend_by_segment",
+    oracle="""
+        SELECT c.c_mktsegment AS segment,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    """,
+    tags=("lakehouse", "bucketing", "join"),
+)
+def colocated_join_spend_by_segment(spark, sf_dir):
+    """The bucketed co-located join: orders and customer are persisted
+    ONCE as 8-bucket tables on the join key (write_bucketed), after which
+    every join between them plans sort-merge with ZERO ShuffleExchange —
+    the layout-level answer to the fact-dim join that otherwise shuffles
+    the fact table every run. Bucketed tables are (re)built per sf_dir
+    only when missing or stale (row-count check); the no-Exchange plan
+    shape is pinned by tests/test_lakehouse.py. Same aggregate as the
+    plain join, so the oracle checks semantics while the plan check
+    guards the layout."""
+    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    ot, ct = f"b_orders_{tag}", f"b_customer_{tag}"
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    customer = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    for tbl, src, key in ((ot, orders, "o_custkey"), (ct, customer, "c_custkey")):
+        if not spark.catalog.tableExists(tbl) or spark.table(tbl).count() != src.count():
+            write_bucketed(src, tbl, key, n_buckets=8, sort_cols=[key])
+    j = colocated_join(spark, ot, ct, on=F.col("o_custkey") == F.col("c_custkey"))
+    return j.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec("o_totalprice", 2, 18)).cast("double").alias("spend"),
+    )
+
+
+@query(
+    "compaction_plan_documents",
+    oracle="""
+        WITH cum AS (
+            SELECT doc_id, n_chars,
+                   SUM(n_chars) OVER (ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS c
+            FROM documents)
+        SELECT doc_id, n_chars, (c - n_chars) // 16384 AS bin
+        FROM cum
+    """,
+    tags=("lakehouse", "compaction", "prefix_sum"),
+)
+def compaction_plan_documents(spark, sf_dir):
+    """Small-file compaction planning as a query: treat each document as a
+    file of n_chars bytes and bin-pack in doc_id order into ~16 KiB
+    targets — running total via the two-phase distributed cumsum (bounded
+    window partitions, broadcast offsets), bin = exact integer division.
+    The oracle's single-partition window is precisely the plan this
+    implementation avoids."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return compaction_plan(
+        docs,
+        size_col="n_chars",
+        order_col="doc_id",
+        target_bytes=16384,
+        bucket=F.expr("doc_id div 1024"),
+    )
+
+
+@query(
+    "expectations_report_orders",
+    oracle="""
+        SELECT 'orderkey_not_null' AS rule,
+               (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) AS n_violations
+        UNION ALL
+        SELECT 'orderkey_unique',
+               (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+        UNION ALL
+        SELECT 'status_in_domain',
+               (SELECT COUNT(*) FROM orders
+                WHERE o_orderstatus NOT IN ('F', 'O', 'P'))
+        UNION ALL
+        SELECT 'totalprice_positive',
+               (SELECT COUNT(*) FROM orders WHERE NOT (o_totalprice > 0))
+        UNION ALL
+        SELECT 'custkey_references_customer',
+               (SELECT COUNT(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+    """,
+    tags=("lakehouse", "quality", "expectations"),
+)
+def expectations_report_orders(spark, sf_dir):
+    """Data-quality expectation suite (the dbt-test / Deequ shape): five
+    rules — not-null, uniqueness, accepted domain, range, referential
+    integrity — evaluated as ONE conditional-aggregate scan of the fact
+    table plus ONE broadcast anti-join for the foreign key, emitted as a
+    (rule, n_violations) report. No per-rule rescans: at 100 TB the table
+    is read once however many rules run."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer").select(F.col("c_custkey").alias("o_custkey"))
+    scan = o.agg(
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias(
+            "orderkey_not_null"
+        ),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey"))).alias(
+            "orderkey_unique"
+        ),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        ).alias("status_in_domain"),
+        F.sum(F.when(~(F.col("o_totalprice") > 0), 1).otherwise(0)).alias(
+            "totalprice_positive"
+        ),
+    )
+    fk = o.join(F.broadcast(c), "o_custkey", "left_anti").agg(
+        F.count(F.lit(1)).alias("custkey_references_customer")
+    )
+    wide = scan.join(fk)  # 1x1 rows
+    return wide.unpivot([], wide.columns, "rule", "n_violations")
+
+
+@query(
+    "sample_deterministic_per_key",
+    oracle="""
+        WITH pre AS (
+            SELECT c_custkey, c_mktsegment,
+                   md5(CAST(c_custkey AS VARCHAR)) AS h
+            FROM customer
+            WHERE md5(CAST(c_custkey AS VARCHAR)) < '4'),
+        ranked AS (
+            SELECT c_custkey, c_mktsegment, h,
+                   ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY h, c_custkey) AS rn
+            FROM pre)
+        SELECT c_mktsegment AS segment, c_custkey, h AS sample_hash
+        FROM ranked WHERE rn <= 3
+    """,
+    tags=("lakehouse", "sampling", "window"),
+)
+def sample_deterministic_per_key(spark, sf_dir):
+    """Exact k-per-key sample that is stable across runs, engines, and
+    partitionings: order keys by md5 of the row id (a deterministic
+    'random' permutation both engines compute identically) and keep the
+    first 3 per segment. The scan-level hash pre-filter (h < '4' keeps
+    ~25%) bounds what reaches the per-key window, so at 100 TB the sort
+    touches a quarter of the data while the final pick is still exact —
+    the filter only discards rows that can never be in the top-3 unless a
+    key has fewer than 3 surviving rows, which the pre-filter rate is
+    chosen to make negligible (and the oracle applies the SAME filter, so
+    the check is exact regardless)."""
+    c = T(spark, sf_dir, "customer")
+    h = F.md5(F.col("c_custkey").cast("string"))
+    pre = c.select(
+        "c_custkey", "c_mktsegment", h.alias("h")
+    ).filter(F.col("h") < "4")
+    w = W.partitionBy("c_mktsegment").orderBy("h", "c_custkey")
+    return (
+        pre.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "c_custkey",
+            F.col("h").alias("sample_hash"),
+        )
+    )

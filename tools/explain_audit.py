@@ -61,6 +61,8 @@ BNLJ_OK: set[str] = {
     "equidepth_histogram_totals",
     # one-row COUNT(*) broadcast feeding NTILE's exact fill rule
     "curriculum_quality_bins",
+    # 1x1-row join of the conditional-agg scan with the FK anti-join count
+    "expectations_report_orders",
     # three one-row COUNT(*) broadcasts fixing the quintile denominators
     "rfm_segmentation",
     # one-row basket-count broadcast for support/lift denominators
@@ -100,6 +102,11 @@ def audit(name: str, plan: str) -> list[str]:
 # plan shape matters at scale (the row-level function demos are audited
 # implicitly — they fuse into scans).
 EXTRA = [
+    "zorder_curve_values",
+    "colocated_join_spend_by_segment",
+    "compaction_plan_documents",
+    "expectations_report_orders",
+    "sample_deterministic_per_key",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "having_large_orders",
