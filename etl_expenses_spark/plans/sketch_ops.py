@@ -1,0 +1,211 @@
+"""Sketch, incremental-state, and graph-metric queries: Count-Min
+frequency estimation, aggregate-state merge (the incremental-MV shape),
+and triangle counting over a co-occurrence graph.
+
+These are the shapes a 100 TB pipeline leans on when exact recomputation
+is the enemy: a CMS answers "how often does key X occur" in O(d·w) memory
+per partition with mergeable state; incremental state merge updates a
+day's aggregate by scanning ONLY the day's delta; triangle counting is
+the canonical "self-join on a big edge list without going cartesian"
+discipline. Every query here is exact-arithmetic and oracle-checked —
+the CMS uses md5-derived bucket hashing both engines compute identically
+(same idiom as ab_experiment_lift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_expenses_spark.plans._util import T, dec
+from etl_expenses_spark.plans.registry import query
+
+
+def _md5_bucket(col, salt: str, w: int):
+    """Deterministic cross-engine hash bucket: first 8 md5 hex chars of
+    ``value|salt`` as an int, mod w (conv stays within 8 hex chars — the
+    >15-char overflow zone is never touched)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(col.cast("string"), F.lit(f"|{salt}"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % w
+    )
+
+
+@query(
+    "countmin_user_frequency",
+    oracle="""
+        WITH rows_ AS (
+            SELECT d, user_id,
+                   CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR) || '|cm' || d), 1, 8))
+                        AS BIGINT) % 64 AS bucket
+            FROM events CROSS JOIN (SELECT 0 AS d UNION ALL SELECT 1 UNION ALL SELECT 2) ds),
+        cms AS (
+            SELECT d, bucket, COUNT(*) AS c FROM rows_ GROUP BY d, bucket),
+        exact AS (
+            SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id),
+        keys AS (
+            SELECT user_id, exact_n,
+                   CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR) || '|cm' || d.d), 1, 8))
+                        AS BIGINT) % 64 AS bucket, d.d
+            FROM exact CROSS JOIN (SELECT 0 AS d UNION ALL SELECT 1 UNION ALL SELECT 2) d),
+        est AS (
+            SELECT k.user_id, k.exact_n, MIN(c.c) AS cms_estimate
+            FROM keys k JOIN cms c ON c.d = k.d AND c.bucket = k.bucket
+            GROUP BY k.user_id, k.exact_n)
+        SELECT user_id, exact_n, cms_estimate
+        FROM est
+        ORDER BY exact_n DESC, user_id
+        LIMIT 20
+    """,
+    tags=("sketch", "countmin", "frequency"),
+)
+def countmin_user_frequency(spark, sf_dir):
+    """Count-Min sketch (d=3 rows × w=64 buckets) over event user
+    frequencies, reported against exact counts for the top-20 users.
+
+    The sketch state is a d×w count grid built by ONE grouped aggregate
+    over (row, bucket) — mergeable across partitions/days by addition, the
+    property that makes it the streaming/incremental frequency store. The
+    estimate for a key is min over rows of its bucket count (always an
+    overestimate; error ≤ N/w with prob 1-2^-d). Bucket hash = md5-derived
+    (cross-engine identical); estimates are exact integers, so the oracle
+    match is bit-exact. At 100 TB the grid is 192 longs regardless of
+    cardinality."""
+    ev = T(spark, sf_dir, "events").select("user_id")
+    ds = spark.range(3).select(F.col("id").cast("int").alias("d"))
+    # the CMS row index d is part of the hash salt, so the bucket expr is
+    # built inline rather than via _md5_bucket (whose salt is a literal)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"), F.lit("|cm"), F.col("d").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 64
+    )
+    rows_ = ev.crossJoin(F.broadcast(ds)).select("user_id", "d", bucket.alias("bucket"))
+    cms = rows_.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    keys = exact.crossJoin(F.broadcast(ds)).select(
+        "user_id", "exact_n", "d", bucket.alias("bucket")
+    )
+    est = (
+        keys.join(F.broadcast(cms), ["d", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return est.orderBy(F.col("exact_n").desc(), "user_id").limit(20)
+
+
+@query(
+    "incremental_agg_state_merge",
+    oracle="""
+        SELECT o_custkey,
+               COUNT(*) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
+        FROM orders
+        GROUP BY o_custkey
+    """,
+    tags=("incremental", "agg_state", "materialized_view"),
+)
+def incremental_agg_state_merge(spark, sf_dir):
+    """Incremental materialized-view maintenance: yesterday's aggregate
+    STATE (per-key count + decimal sum over orders before the cutoff) is
+    merged with the delta's partial aggregate (orders at/after the cutoff)
+    by re-aggregating the two state relations — count adds, sum adds —
+    with the history scanned ZERO times. The oracle recomputes from the
+    full table: merge(state, delta) must equal recompute, the invariant
+    that lets a 100 TB MV update from a 100 GB delta. Count and decimal
+    sum are the mergeable-state pattern; avg derives as sum/count at read
+    time (never stored, it does not merge)."""
+    o = T(spark, sf_dir, "orders")
+    cutoff = "2000-07-01"
+
+    def state(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice", 2, 18)).alias("total_spend"),
+        )
+
+    prior = state(o.filter(F.col("o_orderdate") < cutoff))  # persisted MV state
+    delta = state(o.filter(F.col("o_orderdate") >= cutoff))  # today's scan
+    return (
+        prior.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_spend").alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "triangle_count_copurchase",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        edges AS (
+            SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING COUNT(*) >= 2)
+        SELECT COUNT(*) AS n_triangles FROM (
+            SELECT 1
+            FROM edges e1
+            JOIN edges e2 ON e2.pa = e1.pb
+            JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+        )
+    """,
+    tags=("graph", "triangles", "join"),
+)
+def triangle_count_copurchase(spark, sf_dir):
+    """Triangle count over the co-purchase graph: parts are linked when
+    they appear in >= 2 common orders, triangles found by the ordered
+    edge-edge-edge join (a<b<c throughout, so each triangle is counted
+    once and the join never mirrors itself).
+
+    Scale shape: per-order part pairs are bounded by the basket size
+    (sum over orders of |basket|², never |parts|²); the triangle join
+    shuffles the edge list on its endpoints — the standard distributed
+    triangle enumeration. The >= 2 common-orders threshold is the edge
+    sparsifier that keeps the closing join selective."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_orderkey").alias("ok"),
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+        .select("pa", "pb")
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = e1.join(e2, F.col("e2.pa") == F.col("e1.pb")).join(
+        e3,
+        (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))

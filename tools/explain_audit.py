@@ -63,6 +63,8 @@ BNLJ_OK: set[str] = {
     "curriculum_quality_bins",
     # 1x1-row join of the conditional-agg scan with the FK anti-join count
     "expectations_report_orders",
+    # 3-row CMS row-index relation broadcast-crossed with keys
+    "countmin_user_frequency",
     # three one-row COUNT(*) broadcasts fixing the quintile denominators
     "rfm_segmentation",
     # one-row basket-count broadcast for support/lift denominators
@@ -102,6 +104,9 @@ def audit(name: str, plan: str) -> list[str]:
 # plan shape matters at scale (the row-level function demos are audited
 # implicitly — they fuse into scans).
 EXTRA = [
+    "countmin_user_frequency",
+    "incremental_agg_state_merge",
+    "triangle_count_copurchase",
     "zorder_curve_values",
     "colocated_join_spend_by_segment",
     "compaction_plan_documents",
