@@ -104,6 +104,8 @@ def audit(name: str, plan: str) -> list[str]:
 # plan shape matters at scale (the row-level function demos are audited
 # implicitly — they fuse into scans).
 EXTRA = [
+    "k_anonymity_report",
+    "pseudonymize_stable_ids",
     "countmin_user_frequency",
     "incremental_agg_state_merge",
     "triangle_count_copurchase",
