@@ -290,7 +290,10 @@ def connected_components(
     distributed and persisted. Each round's labels are ``localCheckpoint``ed
     (eager) so the logical plan stays ONE round deep — without it the plan
     doubles every iteration and Catalyst analysis time dominates the
-    actual shuffles by round ~6.
+    actual shuffles by round ~6. The changed-flag is computed INSIDE the
+    update join and checkpointed with the labels, so the probe reads the
+    materialized flag instead of re-joining new labels against old (one
+    fewer shuffle per round).
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -298,33 +301,33 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # fused round 1: with identity labels, each node's neighbor-min is just
+    # min(neighbor ids) — one groupBy over sym, no join needed yet
     labels = (
-        sym.select(F.col("u").alias("id")).distinct().withColumn("lbl", F.col("id"))
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select(F.col("u").alias("id"), F.least("u", "mv").alias("lbl"))
     ).localCheckpoint()
-    for _ in range(max_iters):
+    for _ in range(max_iters - 1):
         nbr_min = (
             sym.join(labels, sym["v"] == labels["id"])
             .groupBy("u")
             .agg(F.min("lbl").alias("nbr_min"))
         )
+        new_lbl = F.least(
+            labels["lbl"], F.coalesce(F.col("nbr_min"), labels["lbl"])
+        )
         new_labels = (
             labels.join(nbr_min, labels["id"] == nbr_min["u"], "left")
             .select(
                 labels["id"],
-                F.least(
-                    labels["lbl"], F.coalesce(F.col("nbr_min"), labels["lbl"])
-                ).alias("lbl"),
+                new_lbl.alias("lbl"),
+                (new_lbl < labels["lbl"]).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.withColumnRenamed("lbl", "new_lbl")
-            .join(labels.withColumnRenamed("lbl", "old_lbl"), "id")
-            .filter(F.col("new_lbl") != F.col("old_lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").limit(1).count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     return labels.select("id", F.col("lbl").alias("cluster_id"))

@@ -1028,7 +1028,10 @@ def basket_pair_lift(spark, sf_dir):
     cross-item cartesian. Ratios derive from exact counts (wide-decimal
     numerators before the one double division), so support/confidence/
     lift are bit-identical across engines. Item-frequency joins broadcast
-    (|items| is small); min-support prunes the tail before they attach."""
+    (|items| is small); min-support prunes the tail before they attach.
+    (Measured: persisting the distinct basket-item relation is a LOSS here
+    — the pair self-join already reuses one shuffle via ReusedExchange,
+    and the cache write costs more than the two small re-aggregations.)"""
     items = (
         T(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), (F.col("l_partkey") % 64).alias("item"))
