@@ -309,3 +309,59 @@ def run_events_stream_pit_enrich(
         .start()
         .awaitTermination()
     )
+
+
+def mv_state_sink(mv_path: str):
+    """foreachBatch sink maintaining a LOG-STRUCTURED incremental
+    materialized view: each epoch writes its micro-batch's PARTIAL
+    aggregate state (per-user count + decimal sum — mergeable state, the
+    batch twin is plans/sketch_ops.incremental_agg_state_merge) to its own
+    ``epoch=N`` partition with ``mode("overwrite")``.
+
+    Idempotent by construction (a replayed epoch overwrites itself, same
+    contract as pit_enrich_sink) and O(batch) per epoch — the view is
+    never read, rewritten, or locked by the writer. Readers merge at read
+    time via :func:`mv_read`; a periodic compaction folding old epochs
+    into one is the same re-aggregation run offline."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        state = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+        state.write.mode("overwrite").parquet(f"{mv_path}/epoch={epoch_id}")
+
+    return sink
+
+
+def mv_read(spark: SparkSession, mv_path: str) -> DataFrame:
+    """Merge-on-read of the log-structured MV: re-aggregate the per-epoch
+    partial states (counts add, decimal sums add). The merge input is one
+    row per (epoch, user) — aggregate-sized, not event-sized."""
+    return (
+        spark.read.parquet(mv_path)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_value").alias("total_value"),
+        )
+    )
+
+
+def run_events_stream_incremental_mv(
+    spark: SparkSession, bronze_dir: str, mv_path: str, checkpoint_dir: str
+) -> None:
+    """availableNow run folding the event stream into the incremental MV:
+    each micro-batch contributes its partial aggregate state; no batch
+    ever rescans history. ``mv_read(...)`` must equal the full batch
+    aggregate over the same inputs (pinned in tests/test_streaming.py)."""
+    events = read_event_stream(spark, bronze_dir)
+    (
+        events.writeStream.foreachBatch(mv_state_sink(mv_path))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -476,3 +476,50 @@ def test_stream_pit_enrich_joins_version_valid_at_event_time(spark, dirs):
     after = spark.read.parquet(str(gold)).drop("epoch")
     assert after.count() == 1000
     assert after.exceptAll(expected).isEmpty()
+
+
+def test_stream_incremental_mv_equals_batch_aggregate(spark, dirs):
+    """Log-structured incremental MV: per-epoch partial states merge at
+    read time to EXACTLY the batch aggregate over the same events — and a
+    replayed epoch (at-least-once foreachBatch) changes nothing."""
+    from etl_expenses_spark.streaming.pipeline import (
+        mv_read,
+        mv_state_sink,
+        run_events_stream_incremental_mv,
+    )
+
+    bronze, gold, ckpt, _ = dirs
+    events = load_table(spark, SF_DIR, "events").filter(F.col("event_id") < 1000)
+    first = events.filter(F.col("event_id") < 500)
+    second = events.filter(F.col("event_id") >= 500)
+    mv = str(gold) + "_mv"
+    # two sequential availableNow runs -> deterministic epoch composition:
+    # epoch 0 = first 500 events, the next epoch = second 500
+    first.repartition(4).write.mode("append").parquet(str(bronze))
+    run_events_stream_incremental_mv(spark, str(bronze), mv, str(ckpt))
+    second.repartition(4).write.mode("append").parquet(str(bronze))
+    run_events_stream_incremental_mv(spark, str(bronze), mv, str(ckpt))
+
+    got = mv_read(spark, mv)
+    want = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        # widened to match the merge-of-partials type (sum over decimal
+        # partial sums lands at precision 38)
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("total_value"),
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+    # several epochs actually happened (one per availableNow run)
+    epochs = {r.epoch for r in spark.read.parquet(mv).select("epoch").distinct().collect()}
+    assert len(epochs) >= 2
+
+    # at-least-once replay: re-deliver epoch 0's OWN batch (the first 500
+    # events) under its epoch id — the overwrite must leave the MV merge
+    # unchanged
+    sink = mv_state_sink(mv)
+    sink(first, 0)
+    again = mv_read(spark, mv)
+    assert again.exceptAll(want).isEmpty() and want.exceptAll(again).isEmpty()
