@@ -569,3 +569,38 @@ def cosine_topk_pq(
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def cosine_topk_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "q",
+) -> DataFrame:
+    """Exact top-k by cosine for a BATCH of query vectors at once — the
+    serving shape: Q queries × N candidates in one pass over the corpus
+    (broadcast the query batch; the corpus is scanned exactly once however
+    many queries ride along), then ROW_NUMBER per query for the top-k.
+    Self-matches (same id on both sides) are excluded. Window partitions
+    are per-query — bounded by N, and at scale this composes with the
+    LSH/IVF bucket restriction exactly like the single-query tiers."""
+    from pyspark.sql.window import Window as W
+
+    joined = embeddings.crossJoin(F.broadcast(queries)).filter(
+        F.col(id_col) != F.col(qid_col)
+    )
+    sim = cosine(F.col(vec_col), F.col(qvec_col))
+    scored = joined.select(
+        F.col(qid_col),
+        F.col(id_col),
+        sim.cast("decimal(18,6)").cast("double").alias("sim"),
+    )
+    w = W.partitionBy(qid_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+    )

@@ -316,3 +316,51 @@ def similarity_cosine_topk_pq(spark, sf_dir):
     return cosine_topk_pq(
         T(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), cache_key=sf_dir
     )
+
+
+@query(
+    "similarity_batch_topk",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 8),
+        sims AS (
+            SELECT q.query_id, e.vec_id,
+                   (SELECT SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))
+                    FROM range(1, 65) r(i))
+                   / (SQRT((SELECT SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
+                            FROM range(1, 65) r(i)))
+                      * SQRT((SELECT SUM(CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))
+                              FROM range(1, 65) r(i)))) AS sim_raw
+            FROM embeddings e, q
+            WHERE e.vec_id <> q.query_id),
+        quant AS (
+            SELECT query_id, vec_id,
+                   CAST(CAST(sim_raw AS DECIMAL(18,6)) AS DOUBLE) AS sim
+            FROM sims),
+        ranked AS (
+            SELECT query_id, vec_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id) AS rn
+            FROM quant)
+        SELECT query_id, vec_id, sim FROM ranked WHERE rn <= 3
+    """,
+    tags=("similarity", "topk", "batch"),
+)
+def similarity_batch_topk(spark, sf_dir):
+    """Batched exact retrieval: top-3 cosine neighbors for EIGHT query
+    vectors in one corpus pass (operators/similarity.cosine_topk_batch).
+    The query batch broadcasts; the corpus is scanned once however many
+    queries ride along — the amortization that makes exact reranking
+    affordable at serving time. Per-query ROW_NUMBER windows are bounded
+    by the candidate count and keyed by query_id; composes with LSH/IVF
+    bucket restriction exactly like the single-query tiers. Same
+    decimal(18,6) quantization + sequential-fold dot product as
+    similarity_cosine_topk, so the oracle match is bit-exact."""
+    from etl_expenses_spark.operators.similarity import cosine_topk_batch
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    return cosine_topk_batch(emb.select("vec_id", "embedding"), queries, k=3)

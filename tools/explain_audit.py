@@ -38,6 +38,7 @@ BNLJ_OK: set[str] = {
     "similarity_cosine_topk",
     "similarity_cosine_topk_ivf",
     "similarity_cosine_topk_pq",  # one-row query vector crossJoined for rerank
+    "similarity_batch_topk",  # 8-row query batch crossJoined (broadcast)
     # single-row aggregate crossJoins (corpus size / funnel stage counts):
     # the broadcast side is exactly 1 row, so the "nested loop" is a
     # constant-cost per-partition probe
@@ -104,6 +105,7 @@ def audit(name: str, plan: str) -> list[str]:
 # plan shape matters at scale (the row-level function demos are audited
 # implicitly — they fuse into scans).
 EXTRA = [
+    "similarity_batch_topk",
     "k_anonymity_report",
     "pseudonymize_stable_ids",
     "countmin_user_frequency",

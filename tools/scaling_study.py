@@ -69,6 +69,13 @@ QUERIES_ALL_SCALES = [
     "range_join_recent_clicks",     # bucketed non-equi → equi
     "dedup_minhash_lsh",            # LSH banding (REAL scales only)
     "dedup_cluster_components",     # iterative CC (REAL scales only)
+    # round-3 shapes
+    "sequence_gap_detection",       # 3-level partitioned gap cascade
+    "curriculum_quality_bins",      # distributed NTILE (rank + fill rule)
+    "compaction_plan_documents",    # distributed cumsum bin packing
+    "triangle_count_copurchase",    # ordered edge-edge-edge join
+    "countmin_user_frequency",      # CMS grid build + probe
+    "incremental_agg_state_merge",  # state-merge MV invariant
 ]
 SYNTH_EXCLUDE = {"dedup_minhash_lsh", "dedup_cluster_components"}
 
