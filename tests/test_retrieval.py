@@ -1,0 +1,80 @@
+"""Semantic invariants of the retrieval/ranking/centrality surface.
+
+Cross-engine value equality is the oracle gate's job (check_oracle.py);
+these tests pin the *semantics*: BM25 only scores matching docs, PageRank
+conserves rank mass, the bigram model lower-bounds rarity, the rules filter
+is the conjunction of its flags, and the inverted index is self-consistent.
+"""
+
+from __future__ import annotations
+
+from etl_expenses_spark.plans import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_inverted_index_self_consistent(spark):
+    rows = REGISTRY["inverted_index_postings"].build(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.df == len(r.postings)
+        assert r.postings == sorted(set(r.postings))
+        assert all(d < 100 for d in r.postings)
+
+
+def test_bm25_topk_scores_and_membership(spark):
+    from etl_expenses_spark.plans.retrieval_ops import _BM25_QUERIES
+
+    rows = REGISTRY["bm25_topk_per_query"].build(spark, SF_DIR).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {q for q, _ in _BM25_QUERIES}
+    terms = {}
+    for q, t in _BM25_QUERIES:
+        terms.setdefault(q, set()).add(t)
+    docs = {
+        r.doc_id: set((r.text or "").lower().split())
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    for q, hits in by_q.items():
+        assert len(hits) <= 10
+        for h in hits:
+            assert h.score_micro > 0
+            # a scored doc must contain at least one query term
+            assert docs[h.doc_id] & terms[q], (q, h.doc_id)
+
+
+def test_pagerank_mass_conservation(spark):
+    rows = REGISTRY["pagerank_copurchase"].build(spark, SF_DIR).collect()
+    n = len(rows)
+    assert n > 0
+    total = sum(r.rank_micro for r in rows)
+    # Exact arithmetic would conserve n * 1e6 exactly; integer-division
+    # truncation can only LOSE mass, bounded by ~1 unit per edge per round.
+    assert total <= n * 1_000_000
+    assert total >= int(n * 1_000_000 * 0.99)
+    assert all(r.rank_micro >= 150_000 for r in rows)
+
+
+def test_bigram_rarity_lower_bound(spark):
+    rows = REGISTRY["lm_bigram_rarity"].build(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # c(w1,.) >= c(w1,w2)  =>  every bigram's rarity >= 1e6
+        assert r.rarity_micro_sum >= 1_000_000 * r.n_bigrams
+        assert abs(r.avg_rarity - r.rarity_micro_sum / r.n_bigrams) < 1e-9
+    # n_bigrams == n_tokens - 1 for every doc with >= 2 tokens
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    ntok = {d.doc_id: len(d.text.split()) for d in docs}
+    got = {r.doc_id: r.n_bigrams for r in rows}
+    for doc_id, n in ntok.items():
+        if n >= 2:
+            assert got[doc_id] == n - 1
+
+
+def test_quality_rules_conjunction(spark):
+    rows = REGISTRY["quality_filter_rules"].build(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.passes == (r.r_length and r.r_word_len and r.r_punct and r.r_digit)
