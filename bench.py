@@ -68,6 +68,11 @@ HEADLINE = [
     "curriculum_quality_bins",
     "basket_pair_lift",
     "pit_join_events_user_tier",
+    # round-3 retrieval surface: corpus-wide ranked retrieval and the
+    # iterative BSP centrality loop — the two new plan archetypes
+    "bm25_topk_per_query",
+    "pagerank_copurchase",
+    "lm_bigram_rarity",
 ]
 
 

@@ -647,3 +647,58 @@ def dedup_spans_keep_first(spark, sf_dir):
             F.sum(F.when(F.col("rk") == 1, 1).otherwise(0)).alias("n_kept"),
         )
     )
+
+
+@query(
+    "dedup_substring_windows",
+    oracle="""
+        WITH wins AS (
+            SELECT DISTINCT doc_id,
+                   unnest([substr(text, p, 40)
+                           FOR p IN range(1, len(text) - 38, 10)]) AS w
+            FROM documents WHERE LENGTH(text) >= 40
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_windows
+        FROM wins a JOIN wins b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    """,
+    tags=("dedup", "substring", "training"),
+)
+def dedup_substring_windows(spark, sf_dir):
+    """Exact substring-overlap candidate pairs (the char-level complement of
+    dedup_spans_keep_first): strided 40-char windows (stride 10) hashed into
+    an equality self-join, so two documents sharing ANY 49+ char verbatim
+    run at ANY offset collide on at least one window — the
+    deduplicating-training-data move for copied passages that token-span
+    boundaries or whole-doc MinHash both miss.
+
+    Scale shape: windows are distinct-ed per doc, then shuffle once keyed
+    by window content; matching is a bucketed equi-join (never all-pairs —
+    cost is Σ|bucket|² over colliding windows only). At 100 TB the join key
+    would be xxhash64(window) (8 bytes, engine-local — the pair set is
+    unchanged); the literal string key here keeps the oracle cross-engine.
+    Stride 10 vs width 40 trades index size (4× fewer rows than dense
+    windows) for a 49-char minimum detectable run (w + stride - 1)."""
+    d = T(spark, sf_dir, "documents").filter(F.length("text") >= 40)
+    wins = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 39, F.lit(10)),
+                lambda p: F.substring(F.col("text"), p, 40),
+            )
+        ).alias("w"),
+    ).distinct()
+    a, b = wins.alias("a"), wins.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )

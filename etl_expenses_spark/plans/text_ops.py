@@ -769,3 +769,46 @@ def corpus_summary_card(spark, sf_dir):
         (F.sum("n_chars").cast("double") / F.count("*")).alias("mean_chars"),
         F.sum(F.when(F.col("n_chars") < 100, 1).otherwise(0)).alias("n_short_docs"),
     )
+
+
+@query(
+    "text_collapse_token_runs",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, {_D_TOKENS} AS t FROM documents
+        ),
+        k AS (
+            SELECT doc_id, t,
+                   [t[i] FOR i IN range(1, len(t) + 1)
+                         IF i = 1 OR t[i] <> t[i - 1]] AS kept
+            FROM w
+        )
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_before,
+               CAST(len(kept) AS BIGINT) AS n_after,
+               array_to_string(kept, ' ') AS cleaned_text
+        FROM k
+    """,
+    tags=("text", "cleaning", "dedup"),
+)
+def text_collapse_token_runs(spark, sf_dir):
+    """Consecutive-token-run collapse — the C4-style intra-document cleanup
+    for stutter artifacts ("batch batch batch" -> "batch"): a token
+    survives iff it differs from its predecessor. Pure array expression
+    (filter with index lambda), scan-fused, zero shuffles — the cheapest
+    possible cleaning pass at any scale. Complements text_repetition_ratio,
+    which only MEASURES repetition; this op repairs it and reports the
+    before/after token budget."""
+    d = T(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    # F.get is 0-based and NULL-safe at -1, so coalesce keeps the first
+    # token (x != NULL -> NULL only at i = 0).
+    kept = F.filter(
+        t, lambda x, i: F.coalesce(x != F.get(t, i - 1), F.lit(True))
+    )
+    return d.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_before"),
+        F.size(kept).cast("long").alias("n_after"),
+        F.array_join(kept, " ").alias("cleaned_text"),
+    )

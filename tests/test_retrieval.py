@@ -78,3 +78,27 @@ def test_quality_rules_conjunction(spark):
     assert rows
     for r in rows:
         assert r.passes == (r.r_length and r.r_word_len and r.r_punct and r.r_digit)
+
+
+def test_substring_windows_find_planted_overlap(spark):
+    # Any returned pair must genuinely share a >= 40-char verbatim run;
+    # verify by brute force on the small corpus.
+    rows = REGISTRY["dedup_substring_windows"].build(spark, SF_DIR).collect()
+    docs = {
+        d.doc_id: d.text
+        for d in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    for r in rows:
+        a, b = docs[r.doc_a], docs[r.doc_b]
+        wins = {a[p : p + 40] for p in range(0, len(a) - 39, 10)}
+        assert any(w in b for w in wins), (r.doc_a, r.doc_b)
+
+
+def test_collapse_token_runs_idempotent_and_correct(spark):
+    rows = REGISTRY["text_collapse_token_runs"].build(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        toks = r.cleaned_text.split()
+        assert len(toks) == r.n_after <= r.n_before
+        # no adjacent repeats remain (idempotence)
+        assert all(x != y for x, y in zip(toks, toks[1:]))
