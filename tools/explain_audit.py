@@ -58,6 +58,8 @@ BNLJ_OK: set[str] = {
     "sql_pipe_syntax_agg",
     # one-row (total_weight // k) step broadcast for systematic PPS picks
     "pps_sample_documents",
+    # one-row (N, S) corpus-stats broadcast feeding the BM25 formula
+    "bm25_topk_per_query",
     # one-row COUNT(*) broadcast fixing the decile denominator
     "equidepth_histogram_totals",
     # one-row COUNT(*) broadcast feeding NTILE's exact fill rule
