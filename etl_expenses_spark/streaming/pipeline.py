@@ -365,3 +365,119 @@ def run_events_stream_incremental_mv(
         .start()
         .awaitTermination()
     )
+
+
+def jdbc_epoch_sink(url: str, table: str, connect, driver: str | None = None,
+                    single_writer: bool = False):
+    """Exactly-once streaming load into a SQL warehouse over JDBC — the
+    reference's Redshift load path (`load_data/lambda_function.py:17-36`:
+    one synchronous INSERT per row, DISTINCT-key probe per batch to skip
+    replays) re-expressed as staged bulk load + transactional epoch publish.
+
+    Per micro-batch (at-least-once foreachBatch made exactly-once):
+
+    1. probe the epoch LEDGER (`{table}__epochs`) — a replayed epoch_id
+       returns without writing anything (constant-cost probe, vs the
+       reference re-fetching the full DISTINCT key set every batch);
+    2. create-or-empty a per-epoch STAGE table through the control
+       channel (so a crashed attempt's partial stage is wiped on replay),
+       then bulk-write the batch into it via Spark's parallel JDBC writer
+       in `mode("append")` — append skips Spark's `tableExists` probe,
+       which SQLState-less drivers (DuckDB) confound;
+    3. publish in ONE warehouse transaction: create-target-if-missing,
+       `INSERT INTO target SELECT * FROM stage`, record the epoch in the
+       ledger, commit — target rows and the ledger row land atomically,
+       so a crash at ANY point either replays into an overwritten stage
+       or probes out at step 1. Stage drop happens post-commit (cleanup,
+       idempotent).
+
+    ``connect`` is a zero-arg callable returning a DB-API connection to
+    the SAME database (the warehouse's control channel for the txn; for
+    embedded DuckDB it is `duckdb.connect(path)` — opened only while the
+    JVM's JDBC connections are closed, respecting the single-writer lock).
+    At scale the stage write fans out one JDBC connection per partition
+    (`single_writer=False`); the txn is metadata-sized regardless of batch
+    volume."""
+    from etl_expenses_spark.sources.jdbc import write_jdbc_table
+
+    ledger = f"{table}__epochs"
+    # Spark simpleString -> ANSI DDL for the stage create. Unlisted types
+    # fall through as their upper-cased simpleString (decimal(p,s) etc.).
+    _SQL_TYPES = {
+        "bigint": "BIGINT", "int": "INTEGER", "smallint": "SMALLINT",
+        "tinyint": "TINYINT", "double": "DOUBLE", "float": "REAL",
+        "string": "VARCHAR", "boolean": "BOOLEAN", "date": "DATE",
+        "timestamp": "TIMESTAMP", "timestamp_ntz": "TIMESTAMP",
+        "binary": "BLOB",
+    }
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        stage = f"{table}__stage_{int(epoch_id)}"
+        ddl = ", ".join(
+            f"{f.name} {_SQL_TYPES.get(f.dataType.simpleString(), f.dataType.simpleString().upper())}"
+            for f in batch_df.schema.fields
+        )
+        con = connect()
+        try:
+            con.execute(
+                f"CREATE TABLE IF NOT EXISTS {ledger} (epoch_id BIGINT)"
+            )
+            seen = con.execute(
+                f"SELECT COUNT(*) FROM {ledger} WHERE epoch_id = {int(epoch_id)}"
+            ).fetchone()[0]
+        finally:
+            con.close()
+        if seen:
+            return  # replayed epoch: already published atomically
+        if batch_df.isEmpty():
+            return
+        con = connect()
+        try:
+            con.execute(f"CREATE OR REPLACE TABLE {stage} ({ddl})")
+        finally:
+            con.close()
+        write_jdbc_table(
+            batch_df, url, stage, mode="append", driver=driver,
+            single_writer=single_writer,
+        )
+        con = connect()
+        try:
+            con.execute("BEGIN TRANSACTION")
+            con.execute(
+                f"CREATE TABLE IF NOT EXISTS {table} AS "
+                f"SELECT * FROM {stage} WHERE 1 <> 1"
+            )
+            con.execute(f"INSERT INTO {table} SELECT * FROM {stage}")
+            con.execute(f"INSERT INTO {ledger} VALUES ({int(epoch_id)})")
+            con.execute("COMMIT")
+            con.execute(f"DROP TABLE IF EXISTS {stage}")
+        finally:
+            con.close()
+
+    return sink
+
+
+def run_events_stream_to_jdbc(
+    spark: SparkSession,
+    bronze_dir: str,
+    url: str,
+    table: str,
+    connect,
+    checkpoint_dir: str,
+    driver: str | None = None,
+    single_writer: bool = False,
+) -> None:
+    """availableNow run loading the event stream into a JDBC warehouse
+    exactly-once via `jdbc_epoch_sink` — the streaming version of the
+    reference's webhook→Redshift flow with the ledger replacing its
+    per-batch DISTINCT-key existence probe."""
+    events = read_event_stream(spark, bronze_dir)
+    (
+        events.writeStream.foreachBatch(
+            jdbc_epoch_sink(url, table, connect, driver, single_writer)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

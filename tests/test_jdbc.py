@@ -96,3 +96,74 @@ def test_jdbc_roundtrip_whole_query_and_partitioned(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "JDBC_OK" in proc.stdout
+
+
+@pytest.mark.skipif(not _JARS, reason="no DuckDB JDBC driver jar in local caches")
+def test_jdbc_epoch_sink_exactly_once(tmp_path):
+    """K-family closure over JDBC: the staged epoch-ledger sink is
+    exactly-once under foreachBatch replay AND under a full re-run of the
+    same availableNow stream with an intact checkpoint."""
+    jar = _JARS[0]
+    db = tmp_path / "wh.db"
+    bronze = tmp_path / "bronze"
+    ckpt = tmp_path / "ckpt"
+    script = textwrap.dedent(
+        f"""
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import duckdb
+        from pyspark.sql import SparkSession, functions as F
+        from etl_expenses_spark.streaming.pipeline import (
+            jdbc_epoch_sink, run_events_stream_to_jdbc,
+        )
+
+        url = "jdbc:duckdb:{db}"
+        drv = "org.duckdb.DuckDBDriver"
+        connect = lambda: duckdb.connect("{db}")
+
+        spark = (
+            SparkSession.builder.master("local[4]")
+            .config("spark.jars", "{jar}")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.session.timeZone", "UTC")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+
+        # --- direct replay semantics: same epoch twice = one publish ---
+        sink = jdbc_epoch_sink(url, "gold_direct", connect, driver=drv,
+                               single_writer=True)
+        b0 = spark.range(100).select(F.col("id"), (F.col("id") % 5).alias("v"))
+        sink(b0, 0)
+        sink(b0, 0)   # at-least-once replay after a crash-post-commit
+        b1 = spark.range(100, 150).select(F.col("id"), (F.col("id") % 5).alias("v"))
+        sink(b1, 1)
+        con = connect()
+        assert con.execute("SELECT COUNT(*) FROM gold_direct").fetchone()[0] == 150
+        assert con.execute(
+            "SELECT COUNT(DISTINCT id) FROM gold_direct").fetchone()[0] == 150
+        assert con.execute(
+            "SELECT COUNT(*) FROM gold_direct__epochs").fetchone()[0] == 2
+        con.close()
+
+        # --- end-to-end availableNow stream, run twice on one checkpoint ---
+        src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        src.repartition(2).write.mode("append").parquet("{bronze}")
+        n_src = src.count()
+        for _ in range(2):   # second run: checkpoint says all files consumed
+            run_events_stream_to_jdbc(
+                spark, "{bronze}", url, "gold_stream", connect,
+                "{ckpt}", driver=drv, single_writer=True)
+        con = connect()
+        assert con.execute("SELECT COUNT(*) FROM gold_stream").fetchone()[0] == n_src
+        assert con.execute(
+            "SELECT COUNT(DISTINCT event_id) FROM gold_stream").fetchone()[0] == n_src
+        con.close()
+        print("JDBC_SINK_OK")
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=600
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "JDBC_SINK_OK" in proc.stdout
