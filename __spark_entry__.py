@@ -51,8 +51,12 @@ _PRIORITY = [
     "dedup_cluster_components",
     "similarity_cosine_topk",
     "decontaminate_benchmark_overlap",
-    "dedup_incremental_batch",
-    "dataset_split_leakage_safe",
+    # (dedup_incremental_batch / dataset_split_leakage_safe hold green
+    # CORRECTNESS_r02 rows; their slots go to this round's new never-
+    # driver-checked operators — dedup keeps cluster_components as its
+    # in-window green rep, corpus-ops keeps decontaminate_benchmark_overlap)
+    "dedup_substring_windows",
+    "bm25_topk_per_query",
     "incremental_merge_new_orders",
     "asof_join_events_orders",
     "range_join_recent_clicks",

@@ -52,6 +52,9 @@ def test_correctness_window_priority():
         "pit_join_events_user_tier",
         "basket_pair_lift",
         "gapfill_interpolate_linear",
+        # round-3 session additions, never driver-checked
+        "dedup_substring_windows",
+        "bm25_topk_per_query",
     }
     assert must <= set(window), must - set(window)
     # nothing silently dropped: priority reordering preserves the registry

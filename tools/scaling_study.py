@@ -57,26 +57,22 @@ SHIFT_KEYS = {
     "part": [],
 }
 
-QUERIES_ALL_SCALES = [
-    "flagship_spend_by_category",   # scan + broadcast dim join + agg
-    "pricing_summary",              # full-scan hash agg
-    "join_inner_orders_customer",   # shuffled equi join
-    "asof_join_events_orders",      # union + window as-of
-    "window_tumbling_daily",        # keyed window agg
-    "cohort_retention_monthly",     # two keyed aggs + join
+# Every bench.py HEADLINE query gets a scaling row (the perf gate and the
+# scale study cover the same set), plus extra plan shapes worth tracking
+# that aren't headline-benched.
+from bench import HEADLINE  # noqa: E402
+
+_EXTRA_SHAPES = [
     "rolling_7d_active_users",      # dedup + bounded fan-out
-    "equidepth_histogram_totals",   # two-phase global rank
-    "range_join_recent_clicks",     # bucketed non-equi → equi
-    "dedup_minhash_lsh",            # LSH banding (REAL scales only)
-    "dedup_cluster_components",     # iterative CC (REAL scales only)
-    # round-3 shapes
-    "sequence_gap_detection",       # 3-level partitioned gap cascade
-    "curriculum_quality_bins",      # distributed NTILE (rank + fill rule)
     "compaction_plan_documents",    # distributed cumsum bin packing
     "triangle_count_copurchase",    # ordered edge-edge-edge join
     "countmin_user_frequency",      # CMS grid build + probe
     "incremental_agg_state_merge",  # state-merge MV invariant
 ]
+QUERIES_ALL_SCALES = list(dict.fromkeys(list(HEADLINE) + _EXTRA_SHAPES))
+# Iterative / candidate-generation shapes whose synthetic-×10 run costs
+# more wall time than the decade ratio teaches (their REAL-scale decades
+# are measured above; CC and LSH growth is already studied separately).
 SYNTH_EXCLUDE = {"dedup_minhash_lsh", "dedup_cluster_components"}
 
 
