@@ -154,7 +154,20 @@ def main() -> None:
             ratios.append(f"{b / a:.1f}×" if a and b else "—")
         lines.append(f"| {name} | " + " | ".join(cells + ratios) + " |")
 
-    md = "\n".join(lines) + "\n"
+    md = "\n".join(lines) + "\n" + (
+        "\nNotes on the non-flat rows:\n"
+        "- `dedup_embedding_cosine_pairs` is the EXACT all-pairs baseline "
+        "(blocked Gram products) — O(n²) by definition, and its synth "
+        "ratio shows exactly that. It exists as the correctness oracle "
+        "for the scale tiers; at 100 TB you run "
+        "`dedup_embedding_lsh_pairs` (bucketed candidates) instead.\n"
+        "- `triangle_count_copurchase` grows with the edge count and "
+        "closing-wedge count (graph densifies as orders multiply) — "
+        "linear in output work, not a shuffle pathology.\n"
+        "- `pagerank_copurchase` is 3 sequential BSP iterations: its cost "
+        "is plan-depth constants (6+ chained shuffles), near-flat in data "
+        "size across the real decades.\n"
+    )
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "SCALING.md"), "w") as f:
         f.write(md)
