@@ -331,26 +331,29 @@ def pagerank_copurchase(spark, sf_dir):
     dataflow in a bounded Python loop (fixed iteration count, so plan depth
     is bounded and no checkpointing is needed).
 
-    Scale shape: each iteration is one shuffle — contributions co-partition
-    with edges on the source key, then aggregate on the destination key.
-    Per-order pair generation is bounded by basket size (never |parts|²);
-    the >= 2 common-orders sparsifier keeps the edge list selective. This is
-    the standard BSP PageRank layout (Pregel-on-dataframes)."""
+    Scale shape (measured, see SCALING.md): edges are generated from
+    collected per-order baskets — one shuffle keyed by order, in-basket
+    pairs expanded JVM-side from the array (bounded by basket size, never
+    |parts|²; replaces a sort-merge self-join + DISTINCT, two exchanges
+    cheaper) — then cached PRE-PARTITIONED on the source key, so every
+    iteration's probe join reuses the cached partitioning (InMemoryRelation
+    preserves outputPartitioning; only the node-sized contribution relation
+    exchanges per round). The rank relation carries outdeg with it, so no
+    per-iteration (rank ⋈ degree) join exists at all. This is the standard
+    BSP PageRank layout (Pregel-on-dataframes) with the per-round constant
+    factors measured down."""
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_orderkey").alias("ok"),
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .distinct()
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("bs")
     )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(bs, (x, i) -> transform("
+                "slice(bs, i + 2, size(bs)), y -> struct(x AS pa, y AS pb))))"
+            )
+        ).alias("p")
+    ).select("p.pa", "p.pb")
     e0 = (
         pairs.groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -362,28 +365,31 @@ def pagerank_copurchase(spark, sf_dir):
     )
     from etl_expenses_spark.caching import track
 
-    edges = edges.persist()
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    edges = edges.repartition(n_shuffle, "s").persist()
     track(edges)
-    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed(
-        "s", "node"
+    deg = (
+        edges.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .withColumnRenamed("s", "node")
     )
     deg = deg.persist()
     track(deg)
-    r = deg.select("node", F.lit(1000000).cast("long").alias("r"))
+    r = deg.select("node", "deg", F.lit(1000000).cast("long").alias("r"))
     for _ in range(3):
-        contrib = r.join(deg, "node").select(
-            "node", F.expr("r div deg").alias("c")
+        contrib = r.select(
+            F.col("node").alias("s_node"), F.expr("r div deg").alias("c")
         )
         incoming = (
-            edges.join(contrib, edges["s"] == contrib["node"])
+            edges.join(contrib, edges["s"] == F.col("s_node"))
             .groupBy("d")
             .agg(F.sum("c").alias("s_in"))
         )
         r = (
-            deg.select("node")
-            .join(incoming, F.col("node") == F.col("d"), "left")
+            deg.join(incoming, F.col("node") == F.col("d"), "left")
             .select(
                 "node",
+                "deg",
                 (F.lit(150000).cast("long") + F.expr("(17 * coalesce(s_in, 0)) div 20")).alias("r"),
             )
         )

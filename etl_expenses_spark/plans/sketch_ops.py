@@ -174,27 +174,26 @@ def triangle_count_copurchase(spark, sf_dir):
     edge-edge-edge join (a<b<c throughout, so each triangle is counted
     once and the join never mirrors itself).
 
-    Scale shape: per-order part pairs are bounded by the basket size
-    (sum over orders of |basket|², never |parts|²); the triangle join
-    shuffles the edge list on its endpoints — the standard distributed
-    triangle enumeration. The >= 2 common-orders threshold is the edge
-    sparsifier that keeps the closing join selective."""
+    Scale shape: per-order part pairs come from collected baskets — one
+    shuffle keyed by order, in-basket pairs expanded JVM-side from the
+    sorted array (bounded by basket size, never |parts|²; collect_set
+    dedups in-basket repeats, replacing a sort-merge self-join + DISTINCT
+    — two exchanges cheaper). The triangle join then shuffles the edge
+    list on its endpoints — the standard distributed triangle
+    enumeration. The >= 2 common-orders threshold is the edge sparsifier
+    that keeps the closing join selective."""
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_orderkey").alias("ok"),
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .distinct()
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("bs")
     )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(bs, (x, i) -> transform("
+                "slice(bs, i + 2, size(bs)), y -> struct(x AS pa, y AS pb))))"
+            )
+        ).alias("p")
+    ).select("p.pa", "p.pb")
     edges = (
         pairs.groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n_common"))
