@@ -481,3 +481,88 @@ def run_events_stream_to_jdbc(
         .start()
         .awaitTermination()
     )
+
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_document_stream(spark: SparkSession, bronze_dir: str) -> DataFrame:
+    """File-source stream over arriving document batches."""
+    return (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(bronze_dir)
+    )
+
+
+def index_state_sink(index_path: str):
+    """foreachBatch sink maintaining a log-structured INVERTED INDEX: each
+    micro-batch contributes one per-epoch postings-delta partition
+    (token -> sorted doc_ids seen in this batch). Same replay-idempotency
+    contract as mv_state_sink: an epoch directory is overwritten, never
+    appended, so at-least-once replays converge."""
+    from pyspark.sql import functions as F
+
+    from etl_expenses_spark.functions.text import tokens
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = (
+            batch_df.select(
+                "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+            )
+            .distinct()
+            .groupBy("tok")
+            .agg(F.sort_array(F.collect_set("doc_id")).alias("postings"))
+        )
+        delta.write.mode("overwrite").parquet(f"{index_path}/epoch={epoch_id}")
+
+    return sink
+
+
+def index_read(spark: SparkSession, index_path: str) -> DataFrame:
+    """Merge-on-read of the log-structured index: union the per-epoch
+    postings deltas, re-merge per token. The merge input is one row per
+    (epoch, token) with a bounded postings array — index-sized, never
+    corpus-sized; a compaction pass (operators/layout.py shapes) would
+    fold old epochs together exactly like any log-structured store.
+    Equals the batch-built index over the same documents (pinned in
+    tests/test_streaming.py — the stream==batch proof for index
+    maintenance)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(index_path)
+        .select("tok", F.explode("postings").alias("doc_id"))
+        .groupBy("tok")
+        .agg(
+            F.count_distinct("doc_id").alias("df"),
+            F.sort_array(F.collect_set("doc_id")).alias("postings"),
+        )
+    )
+
+
+def run_docs_stream_index(
+    spark: SparkSession, bronze_dir: str, index_path: str, checkpoint_dir: str
+) -> None:
+    """availableNow run folding arriving documents into the incremental
+    inverted index — the index-maintenance half of the retrieval surface
+    (plans/retrieval_ops.py builds the same index as a batch query; this
+    keeps it fresh under ingest without ever rescanning history)."""
+    docs = read_document_stream(spark, bronze_dir)
+    (
+        docs.writeStream.foreachBatch(index_state_sink(index_path))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -523,3 +523,44 @@ def test_stream_incremental_mv_equals_batch_aggregate(spark, dirs):
     sink(first, 0)
     again = mv_read(spark, mv)
     assert again.exceptAll(want).isEmpty() and want.exceptAll(again).isEmpty()
+
+
+def test_stream_incremental_index_equals_batch_index(spark, dirs):
+    """Log-structured incremental inverted index: per-epoch postings
+    deltas merge at read time to EXACTLY the batch-built index over the
+    same documents; a replayed epoch changes nothing."""
+    from etl_expenses_spark.functions.text import tokens
+    from etl_expenses_spark.streaming.pipeline import (
+        index_read,
+        index_state_sink,
+        run_docs_stream_index,
+    )
+
+    bronze, gold, ckpt, _ = dirs
+    docs = load_table(spark, SF_DIR, "documents")
+    first = docs.filter(F.col("doc_id") < 250)
+    second = docs.filter(F.col("doc_id") >= 250)
+    idx = str(gold) + "_idx"
+    first.repartition(2).write.mode("append").parquet(str(bronze))
+    run_docs_stream_index(spark, str(bronze), idx, str(ckpt))
+    second.repartition(2).write.mode("append").parquet(str(bronze))
+    run_docs_stream_index(spark, str(bronze), idx, str(ckpt))
+
+    got = index_read(spark, idx)
+    want = (
+        docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+        .distinct()
+        .groupBy("tok")
+        .agg(
+            F.count_distinct("doc_id").alias("df"),
+            F.sort_array(F.collect_set("doc_id")).alias("postings"),
+        )
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+    # at-least-once replay of epoch 0's own batch: merge unchanged
+    sink = index_state_sink(idx)
+    sink(first, 0)
+    again = index_read(spark, idx)
+    assert again.exceptAll(want).isEmpty() and want.exceptAll(again).isEmpty()
