@@ -566,3 +566,40 @@ def run_docs_stream_index(
         .start()
         .awaitTermination()
     )
+
+
+def index_compact(spark: SparkSession, index_path: str) -> int:
+    """Fold all per-epoch postings deltas into ONE epoch — the log-
+    structured compaction pass that keeps merge-on-read cost flat as
+    epochs accumulate. Returns the number of epochs folded.
+
+    Crash safety WITHOUT an atomic multi-directory swap: the index merge
+    is a SET UNION (postings dedupe, df = count distinct), so it is
+    idempotent under duplication — the compacted epoch is written first
+    and the old epoch directories are deleted after. A crash anywhere in
+    between leaves old + compacted epochs coexisting, which merge-on-read
+    absorbs (same final index), and a re-run of compaction converges.
+    This is exactly why compaction is scoped to set-semantics state;
+    additive state (mv_state_sink's counts/sums) would double-count and
+    needs the WAP manifest swap instead (operators/wap.py)."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    epoch_dirs = sorted(_glob.glob(f"{index_path}/epoch=*"))
+    if len(epoch_dirs) <= 1:
+        return 0
+    epoch_ids = [int(d.rsplit("epoch=", 1)[1]) for d in epoch_dirs]
+    target = max(epoch_ids) + 1
+    merged = (
+        spark.read.parquet(index_path)
+        .select("tok", F.explode("postings").alias("doc_id"))
+        .distinct()
+        .groupBy("tok")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("postings"))
+    )
+    merged.write.mode("overwrite").parquet(f"{index_path}/epoch={target}")
+    for d in epoch_dirs:
+        _shutil.rmtree(d)
+    return len(epoch_dirs)

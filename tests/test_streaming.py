@@ -564,3 +564,46 @@ def test_stream_incremental_index_equals_batch_index(spark, dirs):
     sink(first, 0)
     again = index_read(spark, idx)
     assert again.exceptAll(want).isEmpty() and want.exceptAll(again).isEmpty()
+
+
+def test_index_compaction_preserves_merge(spark, dirs):
+    """Compaction folds N postings epochs into one with an IDENTICAL
+    merged index, and later incremental epochs keep composing on top."""
+    from etl_expenses_spark.functions.text import tokens
+    from etl_expenses_spark.streaming.pipeline import (
+        index_compact,
+        index_read,
+        index_state_sink,
+    )
+
+    bronze, gold, ckpt, _ = dirs
+    docs = load_table(spark, SF_DIR, "documents")
+    idx = str(gold) + "_cidx"
+    sink = index_state_sink(idx)
+    sink(docs.filter(F.col("doc_id") < 150), 0)
+    sink(docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300)), 1)
+    before = {(r.tok, r.df, tuple(r.postings)) for r in index_read(spark, idx).collect()}
+
+    folded = index_compact(spark, idx)
+    assert folded == 2
+    import glob
+
+    assert len(glob.glob(idx + "/epoch=*")) == 1
+    after = {(r.tok, r.df, tuple(r.postings)) for r in index_read(spark, idx).collect()}
+    assert after == before
+
+    # stream continues after compaction: a fresh epoch composes correctly
+    sink(docs.filter(F.col("doc_id") >= 300), 7)
+    full = {(r.tok, r.df, tuple(r.postings)) for r in index_read(spark, idx).collect()}
+    want = {
+        (r.tok, r.df, tuple(r.postings))
+        for r in (
+            docs.select(
+                "doc_id",
+                F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+            .distinct().groupBy("tok")
+            .agg(F.count_distinct("doc_id").alias("df"),
+                 F.sort_array(F.collect_set("doc_id")).alias("postings"))
+        ).collect()
+    }
+    assert full == want
