@@ -364,3 +364,152 @@ def similarity_batch_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )
     return cosine_topk_batch(emb.select("vec_id", "embedding"), queries, k=3)
+
+
+@query(
+    "embedding_class_separation",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id, label,
+                   list_transform(embedding,
+                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0 + 0.5)
+                                 AS HUGEINT)) AS q
+            FROM embeddings
+        ),
+        n AS (SELECT label, COUNT(*) AS n FROM q GROUP BY label),
+        elems AS (
+            SELECT label, i AS pos, q[i] AS qv FROM q, range(1, 65) r(i)
+        ),
+        cent AS (
+            SELECT label, pos, SUM(qv) AS s FROM elems GROUP BY label, pos
+        ),
+        intra AS (
+            SELECT e.label,
+                   SUM((e.qv * n.n - c.s) * (e.qv * n.n - c.s)) AS intra_ss
+            FROM elems e
+            JOIN cent c ON c.label = e.label AND c.pos = e.pos
+            JOIN n ON n.label = e.label
+            GROUP BY e.label
+        ),
+        pairnum AS (
+            SELECT a.label AS la, b.label AS lb,
+                   SUM((a.s * nb.n - b.s * na.n) * (a.s * nb.n - b.s * na.n))
+                       AS num
+            FROM cent a
+            JOIN cent b ON a.pos = b.pos AND a.label < b.label
+            JOIN n na ON na.label = a.label
+            JOIN n nb ON nb.label = b.label
+            GROUP BY a.label, b.label
+        )
+        SELECT p.la AS label_a, p.lb AS label_b,
+               CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+               CAST(CAST(CAST(p.num AS DOUBLE)
+                 / (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)
+                    * CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE))
+                 / 1099511627776.0 AS DECIMAL(18,12)) AS DOUBLE) AS inter_d2,
+               CAST(CAST((CAST(p.num AS DOUBLE)
+                 / (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)
+                    * CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE))
+                 / 1099511627776.0)
+               / ((CAST(ia.intra_ss AS DOUBLE)
+                   / (CAST(na.n AS DOUBLE) * CAST(na.n AS DOUBLE))
+                   / 1099511627776.0)
+                  + (CAST(ib.intra_ss AS DOUBLE)
+                     / (CAST(nb.n AS DOUBLE) * CAST(nb.n AS DOUBLE))
+                     / 1099511627776.0)) AS DECIMAL(18,12)) AS DOUBLE)
+                   AS separation
+        FROM pairnum p
+        JOIN n na ON na.label = p.la
+        JOIN n nb ON nb.label = p.lb
+        JOIN intra ia ON ia.label = p.la
+        JOIN intra ib ON ib.label = p.lb
+    """,
+    tags=("similarity", "embeddings", "quality"),
+)
+def embedding_class_separation(spark, sf_dir):
+    """Per-label-pair embedding class separation — the labeled-dataset
+    quality readout (are the classes actually separable in embedding
+    space?): squared distance between class centroids over the summed
+    within-class spread, a Fisher-style ratio.
+
+    Exactness: each float is quantized once to an integer grid
+    (floor(x * 2^20 + 0.5) — identical IEEE multiply+floor on both
+    engines); from there EVERYTHING is integer arithmetic in decimal(38,0)
+    — per-dimension class sums, member deviations cross-multiplied by
+    class counts (centroids never materialize as doubles: c = s/n stays
+    the rational (s, n)), and the two sums of squares. Only the final
+    normalization is floating point, as a fixed chain of single IEEE ops
+    mirrored textually in the oracle.
+
+    Scale shape: one posexplode (rows × 64 dims) into a (label, dim) hash
+    aggregate; centroid sums are labels×dims-sized and BROADCAST back for
+    the deviation pass, so the corpus shuffles once; the pair join is
+    centroid-table-sized. At 100 TB with thousands of labels this is
+    still: explode, one keyed agg, broadcast-sized joins."""
+    big = "decimal(38,0)"
+    e = T(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(1048576.0) + F.lit(0.5)).cast(big),
+        ).alias("q"),
+    )
+    n = q.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    elems = q.select("label", F.posexplode("q").alias("pos", "qv"))
+    cent = elems.groupBy("label", "pos").agg(F.sum("qv").cast(big).alias("s"))
+    intra = (
+        elems.join(F.broadcast(cent), ["label", "pos"])
+        .join(F.broadcast(n), "label")
+        .select("label", ((F.col("qv") * F.col("n") - F.col("s"))).alias("dev"))
+        .groupBy("label")
+        .agg(F.sum(F.col("dev") * F.col("dev")).cast(big).alias("intra_ss"))
+    )
+    a = cent.select(
+        F.col("label").alias("la"), F.col("pos").alias("pos"), F.col("s").alias("sa")
+    )
+    b = cent.select(
+        F.col("label").alias("lb"), F.col("pos").alias("pos_b"), F.col("s").alias("sb")
+    )
+    na = n.select(F.col("label").alias("la"), F.col("n").alias("n_a"))
+    nb = n.select(F.col("label").alias("lb"), F.col("n").alias("n_b"))
+    pairnum = (
+        a.join(b, (F.col("pos") == F.col("pos_b")) & (F.col("la") < F.col("lb")))
+        .join(F.broadcast(na), "la")
+        .join(F.broadcast(nb), "lb")
+        .select(
+            "la",
+            "lb",
+            ((F.col("sa") * F.col("n_b") - F.col("sb") * F.col("n_a"))).alias("t"),
+        )
+        .groupBy("la", "lb")
+        .agg(F.sum(F.col("t") * F.col("t")).cast(big).alias("num"))
+    )
+    ia = intra.select(F.col("label").alias("la"), F.col("intra_ss").alias("intra_a"))
+    ib = intra.select(F.col("label").alias("lb"), F.col("intra_ss").alias("intra_b"))
+    out = (
+        pairnum.join(F.broadcast(na), "la")
+        .join(F.broadcast(nb), "lb")
+        .join(F.broadcast(ia), "la")
+        .join(F.broadcast(ib), "lb")
+    )
+    nad, nbd = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    scale = F.lit(1099511627776.0)
+    inter_d2 = F.col("num").cast("double") / (nad * nbd * nad * nbd) / scale
+    intra_ma = F.col("intra_a").cast("double") / (nad * nad) / scale
+    intra_mb = F.col("intra_b").cast("double") / (nbd * nbd) / scale
+    return out.select(
+        F.col("la").alias("label_a"),
+        F.col("lb").alias("label_b"),
+        F.col("n_a"),
+        F.col("n_b"),
+        # quantized to 1e-12 like the other similarity scores: the raw
+        # decimal(38)->double cast of the huge numerator differs in the
+        # last ulp across engines at large n
+        inter_d2.cast("decimal(18,12)").cast("double").alias("inter_d2"),
+        (inter_d2 / (intra_ma + intra_mb))
+        .cast("decimal(18,12)")
+        .cast("double")
+        .alias("separation"),
+    )

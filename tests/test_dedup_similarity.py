@@ -241,3 +241,22 @@ def test_pq_adc_topk_recall_vs_exact(spark):
     assert len(approx) == 10
     assert 0 in approx
     assert len(set(exact) & set(approx)) >= 5
+
+
+def test_embedding_class_separation_shape(spark):
+    """45 ordered label pairs; distances positive; separation consistent
+    with its parts (random labels => weak separation, ratio well below 1)."""
+    from etl_expenses_spark.plans import REGISTRY
+
+    rows = REGISTRY["embedding_class_separation"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 45  # C(10,2)
+    for r in rows:
+        assert r.label_a < r.label_b
+        assert r.n_a > 0 and r.n_b > 0
+        assert r.inter_d2 > 0
+        assert r.separation > 0
+    # synthetic labels are random -> centroids nearly coincide relative to
+    # within-class spread
+    assert max(r.separation for r in rows) < 0.5
