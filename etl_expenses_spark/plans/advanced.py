@@ -390,7 +390,7 @@ def heavy_hitters_users(spark, sf_dir):
 @query(
     "sample_n_per_group",
     oracle="""
-        SELECT doc_id, lang, rn
+        SELECT doc_id, lang, CAST(rn AS INTEGER) AS rn
         FROM (SELECT doc_id, lang,
                      ROW_NUMBER() OVER (
                          PARTITION BY lang
@@ -522,7 +522,7 @@ def multimodal_codec_roundtrip(spark, sf_dir):
 @query(
     "corpus_shuffle_deterministic",
     oracle="""
-        SELECT doc_id, bucket, pos_in_bucket
+        SELECT doc_id, bucket, CAST(pos_in_bucket AS INTEGER) AS pos_in_bucket
         FROM (
             SELECT doc_id,
                    CAST(substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 4)
@@ -570,12 +570,12 @@ def corpus_shuffle_deterministic(spark, sf_dir):
     oracle="""
         SELECT bin,
                COUNT(*) AS n_docs,
-               SUM(n_chars) AS sum_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                MIN(n_chars) AS min_chars,
                MAX(n_chars) AS max_chars
         FROM (
             SELECT n_chars,
-                   NTILE(5) OVER (ORDER BY n_chars, doc_id) AS bin
+                   CAST(NTILE(5) OVER (ORDER BY n_chars, doc_id) AS INTEGER) AS bin
             FROM documents
         )
         GROUP BY bin

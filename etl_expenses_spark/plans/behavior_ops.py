@@ -129,7 +129,7 @@ def event_transition_matrix(spark, sf_dir):
         WITH names AS (SELECT DISTINCT p_name FROM part),
         a AS (SELECT p_name, SPLIT_PART(p_name, ' ', 1) AS blk FROM names)
         SELECT a.p_name AS name_a, b.p_name AS name_b,
-               LEVENSHTEIN(a.p_name, b.p_name) AS dist
+               CAST(LEVENSHTEIN(a.p_name, b.p_name) AS INTEGER) AS dist
         FROM a JOIN a b ON a.blk = b.blk AND a.p_name < b.p_name
         WHERE LEVENSHTEIN(a.p_name, b.p_name) <= 4
     """,
@@ -174,7 +174,8 @@ def fuzzy_match_part_names(spark, sf_dir):
                                       ORDER BY dist, p_name) AS rn
             FROM cand
         )
-        SELECT p_partkey AS l_id, dirty_name AS l_text, match_text, dist
+        SELECT p_partkey AS l_id, dirty_name AS l_text, match_text,
+               CAST(dist AS INTEGER) AS dist
         FROM ranked WHERE rn = 1
     """,
     tags=("fuzzy", "entity_resolution", "join"),
@@ -213,8 +214,9 @@ def fuzzy_best_match_dirty_parts(spark, sf_dir):
     "prefix_sum_document_bytes",
     oracle="""
         SELECT doc_id, n_chars,
-               SUM(n_chars) OVER (ORDER BY doc_id
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               CAST(SUM(n_chars) OVER (ORDER BY doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT)
                  AS cum
         FROM documents
     """,
@@ -246,8 +248,8 @@ def prefix_sum_document_bytes(spark, sf_dir):
         stepped AS (
             SELECT *, (SELECT GREATEST(1, SUM(n_chars) // 200) FROM documents) AS step FROM cum
         )
-        SELECT doc_id, n_chars, cum,
-               (cum // step) - ((cum - n_chars) // step) AS n_picks
+        SELECT doc_id, n_chars, CAST(cum AS BIGINT) AS cum,
+               CAST((cum // step) - ((cum - n_chars) // step) AS BIGINT) AS n_picks
         FROM stepped
         WHERE (cum // step) - ((cum - n_chars) // step) >= 1
     """,
@@ -721,8 +723,8 @@ def fx_convert_order_totals(spark, sf_dir):
             FROM alloc
         )
         SELECT o_orderkey, m,
-               floor_share + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
-                 AS alloc_cents
+               CAST(floor_share + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc_cents
         FROM ranked
     """,
     tags=("finance", "allocation", "window"),
@@ -853,14 +855,17 @@ def correlation_r2_qty_price(spark, sf_dir):
         ),
         daily AS (
             SELECT du.day,
-                   SUM(CASE WHEN f.d0 = du.day THEN 1 ELSE 0 END) AS n_new,
-                   SUM(CASE WHEN f.d0 < du.day THEN 1 ELSE 0 END) AS n_returning
+                   CAST(SUM(CASE WHEN f.d0 = du.day THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_new,
+                   CAST(SUM(CASE WHEN f.d0 < du.day THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_returning
             FROM du JOIN first_seen f ON f.user_id = du.user_id
             GROUP BY du.day
         )
         SELECT day, n_new, n_returning,
-               SUM(n_new) OVER (ORDER BY day
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               CAST(SUM(n_new) OVER (ORDER BY day
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT)
                  AS cum_users
         FROM daily
     """,
@@ -905,8 +910,8 @@ def growth_accounting_daily(spark, sf_dir):
     oracle="""
         WITH rfm AS (
             SELECT user_id,
-                   DATEDIFF('day', CAST(DATE_TRUNC('day', MAX(ts)) AS DATE),
-                            DATE '2024-02-01') AS recency_d,
+                   CAST(DATEDIFF('day', CAST(DATE_TRUNC('day', MAX(ts)) AS DATE),
+                                 DATE '2024-02-01') AS INTEGER) AS recency_d,
                    COUNT(*) AS freq,
                    CAST(SUM(CASE WHEN event_type = 'purchase'
                                  THEN CAST(value AS DECIMAL(18,2))
@@ -1261,7 +1266,8 @@ def benford_first_digit_screen(spark, sf_dir):
     oracle="""
         WITH spend AS (
             SELECT o_custkey,
-                   SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                 AS BIGINT)) AS BIGINT)
                      AS cents
             FROM orders GROUP BY o_custkey
         ),
@@ -1333,7 +1339,8 @@ def pareto_revenue_concentration(spark, sf_dir):
     oracle="""
         WITH spend AS (
             SELECT o_custkey,
-                   SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                 AS BIGINT)) AS BIGINT)
                      AS cents
             FROM orders GROUP BY o_custkey
         ),
@@ -1392,7 +1399,8 @@ def gini_spend_inequality(spark, sf_dir):
     oracle="""
         WITH spend AS (
             SELECT o_custkey,
-                   SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                 AS BIGINT)) AS BIGINT)
                      AS cents
             FROM orders GROUP BY o_custkey
         ),

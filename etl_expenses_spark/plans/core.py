@@ -551,8 +551,12 @@ def window_running_user_spend(spark, sf_dir):
     "window_rank_parts_by_price",
     oracle="""
         SELECT p_partkey, p_brand,
-               RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank,
-               DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_dense_rank
+               CAST(RANK() OVER (PARTITION BY p_brand
+                                 ORDER BY p_retailprice DESC) AS INTEGER)
+                 AS price_rank,
+               CAST(DENSE_RANK() OVER (PARTITION BY p_brand
+                                       ORDER BY p_retailprice DESC) AS INTEGER)
+                 AS price_dense_rank
         FROM part
     """,
     tags=("window",),

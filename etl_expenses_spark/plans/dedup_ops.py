@@ -599,7 +599,7 @@ def dedup_keep_best_quality(spark, sf_dir):
         )
         SELECT doc_id,
                COUNT(*) AS n_spans,
-               SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS n_kept
+               CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         FROM r
         GROUP BY doc_id
     """,

@@ -23,7 +23,7 @@ from etl_expenses_spark.plans.registry import query
         SELECT p_partkey,
                UPPER(p_name) AS name_upper,
                LOWER(p_brand) AS brand_lower,
-               LENGTH(p_name) AS name_len,
+               CAST(LENGTH(p_name) AS INTEGER) AS name_len,
                SPLIT_PART(p_type, ' ', 1) AS type_head,
                CONCAT_WS('-', p_brand, p_type) AS brand_type,
                SUBSTRING(p_name, 1, 5) AS name_prefix,
@@ -396,7 +396,7 @@ def try_arithmetic_safety(spark, sf_dir):
         SELECT p_partkey,
                UPPER(p_name) AS name_upper,
                LOWER(p_brand) AS brand_lower,
-               LENGTH(p_name) AS name_len,
+               CAST(LENGTH(p_name) AS INTEGER) AS name_len,
                SPLIT_PART(p_type, ' ', 1) AS type_head,
                CONCAT_WS('-', p_brand, p_type) AS brand_type,
                SUBSTRING(p_name, 1, 5) AS name_prefix,

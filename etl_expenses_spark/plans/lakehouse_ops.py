@@ -125,7 +125,7 @@ def colocated_join_spend_by_segment(spark, sf_dir):
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS c
             FROM documents)
-        SELECT doc_id, n_chars, (c - n_chars) // 16384 AS bin
+        SELECT doc_id, n_chars, CAST((c - n_chars) // 16384 AS BIGINT) AS bin
         FROM cum
     """,
     tags=("lakehouse", "compaction", "prefix_sum"),

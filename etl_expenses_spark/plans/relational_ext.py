@@ -136,13 +136,13 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
     "array_functions",
     oracle="""
         SELECT p_partkey,
-               len(string_split(p_name, ' ')) AS n_tokens,
+               CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_tokens,
                string_split(p_name, ' ')[1] AS first_token,
                array_to_string(
                    list_slice(list_sort(list_distinct(string_split(p_name, ' '))), 1, 3),
                    ',') AS head3_sorted,
-               COALESCE(list_position(string_split(p_name, ' '), 'steel'), 0)
-                   AS steel_pos,
+               CAST(COALESCE(list_position(string_split(p_name, ' '), 'steel'), 0)
+                    AS BIGINT) AS steel_pos,
                list_contains(string_split(p_name, ' '), 'steel') AS has_steel
         FROM part
     """,
@@ -224,7 +224,7 @@ def agg_dispersion_stats(spark, sf_dir):
         SELECT p_partkey, p_brand, p_retailprice,
                percent_rank() OVER w AS pct_rank,
                cume_dist() OVER w AS cume,
-               ntile(4) OVER w AS quartile,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile,
                first_value(p_partkey) OVER w AS cheapest_key,
                nth_value(p_partkey, 2) OVER
                    (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey
@@ -307,9 +307,11 @@ def null_safe_join(spark, sf_dir):
     oracle="""
         SELECT event_type,
                COUNT(*) AS n_events,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-               SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
-                        THEN 1 ELSE 0 END) AS n_high
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k')
+                                       AS BIGINT) > 50
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_high
         FROM events
         GROUP BY event_type
         ORDER BY event_type
@@ -352,7 +354,8 @@ class SplitWordsUDTF:
     "udtf_lateral_word_split",
     oracle="""
         SELECT doc_id,
-               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+               CAST(generate_subscripts(string_split(text, ' '), 1) - 1
+                    AS INTEGER) AS pos,
                unnest(string_split(text, ' ')) AS word
         FROM documents
         WHERE doc_id < 200
@@ -426,7 +429,7 @@ def having_large_orders(spark, sf_dir):
     "map_functions",
     oracle="""
         SELECT event_id,
-               len(json_keys(props)) AS n_keys,
+               CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
                array_to_string(json_keys(props), ',') AS keys_csv
         FROM events
@@ -456,10 +459,10 @@ def map_functions(spark, sf_dir):
     "higher_order_array_ops",
     oracle="""
         SELECT doc_id,
-               len(list_filter(string_split(text, ' '), t -> len(t) > 4))
-                   AS n_long_tokens,
-               list_sum(list_transform(string_split(text, ' '), t -> len(t)))
-                   AS total_token_chars,
+               CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 4))
+                    AS INTEGER) AS n_long_tokens,
+               CAST(list_sum(list_transform(string_split(text, ' '), t -> len(t)))
+                    AS BIGINT) AS total_token_chars,
                array_to_string(
                    list_slice(list_transform(string_split(text, ' '),
                                              t -> CAST(len(t) AS VARCHAR)), 1, 5),
@@ -822,10 +825,10 @@ def tpch_q10_returned_items(spark, sf_dir):
     "tpch_q12_priority_shipmode",
     oracle="""
         SELECT o.o_orderpriority,
-               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS low_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count,
                COUNT(*) AS n_lines
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
@@ -974,8 +977,8 @@ def gapfill_daily_user_values(spark, sf_dir):
     "histogram_order_totals",
     oracle="""
         SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
-               CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) * 25000.0
-                   AS bucket_low,
+               CAST(CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) * 25000.0
+                    AS DOUBLE) AS bucket_low,
                COUNT(*) AS n_orders,
                CAST(MIN(o_totalprice) AS DOUBLE) AS min_in_bucket,
                CAST(MAX(o_totalprice) AS DOUBLE) AS max_in_bucket
@@ -1230,7 +1233,8 @@ def map_transform_functions(spark, sf_dir):
         SELECT o_orderstatus,
                array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|')
                    AS priorities_seen,
-               len(list(DISTINCT o_orderpriority)) AS n_distinct_priorities,
+               CAST(len(list(DISTINCT o_orderpriority)) AS INTEGER)
+                   AS n_distinct_priorities,
                COUNT(*) AS n_orders
         FROM orders
         GROUP BY o_orderstatus

@@ -49,7 +49,7 @@ def grouping_sets_spend(spark, sf_dir):
 @query(
     "schema_inference_cascade",
     oracle="""
-        SELECT l_orderkey AS ok_i, l_linenumber AS ln_i,
+        SELECT l_orderkey AS ok_i, CAST(l_linenumber AS BIGINT) AS ln_i,
                l_quantity AS qty_d,
                CAST(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS ship_ts,
                l_returnflag AS flag_s

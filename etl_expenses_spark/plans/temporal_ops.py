@@ -663,9 +663,10 @@ def rolling_7d_active_users(spark, sf_dir):
         WITH marked AS (
             SELECT user_id, ts, event_id, event_type,
                    CAST(value AS DECIMAL(18,2)) AS v,
-                   SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
-                       OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT)
                      AS island
             FROM events
         )

@@ -730,12 +730,13 @@ def bpe_trained_segmentation(spark, sf_dir):
         SELECT COUNT(*) AS n_docs,
                COUNT(DISTINCT lang) AS n_langs,
                COUNT(DISTINCT source) AS n_sources,
-               SUM(n_chars) AS total_chars,
-               SUM(n_tokens) AS total_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
                MIN(n_chars) AS min_chars,
                MAX(n_chars) AS max_chars,
                CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
-               SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS n_short_docs
+               CAST(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_short_docs
         FROM t
     """,
     tags=("text", "profile", "dataset_card"),

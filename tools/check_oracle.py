@@ -23,6 +23,93 @@ from etl_expenses_spark.session import get_spark  # noqa: E402
 from etl_expenses_spark.sources.readers import TESTDATA_TABLES  # noqa: E402
 
 
+def arrow_canon(t):
+    """Canonical type tag for a DuckDB-result Arrow type."""
+    import pyarrow as pa
+
+    if pa.types.is_int64(t):
+        return "int64"
+    if pa.types.is_int32(t):
+        return "int32"
+    if pa.types.is_int16(t):
+        return "int16"
+    if pa.types.is_int8(t):
+        return "int8"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"array<{arrow_canon(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{arrow_canon(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    return str(t)
+
+
+def spark_canon(dt):
+    """Canonical type tag for a Spark type — same vocabulary as arrow_canon,
+    so long<->int64, int<->int32, double<->float64 line up and anything else
+    (notably DuckDB HUGEINT -> decimal(38,0) where Spark says int64) FAILs."""
+    import pyspark.sql.types as st
+
+    if isinstance(dt, st.LongType):
+        return "int64"
+    if isinstance(dt, st.IntegerType):
+        return "int32"
+    if isinstance(dt, st.ShortType):
+        return "int16"
+    if isinstance(dt, st.ByteType):
+        return "int8"
+    if isinstance(dt, st.DoubleType):
+        return "double"
+    if isinstance(dt, st.FloatType):
+        return "float"
+    if isinstance(dt, st.BooleanType):
+        return "boolean"
+    if isinstance(dt, st.StringType):
+        return "string"
+    if isinstance(dt, st.BinaryType):
+        return "binary"
+    if isinstance(dt, st.DateType):
+        return "date"
+    if isinstance(dt, (st.TimestampType, st.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, st.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    if isinstance(dt, st.ArrayType):
+        return f"array<{spark_canon(dt.elementType)}>"
+    if isinstance(dt, st.StructType):
+        inner = ",".join(f"{f.name}:{spark_canon(f.dataType)}" for f in dt.fields)
+        return f"struct<{inner}>"
+    return dt.simpleString()
+
+
+def type_mismatches(spark_schema, arrow_schema):
+    """Per-column canonical-type diffs between a Spark result schema and the
+    oracle's Arrow schema (matched by column name). The driver's value hash
+    is type-sensitive, so the local gate must be too."""
+    sp = {f.name: spark_canon(f.dataType) for f in spark_schema.fields}
+    ar = {f.name: arrow_canon(f.type) for f in arrow_schema}
+    return [
+        f"{name}: spark={sp[name]} duck={ar[name]}"
+        for name in sorted(set(sp) & set(ar))
+        if sp[name] != ar[name]
+    ]
+
+
 def canon(v):
     """Canonicalize a cell for cross-engine comparison."""
     if v is None:
@@ -91,6 +178,7 @@ def main() -> int:
             res = con.execute(q.oracle)
             d_cols = [d[0] for d in res.description]
             d_rows = res.fetchall()
+            d_arrow = con.execute(q.oracle).arrow().schema
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"duckdb error: {e}"))
             print(f"FAIL  {name}: duckdb error: {e}")
@@ -98,6 +186,10 @@ def main() -> int:
         problems = []
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"schema: spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        else:
+            tdiff = type_mismatches(sdf.schema, d_arrow)
+            if tdiff:
+                problems.append(f"types: {'; '.join(tdiff)}")
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount: spark={len(s_rows)} duck={len(d_rows)}")
         if not problems:
