@@ -84,23 +84,21 @@ def _minhash_sig(shingle_hashes: Column, num_perm: int) -> list[Column]:
     ]
 
 
-def minhash_lsh_pairs(
+def minhash_band_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_perm: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
-    min_jaccard: float = 0.5,
 ) -> DataFrame:
-    """Near-duplicate candidate pairs via banded MinHash, verified with exact
-    shingle-set Jaccard (on 64-bit shingle fingerprints). Returns
-    (id_a, id_b, jaccard) with id_a < id_b.
-
-    Scale shape: signatures are narrow (num_perm longs); candidates come from
-    a groupBy on (band_idx, band_hash) — data volume after the explode is
-    bands× the doc count, not doc²; the exact-Jaccard verify only touches
-    bucket collisions.
+    """Per-document MinHash banding state: ``(id, hs, bands)`` where ``hs``
+    is the DISTINCT 64-bit shingle-fingerprint set (the exact-Jaccard verify
+    input) and ``bands`` is the array of band hashes (the LSH bucket keys).
+    Deterministic in the document content alone — computable per micro-batch
+    under streaming ingest and identical to the batch computation, which is
+    what makes the log-structured LSH index (streaming/pipeline.py:
+    lsh_state_sink) equal the batch pairs exactly.
 
     Hash-first shingling: tokens are xxhash64'd ONCE to longs, then a
     k-gram's fingerprint is the zip_with chain xxhash64(xxhash64(t1,t2),t3)
@@ -108,7 +106,9 @@ def minhash_lsh_pairs(
     ~half the signature cost, measured at sf0.1), and the verify set is
     array<long> instead of array<string> (8 bytes/shingle in the shuffle).
     Jaccard over distinct 64-bit fingerprints equals Jaccard over distinct
-    shingle strings up to hash collisions (~n²·2⁻⁶⁴, negligible)."""
+    shingle strings up to hash collisions (~n²·2⁻⁶⁴, negligible). The
+    distinct runs before any reuse: array_min is duplicate-insensitive, so
+    the minhash is unchanged and downstream consumers read the set as-is."""
     rows_per_band = num_perm // bands
     tok = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
     th = F.transform("toks", lambda x: F.xxhash64(x))
@@ -127,38 +127,32 @@ def minhash_lsh_pairs(
             F.array(F.xxhash64(F.concat_ws(" ", F.col("toks"))))
         )
 
-    sig = (
+    with_sig = (
         tok.select("id", "toks", th.alias("th"))
-        .select("id", shingle_fingerprints(F.col("th")).alias("hs"))
+        .select("id", F.array_distinct(shingle_fingerprints(F.col("th"))).alias("hs"))
         .select("id", "hs", *_minhash_sig(F.col("hs"), num_perm))
-        # reused by both the banded candidate join and the verify re-join —
-        # persist so the signature computation runs once, not 4×
-        .persist()
     )
-    track(sig)
     band_cols = [
-        F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-            f"band{b}"
-        )
+        F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
         for b in range(bands)
     ]
-    # Candidate generation carries ONLY (band bucket, id): exploding/joining
-    # with the shingle arrays attached would shuffle the full document
-    # payloads bands× — the single biggest cost at scale. Shingle sets are
-    # re-joined afterwards for just the (few) candidate ids.
-    banded = sig.select("id", *band_cols)
-    exploded = banded.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bh"),
-    ).select("id", "bh.band_idx", "bh.band_hash")
+    return with_sig.select("id", "hs", F.array(*band_cols).alias("bands"))
 
+
+def lsh_pairs_from_signatures(sig: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
+    """Candidate generation + exact-Jaccard verify over ``(id, hs, bands)``
+    signature rows (minhash_band_signatures). Returns (id_a, id_b, jaccard)
+    with id_a < id_b.
+
+    Scale shape: candidates come from a self-join on (band_idx, band_hash) —
+    data volume after the posexplode is bands× the doc count, not doc².
+    Candidate generation carries ONLY (band bucket, id): exploding/joining
+    with the shingle arrays attached would shuffle the full document
+    payloads bands× — the single biggest cost at scale. Shingle sets are
+    re-joined afterwards for just the (few) candidate ids."""
+    exploded = sig.select(
+        "id", F.posexplode("bands").alias("band_idx", "band_hash")
+    )
     a = exploded.alias("a")
     b = exploded.alias("b")
     candidates = (
@@ -171,7 +165,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sets = sig.select("id", F.array_distinct("hs").alias("s"))
+    sets = sig.select("id", F.col("hs").alias("s"))  # already distinct
     verified = (
         candidates.join(sets.select(F.col("id").alias("id_a"), F.col("s").alias("sh_a")), "id_a")
         .join(sets.select(F.col("id").alias("id_b"), F.col("s").alias("sh_b")), "id_b")
@@ -183,6 +177,28 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash, verified with exact
+    shingle-set Jaccard (on 64-bit shingle fingerprints). Returns
+    (id_a, id_b, jaccard) with id_a < id_b. See minhash_band_signatures /
+    lsh_pairs_from_signatures for the shape; this composition persists the
+    signature relation because the banded candidate join and the verify
+    re-join both consume it — the signature computation runs once, not 4×."""
+    sig = minhash_band_signatures(
+        df, text_col, id_col, num_perm=num_perm, bands=bands, shingle_k=shingle_k
+    ).persist()
+    track(sig)
+    return lsh_pairs_from_signatures(sig, min_jaccard=min_jaccard)
 
 
 def _simhash60_udf():

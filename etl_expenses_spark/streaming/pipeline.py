@@ -412,7 +412,10 @@ def jdbc_epoch_sink(url: str, table: str, connect, driver: str | None = None,
     }
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import functions as F
+
         stage = f"{table}__stage_{int(epoch_id)}"
+        cols = ", ".join(f.name for f in batch_df.schema.fields)
         ddl = ", ".join(
             f"{f.name} {_SQL_TYPES.get(f.dataType.simpleString(), f.dataType.simpleString().upper())}"
             for f in batch_df.schema.fields
@@ -425,19 +428,34 @@ def jdbc_epoch_sink(url: str, table: str, connect, driver: str | None = None,
             seen = con.execute(
                 f"SELECT COUNT(*) FROM {ledger} WHERE epoch_id = {int(epoch_id)}"
             ).fetchone()[0]
+            if seen:
+                # Replayed epoch: already published atomically. A crash
+                # between COMMIT and the post-commit stage DROP leaves an
+                # orphaned stage — reap it here (idempotent) so replays
+                # never leak one stage table per crash.
+                con.execute(f"DROP TABLE IF EXISTS {stage}")
+                return
         finally:
             con.close()
-        if seen:
-            return  # replayed epoch: already published atomically
         if batch_df.isEmpty():
             return
         con = connect()
         try:
-            con.execute(f"CREATE OR REPLACE TABLE {stage} ({ddl})")
+            con.execute(f"CREATE OR REPLACE TABLE {stage} ({ddl}, _rid BIGINT)")
         finally:
             con.close()
+        # _rid = (partitionId << 33) | row-position: unique per logical row.
+        # Spark's JDBC writer commits per PARTITION, so a task that dies
+        # after its partition committed is re-run and appends that partition
+        # AGAIN into the stage. The publish below keeps one row per _rid,
+        # which removes exactly those task-retry duplicates (micro-batch
+        # recomputation is deterministic — the same file-source replay
+        # contract exactly-once foreachBatch already rests on) while
+        # preserving genuine duplicate payload rows, which carry distinct
+        # _rids.
         write_jdbc_table(
-            batch_df, url, stage, mode="append", driver=driver,
+            batch_df.withColumn("_rid", F.monotonically_increasing_id()),
+            url, stage, mode="append", driver=driver,
             single_writer=single_writer,
         )
         con = connect()
@@ -445,9 +463,15 @@ def jdbc_epoch_sink(url: str, table: str, connect, driver: str | None = None,
             con.execute("BEGIN TRANSACTION")
             con.execute(
                 f"CREATE TABLE IF NOT EXISTS {table} AS "
-                f"SELECT * FROM {stage} WHERE 1 <> 1"
+                f"SELECT {cols} FROM {stage} WHERE 1 <> 1"
             )
-            con.execute(f"INSERT INTO {table} SELECT * FROM {stage}")
+            con.execute(
+                f"INSERT INTO {table} "
+                f"SELECT {cols} FROM ("
+                f"  SELECT {cols}, ROW_NUMBER() OVER (PARTITION BY _rid) AS _rn"
+                f"  FROM {stage}"
+                f") WHERE _rn = 1"
+            )
             con.execute(f"INSERT INTO {ledger} VALUES ({int(epoch_id)})")
             con.execute("COMMIT")
             con.execute(f"DROP TABLE IF EXISTS {stage}")
@@ -581,7 +605,17 @@ def index_compact(spark: SparkSession, index_path: str) -> int:
     absorbs (same final index), and a re-run of compaction converges.
     This is exactly why compaction is scoped to set-semantics state;
     additive state (mv_state_sink's counts/sums) would double-count and
-    needs the WAP manifest swap instead (operators/wap.py)."""
+    needs the WAP manifest swap instead (operators/wap.py).
+
+    Target-epoch choice: the compacted epoch id is
+    ``min(existing_ids + [0]) - 1`` — always NEGATIVE and always fresh.
+    Streaming batch ids from a checkpoint are a monotone counter >= 0,
+    so a resumed stream can never claim (and mode("overwrite") away) the
+    compacted directory; writing max+1 instead would collide with the
+    very next micro-batch after resume. Strictly-below-min also means
+    the target dir never pre-exists, so the merge read never overwrites
+    one of its own inputs mid-scan. Each successive compaction steps one
+    lower (-1, -2, ...)."""
     import glob as _glob
     import shutil as _shutil
 
@@ -591,7 +625,7 @@ def index_compact(spark: SparkSession, index_path: str) -> int:
     if len(epoch_dirs) <= 1:
         return 0
     epoch_ids = [int(d.rsplit("epoch=", 1)[1]) for d in epoch_dirs]
-    target = max(epoch_ids) + 1
+    target = min(epoch_ids + [0]) - 1
     merged = (
         spark.read.parquet(index_path)
         .select("tok", F.explode("postings").alias("doc_id"))
@@ -603,3 +637,75 @@ def index_compact(spark: SparkSession, index_path: str) -> int:
     for d in epoch_dirs:
         _shutil.rmtree(d)
     return len(epoch_dirs)
+
+
+def lsh_state_sink(
+    index_path: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+):
+    """foreachBatch sink maintaining a log-structured MINHASH-LSH INDEX over
+    arriving documents: each micro-batch contributes one per-epoch partition
+    of (id, hs, bands) signature rows (operators/dedup.py:
+    minhash_band_signatures) — streaming NEAR-duplicate detection, the
+    upgrade of index_state_sink's exact-token index to similarity space.
+
+    The expensive half of LSH dedup (tokenize -> shingle-fingerprint ->
+    minhash -> band) is computed ONCE per document, at ingest; what
+    accumulates is ~(num_perm+bands)·8 bytes per doc, not text. Replay
+    contract matches the other epoch sinks: an epoch directory is
+    overwritten, never appended, so at-least-once redelivery converges.
+    Signatures depend on document content alone (no batch context), so the
+    union of per-epoch signatures is EXACTLY the batch signature relation —
+    the stream==batch equality lsh_read_pairs pins."""
+    from etl_expenses_spark.operators.dedup import minhash_band_signatures
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sig = minhash_band_signatures(
+            batch_df, num_perm=num_perm, bands=bands, shingle_k=shingle_k
+        )
+        sig.write.mode("overwrite").parquet(f"{index_path}/epoch={epoch_id}")
+
+    return sink
+
+
+def lsh_read_pairs(
+    spark: SparkSession, index_path: str, min_jaccard: float = 0.5
+) -> DataFrame:
+    """Merge-on-read near-duplicate pairs over the whole ingest history:
+    union the per-epoch signature partitions and run the SAME banded
+    candidate join + exact-Jaccard verify as the batch operator
+    (operators/dedup.py:lsh_pairs_from_signatures). New arrivals pair
+    against every previously-seen document WITHOUT ever rescanning or
+    re-shingling history — the per-doc signature is already in the log.
+
+    dropDuplicates("id") absorbs at-least-once overlap (a doc re-delivered
+    into two epochs has bit-identical signature rows, so keeping either is
+    correct); equals minhash_lsh_pairs over the same corpus, pinned in
+    tests/test_streaming.py."""
+    sig = (
+        spark.read.parquet(index_path)
+        .select("id", "hs", "bands")
+        .dropDuplicates(["id"])
+    )
+    from etl_expenses_spark.operators.dedup import lsh_pairs_from_signatures
+
+    return lsh_pairs_from_signatures(sig, min_jaccard=min_jaccard)
+
+
+def run_docs_stream_lsh(
+    spark: SparkSession, bronze_dir: str, index_path: str, checkpoint_dir: str
+) -> None:
+    """availableNow run folding arriving documents into the incremental
+    LSH signature log — streaming near-dup detection under ingest."""
+    docs = read_document_stream(spark, bronze_dir)
+    (
+        docs.writeStream.foreachBatch(lsh_state_sink(index_path))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

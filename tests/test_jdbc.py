@@ -159,6 +159,31 @@ def test_jdbc_epoch_sink_exactly_once(tmp_path):
         assert con.execute(
             "SELECT COUNT(DISTINCT event_id) FROM gold_stream").fetchone()[0] == n_src
         con.close()
+
+        # --- task-retry duplication: Spark's JDBC writer commits per
+        # PARTITION, so a task that dies after its commit re-appends its
+        # whole partition into the stage. Simulate it by double-writing
+        # partition 0's rows (same _rid values) and assert the publish
+        # keeps one row per _rid.
+        import etl_expenses_spark.sources.jdbc as _jdbc
+        _real_write = _jdbc.write_jdbc_table
+        def _retry_write(df, url, table, **kw):
+            _real_write(df, url, table, **kw)
+            _real_write(df.where(F.col("_rid") < 2**33), url, table, **kw)
+        _jdbc.write_jdbc_table = _retry_write
+        try:
+            retry_sink = jdbc_epoch_sink(url, "gold_retry", connect,
+                                         driver=drv, single_writer=True)
+            rb = spark.range(80).select(
+                F.col("id"), (F.col("id") % 3).alias("v")).repartition(2)
+            retry_sink(rb, 0)
+        finally:
+            _jdbc.write_jdbc_table = _real_write
+        con = connect()
+        assert con.execute("SELECT COUNT(*) FROM gold_retry").fetchone()[0] == 80
+        assert con.execute(
+            "SELECT COUNT(DISTINCT id) FROM gold_retry").fetchone()[0] == 80
+        con.close()
         print("JDBC_SINK_OK")
         """
     )

@@ -592,8 +592,10 @@ def test_index_compaction_preserves_merge(spark, dirs):
     after = {(r.tok, r.df, tuple(r.postings)) for r in index_read(spark, idx).collect()}
     assert after == before
 
-    # stream continues after compaction: a fresh epoch composes correctly
-    sink(docs.filter(F.col("doc_id") >= 300), 7)
+    # stream continues after compaction WITH THE NEXT CHECKPOINT BATCH ID
+    # (2 — exactly the id that used to collide with a max+1 compacted dir
+    # and overwrite it): a fresh epoch composes correctly
+    sink(docs.filter(F.col("doc_id") >= 300), 2)
     full = {(r.tok, r.df, tuple(r.postings)) for r in index_read(spark, idx).collect()}
     want = {
         (r.tok, r.df, tuple(r.postings))
@@ -607,3 +609,96 @@ def test_index_compaction_preserves_merge(spark, dirs):
         ).collect()
     }
     assert full == want
+
+
+def test_stream_lsh_index_equals_batch_pairs(spark, dirs):
+    """Streaming near-dup detection: per-epoch MinHash signature logs,
+    merged at read time, yield EXACTLY the batch minhash_lsh_pairs over the
+    same corpus — new arrivals pair against all history without
+    re-shingling it. Replayed epoch changes nothing (signatures are
+    content-deterministic)."""
+    from etl_expenses_spark.operators.dedup import minhash_lsh_pairs
+    from etl_expenses_spark.streaming.pipeline import (
+        lsh_read_pairs,
+        lsh_state_sink,
+        run_docs_stream_lsh,
+    )
+
+    bronze, gold, ckpt, _ = dirs
+    docs = load_table(spark, SF_DIR, "documents")
+    first = docs.filter(F.col("doc_id") < 250)
+    second = docs.filter(F.col("doc_id") >= 250)
+    idx = str(gold) + "_lsh"
+    first.repartition(2).write.mode("append").parquet(str(bronze))
+    run_docs_stream_lsh(spark, str(bronze), idx, str(ckpt))
+    second.repartition(2).write.mode("append").parquet(str(bronze))
+    run_docs_stream_lsh(spark, str(bronze), idx, str(ckpt))
+
+    got = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in lsh_read_pairs(spark, idx).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert got == want
+    assert want, "corpus should contain at least one near-dup pair"
+    # cross-epoch pairs exist: streaming detection is corpus-wide, not
+    # per-batch (at least one pair spans the two ingest batches)
+    assert any(a < 250 <= b for a, b, _ in got)
+
+    # at-least-once replay of epoch 0's own batch: pairs unchanged
+    sink = lsh_state_sink(idx)
+    sink(first, 0)
+    again = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in lsh_read_pairs(spark, idx).collect()
+    }
+    assert again == want
+
+
+def test_index_compaction_survives_checkpointed_resume(spark, dirs):
+    """The hazard case end-to-end: compact after a checkpointed stream's
+    epochs 0..N-1, then RESUME the same checkpoint (next batch id = N).
+    The resumed micro-batch must not claim the compacted directory — the
+    merged index must still equal the batch-built index over all docs."""
+    from etl_expenses_spark.functions.text import tokens
+    from etl_expenses_spark.streaming.pipeline import (
+        index_compact,
+        index_read,
+        run_docs_stream_index,
+    )
+
+    bronze, gold, ckpt, _ = dirs
+    docs = load_table(spark, SF_DIR, "documents")
+    first = docs.filter(F.col("doc_id") < 250)
+    second = docs.filter(F.col("doc_id") >= 250)
+    idx = str(gold) + "_ridx"
+    # 4 files / maxFilesPerTrigger=2 -> checkpoint batches 0 and 1
+    first.repartition(4).write.mode("append").parquet(str(bronze))
+    run_docs_stream_index(spark, str(bronze), idx, str(ckpt))
+    import glob
+
+    pre_ids = {int(d.rsplit("epoch=", 1)[1]) for d in glob.glob(idx + "/epoch=*")}
+    assert pre_ids == {0, 1}
+    assert index_compact(spark, idx) == 2
+    post_ids = {int(d.rsplit("epoch=", 1)[1]) for d in glob.glob(idx + "/epoch=*")}
+    assert post_ids == {-1}, "compacted epoch must live below any batch id"
+
+    # resume the SAME checkpoint: next batch id is 2, never -1
+    second.repartition(2).write.mode("append").parquet(str(bronze))
+    run_docs_stream_index(spark, str(bronze), idx, str(ckpt))
+
+    got = {(r.tok, r.df, tuple(r.postings)) for r in index_read(spark, idx).collect()}
+    want = {
+        (r.tok, r.df, tuple(r.postings))
+        for r in (
+            docs.select(
+                "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+            .distinct().groupBy("tok")
+            .agg(F.count_distinct("doc_id").alias("df"),
+                 F.sort_array(F.collect_set("doc_id")).alias("postings"))
+        ).collect()
+    }
+    assert got == want
