@@ -31,73 +31,71 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # registered after the window and is verified by tools/check_oracle.py
 # (the local replica of the same gate) across all scale factors.
 _PRIORITY = [
-    # ---- round-3 rotation: the round-2 verdict asked that ~20 slots go to
-    # queries that have NEVER had a driver-side CORRECTNESS row (everything
-    # green in CORRECTNESS_r01/r02 stays on record); each §2 family keeps at
-    # least one previously-driver-green representative ----
-    # flagship + core relational (kept reps)
+    # ---- round-4 rotation (verdict r3 task 4): 21 kept driver-green family
+    # reps + the 3 re-fixed HUGEINT-typing queries + 26 FIRST-TIME rows —
+    # the 10 latent-HUGEINT queries (now cast, most likely to expose any
+    # residual compare drift), the never-checked retrieval/graph surface,
+    # and a spread of never-checked TPC-H/SQL/behavior/corpus/privacy/
+    # lakehouse queries. Everything rotated out keeps its green r1-r3 row
+    # on record and stays verified by tools/check_oracle.py (now TYPE-aware,
+    # at least as strict as the driver's hash). ----
+    # kept driver-green reps (one per §2 family)
     "flagship_spend_by_category",
     "derived_columns",
-    "filter_events_threshold",
-    "required_fields_filter",
     "conditional_mapping",
     "join_dims_agg",
     "multimodal_codec_roundtrip",
-    "agg_order_stats",
-    "union_evolved_schemas",
-    "string_regex_functions",
     "temporal_scalar_functions",
     "text_features",
     "dedup_cluster_components",
     "similarity_cosine_topk",
-    "decontaminate_benchmark_overlap",
-    # (dedup_incremental_batch / dataset_split_leakage_safe hold green
-    # CORRECTNESS_r02 rows; their slots go to this round's new never-
-    # driver-checked operators — dedup keeps cluster_components as its
-    # in-window green rep, corpus-ops keeps decontaminate_benchmark_overlap)
-    "dedup_substring_windows",
     "bm25_topk_per_query",
     "incremental_merge_new_orders",
-    "asof_join_events_orders",
-    "range_join_recent_clicks",
     "window_tumbling_daily",
-    "session_windows_30m",
     "schema_inference_cascade",
-    "dual_header_normalize",
-    "agg_arg_extremes",
     "sql_surface_agent_query",
     "webhook_source_ingest",
     "gold_denormalized_sales",
     "pdf_ticket_pipeline",
     "xlsx_report_pipeline",
-    # ---- swap-ins: never driver-checked before round 3 ----
-    # the round-2 wrong answer, fixed this round — driver-verify the fix
-    "json_struct_roundtrip",
-    # the two round-2 perf-weak rewrites — driver-verify same answers
-    "sequence_gap_detection",
-    "curriculum_quality_bins",
-    # ADVICE-fixed exact-arithmetic queries
-    "doc_length_outliers",
-    "pps_sample_documents",
-    "equidepth_histogram_totals",
-    # TPC-H heavy joins
-    "tpch_q8_market_share",
-    "tpch_q21_waiting_supplier",
-    # prefix-sum / rank family
-    "prefix_sum_document_bytes",
-    "rfm_segmentation",
-    # merge/upsert/CDC family (K3)
     "merge_upsert_orders",
-    "scd2_customer_segments",
-    "snapshot_diff_cdc",
-    # grouping sets, RANGE frames, PIT, gap-fill, behavior, fuzzy
     "grouping_sets_spend",
-    "window_range_1h_user_spend",
-    "pit_join_events_user_tier",
-    "gapfill_interpolate_linear",
-    "basket_pair_lift",
-    "monthly_spend_mom_delta",
-    "fuzzy_entity_clusters",
+    "tpch_q8_market_share",
+    # r3 hash-fails, re-fixed (oracle HUGEINT -> BIGINT casts; Spark bin ->
+    # int aligned in the oracle) — driver-verify the fix
+    "curriculum_quality_bins",
+    "pps_sample_documents",
+    "prefix_sum_document_bytes",
+    # the 10 latent-HUGEINT queries, post-fix — never driver-checked
+    "corpus_summary_card",
+    "dedup_spans_keep_first",
+    "running_value_resets_on_signup",
+    "variant_props_rollup",
+    "higher_order_array_ops",
+    "tpch_q12_priority_shipmode",
+    "proportional_budget_allocation",
+    "growth_accounting_daily",
+    "weighted_median_spend",
+    "compaction_plan_documents",
+    # never-checked retrieval / graph surface
+    "pagerank_copurchase",
+    "inverted_index_postings",
+    "lm_bigram_rarity",
+    "triangle_count_copurchase",
+    "countmin_user_frequency",
+    # never-checked spread: TPC-H, SQL surface, behavior, corpus, sketches,
+    # privacy, lakehouse, set-ops, fuzzy
+    "tpch_q3_shipping_priority",
+    "sql_recursive_month_spine",
+    "sql_exists_and_scalar_subquery",
+    "cohort_retention_monthly",
+    "funnel_view_click_purchase",
+    "corpus_pack_sequences",
+    "heavy_hitters_users",
+    "k_anonymity_report",
+    "colocated_join_spend_by_segment",
+    "except_all_order_lines",
+    "fuzzy_best_match_dirty_parts",
 ]
 
 

@@ -21,15 +21,10 @@ def test_correctness_window_priority():
     window = qs[:50]
     assert all(n in os_ for n in window), [n for n in window if n not in os_]
     must = {
-        # per-family reps kept from the round-2 window
+        # per-family driver-green reps kept across rotations
         "incremental_merge_new_orders",
-        "asof_join_events_orders",
-        "range_join_recent_clicks",
         "window_tumbling_daily",
-        "session_windows_30m",
-        "dual_header_normalize",
         "schema_inference_cascade",
-        "agg_arg_extremes",
         "sql_surface_agent_query",
         "dedup_cluster_components",
         "similarity_cosine_topk",
@@ -38,23 +33,32 @@ def test_correctness_window_priority():
         "multimodal_codec_roundtrip",  # real-codec decode, driver-verified
         "pdf_ticket_pipeline",  # S4+: real binary PDF ingestion end-to-end
         "xlsx_report_pipeline",  # S2+: real XLSX ingestion end-to-end
-        # round-3 rotation: never-driver-checked swap-ins the round-2
-        # verdict named, incl. the fixed wrong answer and both perf rewrites
-        "json_struct_roundtrip",
-        "sequence_gap_detection",
-        "curriculum_quality_bins",
+        "merge_upsert_orders",
+        "grouping_sets_spend",
         "tpch_q8_market_share",
-        "tpch_q21_waiting_supplier",
-        "equidepth_histogram_totals",
-        "rfm_segmentation",
-        "fuzzy_entity_clusters",
-        "prefix_sum_document_bytes",
-        "pit_join_events_user_tier",
-        "basket_pair_lift",
-        "gapfill_interpolate_linear",
-        # round-3 session additions, never driver-checked
-        "dedup_substring_windows",
         "bm25_topk_per_query",
+        # round-4 rotation: the 3 re-fixed HUGEINT hash-fails (driver must
+        # re-verify the typing fix)...
+        "curriculum_quality_bins",
+        "pps_sample_documents",
+        "prefix_sum_document_bytes",
+        # ...the 10 formerly-latent HUGEINT queries, post-fix...
+        "corpus_summary_card",
+        "dedup_spans_keep_first",
+        "running_value_resets_on_signup",
+        "variant_props_rollup",
+        "higher_order_array_ops",
+        "tpch_q12_priority_shipmode",
+        "proportional_budget_allocation",
+        "growth_accounting_daily",
+        "weighted_median_spend",
+        "compaction_plan_documents",
+        # ...and the never-driver-checked retrieval/graph surface
+        "pagerank_copurchase",
+        "inverted_index_postings",
+        "lm_bigram_rarity",
+        "triangle_count_copurchase",
+        "countmin_user_frequency",
     }
     assert must <= set(window), must - set(window)
     # nothing silently dropped: priority reordering preserves the registry
