@@ -90,6 +90,14 @@ def main() -> None:
     for t in TESTDATA_TABLES:  # warm footers + page cache + first codegen
         load_table(spark, sf_dir, t).count()
 
+    # Session warm-up: the first real job in a fresh JVM additionally pays
+    # executor-pool spin-up, whole-stage-codegen compiler init, and the
+    # broadcast machinery's first exchange — costs that otherwise land on
+    # whichever query happens to run first and pollute round-over-round
+    # deltas (r2→r3 showed the slot-1 query swinging ±35% on identical
+    # code). One untimed run of the first headline query absorbs them.
+    run_once(REGISTRY[HEADLINE[0]], spark, sf_dir)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = REGISTRY[name]
