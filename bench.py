@@ -113,6 +113,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # host contention marker: 1-min load average at finish.
+                # Round-over-round deltas on a shared host are only
+                # comparable when this is near zero at both measurements
+                # (observed this round: an idle-start run at load ~2.9
+                # read 2-6x slower than the same code at load ~0.2).
+                "loadavg_1m": round(os.getloadavg()[0], 2),
             }
         )
     )
