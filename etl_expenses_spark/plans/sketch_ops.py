@@ -208,3 +208,108 @@ def triangle_count_copurchase(spark, sf_dir):
         (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
     )
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@query(
+    "link_prediction_jaccard",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        edges AS (
+            SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING COUNT(*) >= 2),
+        adj AS (
+            SELECT pa AS node, pb AS nbr FROM edges
+            UNION ALL
+            SELECT pb AS node, pa AS nbr FROM edges),
+        deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY node),
+        wedge AS (
+            SELECT a.nbr AS u, b.nbr AS v
+            FROM adj a JOIN adj b ON a.node = b.node AND a.nbr < b.nbr),
+        inter AS (SELECT u, v, COUNT(*) AS ic FROM wedge GROUP BY u, v),
+        cand AS (
+            SELECT i.u, i.v, i.ic, du.d + dv.d - i.ic AS uc
+            FROM inter i
+            JOIN deg du ON du.node = i.u
+            JOIN deg dv ON dv.node = i.v
+            WHERE NOT EXISTS (SELECT 1 FROM edges e
+                              WHERE e.pa = i.u AND e.pb = i.v))
+        SELECT u AS pa, v AS pb,
+               CAST(ic AS BIGINT) AS n_common_neighbors,
+               CAST(ic AS DOUBLE) / uc AS jaccard
+        FROM cand
+        WHERE ic * 5 >= uc
+    """,
+    tags=("graph", "link_prediction", "join"),
+)
+def link_prediction_jaccard(spark, sf_dir):
+    """Link prediction over the co-purchase graph: for every NON-edge pair
+    of parts sharing at least one neighbor, the Jaccard overlap of their
+    neighborhoods — the classic 'customers who bought these also bought'
+    candidate score. Output: pairs with neighborhood Jaccard >= 0.2,
+    thresholded in EXACT integer space (ic*5 >= uc) so both engines select
+    the identical row set; the double ratio is a single IEEE division.
+
+    Scale shape: neighbor sets come from one groupBy over the edge list
+    (each edge contributes both directions); common-neighbor pairs expand
+    JVM-side from each node's sorted neighbor array — the wedge expansion
+    Σ deg(w)², same bound as the triangle join, generated WITHOUT a
+    self-join shuffle. Degrees ride along by joining the (node, degree)
+    relation twice (broadcast at this scale; hash joins on u then v at
+    100 TB). Known edges are removed with one left_anti join. No all-pairs
+    anything: cost is wedge-bound, and the >= 2 common-orders edge
+    sparsifier bounds degrees exactly as it does for triangles."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("bs")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(bs, (x, i) -> transform("
+                "slice(bs, i + 2, size(bs)), y -> struct(x AS pa, y AS pb))))"
+            )
+        ).alias("p")
+    ).select("p.pa", "p.pb")
+    edges = (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+        .select("pa", "pb")
+    )
+    adj = edges.select(F.col("pa").alias("node"), F.col("pb").alias("nbr")).unionAll(
+        edges.select(F.col("pb").alias("node"), F.col("pa").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    nbrs = adj.groupBy("node").agg(F.sort_array(F.collect_set("nbr")).alias("ns"))
+    wedges = nbrs.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ns, (x, i) -> transform("
+                "slice(ns, i + 2, size(ns)), y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("w")
+    ).select("w.u", "w.v")
+    inter = wedges.groupBy("u", "v").agg(F.count(F.lit(1)).alias("ic"))
+    non_edges = inter.join(
+        edges,
+        (inter.u == edges.pa) & (inter.v == edges.pb),
+        "left_anti",
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    cand = (
+        non_edges.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .withColumn("uc", F.col("du") + F.col("dv") - F.col("ic"))
+    )
+    return (
+        cand.filter(F.col("ic") * 5 >= F.col("uc"))
+        .select(
+            F.col("u").alias("pa"),
+            F.col("v").alias("pb"),
+            F.col("ic").alias("n_common_neighbors"),
+            (F.col("ic").cast("double") / F.col("uc")).alias("jaccard"),
+        )
+    )
