@@ -672,6 +672,33 @@ def lsh_state_sink(
     return sink
 
 
+def lsh_compact(spark: SparkSession, index_path: str) -> int:
+    """Fold all per-epoch LSH signature partitions into ONE epoch. Same
+    crash-safety argument as index_compact — signature state is a SET of
+    content-deterministic (id, hs, bands) rows, so duplication during the
+    write-then-delete window is absorbed by lsh_read_pairs'
+    dropDuplicates("id") — and the same collision-proof target contract:
+    the compacted epoch id is min(existing + [0]) - 1, strictly below any
+    checkpoint batch id a resumed stream could claim."""
+    import glob as _glob
+    import shutil as _shutil
+
+    epoch_dirs = sorted(_glob.glob(f"{index_path}/epoch=*"))
+    if len(epoch_dirs) <= 1:
+        return 0
+    epoch_ids = [int(d.rsplit("epoch=", 1)[1]) for d in epoch_dirs]
+    target = min(epoch_ids + [0]) - 1
+    merged = (
+        spark.read.parquet(index_path)
+        .select("id", "hs", "bands")
+        .dropDuplicates(["id"])
+    )
+    merged.write.mode("overwrite").parquet(f"{index_path}/epoch={target}")
+    for d in epoch_dirs:
+        _shutil.rmtree(d)
+    return len(epoch_dirs)
+
+
 def lsh_read_pairs(
     spark: SparkSession, index_path: str, min_jaccard: float = 0.5
 ) -> DataFrame:

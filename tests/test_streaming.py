@@ -657,6 +657,29 @@ def test_stream_lsh_index_equals_batch_pairs(spark, dirs):
     }
     assert again == want
 
+    # compaction folds the signature log into one NEGATIVE epoch (below any
+    # future checkpoint batch id) with identical pairs; the stream then
+    # composes on top under the would-be collision id
+    from etl_expenses_spark.streaming.pipeline import lsh_compact
+
+    import glob
+
+    folded = lsh_compact(spark, idx)
+    assert folded >= 2
+    ids = {int(d.rsplit("epoch=", 1)[1]) for d in glob.glob(idx + "/epoch=*")}
+    assert ids == {-1}
+    post = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in lsh_read_pairs(spark, idx).collect()
+    }
+    assert post == want
+    sink(second, 2)  # resumed checkpoint's next batch id
+    final = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in lsh_read_pairs(spark, idx).collect()
+    }
+    assert final == want
+
 
 def test_index_compaction_survives_checkpointed_resume(spark, dirs):
     """The hazard case end-to-end: compact after a checkpointed stream's
