@@ -723,6 +723,68 @@ def lsh_read_pairs(
     return lsh_pairs_from_signatures(sig, min_jaccard=min_jaccard)
 
 
+def hll_state_sink(state_path: str):
+    """foreachBatch sink maintaining per-day DISTINCT-USER HLL sketches as
+    log-structured epoch state — the mergeable-sketch materialized view.
+    Each micro-batch reduces to one Datasketches HLL binary per day seen in
+    the batch (KB-sized regardless of row count); merge-on-read unions the
+    per-epoch sketches per day. Because HLL union is register-max, the
+    union of per-batch sketches is EXACTLY the sketch of the full stream —
+    stream == batch to the bit, not approximately (the approximation is in
+    the sketch, not the maintenance). Same overwrite-per-epoch replay
+    contract as the other epoch sinks.
+
+    This is the 100 TB shape for streaming COUNT(DISTINCT): exact distinct
+    state grows with cardinality; sketch state is O(days · 2^lgK) bytes
+    forever, and epochs compact by the same set-free union (any epoch
+    grouping unions to the same registers)."""
+    from pyspark.sql import functions as F
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        daily = (
+            batch_df.select(
+                F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+                "user_id",
+            )
+            .groupBy("day")
+            .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        )
+        daily.write.mode("overwrite").parquet(f"{state_path}/epoch={epoch_id}")
+
+    return sink
+
+
+def hll_read_daily_users(spark: SparkSession, state_path: str) -> DataFrame:
+    """Merge-on-read of the sketch MV: union per-epoch sketches per day,
+    estimate distinct users. Input to the union is one KB-row per
+    (epoch, day) — state-sized, never event-sized."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(state_path)
+        .groupBy("day")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .select("day", F.hll_sketch_estimate("sk").alias("est_users"))
+    )
+
+
+def run_events_stream_hll(
+    spark: SparkSession, bronze_dir: str, state_path: str, checkpoint_dir: str
+) -> None:
+    """availableNow run folding arriving events into the per-day distinct-
+    user sketch MV."""
+    events = read_event_stream(spark, bronze_dir)
+    (
+        events.writeStream.foreachBatch(hll_state_sink(state_path))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def run_docs_stream_lsh(
     spark: SparkSession, bronze_dir: str, index_path: str, checkpoint_dir: str
 ) -> None:

@@ -566,6 +566,61 @@ def test_stream_incremental_index_equals_batch_index(spark, dirs):
     assert again.exceptAll(want).isEmpty() and want.exceptAll(again).isEmpty()
 
 
+def test_stream_hll_sketch_mv_equals_batch(spark, dirs):
+    """Mergeable-sketch MV: per-epoch HLL sketches union to EXACTLY the
+    batch-built sketch (register-max algebra — stream == batch to the bit,
+    the approximation lives in the sketch, not the maintenance). Replay of
+    an epoch's own batch changes nothing; estimates sit within HLL error
+    of the true distinct counts."""
+    from etl_expenses_spark.streaming.pipeline import (
+        hll_read_daily_users,
+        hll_state_sink,
+        run_events_stream_hll,
+    )
+
+    bronze, gold, ckpt, _ = dirs
+    events = load_table(spark, SF_DIR, "events")
+    first = events.filter(F.col("event_id") % 2 == 0)
+    second = events.filter(F.col("event_id") % 2 == 1)
+    st = str(gold) + "_hll"
+    first.repartition(2).write.mode("append").parquet(str(bronze))
+    run_events_stream_hll(spark, str(bronze), st, str(ckpt))
+    second.repartition(2).write.mode("append").parquet(str(bronze))
+    run_events_stream_hll(spark, str(bronze), st, str(ckpt))
+
+    got = {(r.day, int(r.est_users)) for r in hll_read_daily_users(spark, st).collect()}
+    want_df = (
+        events.select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
+        )
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .select("day", F.hll_sketch_estimate("sk").alias("est_users"))
+    )
+    want = {(r.day, int(r.est_users)) for r in want_df.collect()}
+    assert got == want
+
+    # estimates within HLL error of truth (lgK default 12 -> ~1.6% rse)
+    truth = {
+        r.day: r.n
+        for r in events.select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for day, est in got:
+        assert abs(est - truth[day]) <= max(3, 0.1 * truth[day])
+
+    # replay idempotence
+    sink = hll_state_sink(st)
+    sink(first, 0)
+    again = {(r.day, int(r.est_users)) for r in hll_read_daily_users(spark, st).collect()}
+    assert again == want
+
+
 def test_index_compaction_preserves_merge(spark, dirs):
     """Compaction folds N postings epochs into one with an IDENTICAL
     merged index, and later incremental epochs keep composing on top."""
