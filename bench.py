@@ -73,6 +73,9 @@ HEADLINE = [
     "bm25_topk_per_query",
     "pagerank_copurchase",
     "lm_bigram_rarity",
+    # round-4 addition: wedge-bound neighborhood scoring — the one new
+    # plan archetype of the round (graph family's non-iterative heavy join)
+    "link_prediction_jaccard",
 ]
 
 

@@ -272,12 +272,18 @@ def link_prediction_jaccard(spark, sf_dir):
             )
         ).alias("p")
     ).select("p.pa", "p.pb")
+    from etl_expenses_spark.caching import track
+
+    # edges feed three consumers (both adjacency directions + the left_anti
+    # probe) — persist so the basket/pair pipeline runs once, not thrice
     edges = (
         pairs.groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= 2)
         .select("pa", "pb")
+        .persist()
     )
+    track(edges)
     adj = edges.select(F.col("pa").alias("node"), F.col("pb").alias("nbr")).unionAll(
         edges.select(F.col("pb").alias("node"), F.col("pa").alias("nbr"))
     )
