@@ -785,6 +785,85 @@ def run_events_stream_hll(
     )
 
 
+def cms_state_sink(state_path: str, depth: int = 3, width: int = 64):
+    """foreachBatch sink maintaining a Count-Min frequency sketch as
+    log-structured epoch state: each micro-batch reduces to (at most)
+    depth×width (d, bucket, c) grid cells; merge-on-read SUMS cells across
+    epochs. CMS is ADDITIVE state (like mv_state_sink's counts, unlike the
+    set-union index/LSH logs), so replay safety rests entirely on the
+    overwrite-per-epoch contract — a redelivered epoch replaces its own
+    partial grid, never double-adds — and compaction would use the WAP
+    swap, not the in-place union fold.
+
+    Grid cells per epoch are bounded by depth·width (192 here) no matter
+    how many events the batch held; the streaming frequency store for the
+    100 TB heavy-hitters problem costs KB per epoch, forever. Bucket hash
+    is the same md5 derivation as the batch twin
+    (plans/sketch_ops.py:countmin_user_frequency), so stream==batch grids
+    are bit-equal."""
+    from pyspark.sql import functions as F
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        ds = spark.range(depth).select(F.col("id").cast("int").alias("d"))
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("user_id").cast("string"),
+                            F.lit("|cm"),
+                            F.col("d").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        )
+        grid = (
+            batch_df.select("user_id")
+            .crossJoin(F.broadcast(ds))
+            .select("d", bucket.alias("bucket"))
+            .groupBy("d", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        grid.write.mode("overwrite").parquet(f"{state_path}/epoch={epoch_id}")
+
+    return sink
+
+
+def cms_read_grid(spark: SparkSession, state_path: str) -> DataFrame:
+    """Merge-on-read of the CMS state: cellwise sum across epochs."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(state_path)
+        .groupBy("d", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def run_events_stream_cms(
+    spark: SparkSession, bronze_dir: str, state_path: str, checkpoint_dir: str
+) -> None:
+    """availableNow run folding arriving events into the CMS frequency
+    grid."""
+    events = read_event_stream(spark, bronze_dir)
+    (
+        events.writeStream.foreachBatch(cms_state_sink(state_path))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def run_docs_stream_lsh(
     spark: SparkSession, bronze_dir: str, index_path: str, checkpoint_dir: str
 ) -> None:

@@ -621,6 +621,70 @@ def test_stream_hll_sketch_mv_equals_batch(spark, dirs):
     assert again == want
 
 
+def test_stream_cms_grid_equals_batch(spark, dirs):
+    """Additive-sketch MV: per-epoch Count-Min grids SUM to exactly the
+    batch-built grid (batches partition the events, counts add), and a
+    replayed epoch overwrites its own partial grid instead of
+    double-adding."""
+    from etl_expenses_spark.streaming.pipeline import (
+        cms_read_grid,
+        cms_state_sink,
+        run_events_stream_cms,
+    )
+
+    bronze, gold, ckpt, _ = dirs
+    events = load_table(spark, SF_DIR, "events")
+    first = events.filter(F.col("event_id") % 2 == 0)
+    second = events.filter(F.col("event_id") % 2 == 1)
+    st = str(gold) + "_cms"
+    first.repartition(2).write.mode("append").parquet(str(bronze))
+    run_events_stream_cms(spark, str(bronze), st, str(ckpt))
+    second.repartition(2).write.mode("append").parquet(str(bronze))
+    run_events_stream_cms(spark, str(bronze), st, str(ckpt))
+
+    got = {(r.d, r.bucket, r.c) for r in cms_read_grid(spark, st).collect()}
+
+    ds = spark.range(3).select(F.col("id").cast("int").alias("d"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit("|cm"),
+                        F.col("d").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 64
+    )
+    want = {
+        (r.d, r.bucket, r.c)
+        for r in events.select("user_id")
+        .crossJoin(F.broadcast(ds))
+        .select("d", bucket.alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert got == want
+    # grid row count bounded by depth*width regardless of event volume
+    assert len(got) <= 3 * 64
+
+    # replay: epoch 0 redelivered overwrites its own partial, total grid
+    # unchanged (additive state would double-add without the overwrite
+    # contract)
+    sink = cms_state_sink(st)
+    sink(first, 0)
+    again = {(r.d, r.bucket, r.c) for r in cms_read_grid(spark, st).collect()}
+    assert again == want
+
+
 def test_index_compaction_preserves_merge(spark, dirs):
     """Compaction folds N postings epochs into one with an IDENTICAL
     merged index, and later incremental epochs keep composing on top."""
