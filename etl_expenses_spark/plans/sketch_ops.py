@@ -211,6 +211,77 @@ def triangle_count_copurchase(spark, sf_dir):
 
 
 @query(
+    "theta_retention_daily",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT CAST(DATE_TRUNC('day', ts) AS DATE) AS day, user_id
+            FROM events
+        ),
+        cnt AS (SELECT day, COUNT(*) AS c FROM du GROUP BY day),
+        pairs AS (
+            SELECT a.day AS prev_day, b.day AS day, a.c AS n_prev, b.c AS n_cur
+            FROM cnt a JOIN cnt b ON b.day = a.day + INTERVAL 1 DAY
+        ),
+        ret AS (
+            SELECT a.day AS prev_day, b.day AS day, COUNT(*) AS n_ret
+            FROM du a JOIN du b
+              ON b.user_id = a.user_id AND b.day = a.day + INTERVAL 1 DAY
+            GROUP BY a.day, b.day
+        )
+        SELECT p.day, p.prev_day,
+               CAST(p.n_prev AS BIGINT) AS n_prev,
+               CAST(p.n_cur AS BIGINT) AS n_cur,
+               CAST(COALESCE(r.n_ret, 0) AS BIGINT) AS n_retained,
+               CAST(p.n_cur - COALESCE(r.n_ret, 0) AS BIGINT) AS n_new,
+               CAST(p.n_prev - COALESCE(r.n_ret, 0) AS BIGINT) AS n_churned
+        FROM pairs p
+        LEFT JOIN ret r ON r.day = p.day AND r.prev_day = p.prev_day
+    """,
+    tags=("sketch", "theta", "retention"),
+)
+def theta_retention_daily(spark, sf_dir):
+    """Day-over-day retention via THETA SKETCH set algebra: per-day user
+    sets become KB-sized theta sketches; retained = intersection estimate,
+    new/churned = difference estimates between consecutive days. This is
+    the 100 TB retention computation — the exact form needs a (day, user)
+    self-join shuffling every active user twice, the sketch form joins
+    |days| KB-sized rows after one aggregate scan.
+
+    Theta sketches are deterministic (fixed seed) and partition-invariant
+    (verified: identical estimates under repartition(7)/(13)); at the
+    test scale factors every daily set is below the sketch's exact-mode
+    threshold (k=4096 > ~1.5k users), so the estimates EQUAL the exact
+    counts the SQL oracle computes — the compare is bit-exact, and the
+    same plan at 100 TB degrades only to the sketch's ±1.6% error band."""
+    du = (
+        T(spark, sf_dir, "events")
+        .select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
+        )
+    )
+    sk = du.groupBy("day").agg(F.theta_sketch_agg("user_id").alias("sk"))
+    prev = sk.select(
+        F.col("day").alias("prev_day"), F.col("sk").alias("sk_prev")
+    )
+    cur = sk.select("day", F.col("sk").alias("sk_cur"))
+    j = cur.join(prev, cur.day == F.date_add(prev.prev_day, 1))
+    inter = F.theta_sketch_estimate(
+        F.theta_intersection("sk_prev", "sk_cur")
+    ).cast("bigint")
+    return j.select(
+        "day",
+        "prev_day",
+        F.theta_sketch_estimate("sk_prev").cast("bigint").alias("n_prev"),
+        F.theta_sketch_estimate("sk_cur").cast("bigint").alias("n_cur"),
+        inter.alias("n_retained"),
+        (F.theta_sketch_estimate("sk_cur").cast("bigint") - inter).alias("n_new"),
+        (F.theta_sketch_estimate("sk_prev").cast("bigint") - inter).alias(
+            "n_churned"
+        ),
+    )
+
+
+@query(
     "link_prediction_jaccard",
     oracle="""
         WITH pairs AS (

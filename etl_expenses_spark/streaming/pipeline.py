@@ -864,6 +864,62 @@ def run_events_stream_cms(
     )
 
 
+def kll_state_sink(state_path: str):
+    """foreachBatch sink maintaining a KLL QUANTILE sketch of event values
+    as log-structured epoch state — the streaming percentile store. Each
+    micro-batch reduces to ONE binary KLL sketch row; merge-on-read folds
+    them with kll_merge_agg. Mergeable like HLL/CMS, but NOT
+    partition-deterministic (KLL compaction samples), so the contract is
+    weaker by design: merged quantiles carry the sketch's normalized rank
+    error (~1.65% at default k), pinned by a rank-tolerance test rather
+    than stream==batch bit equality. Same overwrite-per-epoch replay
+    contract as the other sinks."""
+    from pyspark.sql import functions as F
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sk = batch_df.agg(
+            F.kll_sketch_agg_double(F.col("value").cast("double")).alias("sk")
+        )
+        sk.write.mode("overwrite").parquet(f"{state_path}/epoch={epoch_id}")
+
+    return sink
+
+
+def kll_read_quantiles(
+    spark: SparkSession, state_path: str, fractions: tuple[float, ...] = (0.5, 0.9)
+) -> DataFrame:
+    """Merge-on-read of the KLL state: fold per-epoch sketches, read
+    quantiles. One KB-row per epoch enters the merge."""
+    from pyspark.sql import functions as F
+
+    merged = spark.read.parquet(state_path).agg(
+        F.kll_merge_agg_double("sk").alias("sk")
+    )
+    return merged.select(
+        *[
+            F.kll_sketch_get_quantile_double("sk", F.lit(p)).alias(f"p{int(p * 100)}")
+            for p in fractions
+        ]
+    )
+
+
+def run_events_stream_kll(
+    spark: SparkSession, bronze_dir: str, state_path: str, checkpoint_dir: str
+) -> None:
+    """availableNow run folding arriving event values into the KLL
+    quantile state."""
+    events = read_event_stream(spark, bronze_dir)
+    (
+        events.writeStream.foreachBatch(kll_state_sink(state_path))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def run_docs_stream_lsh(
     spark: SparkSession, bronze_dir: str, index_path: str, checkpoint_dir: str
 ) -> None:

@@ -685,6 +685,47 @@ def test_stream_cms_grid_equals_batch(spark, dirs):
     assert again == want
 
 
+def test_stream_kll_quantiles_within_rank_error(spark, dirs):
+    """KLL quantile state under ingest: merged per-epoch sketches yield
+    quantile estimates whose TRUE rank sits within the sketch's error band
+    of the requested fraction (the honest contract — KLL compaction
+    samples, so bit-equality is not claimed anywhere). Replay of an
+    epoch's own batch leaves one sketch row per epoch (overwrite, not
+    append)."""
+    import glob
+
+    from etl_expenses_spark.streaming.pipeline import (
+        kll_read_quantiles,
+        kll_state_sink,
+        run_events_stream_kll,
+    )
+
+    bronze, gold, ckpt, _ = dirs
+    events = load_table(spark, SF_DIR, "events")
+    first = events.filter(F.col("event_id") % 2 == 0)
+    second = events.filter(F.col("event_id") % 2 == 1)
+    st = str(gold) + "_kll"
+    first.repartition(2).write.mode("append").parquet(str(bronze))
+    run_events_stream_kll(spark, str(bronze), st, str(ckpt))
+    second.repartition(2).write.mode("append").parquet(str(bronze))
+    run_events_stream_kll(spark, str(bronze), st, str(ckpt))
+
+    row = kll_read_quantiles(spark, st, fractions=(0.5, 0.9)).first()
+    vals = events.select(F.col("value").cast("double").alias("v"))
+    n = vals.count()
+    for frac, est in ((0.5, row.p50), (0.9, row.p90)):
+        true_rank = vals.filter(F.col("v") <= est).count() / n
+        assert abs(true_rank - frac) <= 0.05, (frac, est, true_rank)
+
+    # replay: overwrite keeps one sketch row per epoch
+    n_epochs = len(glob.glob(st + "/epoch=*"))
+    kll_state_sink(st)(first, 0)
+    assert len(glob.glob(st + "/epoch=*")) == n_epochs
+    row2 = kll_read_quantiles(spark, st, fractions=(0.5,)).first()
+    true_rank = vals.filter(F.col("v") <= row2.p50).count() / n
+    assert abs(true_rank - 0.5) <= 0.05
+
+
 def test_index_compaction_preserves_merge(spark, dirs):
     """Compaction folds N postings epochs into one with an IDENTICAL
     merged index, and later incremental epochs keep composing on top."""
