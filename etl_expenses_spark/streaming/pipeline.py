@@ -864,6 +864,79 @@ def run_events_stream_cms(
     )
 
 
+def theta_state_sink(state_path: str):
+    """foreachBatch sink maintaining per-day user-set THETA sketches as
+    epoch state. Theta union is set-theoretic and deterministic (fixed
+    seed), so like HLL the union of per-batch sketches equals the sketch
+    of the full stream — stream == batch exactly — and unlike CMS/KLL the
+    state is replay-idempotent by NATURE (unioning a duplicate sketch
+    changes nothing), with the overwrite-per-epoch contract as belt-and-
+    braces. Downstream, theta_retention_daily's intersection/difference
+    algebra runs directly on the merged per-day sketches — streaming
+    retention under ingest."""
+    from pyspark.sql import functions as F
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        daily = (
+            batch_df.select(
+                F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+                "user_id",
+            )
+            .groupBy("day")
+            .agg(F.theta_sketch_agg("user_id").alias("sk"))
+        )
+        daily.write.mode("overwrite").parquet(f"{state_path}/epoch={epoch_id}")
+
+    return sink
+
+
+def theta_read_retention(spark: SparkSession, state_path: str) -> DataFrame:
+    """Merge-on-read: union per-epoch day sketches, then consecutive-day
+    intersection/difference estimates — the streaming twin of the
+    theta_retention_daily batch query (plans/sketch_ops.py)."""
+    from pyspark.sql import functions as F
+
+    sk = (
+        spark.read.parquet(state_path)
+        .groupBy("day")
+        .agg(F.theta_union_agg("sk").alias("sk"))
+    )
+    prev = sk.select(F.col("day").alias("prev_day"), F.col("sk").alias("sk_prev"))
+    cur = sk.select("day", F.col("sk").alias("sk_cur"))
+    j = cur.join(prev, cur.day == F.date_add(prev.prev_day, 1))
+    inter = F.theta_sketch_estimate(
+        F.theta_intersection("sk_prev", "sk_cur")
+    ).cast("bigint")
+    return j.select(
+        "day",
+        "prev_day",
+        F.theta_sketch_estimate("sk_prev").cast("bigint").alias("n_prev"),
+        F.theta_sketch_estimate("sk_cur").cast("bigint").alias("n_cur"),
+        inter.alias("n_retained"),
+        (F.theta_sketch_estimate("sk_cur").cast("bigint") - inter).alias("n_new"),
+        (F.theta_sketch_estimate("sk_prev").cast("bigint") - inter).alias(
+            "n_churned"
+        ),
+    )
+
+
+def run_events_stream_theta(
+    spark: SparkSession, bronze_dir: str, state_path: str, checkpoint_dir: str
+) -> None:
+    """availableNow run folding arriving events into per-day theta
+    sketches."""
+    events = read_event_stream(spark, bronze_dir)
+    (
+        events.writeStream.foreachBatch(theta_state_sink(state_path))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def kll_state_sink(state_path: str):
     """foreachBatch sink maintaining a KLL QUANTILE sketch of event values
     as log-structured epoch state — the streaming percentile store. Each

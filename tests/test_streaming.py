@@ -685,6 +685,43 @@ def test_stream_cms_grid_equals_batch(spark, dirs):
     assert again == want
 
 
+def test_stream_theta_retention_equals_batch(spark, dirs):
+    """Streaming theta retention: merged per-epoch day sketches produce
+    EXACTLY the batch theta_retention_daily rows (set-theoretic union is
+    deterministic), and replaying an epoch's own batch is a no-op by the
+    algebra itself (union with a duplicate sketch)."""
+    from etl_expenses_spark.plans import REGISTRY
+    from etl_expenses_spark.streaming.pipeline import (
+        run_events_stream_theta,
+        theta_read_retention,
+        theta_state_sink,
+    )
+
+    bronze, gold, ckpt, _ = dirs
+    events = load_table(spark, SF_DIR, "events")
+    first = events.filter(F.col("event_id") % 2 == 0)
+    second = events.filter(F.col("event_id") % 2 == 1)
+    st = str(gold) + "_theta"
+    first.repartition(2).write.mode("append").parquet(str(bronze))
+    run_events_stream_theta(spark, str(bronze), st, str(ckpt))
+    second.repartition(2).write.mode("append").parquet(str(bronze))
+    run_events_stream_theta(spark, str(bronze), st, str(ckpt))
+
+    key = lambda r: (r.day, r.prev_day)  # noqa: E731
+    row = lambda r: (r.n_prev, r.n_cur, r.n_retained, r.n_new, r.n_churned)  # noqa: E731
+    got = {key(r): row(r) for r in theta_read_retention(spark, st).collect()}
+    want = {
+        key(r): row(r)
+        for r in REGISTRY["theta_retention_daily"].build(spark, SF_DIR).collect()
+    }
+    assert got == want and got
+
+    # replay idempotence (set union absorbs the duplicate)
+    theta_state_sink(st)(first, 0)
+    again = {key(r): row(r) for r in theta_read_retention(spark, st).collect()}
+    assert again == want
+
+
 def test_stream_kll_quantiles_within_rank_error(spark, dirs):
     """KLL quantile state under ingest: merged per-epoch sketches yield
     quantile estimates whose TRUE rank sits within the sketch's error band
