@@ -182,6 +182,14 @@ def main() -> None:
         "- `triangle_count_copurchase` grows with the edge count and "
         "closing-wedge count (graph densifies as orders multiply) — "
         "linear in output work, not a shuffle pathology.\n"
+        "- `link_prediction_jaccard`'s synth ratio is the same "
+        "densification artifact, squared: the synthetic tier multiplies "
+        "orders 10x while the part vocabulary stays fixed, so co-purchase "
+        "degrees grow ~10x and the wedge expansion (Σ deg²) ~100x — the "
+        "PROBLEM changes, not the plan's scaling. On real growth (parts "
+        "grow with the catalog) the real-decade ratios (1.1x/1.8x) are "
+        "the honest signal, and the >= 2 common-orders sparsifier is the "
+        "degree-bounding knob.\n"
         "- `pagerank_copurchase` is 3 sequential BSP iterations: its cost "
         "is plan-depth constants (6+ chained shuffles), near-flat in data "
         "size across the real decades.\n"
