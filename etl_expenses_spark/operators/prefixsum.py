@@ -110,6 +110,58 @@ def pps_sample(
     return out.withColumn("n_picks", picks).filter(F.col("n_picks") >= 1).drop("__step")
 
 
+def pps_sample_stratified(
+    df: DataFrame,
+    group_col: str,
+    order_col: str | list[str],
+    weight_col: str,
+    k_per_group: int,
+    bucket: Column,
+) -> DataFrame:
+    """Per-group systematic PPS sample: ~``k_per_group`` rows drawn from
+    EACH group proportional to ``weight_col`` — the source-balanced token
+    sampler (every source contributes ~k docs weighted by length, so no
+    single corpus dominates the training mix regardless of its row count).
+
+    Same exact-integer walk as pps_sample, with the cumulative line laid
+    per group: bounded per-(group, bucket) windows build the within-group
+    running weight, per-group bucket offsets ride a #groups×#buckets-row
+    window (bounded: buckets per group, not rows), and each group's step
+    is its own total div k. Floor divisions only — bit-identical to the
+    SQL oracle on any engine or partitioning."""
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    b = df.withColumn("__b", bucket)
+    in_bucket = (
+        W.partitionBy(group_col, "__b")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    b = b.withColumn("__cum_in", F.sum(weight_col).over(in_bucket))
+    totals = b.groupBy(group_col, "__b").agg(F.sum(weight_col).alias("__tot"))
+    off_w = (
+        W.partitionBy(group_col).orderBy("__b").rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(off_w), F.lit(0))
+    )
+    cum = (
+        b.join(F.broadcast(offsets.select(group_col, "__b", "__off")), [group_col, "__b"])
+        .withColumn("cum", F.col("__cum_in") + F.col("__off"))
+        .drop("__b", "__cum_in", "__off")
+    )
+    steps = df.groupBy(group_col).agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"sum({weight_col}) div {int(k_per_group)}").cast("long"),
+        ).alias("__step")
+    )
+    j = cum.join(F.broadcast(steps), group_col)
+    picks = (
+        F.expr("cum div __step") - F.expr(f"(cum - {weight_col}) div __step")
+    ).cast("long")
+    return j.withColumn("n_picks", picks).filter(F.col("n_picks") >= 1).drop("__step")
+
+
 def distributed_rank(
     df: DataFrame,
     order_col: str | list[str],

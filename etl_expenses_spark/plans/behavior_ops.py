@@ -267,6 +267,52 @@ def pps_sample_documents(spark, sf_dir):
 
 
 @query(
+    "pps_sample_stratified_by_source",
+    oracle="""
+        WITH cum AS (
+            SELECT source, doc_id, n_chars,
+                   SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum
+            FROM documents
+        ),
+        tot AS (
+            SELECT source, GREATEST(1, SUM(n_chars) // 50) AS step
+            FROM documents GROUP BY source
+        )
+        SELECT c.source, c.doc_id, c.n_chars,
+               CAST(c.cum AS BIGINT) AS cum,
+               CAST((c.cum // t.step) - ((c.cum - c.n_chars) // t.step)
+                    AS BIGINT) AS n_picks
+        FROM cum c JOIN tot t ON t.source = c.source
+        WHERE (c.cum // t.step) - ((c.cum - c.n_chars) // t.step) >= 1
+    """,
+    tags=("sampling", "pps", "stratified", "training"),
+)
+def pps_sample_stratified_by_source(spark, sf_dir):
+    """Source-balanced PPS sample: ~50 documents PER SOURCE, each source's
+    draw proportional to document length within it — the training-mix
+    sampler that keeps a 100-billion-page crawl source from drowning a
+    curated million-page source while still favoring long documents inside
+    each. Exact integer walk per group (operators/prefixsum.py:
+    pps_sample_stratified): bounded per-(source, bucket) windows, per-
+    source step = total div k, floor divisions only — identical row set on
+    both engines. The oracle's per-source single-partition window is the
+    shape the operator avoids."""
+    from etl_expenses_spark.operators.prefixsum import pps_sample_stratified
+
+    docs = T(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    return pps_sample_stratified(
+        docs,
+        group_col="source",
+        order_col="doc_id",
+        weight_col="n_chars",
+        k_per_group=50,
+        bucket=F.floor(F.col("doc_id") / F.lit(1024)),
+    ).select("source", "doc_id", "n_chars", "cum", "n_picks")
+
+
+@query(
     "doc_length_outliers",
     oracle="""
         WITH g AS (
