@@ -7,6 +7,8 @@ canonical format). Exits nonzero if anything mismatches, printing the first
 few differing rows — the fast feedback loop while building the inventory.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+       python tools/check_oracle.py --window [--vanilla] [sf_dir]
+           # exactly the driver's recorded set: first 50 queries() entries
 """
 
 from __future__ import annotations
@@ -131,9 +133,21 @@ def rowset(cols, rows):
 def main() -> int:
     args = sys.argv[1:]
     vanilla = "--vanilla" in args
-    args = [a for a in args if a != "--vanilla"]
+    window = "--window" in args
+    args = [a for a in args if a not in ("--vanilla", "--window")]
     sf_dir = args[0] if args and args[0].startswith("/") else "/root/testdata/sf0.01"
-    names = [a for a in args if not a.startswith("/")] or list(REGISTRY)
+    if window:
+        # exactly the first 50 queries() entries — the driver's recorded set
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "_entry", "/root/repo/__spark_entry__.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        names = list(mod.queries())[:50]
+    else:
+        names = [a for a in args if not a.startswith("/")] or list(REGISTRY)
     unknown = [n for n in names if n not in REGISTRY]
     if unknown:
         print(f"unknown queries: {unknown}; known: {sorted(REGISTRY)}")
