@@ -286,6 +286,69 @@ def winsorized_spend_by_segment(spark, sf_dir):
 
 
 @query(
+    "mad_spend_by_segment",
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        j AS (
+            SELECT c.c_mktsegment AS segment, s.cents
+            FROM spend s JOIN customer c ON c.c_custkey = s.o_custkey
+        ),
+        med AS (
+            SELECT segment, quantile_cont(cents, 0.5) AS med_cents
+            FROM j GROUP BY segment
+        )
+        SELECT m.segment, COUNT(*) AS n_customers, m.med_cents,
+               quantile_cont(ABS(j.cents - m.med_cents), 0.5) AS mad_cents
+        FROM j JOIN med m ON m.segment = j.segment
+        GROUP BY m.segment, m.med_cents
+    """,
+    tags=("agg", "robust_stats", "percentile"),
+)
+def mad_spend_by_segment(spark, sf_dir):
+    """Median absolute deviation of customer spend per segment — the
+    robust dispersion partner to winsorized_spend_by_segment (MAD survives
+    the whales that inflate stddev by orders of magnitude).
+
+    Exact cross-engine because every intermediate lives on the half-
+    integer grid: the median of integer cents interpolates at 0.5 (so it
+    is k or k+0.5, exact in binary), the absolute deviations stay on that
+    grid, and their median interpolates once more between grid points —
+    no float accumulation anywhere, two IEEE-identical interpolations.
+    Scale shape: customer-grain shuffle, 5-row median broadcast back, one
+    re-aggregate — same two-pass shape as winsorize; no global sort."""
+    spend = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    seg = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = spend.join(seg, spend.o_custkey == seg.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), "cents"
+    )
+    med = j.groupBy("segment").agg(F.percentile("cents", 0.5).alias("med_cents"))
+    dev = j.join(F.broadcast(med), "segment").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med_cents"))
+    )
+    return (
+        dev.groupBy("segment", "med_cents")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.percentile("adev", 0.5).alias("mad_cents"),
+        )
+        .select("segment", "n_customers", "med_cents", "mad_cents")
+    )
+
+
+@query(
     "dataset_split_assign",
     oracle="""
         SELECT doc_id, bucket,
