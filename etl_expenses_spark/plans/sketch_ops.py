@@ -282,6 +282,48 @@ def theta_retention_daily(spark, sf_dir):
 
 
 @query(
+    "theta_weekly_rollup_from_daily",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT CAST(DATE_TRUNC('week', ts) AS DATE) AS week, user_id
+            FROM events
+        )
+        SELECT week, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM du GROUP BY week
+    """,
+    tags=("sketch", "theta", "rollup"),
+)
+def theta_weekly_rollup_from_daily(spark, sf_dir):
+    """Sketch-enabled re-aggregation: WEEKLY distinct users computed by
+    unioning the per-DAY theta sketches — the pattern that lets a
+    warehouse keep one day-grain sketch table and answer any coarser
+    grain (week/month/quarter, or ad-hoc day ranges) without ever
+    rescanning raw events. COUNT(DISTINCT) does not re-aggregate;
+    sketches do — that is the whole reason they exist at 100 TB.
+
+    The oracle computes the exact weekly distinct counts; at test scale
+    the sketches are in exact mode (verified deterministic and
+    partition-invariant), so the rollup matches bit-for-bit."""
+    daily = (
+        T(spark, sf_dir, "events")
+        .select(
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            "user_id",
+        )
+        .groupBy("week", "day")
+        .agg(F.theta_sketch_agg("user_id").alias("sk"))
+    )
+    return (
+        daily.groupBy("week")
+        .agg(F.theta_union_agg("sk").alias("sk"))
+        .select(
+            "week", F.theta_sketch_estimate("sk").cast("bigint").alias("n_users")
+        )
+    )
+
+
+@query(
     "link_prediction_jaccard",
     oracle="""
         WITH pairs AS (

@@ -654,6 +654,80 @@ def text_normalize_spanish(spark, sf_dir):
 
 
 @query(
+    "vocab_coverage_topk",
+    oracle=f"""
+        WITH tf AS (
+            SELECT t AS tok, COUNT(*) AS n
+            FROM (SELECT unnest({_D_TOKENS}) AS t FROM documents)
+            GROUP BY t
+        ),
+        r AS (
+            SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rk
+            FROM tf
+        ),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM tf),
+        ks(k) AS (VALUES (100), (1000), (10000))
+        SELECT ks.k,
+               CAST(SUM(CASE WHEN r.rk <= ks.k THEN r.n ELSE 0 END) AS BIGINT)
+                   AS covered,
+               (SELECT total FROM tot) AS total,
+               CAST(SUM(CASE WHEN r.rk <= ks.k THEN r.n ELSE 0 END) AS DOUBLE)
+                   / (SELECT total FROM tot) AS coverage
+        FROM r CROSS JOIN ks
+        GROUP BY ks.k
+    """,
+    tags=("text", "vocab", "training"),
+)
+def vocab_coverage_topk(spark, sf_dir):
+    """Vocabulary-sizing curve: what fraction of all corpus token
+    occurrences the top-k most frequent token types cover, for k in
+    {100, 1k, 10k} — the first number a tokenizer design consults (the
+    coverage knee says how large a vocab buys how little OOV).
+
+    Scale shape: term frequencies are one explode→hash-agg (linear in
+    token count); the global frequency rank runs over the VOCABULARY-sized
+    relation via the two-phase distributed rank (bucketed by a monotone
+    function of descending frequency — no single-partition window even
+    when the type vocabulary is billions of rows); the k thresholds and
+    the grand total broadcast. Ties broken by token text, so both engines
+    rank identically."""
+    from etl_expenses_spark.operators.prefixsum import distributed_rank
+
+    d = T(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = distributed_rank(
+        tf.withColumn("negn", -F.col("n")),
+        ["negn", "tok"],
+        bucket=F.expr("negn div 16"),
+        out_col="rk",
+    )
+    ks = F.broadcast(
+        tf.sparkSession.createDataFrame([(100,), (1000,), (10000,)], "k int")
+    )
+    tot = tf.agg(F.sum("n").alias("total"))
+    return (
+        ranked.crossJoin(ks)
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("rk") <= F.col("k"), F.col("n")).otherwise(0)).alias(
+                "covered"
+            )
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "covered",
+            "total",
+            (F.col("covered").cast("double") / F.col("total")).alias("coverage"),
+        )
+    )
+
+
+@query(
     "token_bigram_counts",
     oracle="""
         WITH t AS (
