@@ -878,6 +878,45 @@ def test_stream_lsh_index_equals_batch_pairs(spark, dirs):
     assert final == want
 
 
+def test_compaction_crash_window_coexistence(spark, dirs):
+    """The compaction crash window: compacted epoch written, old epoch
+    dirs NOT yet deleted (crash between the two). Set-union merge-on-read
+    must absorb the duplication — the merged index with compacted + stale
+    epochs coexisting equals the clean index. Simulated by duplicating the
+    compacted dir under a stale epoch id — set-union is idempotent under
+    ANY duplication, subset or full, so this covers the crash leftovers."""
+    import glob
+    import shutil
+
+    from etl_expenses_spark.streaming.pipeline import (
+        index_compact,
+        index_read,
+        index_state_sink,
+    )
+
+    bronze, gold, ckpt, _ = dirs
+    docs = load_table(spark, SF_DIR, "documents")
+    idx = str(gold) + "_crashidx"
+    sink = index_state_sink(idx)
+    sink(docs.filter(F.col("doc_id") < 200), 0)
+    sink(docs.filter(F.col("doc_id") >= 200), 1)
+    clean = {(r.tok, r.df, tuple(r.postings)) for r in index_read(spark, idx).collect()}
+
+    assert index_compact(spark, idx) == 2
+    # crash simulation: duplicate state still on disk alongside the
+    # compacted epoch
+    shutil.copytree(idx + "/epoch=-1", idx + "/epoch=0")
+    dirty = {(r.tok, r.df, tuple(r.postings)) for r in index_read(spark, idx).collect()}
+    assert dirty == clean
+
+    # re-running compaction converges: folds the duplicate away, result
+    # still equal, single directory again
+    assert index_compact(spark, idx) == 2
+    assert len(glob.glob(idx + "/epoch=*")) == 1
+    final = {(r.tok, r.df, tuple(r.postings)) for r in index_read(spark, idx).collect()}
+    assert final == clean
+
+
 def test_index_compaction_survives_checkpointed_resume(spark, dirs):
     """The hazard case end-to-end: compact after a checkpointed stream's
     epochs 0..N-1, then RESUME the same checkpoint (next batch id = N).
