@@ -838,15 +838,121 @@ def cms_state_sink(state_path: str, depth: int = 3, width: int = 64):
     return sink
 
 
+_CMS_MANIFEST = "_COMPACTED"
+
+
+def _cms_manifest(state_path: str) -> dict | None:
+    import json as _json
+    import os as _os
+
+    man = _os.path.join(state_path, _CMS_MANIFEST)
+    if not _os.path.exists(man):
+        return None
+    with open(man) as f:
+        return _json.load(f)
+
+
+def _cms_live_epochs(state_path: str) -> list[str]:
+    """Epoch dirs a reader may count, resolved through the compaction
+    manifest. ADDITIVE state cannot use the index/LSH write-then-delete
+    compaction (compacted + stale epochs coexisting in the crash window
+    would DOUBLE-COUNT), so visibility is manifest-gated, WAP-style:
+
+    - no manifest: only non-negative epochs count (an unpublished
+      compacted dir a crash left behind is invisible);
+    - manifest {compacted, max_folded}: the listed compacted dir plus
+      epochs with id > max_folded (new sink batches — checkpoint batch
+      ids grow past every folded id by construction). Stale positives
+      <= max_folded and orphaned negatives never double-count."""
+    import glob as _glob
+
+    dirs = _glob.glob(f"{state_path}/epoch=*")
+    ids = {int(d.rsplit("epoch=", 1)[1]): d for d in dirs}
+    man = _cms_manifest(state_path)
+    if man is None:
+        return [d for i, d in ids.items() if i >= 0]
+    return [
+        d
+        for i, d in ids.items()
+        if i == man["compacted"] or i > man["max_folded"]
+    ]
+
+
 def cms_read_grid(spark: SparkSession, state_path: str) -> DataFrame:
-    """Merge-on-read of the CMS state: cellwise sum across epochs."""
+    """Merge-on-read of the CMS state: cellwise sum across the LIVE epochs
+    (manifest-resolved — see _cms_live_epochs)."""
     from pyspark.sql import functions as F
 
     return (
-        spark.read.parquet(state_path)
+        spark.read.parquet(*_cms_live_epochs(state_path))
         .groupBy("d", "bucket")
         .agg(F.sum("c").alias("c"))
     )
+
+
+def cms_compact(spark: SparkSession, state_path: str) -> int:
+    """Fold the live CMS epochs into one — the ADDITIVE-state compaction,
+    which needs the write-audit-publish shape rather than index_compact's
+    in-place union (summing a duplicated grid double-counts, so the crash
+    window between write and delete must never be readable):
+
+    1. WRITE the folded grid to a dot-prefixed staging dir (invisible to
+       Spark's file index), then rename it to a fresh NEGATIVE epoch id —
+       still invisible, because readers ignore negatives the manifest
+       doesn't list;
+    2. PUBLISH by atomically replacing the ``_COMPACTED`` manifest
+       (os.replace), which simultaneously reveals the folded dir and
+       condemns every folded positive epoch;
+    3. CLEAN UP the stale dirs (best-effort; a crash here leaves garbage
+       that readers already ignore and the next compaction reaps).
+
+    Returns the number of epochs folded. Mirrors operators/wap.py's
+    manifest-swap commit on the epoch-log layout — the two compaction
+    regimes side by side: set-semantics state folds in place
+    (index_compact/lsh_compact), additive state swaps a manifest."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    man = _cms_manifest(state_path)
+    all_ids = {
+        int(d.rsplit("epoch=", 1)[1]): d
+        for d in _glob.glob(f"{state_path}/epoch=*")
+    }
+    # reap garbage a previous crashed/cleaned compaction left behind
+    for i, d in list(all_ids.items()):
+        stale = (
+            (man is None and i < 0)
+            or (man is not None and i != man["compacted"] and i <= man["max_folded"])
+        )
+        if stale:
+            _shutil.rmtree(d)
+            del all_ids[i]
+    live = _cms_live_epochs(state_path)
+    if len(live) <= 1:
+        return 0
+    live_ids = [int(d.rsplit("epoch=", 1)[1]) for d in live]
+    target = min(list(all_ids) + [0]) - 1
+    folded = (
+        spark.read.parquet(*live)
+        .groupBy("d", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    staging = _os.path.join(state_path, f".compact_staging_{-target}")
+    folded.write.mode("overwrite").parquet(staging)
+    _os.rename(staging, _os.path.join(state_path, f"epoch={target}"))
+    new_man = {"compacted": target, "max_folded": max(max(live_ids), (man or {}).get("max_folded", -1))}
+    tmp = _os.path.join(state_path, _CMS_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        _json.dump(new_man, f)
+    _os.replace(tmp, _os.path.join(state_path, _CMS_MANIFEST))
+    for d in live:
+        if d != _os.path.join(state_path, f"epoch={target}"):
+            _shutil.rmtree(d)
+    return len(live)
 
 
 def run_events_stream_cms(

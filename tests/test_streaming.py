@@ -763,7 +763,64 @@ def test_stream_kll_quantiles_within_rank_error(spark, dirs):
     assert abs(true_rank - 0.5) <= 0.05
 
 
-def test_index_compaction_preserves_merge(spark, dirs):
+def test_cms_compaction_manifest_swap(spark, dirs):
+    """Additive-state compaction is manifest-gated (WAP-style): the folded
+    grid is invisible until the _COMPACTED manifest swap, stale epochs are
+    invisible after it — so NEITHER crash window can double-count, which
+    the index/LSH write-then-delete scheme cannot guarantee for sums."""
+    import glob
+    import os
+    import shutil
+
+    from etl_expenses_spark.streaming.pipeline import (
+        cms_compact,
+        cms_read_grid,
+        cms_state_sink,
+        run_events_stream_cms,
+    )
+
+    bronze, gold, ckpt, _ = dirs
+    events = load_table(spark, SF_DIR, "events")
+    first = events.filter(F.col("event_id") % 2 == 0)
+    second = events.filter(F.col("event_id") % 2 == 1)
+    st = str(gold) + "_cmsc"
+    # 8 files / maxFilesPerTrigger=4 -> checkpoint batches 0 and 1
+    first.repartition(8).write.mode("append").parquet(str(bronze))
+    run_events_stream_cms(spark, str(bronze), st, str(ckpt))
+    grid = lambda: {(r.d, r.bucket, r.c) for r in cms_read_grid(spark, st).collect()}  # noqa: E731
+    before = grid()
+
+    # crash window A: an orphaned negative dir WITHOUT a manifest entry
+    # (died after rename, before publish) must be invisible
+    some_epoch = sorted(glob.glob(st + "/epoch=*"))[0]
+    shutil.copytree(some_epoch, st + "/epoch=-9")
+    assert grid() == before
+    shutil.rmtree(st + "/epoch=-9")
+
+    assert cms_compact(spark, st) == 2
+    assert grid() == before
+
+    # crash window B: a stale folded epoch still on disk after publish
+    # (died before cleanup) must be invisible — no double count
+    shutil.copytree(st + "/epoch=-1", st + "/epoch=1")
+    assert grid() == before
+
+    # resumed stream: next checkpoint batch id (2) lands ABOVE max_folded
+    # and counts; total equals the full-corpus grid
+    second.repartition(2).write.mode("append").parquet(str(bronze))
+    run_events_stream_cms(spark, str(bronze), st, str(ckpt))
+    full = grid()
+    # expected: full-corpus grid built fresh in a reference dir
+    st2 = str(gold) + "_cmsc_ref"
+    cms_state_sink(st2)(events, 0)
+    want = {(r.d, r.bucket, r.c) for r in cms_read_grid(spark, st2).collect()}
+    assert full == want
+
+    # second compaction reaps the stale dir and converges
+    assert cms_compact(spark, st) >= 2
+    assert grid() == want
+    assert not glob.glob(st + "/epoch=1")
+    assert os.path.exists(st + "/_COMPACTED")
     """Compaction folds N postings epochs into one with an IDENTICAL
     merged index, and later incremental epochs keep composing on top."""
     from etl_expenses_spark.functions.text import tokens
