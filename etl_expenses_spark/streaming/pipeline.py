@@ -838,6 +838,35 @@ def cms_state_sink(state_path: str, depth: int = 3, width: int = 64):
     return sink
 
 
+def hll_compact(spark: SparkSession, state_path: str) -> int:
+    """Fold all per-epoch HLL day-sketches into ONE epoch. Register-max
+    union is IDEMPOTENT (union of a sketch with itself is itself), so HLL
+    state compacts exactly like the set-union logs: write the per-day
+    unions to a fresh negative epoch id (below any checkpoint batch id a
+    resumed stream could claim), delete the old dirs after — crash-window
+    coexistence is absorbed by the union algebra. Contrast cms_compact,
+    whose additive grid needs the manifest swap instead."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    epoch_dirs = sorted(_glob.glob(f"{state_path}/epoch=*"))
+    if len(epoch_dirs) <= 1:
+        return 0
+    epoch_ids = [int(d.rsplit("epoch=", 1)[1]) for d in epoch_dirs]
+    target = min(epoch_ids + [0]) - 1
+    merged = (
+        spark.read.parquet(state_path)
+        .groupBy("day")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+    )
+    merged.write.mode("overwrite").parquet(f"{state_path}/epoch={target}")
+    for d in epoch_dirs:
+        _shutil.rmtree(d)
+    return len(epoch_dirs)
+
+
 _CMS_MANIFEST = "_COMPACTED"
 
 

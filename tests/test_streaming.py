@@ -620,6 +620,22 @@ def test_stream_hll_sketch_mv_equals_batch(spark, dirs):
     again = {(r.day, int(r.est_users)) for r in hll_read_daily_users(spark, st).collect()}
     assert again == want
 
+    # compaction folds to one NEGATIVE epoch with identical estimates
+    # (register-max union is idempotent — in-place fold is sound), and a
+    # later batch under the would-be collision id composes on top
+    import glob
+
+    from etl_expenses_spark.streaming.pipeline import hll_compact
+
+    assert hll_compact(spark, st) >= 2
+    ids = {int(d.rsplit("epoch=", 1)[1]) for d in glob.glob(st + "/epoch=*")}
+    assert ids == {-1}
+    post = {(r.day, int(r.est_users)) for r in hll_read_daily_users(spark, st).collect()}
+    assert post == want
+    sink(first, 2)  # next checkpoint batch id; re-delivered subset unions away
+    final = {(r.day, int(r.est_users)) for r in hll_read_daily_users(spark, st).collect()}
+    assert final == want
+
 
 def test_stream_cms_grid_equals_batch(spark, dirs):
     """Additive-sketch MV: per-epoch Count-Min grids SUM to exactly the
