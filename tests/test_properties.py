@@ -295,3 +295,54 @@ def test_y4m_roundtrip_any_luma(shape, seed, chroma):
     stack, w, h = decoded
     assert (w, h) == (shape[2], shape[1])
     assert np.array_equal(stack, frames)
+
+
+# --------------------------------------------------------------------------
+# Distributed prefix-sum family vs a plain-Python reference on random data:
+# the two-phase scan must equal the sequential cumsum for ANY weights and
+# ANY bucket granularity, and the PPS walk must select exactly the rows
+# whose weight interval covers a step multiple.
+# --------------------------------------------------------------------------
+weights = st.lists(st.integers(min_value=1, max_value=5000), min_size=1, max_size=60)
+
+
+@SLOW
+@given(weights, st.integers(min_value=1, max_value=16))
+def test_distributed_cumsum_equals_sequential(spark, ws, bucket_width):
+    from etl_expenses_spark.operators.prefixsum import distributed_cumsum
+
+    rows = [(i, w) for i, w in enumerate(ws)]
+    df = spark.createDataFrame(rows, "k long, w long").repartition(4)
+    got = {
+        r.k: r.cum
+        for r in distributed_cumsum(
+            df, "k", "w", bucket=F.expr(f"k div {bucket_width}")
+        ).collect()
+    }
+    acc, want = 0, {}
+    for i, w in enumerate(ws):
+        acc += w
+        want[i] = acc
+    assert got == want
+
+
+@SLOW
+@given(weights, st.integers(min_value=1, max_value=20))
+def test_pps_sample_matches_sequential_walk(spark, ws, k):
+    from etl_expenses_spark.operators.prefixsum import pps_sample
+
+    rows = [(i, w) for i, w in enumerate(ws)]
+    df = spark.createDataFrame(rows, "k long, w long").repartition(3)
+    got = {
+        (r.k, r.n_picks)
+        for r in pps_sample(df, "k", "w", k=k, bucket=F.expr("k div 8")).collect()
+    }
+    total = sum(ws)
+    step = max(1, total // k)
+    acc, want = 0, set()
+    for i, w in enumerate(ws):
+        lo, acc = acc, acc + w
+        picks = acc // step - lo // step
+        if picks >= 1:
+            want.add((i, picks))
+    assert got == want
