@@ -16,3 +16,55 @@ def test_hll_estimates_close_to_exact(spark):
     all_row = [r for r in rows if r.event_type == "ALL"][0]
     per_max = max(r.exact_users for r in rows if r.event_type != "ALL")
     assert all_row.exact_users >= per_max  # union can only grow
+
+
+def test_theta_retention_partition_invariant_and_exact(spark):
+    """Guards theta_retention_daily's oracle assumption: theta estimates
+    are deterministic and PARTITION-invariant (fixed seed, exact mode at
+    this cardinality), so the sketch rows equal the exact SQL counts on
+    any layout. If a Spark upgrade ever changed sketch seeding or
+    exact-mode thresholds, this is the test that catches it before the
+    driver does."""
+    from pyspark.sql import functions as F
+
+    from etl_expenses_spark.sources.readers import load_table
+
+    base = REGISTRY["theta_retention_daily"].build(spark, SF_DIR)
+    rows = {tuple(r) for r in base.collect()}
+    assert rows
+
+    # same computation over a hostile repartitioning of the source
+    ev = load_table(spark, SF_DIR, "events").repartition(13)
+    du = ev.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
+    )
+    sk = du.groupBy("day").agg(F.theta_sketch_agg("user_id").alias("sk"))
+    prev = sk.select(F.col("day").alias("prev_day"), F.col("sk").alias("sk_prev"))
+    cur = sk.select("day", F.col("sk").alias("sk_cur"))
+    j = cur.join(prev, cur.day == F.date_add(prev.prev_day, 1))
+    inter = F.theta_sketch_estimate(
+        F.theta_intersection("sk_prev", "sk_cur")
+    ).cast("bigint")
+    alt = {
+        tuple(r)
+        for r in j.select(
+            "day",
+            "prev_day",
+            F.theta_sketch_estimate("sk_prev").cast("bigint").alias("n_prev"),
+            F.theta_sketch_estimate("sk_cur").cast("bigint").alias("n_cur"),
+            inter.alias("n_retained"),
+            (F.theta_sketch_estimate("sk_cur").cast("bigint") - inter).alias("n_new"),
+            (F.theta_sketch_estimate("sk_prev").cast("bigint") - inter).alias(
+                "n_churned"
+            ),
+        ).collect()
+    }
+    assert alt == rows
+
+    # exactness: estimates equal true distinct counts at this cardinality
+    truth = {
+        (r.day, r.n)
+        for r in du.distinct().groupBy("day").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got_days = {(day, n_cur) for day, _, _, n_cur, *_ in rows}
+    assert got_days <= truth
