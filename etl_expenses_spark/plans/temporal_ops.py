@@ -117,6 +117,63 @@ def session_windows_30m(spark, sf_dir):
 
 
 @query(
+    "session_bounce_rate_daily",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             >= INTERVAL '30 minutes'
+                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events),
+        numbered AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_no
+            FROM flagged),
+        sessions AS (
+            SELECT user_id, session_no,
+                   CAST(DATE_TRUNC('day', MIN(ts)) AS DATE) AS day,
+                   COUNT(*) AS n_events
+            FROM numbered GROUP BY user_id, session_no)
+        SELECT day,
+               COUNT(*) AS n_sessions,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bounces,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS bounce_rate
+        FROM sessions
+        GROUP BY day
+    """,
+    tags=("temporal", "session", "behavior"),
+)
+def session_bounce_rate_daily(spark, sf_dir):
+    """Daily bounce rate: fraction of 30-minute sessions containing exactly
+    one event, keyed by the session's start day — the engagement headline
+    that sits on top of sessionization everywhere. Uses Spark's native
+    session_window (the oracle rebuilds identical sessions gaps-and-islands
+    style); the day/bounce rollup is one more hash aggregate over the
+    session-grain relation, so the whole metric costs the sessionization
+    shuffle plus a tiny day-grain combine. Single IEEE division per row."""
+    e = T(spark, sf_dir, "events")
+    sessions = (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "n_events",
+        )
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return sessions.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        bounce.alias("n_bounces"),
+        (bounce.cast("double") / F.count(F.lit(1))).alias("bounce_rate"),
+    )
+
+
+@query(
     "asof_join_events_orders",
     oracle="""
         WITH o AS (
