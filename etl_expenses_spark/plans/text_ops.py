@@ -705,19 +705,24 @@ def vocab_coverage_topk(spark, sf_dir):
         bucket=F.expr("negn div 16"),
         out_col="rk",
     )
-    ks = F.broadcast(
-        tf.sparkSession.createDataFrame([(100,), (1000,), (10000,)], "k int")
+    # fan each vocab row out to the three thresholds with a projection-side
+    # explode (no join operator at all — a 3-row crossJoin would plan as a
+    # BroadcastNestedLoopJoin, which the plan audit rightly bans), then one
+    # hash aggregate per k; every k-group contains ALL vocab rows, so the
+    # grand total is just SUM(n) within the group — no second pass either.
+    fanned = ranked.select(
+        "rk",
+        "n",
+        F.explode(F.array(*[F.lit(k) for k in (100, 1000, 10000)])).alias("k"),
     )
-    tot = tf.agg(F.sum("n").alias("total"))
     return (
-        ranked.crossJoin(ks)
-        .groupBy("k")
+        fanned.groupBy("k")
         .agg(
             F.sum(F.when(F.col("rk") <= F.col("k"), F.col("n")).otherwise(0)).alias(
                 "covered"
-            )
+            ),
+            F.sum("n").alias("total"),
         )
-        .crossJoin(F.broadcast(tot))
         .select(
             "k",
             "covered",

@@ -107,6 +107,14 @@ def audit(name: str, plan: str) -> list[str]:
 # plan shape matters at scale (the row-level function demos are audited
 # implicitly — they fuse into scans).
 EXTRA = [
+    # round-4 additions
+    "theta_retention_daily",
+    "theta_weekly_rollup_from_daily",
+    "winsorized_spend_by_segment",
+    "mad_spend_by_segment",
+    "pps_sample_stratified_by_source",
+    "vocab_coverage_topk",
+    "session_bounce_rate_daily",
     "similarity_batch_topk",
     "k_anonymity_report",
     "pseudonymize_stable_ids",
