@@ -1034,3 +1034,76 @@ def test_index_compaction_survives_checkpointed_resume(spark, dirs):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_curation_pipeline_composes(spark, dirs):
+    """End-to-end curation under ingest: ONE foreachBatch gates arriving
+    documents on quality (min token count here) and maintains BOTH the
+    near-dup signature log and the inverted index over the survivors.
+    Each state must equal its batch twin computed over the gated corpus —
+    the operators compose, and the epoch-log replay contracts hold when
+    two sinks share a batch."""
+    from etl_expenses_spark.operators.dedup import minhash_lsh_pairs
+    from etl_expenses_spark.streaming.pipeline import (
+        index_read,
+        index_state_sink,
+        lsh_read_pairs,
+        lsh_state_sink,
+        read_document_stream,
+    )
+
+    bronze, gold, ckpt, _ = dirs
+    docs = load_table(spark, SF_DIR, "documents")
+    gate = F.col("n_chars") >= 300  # length gate that really filters here
+    idx = str(gold) + "_cur_idx"
+    sig = str(gold) + "_cur_sig"
+    isink, ssink = index_state_sink(idx), lsh_state_sink(sig)
+
+    def curate(batch_df, epoch_id):
+        gated = batch_df.filter(gate)
+        isink(gated, epoch_id)
+        ssink(gated, epoch_id)
+
+    docs.repartition(4).write.mode("append").parquet(str(bronze))
+    (
+        read_document_stream(spark, str(bronze))
+        .writeStream.foreachBatch(curate)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    gated_docs = docs.filter(gate)
+    assert 0 < gated_docs.count() < docs.count()
+
+    got_pairs = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in lsh_read_pairs(spark, sig).collect()
+    }
+    want_pairs = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in minhash_lsh_pairs(gated_docs).collect()
+    }
+    assert got_pairs == want_pairs
+
+    from etl_expenses_spark.functions.text import tokens
+
+    got_idx = {
+        (r.tok, r.df, tuple(r.postings)) for r in index_read(spark, idx).collect()
+    }
+    want_idx = {
+        (r.tok, r.df, tuple(r.postings))
+        for r in (
+            gated_docs.select(
+                "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+            )
+            .distinct()
+            .groupBy("tok")
+            .agg(
+                F.count_distinct("doc_id").alias("df"),
+                F.sort_array(F.collect_set("doc_id")).alias("postings"),
+            )
+        ).collect()
+    }
+    assert got_idx == want_idx
