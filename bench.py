@@ -85,9 +85,42 @@ def run_once(q, spark, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def wait_for_idle_host(max_load: float = 1.0, max_wait_sec: float = 300.0) -> float:
+    """Gate the measurement on host load.
+
+    BENCH_r04 was recorded at loadavg 5.06 and reported 41.29 s where an
+    idle re-run of identical code measured 32.79 s (VERDICT.md round 4,
+    "What's wrong" #2) — contention manufactures phantom regressions. Poll
+    the 1-min load average BEFORE warm-up and wait (bounded) until it drops
+    below `max_load`; if it never does, proceed anyway but the recorded
+    `loadavg_start` flags the run as contaminated for bench_compare.
+    """
+    deadline = time.monotonic() + max_wait_sec
+    load = os.getloadavg()[0]
+    while load >= max_load and time.monotonic() < deadline:
+        print(
+            f"bench: host load {load:.2f} >= {max_load}; waiting for idle "
+            f"(up to {int(deadline - time.monotonic())}s left)",
+            file=sys.stderr,
+        )
+        time.sleep(10.0)
+        load = os.getloadavg()[0]
+    if load >= max_load:
+        print(
+            f"bench: WARNING proceeding at load {load:.2f} after "
+            f"{int(max_wait_sec)}s wait; timings may be contaminated",
+            file=sys.stderr,
+        )
+    return load
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_start = wait_for_idle_host(
+        max_load=float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "1.0")),
+        max_wait_sec=float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "300")),
+    )
     spark = get_spark("bench")
 
     for t in TESTDATA_TABLES:  # warm footers + page cache + first codegen
@@ -116,11 +149,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # host contention marker: 1-min load average at finish.
-                # Round-over-round deltas on a shared host are only
-                # comparable when this is near zero at both measurements
-                # (observed this round: an idle-start run at load ~2.9
-                # read 2-6x slower than the same code at load ~0.2).
+                # host contention markers. `loadavg_start` is captured
+                # BEFORE warm-up (post idle-gate) — it is the one that
+                # certifies the measurement window; the finish value mostly
+                # measures the bench itself (a 32-thread local[32] run ends
+                # near load ~6 even on an otherwise idle host). Deltas are
+                # comparable only between runs whose start load is < 1.
+                "loadavg_start": round(load_start, 2),
                 "loadavg_1m": round(os.getloadavg()[0], 2),
             }
         )

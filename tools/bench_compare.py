@@ -24,9 +24,16 @@ def load(path: str) -> dict:
     if isinstance(d, dict) and "queries" in d:
         return d
     # driver wrapper: JSON line inside "tail" (or any embedded line)
-    m = re.search(r'\{"metric".*?\}(?=\s*$|\s*\n)', raw if d is None else d.get("tail", ""), re.M)
+    hay = raw if d is None else d.get("tail", "")
+    m = re.search(r'\{"metric".*?\}(?=\s*$|\s*\n)', hay, re.M)
     if not m:
-        m = re.search(r'\{"metric".*\}', raw if d is None else d.get("tail", ""))
+        m = re.search(r'\{"metric".*\}', hay)
+    if not m:
+        raise SystemExit(
+            f"bench_compare: {path} is neither a bench.py JSON line "
+            '({"metric": ...}) nor a driver BENCH_r{N}.json wrapper with '
+            "an embedded metric line"
+        )
     return json.loads(m.group(0))
 
 
@@ -42,9 +49,19 @@ def main() -> int:
     ot, nt = sum(oq[k] for k in shared), sum(nq[k] for k in shared)
     print(f"shared {len(shared)} queries: {ot:.2f}s -> {nt:.2f}s "
           f"({nt / ot:.2f}x)" if ot else "no shared queries")
+    contaminated = False
     for tag, d in (("old", old), ("new", new)):
-        if "loadavg_1m" in d:
-            print(f"  {tag} loadavg_1m: {d['loadavg_1m']}")
+        start = d.get("loadavg_start")
+        finish = d.get("loadavg_1m")
+        if start is not None or finish is not None:
+            note = ""
+            if start is not None and start >= 1.0:
+                note = "  <-- CONTAMINATED (start load >= 1; deltas unusable)"
+                contaminated = True
+            print(f"  {tag} loadavg start={start} finish={finish}{note}")
+    if contaminated:
+        print("  NOTE: at least one run started under host load; treat the "
+              "deltas below as load artifacts, not code changes.")
     worse = [(k, oq[k], nq[k]) for k in shared if nq[k] > oq[k] * (1 + thr)]
     better = [(k, oq[k], nq[k]) for k in shared if nq[k] < oq[k] * (1 - thr)]
     only_new = sorted(set(nq) - set(oq))

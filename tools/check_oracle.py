@@ -9,6 +9,11 @@ few differing rows — the fast feedback loop while building the inventory.
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
        python tools/check_oracle.py --window [--vanilla] [sf_dir]
            # exactly the driver's recorded set: first 50 queries() entries
+       python tools/check_oracle.py --lint-window
+           # harness-eligibility lint: every _PRIORITY query's output schema
+           # must be free of array/struct/map columns (the driver harness
+           # canonicalizes via pandas sort_values, which crashes on
+           # unhashable cells — the r4 inverted_index_postings err)
 """
 
 from __future__ import annotations
@@ -130,22 +135,62 @@ def rowset(cols, rows):
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
 
 
+def _window_names() -> list[str]:
+    """The driver's recorded set: first 50 queries() entries."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_entry", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return list(mod.queries())[:50]
+
+
+def complex_output_columns(schema) -> list[str]:
+    """Columns the driver harness cannot canonicalize (pandas sort_values
+    raises `unhashable type` on list/dict cells)."""
+    import pyspark.sql.types as st
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (st.ArrayType, st.StructType, st.MapType))
+    ]
+
+
+def lint_window() -> int:
+    """Reject array/struct/map-typed output columns from the driver window,
+    so a harness-incompatible query can never occupy a driver slot again
+    (VERDICT r4 "What's wrong" #1). Schema analysis only — no job runs."""
+    names = _window_names()
+    spark = get_spark("window_lint", cpus=4)
+    bad = []
+    for name in names:
+        try:
+            schema = REGISTRY[name].build(spark, "/root/testdata/sf0.001").schema
+        except Exception as e:  # noqa: BLE001
+            bad.append((name, f"build error: {e}"))
+            continue
+        cols = complex_output_columns(schema)
+        if cols:
+            bad.append((name, f"harness-unsortable output columns: {cols}"))
+    for name, msg in bad:
+        print(f"FAIL  {name}: {msg}")
+    print(f"\n{len(names) - len(bad)}/{len(names)} window slots harness-safe")
+    return 1 if bad else 0
+
+
 def main() -> int:
     args = sys.argv[1:]
+    if "--lint-window" in args:
+        return lint_window()
     vanilla = "--vanilla" in args
     window = "--window" in args
     args = [a for a in args if a not in ("--vanilla", "--window")]
     sf_dir = args[0] if args and args[0].startswith("/") else "/root/testdata/sf0.01"
     if window:
-        # exactly the first 50 queries() entries — the driver's recorded set
-        import importlib.util
-
-        spec = importlib.util.spec_from_file_location(
-            "_entry", "/root/repo/__spark_entry__.py"
-        )
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
-        names = list(mod.queries())[:50]
+        names = _window_names()
     else:
         names = [a for a in args if not a.startswith("/")] or list(REGISTRY)
     unknown = [n for n in names if n not in REGISTRY]
@@ -189,10 +234,14 @@ def main() -> int:
             print(f"ok    {name}: rows-only at sf{sf_tag} (golden pins {q.golden_sfs})")
             continue
         try:
-            res = con.execute(q.oracle)
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
-            d_arrow = con.execute(q.oracle).arrow().schema
+            # one execution: rows AND schema come from the same Arrow result
+            # (running the oracle twice doubled DuckDB time across the
+            # registry — ADVICE r4)
+            tbl = con.execute(q.oracle).arrow()
+            d_cols = list(tbl.column_names)
+            d_arrow = tbl.schema
+            cols_py = [c.to_pylist() for c in tbl.columns]
+            d_rows = list(zip(*cols_py))
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"duckdb error: {e}"))
             print(f"FAIL  {name}: duckdb error: {e}")

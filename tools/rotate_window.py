@@ -65,16 +65,45 @@ def main() -> int:
         uncovered -= tags[best]
 
     never = [n for n in REGISTRY if n not in ever]
+    # harness-eligibility lint: the driver canonicalizes results via pandas
+    # sort_values, which crashes on array/struct/map cells (the r4
+    # inverted_index_postings err) — such queries must never occupy a
+    # window slot. Schema analysis only (sf0.001), no job execution.
+    from etl_expenses_spark.session import get_spark
+    from tools.check_oracle import complex_output_columns
+
+    spark = get_spark("rotate_lint", cpus=4)
+    ineligible: dict[str, list[str]] = {}
+
+    def harness_safe(name: str) -> bool:
+        if name in ineligible:
+            return False
+        try:
+            schema = REGISTRY[name].build(spark, "/root/testdata/sf0.001").schema
+        except Exception as e:  # noqa: BLE001
+            ineligible[name] = [f"build error: {e}"]
+            return False
+        cols = complex_output_columns(schema)
+        if cols:
+            ineligible[name] = cols
+            return False
+        return True
+
+    keep = [n for n in keep if harness_safe(n)]
     # fill greedily by least-covered tag for family diversity
     covered = set().union(*(tags[n] for n in keep)) if keep else set()
     fill: list[str] = []
-    pool = list(never)
+    pool = [n for n in never if harness_safe(n)]
     while len(keep) + len(fill) < size and pool:
         best = max(pool, key=lambda n: len(tags.get(n, set()) - covered))
         fill.append(best)
         covered |= tags.get(best, set())
         pool.remove(best)
     window = (keep + fill)[:size]
+    if ineligible:
+        print("# excluded as harness-unsafe (array/struct/map output):")
+        for n, cols in sorted(ineligible.items()):
+            print(f"#   {n}: {cols}")
 
     print(f"# proposed _PRIORITY ({len(window)} slots: {len(keep)} green "
           f"anchors + {len(fill)} first-timers; {len(never) - len(fill)} "
