@@ -31,71 +31,68 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # registered after the window and is verified by tools/check_oracle.py
 # (the local replica of the same gate) across all scale factors.
 _PRIORITY = [
-    # ---- round-4 rotation (verdict r3 task 4): 21 kept driver-green family
-    # reps + the 3 re-fixed HUGEINT-typing queries + 26 FIRST-TIME rows —
-    # the 10 latent-HUGEINT queries (now cast, most likely to expose any
-    # residual compare drift), the never-checked retrieval/graph surface,
-    # and a spread of never-checked TPC-H/SQL/behavior/corpus/privacy/
-    # lakehouse queries. Everything rotated out keeps its green r1-r3 row
-    # on record and stays verified by tools/check_oracle.py (now TYPE-aware,
-    # at least as strict as the driver's hash). ----
-    # kept driver-green reps (one per §2 family)
-    "flagship_spend_by_category",
-    "derived_columns",
-    "conditional_mapping",
-    "join_dims_agg",
-    "multimodal_codec_roundtrip",
-    "temporal_scalar_functions",
-    "text_features",
-    "dedup_cluster_components",
-    "similarity_cosine_topk",
-    "bm25_topk_per_query",
-    "incremental_merge_new_orders",
-    "window_tumbling_daily",
-    "schema_inference_cascade",
-    "sql_surface_agent_query",
-    "webhook_source_ingest",
-    "gold_denormalized_sales",
-    "pdf_ticket_pipeline",
-    "xlsx_report_pipeline",
-    "merge_upsert_orders",
-    "grouping_sets_spend",
-    "tpch_q8_market_share",
-    # r3 hash-fails, re-fixed (oracle HUGEINT -> BIGINT casts; Spark bin ->
-    # int aligned in the oracle) — driver-verify the fix
-    "curriculum_quality_bins",
-    "pps_sample_documents",
-    "prefix_sum_document_bytes",
-    # the 10 latent-HUGEINT queries, post-fix — never driver-checked
-    "corpus_summary_card",
-    "dedup_spans_keep_first",
-    "running_value_resets_on_signup",
-    "variant_props_rollup",
-    "higher_order_array_ops",
-    "tpch_q12_priority_shipmode",
-    "proportional_budget_allocation",
-    "growth_accounting_daily",
-    "weighted_median_spend",
-    "compaction_plan_documents",
-    # never-checked retrieval / graph surface
-    "pagerank_copurchase",
+    # Round-5 window: 26 kept green §2-family anchors + 24 first-time rows.
+    # Rotation history lives in COVERAGE.md; every slot is lint-checked
+    # harness-safe (tools/check_oracle.py --lint-window: no array/struct/map
+    # output columns). Rotated-out queries keep their green rows on record
+    # and stay verified by the local type-aware sweep at every SF.
+    # -- kept green anchors (one per §2 family) --
+    "flagship_spend_by_category",   # agg / flagship
+    "derived_columns",              # projection
+    "conditional_mapping",          # CASE
+    "join_dims_agg",                # joins
+    "multimodal_codec_roundtrip",   # multimodal
+    "temporal_scalar_functions",    # date/time functions
+    "text_features",                # text analysis
+    "dedup_cluster_components",     # dedup + CC
+    "similarity_cosine_topk",       # similarity
+    "bm25_topk_per_query",          # retrieval
+    "incremental_merge_new_orders", # merge / K3
+    "window_tumbling_daily",        # streaming batch twin §2.10e
+    "schema_inference_cascade",     # schema coercion
+    "sql_surface_agent_query",      # NL->SQL exec surface
+    "webhook_source_ingest",        # REST source
+    "pdf_ticket_pipeline",          # PDF source + UDTF
+    "xlsx_report_pipeline",         # XLSX source
+    "grouping_sets_spend",          # advanced agg
+    "tpch_q8_market_share",         # TPC-H
+    "k_anonymity_report",           # privacy
+    "colocated_join_spend_by_segment",  # lakehouse bucketing
+    "except_all_order_lines",       # set ops
+    "fuzzy_best_match_dirty_parts", # fuzzy ER
+    "cohort_retention_monthly",     # behavior
+    "heavy_hitters_users",          # sketches
+    # -- the round-4 red, re-fixed (postings now a sortable string) --
     "inverted_index_postings",
-    "lm_bigram_rarity",
-    "triangle_count_copurchase",
-    "countmin_user_frequency",
-    # never-checked spread: TPC-H, SQL surface, behavior, corpus, sketches,
-    # privacy, lakehouse, set-ops, fuzzy
-    "tpch_q3_shipping_priority",
-    "sql_recursive_month_spine",
-    "sql_exists_and_scalar_subquery",
-    "cohort_retention_monthly",
-    "funnel_view_click_purchase",
-    "corpus_pack_sequences",
-    "heavy_hitters_users",
-    "k_anonymity_report",
-    "colocated_join_spend_by_segment",
-    "except_all_order_lines",
-    "fuzzy_best_match_dirty_parts",
+    # -- first-time rows: round-4 additions --
+    "theta_retention_daily",
+    "theta_weekly_rollup_from_daily",
+    "vocab_coverage_topk",
+    "winsorized_spend_by_segment",
+    "mad_spend_by_segment",
+    "pps_sample_stratified_by_source",
+    "link_prediction_jaccard",
+    "session_bounce_rate_daily",
+    # -- first-time: round-5 addition (hot-node capped tier) --
+    "link_prediction_jaccard_capped",
+    # -- first-time: streaming twin cycle (verdict r4 #5) --
+    "window_sliding_hourly",
+    # -- first-time: lakehouse / quality / behavior spread --
+    "zorder_curve_values",
+    "expectations_report_orders",
+    "multitouch_attribution_credits",
+    "seasonal_naive_backtest",
+    "installment_schedule_expansion",
+    "fx_convert_order_totals",
+    # -- first-time: never-checked family reps --
+    "dedup_minhash_lsh",            # MinHash-LSH (golden-pinned at 0.01)
+    "similarity_cosine_topk_ivf",   # IVF scale tier
+    "sketch_hll_distinct_users",    # HLL family
+    "udtf_lateral_word_split",      # Spark-4 Python UDTF §2.11g
+    "catalog_inventory",            # S10 catalog scan
+    "join_salted_skew",             # salted skew join
+    "tpch_q9_nation_profit",        # TPC-H profit rollup
+    "sql_lateral_topk_per_group",   # SQL LATERAL
 ]
 
 
