@@ -444,17 +444,29 @@ def jdbc_epoch_sink(url: str, table: str, connect, driver: str | None = None,
             con.execute(f"CREATE OR REPLACE TABLE {stage} ({ddl}, _rid BIGINT)")
         finally:
             con.close()
-        # _rid = (partitionId << 33) | row-position: unique per logical row.
-        # Spark's JDBC writer commits per PARTITION, so a task that dies
-        # after its partition committed is re-run and appends that partition
-        # AGAIN into the stage. The publish below keeps one row per _rid,
-        # which removes exactly those task-retry duplicates (micro-batch
-        # recomputation is deterministic — the same file-source replay
-        # contract exactly-once foreachBatch already rests on) while
-        # preserving genuine duplicate payload rows, which carry distinct
-        # _rids.
+        # _rid = within-batch duplicate ordinal: ROW_NUMBER partitioned by
+        # the FULL row content. Spark's JDBC writer commits per PARTITION,
+        # so a task that dies after its partition committed is re-run and
+        # appends that partition AGAIN into the stage. The publish below
+        # keeps one row per (content, _rid), which removes exactly those
+        # task-retry duplicates while preserving genuine duplicate payload
+        # rows (ordinals 1..k). Unlike a positional id, this key is
+        # ORDER-insensitive: identical rows are interchangeable, so a
+        # retried partition that recomputes the same multiset in a
+        # different row order still publishes the exact multiset (the r4
+        # ADVICE hazard: positional _rid + reordered recomputation +
+        # duplicated payload rows could publish a wrong multiset). The
+        # window shuffles only this micro-batch, partitioned by row
+        # content — no global or skewed partition at any batch size.
+        from pyspark.sql.window import Window as _W
+
+        dup_w = _W.partitionBy(
+            *[F.col(f.name) for f in batch_df.schema.fields]
+        ).orderBy(F.lit(1))
         write_jdbc_table(
-            batch_df.withColumn("_rid", F.monotonically_increasing_id()),
+            batch_df.withColumn(
+                "_rid", F.row_number().over(dup_w).cast("long")
+            ),
             url, stage, mode="append", driver=driver,
             single_writer=single_writer,
         )
@@ -468,7 +480,8 @@ def jdbc_epoch_sink(url: str, table: str, connect, driver: str | None = None,
             con.execute(
                 f"INSERT INTO {table} "
                 f"SELECT {cols} FROM ("
-                f"  SELECT {cols}, ROW_NUMBER() OVER (PARTITION BY _rid) AS _rn"
+                f"  SELECT {cols}, ROW_NUMBER() OVER ("
+                f"    PARTITION BY {cols}, _rid) AS _rn"
                 f"  FROM {stage}"
                 f") WHERE _rn = 1"
             )
@@ -806,6 +819,22 @@ def cms_state_sink(state_path: str, depth: int = 3, width: int = 64):
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # Checkpoint-reset guard: visibility hides epochs <= max_folded once
+        # a manifest exists, so a stream restarted with a fresh/lost
+        # checkpoint (batch ids back at 0) would write epochs that readers
+        # silently never count — undercount with no error. Fail fast
+        # instead; recovery is a new state_path or restoring the checkpoint
+        # (r4 ADVICE).
+        man = _cms_manifest(state_path)
+        if man is not None and int(epoch_id) <= man["max_folded"]:
+            raise RuntimeError(
+                f"cms_state_sink: epoch {int(epoch_id)} <= compacted "
+                f"max_folded {man['max_folded']} at {state_path} — the "
+                "stream's checkpoint was reset after a compaction; rows "
+                "written under replayed epoch ids would be invisible to "
+                "readers. Restore the checkpoint or start a fresh "
+                "state_path."
+            )
         spark = batch_df.sparkSession
         ds = spark.range(depth).select(F.col("id").cast("int").alias("d"))
         bucket = (
@@ -909,11 +938,25 @@ def _cms_live_epochs(state_path: str) -> list[str]:
 
 def cms_read_grid(spark: SparkSession, state_path: str) -> DataFrame:
     """Merge-on-read of the CMS state: cellwise sum across the LIVE epochs
-    (manifest-resolved — see _cms_live_epochs)."""
+    (manifest-resolved — see _cms_live_epochs). A fresh state dir yields an
+    EMPTY grid rather than a confusing no-path py4j error; a manifest that
+    points at a MISSING compacted dir is state corruption (silent
+    undercount) and raises, naming the path (r4 ADVICE)."""
     from pyspark.sql import functions as F
 
+    live = _cms_live_epochs(state_path)
+    if not live:
+        man = _cms_manifest(state_path)
+        if man is not None:
+            raise RuntimeError(
+                f"cms_read_grid: manifest at {state_path} names compacted "
+                f"epoch {man['compacted']} but no live epoch dir exists — "
+                "the compacted dir was deleted out-of-band; counts would "
+                "silently undercount. Restore it or rebuild the state."
+            )
+        return spark.createDataFrame([], "d int, bucket bigint, c bigint")
     return (
-        spark.read.parquet(*_cms_live_epochs(state_path))
+        spark.read.parquet(*live)
         .groupBy("d", "bucket")
         .agg(F.sum("c").alias("c"))
     )

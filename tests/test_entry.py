@@ -29,41 +29,46 @@ def test_correctness_window_priority():
         "dedup_cluster_components",
         "similarity_cosine_topk",
         "webhook_source_ingest",
-        "gold_denormalized_sales",
         "multimodal_codec_roundtrip",  # real-codec decode, driver-verified
         "pdf_ticket_pipeline",  # S4+: real binary PDF ingestion end-to-end
         "xlsx_report_pipeline",  # S2+: real XLSX ingestion end-to-end
-        "merge_upsert_orders",
         "grouping_sets_spend",
         "tpch_q8_market_share",
         "bm25_topk_per_query",
-        # round-4 rotation: the 3 re-fixed HUGEINT hash-fails (driver must
-        # re-verify the typing fix)...
-        "curriculum_quality_bins",
-        "pps_sample_documents",
-        "prefix_sum_document_bytes",
-        # ...the 10 formerly-latent HUGEINT queries, post-fix...
-        "corpus_summary_card",
-        "dedup_spans_keep_first",
-        "running_value_resets_on_signup",
-        "variant_props_rollup",
-        "higher_order_array_ops",
-        "tpch_q12_priority_shipmode",
-        "proportional_budget_allocation",
-        "growth_accounting_daily",
-        "weighted_median_spend",
-        "compaction_plan_documents",
-        # ...and the never-driver-checked retrieval/graph surface
-        "pagerank_copurchase",
+        # the round-4 red, re-fixed (postings string-encoded) — the driver
+        # must re-verify the fix
         "inverted_index_postings",
-        "lm_bigram_rarity",
-        "triangle_count_copurchase",
-        "countmin_user_frequency",
+        # round-5 rotation: streaming twin cycle + the hot-node capped tier
+        "window_sliding_hourly",
+        "link_prediction_jaccard_capped",
     }
     assert must <= set(window), must - set(window)
     # nothing silently dropped: priority reordering preserves the registry
     assert set(qs) == set(entrymod.REGISTRY if hasattr(entrymod, "REGISTRY") else qs)
     assert len(qs) == len(set(qs))
+
+
+def test_window_slots_are_harness_safe(spark):
+    """No window slot may emit array/struct/map output columns: the driver
+    harness canonicalizes results via pandas sort_values, which raises
+    `unhashable type` on such cells (the r4 inverted_index_postings err).
+    Schema analysis only — no job execution."""
+    import pyspark.sql.types as st
+
+    from etl_expenses_spark.plans import REGISTRY
+
+    window = list(entrymod.queries())[:50]
+    bad = {}
+    for name in window:
+        schema = REGISTRY[name].build(spark, "/root/testdata/sf0.001").schema
+        cols = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (st.ArrayType, st.StructType, st.MapType))
+        ]
+        if cols:
+            bad[name] = cols
+    assert not bad, bad
 
 
 def test_registry_consistency(spark):

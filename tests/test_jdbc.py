@@ -162,27 +162,41 @@ def test_jdbc_epoch_sink_exactly_once(tmp_path):
 
         # --- task-retry duplication: Spark's JDBC writer commits per
         # PARTITION, so a task that dies after its commit re-appends its
-        # whole partition into the stage. Simulate it by double-writing
-        # partition 0's rows (same _rid values) and assert the publish
-        # keeps one row per _rid.
+        # whole partition into the stage. The r4 ADVICE hazard: the retry
+        # may recompute the SAME multiset in a DIFFERENT row order, and the
+        # payload may contain genuinely duplicated rows — a positional row
+        # id would then publish a wrong multiset (A,A,B becomes A,B,B).
+        # Simulate exactly that (partition re-appended in reversed order,
+        # ids < 10 duplicated in the payload) and assert the published
+        # multiset is exact.
         import etl_expenses_spark.sources.jdbc as _jdbc
+        from pyspark.sql.functions import spark_partition_id
         _real_write = _jdbc.write_jdbc_table
         def _retry_write(df, url, table, **kw):
             _real_write(df, url, table, **kw)
-            _real_write(df.where(F.col("_rid") < 2**33), url, table, **kw)
+            _real_write(df.where(spark_partition_id() == 0)
+                          .orderBy(F.desc("id"), F.desc("_rid")),
+                        url, table, **kw)
         _jdbc.write_jdbc_table = _retry_write
         try:
             retry_sink = jdbc_epoch_sink(url, "gold_retry", connect,
                                          driver=drv, single_writer=True)
-            rb = spark.range(80).select(
-                F.col("id"), (F.col("id") % 3).alias("v")).repartition(2)
+            base = spark.range(80).select(
+                F.col("id"), (F.col("id") % 3).alias("v"))
+            dupes = spark.range(10).select(
+                F.col("id"), (F.col("id") % 3).alias("v"))
+            rb = base.unionAll(dupes).repartition(2)
             retry_sink(rb, 0)
         finally:
             _jdbc.write_jdbc_table = _real_write
         con = connect()
-        assert con.execute("SELECT COUNT(*) FROM gold_retry").fetchone()[0] == 80
+        assert con.execute("SELECT COUNT(*) FROM gold_retry").fetchone()[0] == 90
         assert con.execute(
             "SELECT COUNT(DISTINCT id) FROM gold_retry").fetchone()[0] == 80
+        # exact multiset: ids < 10 appear exactly twice, the rest once
+        assert con.execute(
+            "SELECT COUNT(*) FROM (SELECT id FROM gold_retry "
+            "GROUP BY id HAVING COUNT(*) = 2)").fetchone()[0] == 10
         con.close()
         print("JDBC_SINK_OK")
         """

@@ -837,6 +837,56 @@ def test_cms_compaction_manifest_swap(spark, dirs):
     assert grid() == want
     assert not glob.glob(st + "/epoch=1")
     assert os.path.exists(st + "/_COMPACTED")
+
+
+def test_cms_guards_checkpoint_reset_and_empty_state(spark, dirs, tmp_path):
+    """r4 ADVICE guards: (a) a stream restarted with a lost checkpoint
+    (batch ids back at 0) after a compaction must FAIL FAST, not write
+    epochs readers silently ignore; (b) a fresh state dir reads as an
+    EMPTY grid; (c) a manifest pointing at a deleted compacted dir is
+    corruption and raises, naming the path."""
+    import pytest as _pytest
+
+    from etl_expenses_spark.streaming.pipeline import (
+        cms_compact,
+        cms_read_grid,
+        cms_state_sink,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    first = events.filter(F.col("event_id") % 2 == 0)
+    second = events.filter(F.col("event_id") % 2 == 1)
+
+    # (b) fresh dir -> empty grid, correct schema, no py4j path error
+    fresh = str(tmp_path / "cms_fresh")
+    empty = cms_read_grid(spark, fresh)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["d", "bucket", "c"]
+
+    # (a) checkpoint reset after compaction fails fast
+    st = str(tmp_path / "cms_reset")
+    sink = cms_state_sink(st)
+    sink(first, 0)
+    sink(second, 1)
+    assert cms_compact(spark, st) == 2
+    before = {(r.d, r.bucket, r.c) for r in cms_read_grid(spark, st).collect()}
+    with _pytest.raises(RuntimeError, match="checkpoint was reset"):
+        sink(first, 0)  # replayed epoch id <= max_folded
+    # state unchanged and next legitimate epoch still lands
+    assert {(r.d, r.bucket, r.c)
+            for r in cms_read_grid(spark, st).collect()} == before
+
+    # (c) manifest present but compacted dir deleted -> loud corruption
+    import glob as _glob
+    import shutil as _shutil
+
+    for d in _glob.glob(st + "/epoch=*"):
+        _shutil.rmtree(d)
+    with _pytest.raises(RuntimeError, match="cms_read_grid"):
+        cms_read_grid(spark, st)
+
+
+def test_index_compaction_preserves_merge(spark, dirs):
     """Compaction folds N postings epochs into one with an IDENTICAL
     merged index, and later incremental epochs keep composing on top."""
     from etl_expenses_spark.functions.text import tokens
