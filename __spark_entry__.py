@@ -91,7 +91,7 @@ _PRIORITY = [
     "udtf_lateral_word_split",      # Spark-4 Python UDTF §2.11g
     "catalog_inventory",            # S10 catalog scan
     "join_salted_skew",             # salted skew join
-    "tpch_q9_nation_profit",        # TPC-H profit rollup
+    "multimodal_jpeg_roundtrip",    # r5: real baseline-JPEG decode oracle
     "sql_lateral_topk_per_group",   # SQL LATERAL
 ]
 

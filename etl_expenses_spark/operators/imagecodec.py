@@ -1,11 +1,14 @@
-"""Real image codec in pure numpy: PPM (P6/P3) and BMP (24-bit BI_RGB).
+"""Real image codecs in pure numpy: PPM (P6/P3), PGM (P5), BMP (24-bit
+BI_RGB), and baseline JPEG (operators/jpegcodec.py — full T.81 sequential
+decoder + encoder built from the public spec).
 
-The container ships no PIL/ffmpeg, but these two formats are fully
-decodable with stdlib + numpy, which makes the multimodal image path REAL
+The container ships no PIL/ffmpeg, but these formats are fully decodable
+with stdlib + numpy, which makes the multimodal image path REAL
 end-to-end: decode → resize → re-encode → feature-extract, all inside
-Arrow-batched ``mapInPandas`` workers (operators/multimodal.py). JPEG/PNG
-still require a real codec library and keep the deterministic-fake
-fallback there.
+Arrow-batched ``mapInPandas`` workers (operators/multimodal.py). PNG
+(DEFLATE + filters) still requires a compression library pass and keeps
+the deterministic-fake fallback there, as do progressive/arithmetic JPEGs
+(outside the baseline profile jpegcodec implements).
 
 All ops are deterministic (nearest-neighbor resampling, exact integer
 means) so results are stable across partitionings and retries — the same
@@ -22,13 +25,22 @@ import numpy as np
 def decode_image(data: bytes) -> np.ndarray | None:
     """bytes → (H, W, 3) uint8 RGB array, or None if the format is not one
     of the supported real codecs (PPM P6/P3, PGM P5 grayscale — the
-    payload video frame-sampling emits — and BMP 24-bit uncompressed).
-    Grayscale decodes to RGB with replicated channels so every downstream
-    stage sees one array contract."""
+    payload video frame-sampling emits — BMP 24-bit uncompressed, and
+    baseline JPEG). Grayscale decodes to RGB with replicated channels so
+    every downstream stage sees one array contract. Corrupt or
+    out-of-profile payloads return None (callers fall back to the
+    deterministic digest path), never raise."""
     if data[:2] in (b"P6", b"P3", b"P5"):
         return _decode_ppm(data)
     if data[:2] == b"BM":
         return _decode_bmp(data)
+    if data[:2] == b"\xff\xd8":
+        from etl_expenses_spark.operators.jpegcodec import decode_jpeg
+
+        try:
+            return decode_jpeg(data)
+        except (ValueError, IndexError, struct.error):
+            return None  # corrupt stream or non-baseline profile
     return None
 
 

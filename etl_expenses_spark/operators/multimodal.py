@@ -10,18 +10,22 @@ columns so planning-time filters never touch bytes.
 All three modalities have a REAL decode path for the formats this
 container can parse without binary deps:
 
-- image: PPM (P6/P3), PGM (P5), 24-bit BMP (operators/imagecodec.py)
+- image: PPM (P6/P3), PGM (P5), 24-bit BMP (operators/imagecodec.py), and
+  baseline JPEG — a full pure-numpy T.81 sequential decoder + encoder
+  (operators/jpegcodec.py), the one format a 100 TB image corpus cannot
+  avoid
 - audio: RIFF/WAVE 16-bit PCM (operators/audiocodec.py) — chunking slices
   actual samples and re-encodes standalone WAV payloads
 - video: YUV4MPEG2 (operators/videocodec.py) — frame sampling extracts
   actual luma planes re-encoded as PGM, which feed back into the image
   featurizer
 
-Formats that require a codec library this container lacks (JPEG/PNG,
-MP3/AAC, MP4/H.264) fall back to a deterministic digest-derived fake
-behind the same API, so the Spark-side plumbing (schemas, batch
-iteration, UDF signatures, partitioning) is identical on both paths.
-Swap the fallbacks for PIL/ffmpeg/librosa calls when the libs exist.
+Formats that require a codec library this container lacks (PNG,
+progressive/arithmetic JPEG, MP3/AAC, MP4/H.264) fall back to a
+deterministic digest-derived fake behind the same API, so the Spark-side
+plumbing (schemas, batch iteration, UDF signatures, partitioning) is
+identical on both paths. Swap the fallbacks for PIL/ffmpeg/librosa calls
+when the libs exist.
 """
 
 from __future__ import annotations

@@ -665,6 +665,100 @@ def multimodal_codec_roundtrip(spark, sf_dir):
 
 
 @query(
+    "multimodal_jpeg_roundtrip",
+    oracle="""
+        WITH sel AS (
+            SELECT doc_id,
+                   doc_id % 256 AS c,
+                   CASE doc_id % 3 WHEN 0 THEN '444' ELSE '420' END AS mode
+            FROM documents
+            WHERE doc_id % 10 = 3
+        )
+        SELECT mode,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(c AS DECIMAL(16,3))) AS DOUBLE) AS sum_r,
+               CAST(SUM(CAST((c * 7) % 256 AS DECIMAL(16,3))) AS DOUBLE)
+                   AS sum_g,
+               CAST(SUM(CAST((c * 13) % 256 AS DECIMAL(16,3))) AS DOUBLE)
+                   AS sum_b
+        FROM sel
+        GROUP BY mode
+    """,
+    tags=("multimodal", "codec", "jpeg"),
+)
+def multimodal_jpeg_roundtrip(spark, sf_dir):
+    """The pure-numpy baseline JPEG codec (operators/jpegcodec.py)
+    oracle-checked END TO END through Spark: solid-color images with
+    closed-form channels derived from doc_id are ENCODED as real baseline
+    JPEG (quality 100; alternating 4:4:4 and 4:2:0 sampling), then decoded
+    by the full T.81 decoder inside Arrow-batched mapInPandas, and the
+    extracted mean-channel features must reproduce the planted colors
+    BIT-EXACTLY — DuckDB predicts them symbolically.
+
+    Why exactness holds: at quality 100 every quantizer is 1; a solid
+    block's DCT is DC-only and the DC coefficient round-off is < 1/16 of a
+    level, far under the 0.5 uint8 rounding threshold — and 4:2:0's 2×2
+    box average of constant chroma is the same constant. So
+    encode→huffman→decode→IDCT→feature returns the exact planted uint8
+    channels, and round(mean*255, 3) == the planted integer in both
+    engines (feature slots are float32; the ×255 round-3 discipline is the
+    same as multimodal_codec_roundtrip's). Scale shape: one mapInPandas
+    chain, no shuffle until the 2-group aggregate."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_expenses_spark.operators.jpegcodec import encode_jpeg
+    from etl_expenses_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_and_featurize,
+    )
+
+    docs = (
+        T(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 10) == 3)
+        .select("doc_id")
+    )
+
+    def gen(batches):
+        meta = {"width": None, "height": None, "sample_rate": None,
+                "n_frames": None, "duration_ms": None}
+        for b in batches:
+            ids, kinds, payloads = [], [], []
+            for did in b["doc_id"]:
+                did = int(did)
+                c = did % 256
+                arr = np.empty((3 + did % 4, 4 + did % 5, 3), np.uint8)
+                arr[:, :] = (c, (c * 7) % 256, (c * 13) % 256)
+                ids.append(did)
+                kinds.append("image")
+                payloads.append(
+                    encode_jpeg(arr, quality=100, subsample=did % 3 != 0)
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "payload": payloads,
+                 "meta": [meta] * len(ids)}
+            )
+
+    media = docs.mapInPandas(gen, schema=MEDIA_SCHEMA)
+    feats = decode_and_featurize(media)
+    mode = F.when(F.col("media_id") % 3 == 0, F.lit("444")).otherwise(
+        F.lit("420")
+    )
+
+    def chan(i: int):
+        return F.round(
+            F.element_at("feature", i).cast("double") * 255.0, 3
+        ).cast("decimal(16,3)")
+
+    return feats.select(mode.alias("mode"), "feature").groupBy("mode").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(chan(1)).cast("double").alias("sum_r"),
+        F.sum(chan(2)).cast("double").alias("sum_g"),
+        F.sum(chan(3)).cast("double").alias("sum_b"),
+    )
+
+
+@query(
     "corpus_shuffle_deterministic",
     oracle="""
         SELECT doc_id, bucket, CAST(pos_in_bucket AS INTEGER) AS pos_in_bucket

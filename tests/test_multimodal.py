@@ -145,6 +145,36 @@ def test_real_image_path_through_spark_stages(spark):
         assert (out[mid].meta.width, out[mid].meta.height) == (8, 8)
 
 
+def test_real_jpeg_path_through_spark_stages(spark):
+    """Baseline JPEG payloads take the REAL decode path end-to-end: the
+    featurizer reads actual pixel statistics (not the digest fake) and
+    resize decodes the JPEG, resamples, and re-encodes a decodable PPM."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from etl_expenses_spark.operators.imagecodec import decode_image
+    from etl_expenses_spark.operators.jpegcodec import encode_jpeg
+    from etl_expenses_spark.operators.multimodal import resize_images
+
+    blue = np.full((24, 16, 3), [0, 0, 255], dtype=np.uint8)
+    jpg = encode_jpeg(blue, quality=90)
+    rows = [
+        Row(media_id=30, kind="image", payload=jpg,
+            meta=Row(width=16, height=24, sample_rate=None, n_frames=None,
+                     duration_ms=None)),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+    feats = {r.media_id: r.feature for r in decode_and_featurize(media).collect()}
+    # solid blue: mean B ~ 1, mean R/G ~ 0 (within JPEG rounding)
+    assert feats[30][2] > 0.98 and feats[30][0] < 0.02 and feats[30][1] < 0.02
+
+    out = {r.media_id: r for r in resize_images(media, width=8, height=8).collect()}
+    arr = decode_image(bytes(out[30].payload))
+    assert arr is not None and arr.shape == (8, 8, 3)
+    assert (np.abs(arr.astype(int) - blue[0, 0].astype(int)).max()) <= 1
+
+
 def test_audio_chunk_windows_and_bounds(spark):
     from etl_expenses_spark.operators.multimodal import audio_chunk
 
