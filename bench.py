@@ -76,6 +76,11 @@ HEADLINE = [
     # round-4 addition: wedge-bound neighborhood scoring — the one new
     # plan archetype of the round (graph family's non-iterative heavy join)
     "link_prediction_jaccard",
+    # round-5 additions: the hot-node degree-capped wedge tier (the shape
+    # you actually run at 100 TB) and the pure-Python JPEG decode through
+    # Arrow-batched mapInPandas (the round's new Python-stage archetype)
+    "link_prediction_jaccard_capped",
+    "multimodal_jpeg_roundtrip",
 ]
 
 

@@ -234,6 +234,10 @@ EXTRA = [
     "pareto_revenue_concentration",
     "gini_spend_inequality",
     "weighted_median_spend",
+    # round 5
+    "inverted_index_postings",      # postings re-encoded as sorted string
+    "link_prediction_jaccard_capped",  # degree-capped wedge tier
+    "multimodal_jpeg_roundtrip",    # JPEG decode through mapInPandas
 ]
 
 
