@@ -1,14 +1,16 @@
 """Real image codecs in pure numpy: PPM (P6/P3), PGM (P5), BMP (24-bit
-BI_RGB), and baseline JPEG (operators/jpegcodec.py — full T.81 sequential
-decoder + encoder built from the public spec).
+BI_RGB), baseline JPEG (operators/jpegcodec.py — full T.81 sequential
+decoder + encoder built from the public spec), and non-interlaced 8-bit
+PNG (operators/pngcodec.py — stdlib-zlib DEFLATE + all five scanline
+filters, decoder + encoder).
 
 The container ships no PIL/ffmpeg, but these formats are fully decodable
 with stdlib + numpy, which makes the multimodal image path REAL
 end-to-end: decode → resize → re-encode → feature-extract, all inside
-Arrow-batched ``mapInPandas`` workers (operators/multimodal.py). PNG
-(DEFLATE + filters) still requires a compression library pass and keeps
-the deterministic-fake fallback there, as do progressive/arithmetic JPEGs
-(outside the baseline profile jpegcodec implements).
+Arrow-batched ``mapInPandas`` workers (operators/multimodal.py).
+Remaining fallback formats: progressive/arithmetic JPEG, 16-bit or Adam7
+PNG, and the compressed audio/video containers (MP3/AAC, MP4/H.264) that
+genuinely need codec libraries this container lacks.
 
 All ops are deterministic (nearest-neighbor resampling, exact integer
 means) so results are stable across partitionings and retries — the same
@@ -41,6 +43,15 @@ def decode_image(data: bytes) -> np.ndarray | None:
             return decode_jpeg(data)
         except (ValueError, IndexError, struct.error):
             return None  # corrupt stream or non-baseline profile
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        import zlib
+
+        from etl_expenses_spark.operators.pngcodec import decode_png
+
+        try:
+            return decode_png(data)
+        except (ValueError, IndexError, struct.error, zlib.error):
+            return None  # corrupt stream, 16-bit, or interlaced
     return None
 
 

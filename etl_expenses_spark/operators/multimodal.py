@@ -10,19 +10,21 @@ columns so planning-time filters never touch bytes.
 All three modalities have a REAL decode path for the formats this
 container can parse without binary deps:
 
-- image: PPM (P6/P3), PGM (P5), 24-bit BMP (operators/imagecodec.py), and
+- image: PPM (P6/P3), PGM (P5), 24-bit BMP (operators/imagecodec.py),
   baseline JPEG — a full pure-numpy T.81 sequential decoder + encoder
   (operators/jpegcodec.py), the one format a 100 TB image corpus cannot
-  avoid
+  avoid — and non-interlaced 8-bit PNG in all five color types
+  (operators/pngcodec.py, stdlib zlib + scanline unfiltering)
 - audio: RIFF/WAVE 16-bit PCM (operators/audiocodec.py) — chunking slices
   actual samples and re-encodes standalone WAV payloads
 - video: YUV4MPEG2 (operators/videocodec.py) — frame sampling extracts
   actual luma planes re-encoded as PGM, which feed back into the image
   featurizer
 
-Formats that require a codec library this container lacks (PNG,
-progressive/arithmetic JPEG, MP3/AAC, MP4/H.264) fall back to a
-deterministic digest-derived fake behind the same API, so the Spark-side
+Formats that require a codec library this container lacks
+(progressive/arithmetic JPEG, 16-bit/Adam7 PNG, MP3/AAC, MP4/H.264) fall
+back to a deterministic digest-derived fake behind the same API, so the
+Spark-side
 plumbing (schemas, batch iteration, UDF signatures, partitioning) is
 identical on both paths. Swap the fallbacks for PIL/ffmpeg/librosa calls
 when the libs exist.
@@ -82,7 +84,8 @@ def _fake_feature(data: bytes) -> list[float]:
 
 def _feature_of(data: bytes) -> list[float]:
     """REAL content features when the payload is a decodable format —
-    PPM/PGM/BMP images, PCM WAV audio, Y4M video — digest fake otherwise.
+    PPM/PGM/BMP/baseline-JPEG/8-bit-PNG images, PCM WAV audio, Y4M video —
+    digest fake otherwise.
     Dispatch is by payload magic bytes, not the declared kind column, so a
     mislabeled row still featurizes by its actual content."""
     from etl_expenses_spark.operators.audiocodec import audio_features, decode_wav
@@ -103,8 +106,9 @@ def _feature_of(data: bytes) -> list[float]:
 
 def decode_and_featurize(media: DataFrame) -> DataFrame:
     """binary payload → feature vector. Arrow-batched mapInPandas;
-    PPM/PGM/BMP, WAV, and Y4M payloads are decoded for real (numpy
-    codecs), other formats get the deterministic content-hash fallback."""
+    PPM/PGM/BMP/JPEG/PNG, WAV, and Y4M payloads are decoded for real
+    (numpy codecs), other formats get the deterministic content-hash
+    fallback."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:

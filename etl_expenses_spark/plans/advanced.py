@@ -759,6 +759,84 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
 
 
 @query(
+    "multimodal_png_roundtrip",
+    oracle="""
+        WITH sel AS (
+            SELECT doc_id,
+                   doc_id % 256 AS c1,
+                   (doc_id * 3) % 256 AS c2
+            FROM documents
+            WHERE doc_id % 10 = 7
+        )
+        SELECT COUNT(*) AS n_items,
+               CAST(SUM(CAST(CAST(c1 + c2 AS DOUBLE) / 2 AS DECIMAL(16,3)))
+                    AS DOUBLE) AS sum_mean_r,
+               CAST(SUM(CAST(c1 AS DECIMAL(16,3))) AS DOUBLE) AS sum_g
+        FROM sel
+    """,
+    tags=("multimodal", "codec", "png"),
+)
+def multimodal_png_roundtrip(spark, sf_dir):
+    """The stdlib-zlib PNG codec (operators/pngcodec.py) oracle-checked END
+    TO END through Spark: two-tone images (top half R=c1, bottom half R=c2,
+    G=c1 everywhere) are encoded as real 8-bit RGB PNG, decoded by the full
+    unfiltering decoder inside Arrow-batched mapInPandas, and the decoded
+    mean channels must reproduce the planted pattern EXACTLY — PNG is
+    lossless, so unlike the JPEG twin this pins bit-identity, not an error
+    bound. DuckDB predicts mean R = (c1+c2)/2 and mean G = c1 symbolically.
+    Scale shape: one mapInPandas chain, no shuffle until the 1-row
+    aggregate."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_expenses_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_and_featurize,
+    )
+    from etl_expenses_spark.operators.pngcodec import encode_png
+
+    docs = (
+        T(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 10) == 7)
+        .select("doc_id")
+    )
+
+    def gen(batches):
+        meta = {"width": None, "height": None, "sample_rate": None,
+                "n_frames": None, "duration_ms": None}
+        for b in batches:
+            ids, kinds, payloads = [], [], []
+            for did in b["doc_id"]:
+                did = int(did)
+                c1, c2 = did % 256, (did * 3) % 256
+                arr = np.zeros((4, 5 + did % 4, 3), np.uint8)
+                arr[:2, :, 0] = c1
+                arr[2:, :, 0] = c2
+                arr[:, :, 1] = c1
+                ids.append(did)
+                kinds.append("image")
+                payloads.append(encode_png(arr))
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "payload": payloads,
+                 "meta": [meta] * len(ids)}
+            )
+
+    media = docs.mapInPandas(gen, schema=MEDIA_SCHEMA)
+    feats = decode_and_featurize(media)
+
+    def chan(i: int):
+        return F.round(
+            F.element_at("feature", i).cast("double") * 255.0, 3
+        ).cast("decimal(16,3)")
+
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(chan(1)).cast("double").alias("sum_mean_r"),
+        F.sum(chan(2)).cast("double").alias("sum_g"),
+    )
+
+
+@query(
     "corpus_shuffle_deterministic",
     oracle="""
         SELECT doc_id, bucket, CAST(pos_in_bucket AS INTEGER) AS pos_in_bucket

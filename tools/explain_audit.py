@@ -238,6 +238,7 @@ EXTRA = [
     "inverted_index_postings",      # postings re-encoded as sorted string
     "link_prediction_jaccard_capped",  # degree-capped wedge tier
     "multimodal_jpeg_roundtrip",    # JPEG decode through mapInPandas
+    "multimodal_png_roundtrip",     # PNG lossless decode, bit-identity
 ]
 
 
