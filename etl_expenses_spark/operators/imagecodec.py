@@ -82,15 +82,15 @@ def _decode_ppm(data: bytes) -> np.ndarray | None:
         return None
     if data[:2] == b"P5":
         i += 1  # single whitespace after maxval
-        pix = np.frombuffer(data, dtype=np.uint8, count=w * h, offset=i)
-        if pix.size < w * h:
+        if len(data) - i < w * h:  # truncated payload (frombuffer raises)
             return None
+        pix = np.frombuffer(data, dtype=np.uint8, count=w * h, offset=i)
         return np.repeat(pix.reshape(h, w, 1), 3, axis=2)
     if data[:2] == b"P6":
         i += 1  # single whitespace after maxval
-        pix = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=i)
-        if pix.size < w * h * 3:
+        if len(data) - i < w * h * 3:  # truncated payload
             return None
+        pix = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=i)
         return pix.reshape(h, w, 3).copy()
     vals = data[i:].split()
     if len(vals) < w * h * 3:

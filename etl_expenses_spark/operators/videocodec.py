@@ -39,8 +39,12 @@ def _parse_header(line: bytes) -> tuple[int, int, tuple[int, int, int]] | None:
             continue
         key, val = tok[:1], tok[1:]
         if key == b"W":
+            if not val.isdigit():  # garbage header (fuzz-found crash)
+                return None
             width = int(val)
         elif key == b"H":
+            if not val.isdigit():
+                return None
             height = int(val)
         elif key == b"C":
             base = b"mono" if val.startswith(b"mono") else val[:3]
