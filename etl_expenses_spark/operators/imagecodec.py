@@ -1,14 +1,14 @@
 """Real image codecs in pure numpy: PPM (P6/P3), PGM (P5), BMP (24-bit
 BI_RGB), baseline JPEG (operators/jpegcodec.py — full T.81 sequential
-decoder + encoder built from the public spec), and non-interlaced 8-bit
-PNG (operators/pngcodec.py — stdlib-zlib DEFLATE + all five scanline
-filters, decoder + encoder).
+decoder + encoder built from the public spec), and PNG
+(operators/pngcodec.py — stdlib-zlib DEFLATE, all five scanline filters
+and color types, 8/16-bit, Adam7; decoder + encoder).
 
 The container ships no PIL/ffmpeg, but these formats are fully decodable
 with stdlib + numpy, which makes the multimodal image path REAL
 end-to-end: decode → resize → re-encode → feature-extract, all inside
 Arrow-batched ``mapInPandas`` workers (operators/multimodal.py).
-Remaining fallback formats: progressive/arithmetic JPEG, 16-bit or Adam7
+Remaining fallback formats: progressive/arithmetic JPEG, sub-byte-depth
 PNG, and the compressed audio/video containers (MP3/AAC, MP4/H.264) that
 genuinely need codec libraries this container lacks.
 
@@ -51,7 +51,7 @@ def decode_image(data: bytes) -> np.ndarray | None:
         try:
             return decode_png(data)
         except (ValueError, IndexError, struct.error, zlib.error):
-            return None  # corrupt stream, 16-bit, or interlaced
+            return None  # corrupt stream or sub-byte bit depth
     return None
 
 

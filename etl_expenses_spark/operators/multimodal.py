@@ -13,8 +13,8 @@ container can parse without binary deps:
 - image: PPM (P6/P3), PGM (P5), 24-bit BMP (operators/imagecodec.py),
   baseline JPEG — a full pure-numpy T.81 sequential decoder + encoder
   (operators/jpegcodec.py), the one format a 100 TB image corpus cannot
-  avoid — and non-interlaced 8-bit PNG in all five color types
-  (operators/pngcodec.py, stdlib zlib + scanline unfiltering)
+  avoid — and PNG in all five color types, 8/16-bit, both interlace
+  methods (operators/pngcodec.py, stdlib zlib + scanline unfiltering)
 - audio: RIFF/WAVE 16-bit PCM (operators/audiocodec.py) — chunking slices
   actual samples and re-encodes standalone WAV payloads
 - video: YUV4MPEG2 (operators/videocodec.py) — frame sampling extracts
@@ -22,8 +22,8 @@ container can parse without binary deps:
   featurizer
 
 Formats that require a codec library this container lacks
-(progressive/arithmetic JPEG, 16-bit/Adam7 PNG, MP3/AAC, MP4/H.264) fall
-back to a deterministic digest-derived fake behind the same API, so the
+(progressive/arithmetic JPEG, MP3/AAC, MP4/H.264) fall back to a
+deterministic digest-derived fake behind the same API, so the
 Spark-side
 plumbing (schemas, batch iteration, UDF signatures, partitioning) is
 identical on both paths. Swap the fallbacks for PIL/ffmpeg/librosa calls

@@ -95,9 +95,23 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return recon
 
 
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step) per pass.
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes → (H, W, 3) uint8 RGB. Raises UnsupportedPngError outside
-    the 8-bit non-interlaced scope, ValueError on corrupt data."""
+    """PNG bytes → (H, W, 3) uint8 RGB. Supports bit depths 8 and 16 (16
+    downconverts via the high byte, the spec's sample depth rescale) and
+    both interlace methods (none / Adam7). Raises UnsupportedPngError for
+    sub-byte depths (1/2/4-bit), ValueError on corrupt data."""
     if data[:8] != _SIG:
         raise ValueError("png: bad signature")
     ihdr = None
@@ -121,20 +135,47 @@ def decode_png(data: bytes) -> np.ndarray:
     w, h, depth, color, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("png: nonstandard compression/filter method")
-    if interlace != 0:
-        raise UnsupportedPngError("png: Adam7 interlacing")
-    if depth != 8:
+    if interlace not in (0, 1):
+        raise ValueError(f"png: bad interlace method {interlace}")
+    if depth not in (8, 16):
         raise UnsupportedPngError(f"png: bit depth {depth}")
+    if depth == 16 and color == 3:
+        raise ValueError("png: 16-bit palette is invalid")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise ValueError(f"png: bad color type {color}")
-    bpp = channels  # 8-bit: bytes per pixel == channels
-    stride = w * bpp
+    bpp = channels * (depth // 8)
     raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
-    if raw.size != h * (stride + 1):
-        raise ValueError("png: wrong decompressed size")
-    recon = _unfilter(raw.reshape(h, stride + 1), h, stride, bpp)
-    px = recon.reshape(h, w, channels)
+
+    def unfilter_block(block: np.ndarray, bh: int, bw: int) -> np.ndarray:
+        """Filtered scanlines of a (bh, bw)-pixel region → (bh, bw,
+        channels) uint8 samples (16-bit keeps the high byte)."""
+        stride = bw * bpp
+        recon = _unfilter(block.reshape(bh, stride + 1), bh, stride, bpp)
+        if depth == 16:
+            recon = recon.reshape(bh, bw, channels, 2)[:, :, :, 0]
+        return recon.reshape(bh, bw, channels)
+
+    if interlace == 0:
+        if raw.size != h * (w * bpp + 1):
+            raise ValueError("png: wrong decompressed size")
+        px = unfilter_block(raw, h, w)
+    else:  # Adam7: seven independently-filtered sub-images, scattered back
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            size = ph * (pw * bpp + 1)
+            if pos + size > raw.size:
+                raise ValueError("png: wrong decompressed size (interlaced)")
+            sub = unfilter_block(raw[pos : pos + size], ph, pw)
+            px[y0::dy, x0::dx] = sub
+            pos += size
+        if pos != raw.size:
+            raise ValueError("png: trailing interlaced data")
     if color == 0:  # gray
         return np.repeat(px, 3, axis=2)
     if color == 2:  # rgb

@@ -123,10 +123,59 @@ def test_palette_color_type():
     assert np.array_equal(dec, pal[idx])
 
 
+def test_16bit_decodes_via_high_byte():
+    img = _gradient(6, 7)
+    # hand-build 16-bit RGB: each 8-bit sample s becomes (s << 8) | s,
+    # the spec's exact 8->16 rescale; decoder must return the high byte
+    wide = img.astype(np.uint16)
+    wide = (wide << 8) | wide
+    h, w = img.shape[:2]
+    raw = bytearray()
+    be = wide.reshape(h, w * 3).astype(">u2")
+    for y in range(h):
+        raw.append(0)  # filter None
+        raw += be[y].tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    data = (
+        _SIG + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data), img)
+
+
+def _adam7_passes(h, w):
+    for x0, y0, dx, dy in [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        yield x0, y0, dx, dy, pw, ph
+
+
+def test_adam7_interlaced_decodes():
+    img = _gradient(13, 11)  # non-multiple-of-8 dims exercise empty passes
+    h, w = img.shape[:2]
+    raw = bytearray()
+    for x0, y0, dx, dy, pw, ph in _adam7_passes(h, w):
+        if pw == 0 or ph == 0:
+            continue
+        sub = img[y0::dy, x0::dx]  # (ph, pw, 3)
+        for y in range(ph):
+            raw.append(0)  # filter None per pass scanline
+            raw += sub[y].tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+    data = (
+        _SIG + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data), img)
+
+
 def test_out_of_scope_raises_and_dispatch_guards():
     img = _gradient(5, 5)
-    # 16-bit depth -> UnsupportedPngError
-    ihdr = struct.pack(">IIBBBBB", 5, 5, 16, 2, 0, 0, 0)
+    # sub-byte depth -> UnsupportedPngError
+    ihdr = struct.pack(">IIBBBBB", 5, 5, 4, 0, 0, 0, 0)
     data = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(b"x")) + _chunk(b"IEND", b"")
     with pytest.raises(UnsupportedPngError):
         decode_png(data)
@@ -134,4 +183,4 @@ def test_out_of_scope_raises_and_dispatch_guards():
     enc = encode_png(img)
     assert np.array_equal(decode_image(enc), img)
     assert decode_image(enc[:40]) is None
-    assert decode_image(data) is None  # 16-bit falls back, no raise
+    assert decode_image(data) is None  # 4-bit falls back, no raise
