@@ -1,8 +1,10 @@
 """Real image codecs in pure numpy: PPM (P6/P3), PGM (P5), BMP (24-bit
 BI_RGB), baseline JPEG (operators/jpegcodec.py — full T.81 sequential
-decoder + encoder built from the public spec), and PNG
+decoder + encoder built from the public spec), PNG
 (operators/pngcodec.py — stdlib-zlib DEFLATE, all five scanline filters
-and color types, 8/16-bit, Adam7; decoder + encoder).
+and color types, 8/16-bit, Adam7; decoder + encoder), and GIF87a/89a
+first-frame (operators/gifcodec.py — variable-width LZW, interlace,
+transparency; decoder + quantizing encoder).
 
 The container ships no PIL/ffmpeg, but these formats are fully decodable
 with stdlib + numpy, which makes the multimodal image path REAL
@@ -27,8 +29,8 @@ import numpy as np
 def decode_image(data: bytes) -> np.ndarray | None:
     """bytes → (H, W, 3) uint8 RGB array, or None if the format is not one
     of the supported real codecs (PPM P6/P3, PGM P5 grayscale — the
-    payload video frame-sampling emits — BMP 24-bit uncompressed, and
-    baseline JPEG). Grayscale decodes to RGB with replicated channels so
+    payload video frame-sampling emits — BMP 24-bit uncompressed,
+    baseline JPEG, PNG, and GIF first-frame). Grayscale decodes to RGB with replicated channels so
     every downstream stage sees one array contract. Corrupt or
     out-of-profile payloads return None (callers fall back to the
     deterministic digest path), never raise."""
@@ -43,6 +45,13 @@ def decode_image(data: bytes) -> np.ndarray | None:
             return decode_jpeg(data)
         except (ValueError, IndexError, struct.error):
             return None  # corrupt stream or non-baseline profile
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from etl_expenses_spark.operators.gifcodec import decode_gif
+
+        try:
+            return decode_gif(data)
+        except (ValueError, IndexError, struct.error):
+            return None  # corrupt stream
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         import zlib
 

@@ -13,8 +13,10 @@ container can parse without binary deps:
 - image: PPM (P6/P3), PGM (P5), 24-bit BMP (operators/imagecodec.py),
   baseline JPEG — a full pure-numpy T.81 sequential decoder + encoder
   (operators/jpegcodec.py), the one format a 100 TB image corpus cannot
-  avoid — and PNG in all five color types, 8/16-bit, both interlace
-  methods (operators/pngcodec.py, stdlib zlib + scanline unfiltering)
+  avoid — PNG in all five color types, 8/16-bit, both interlace
+  methods (operators/pngcodec.py, stdlib zlib + scanline unfiltering) —
+  and GIF87a/89a first-frame (operators/gifcodec.py, variable-width LZW,
+  interlace + transparency)
 - audio: RIFF/WAVE 16-bit PCM (operators/audiocodec.py) — chunking slices
   actual samples and re-encodes standalone WAV payloads
 - video: YUV4MPEG2 (operators/videocodec.py) — frame sampling extracts

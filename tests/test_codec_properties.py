@@ -32,6 +32,8 @@ _MAGICS = [
     b"BM",
     b"\xff\xd8",
     b"\x89PNG\r\n\x1a\n",
+    b"GIF89a",
+    b"GIF87a",
 ]
 
 
@@ -53,8 +55,10 @@ def test_decode_image_never_raises(prefix, junk):
     cut=st.floats(0.0, 1.0),
 )
 def test_truncated_real_encodings_never_raise(h, w, seed, cut):
+    from etl_expenses_spark.operators.gifcodec import encode_gif
+
     img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), np.uint8)
-    for enc in (encode_png(img), encode_jpeg(img, quality=80)):
+    for enc in (encode_png(img), encode_jpeg(img, quality=80), encode_gif(img)):
         out = decode_image(enc[: int(len(enc) * cut)])
         assert out is None or (out.ndim == 3 and out.shape[2] == 3)
 
