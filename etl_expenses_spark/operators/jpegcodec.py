@@ -35,6 +35,7 @@ at once.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -156,8 +157,10 @@ def _idct2(blocks: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------- huffman
 
 
-def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """Canonical JPEG Huffman: {(length, code) -> value}."""
+@lru_cache(maxsize=64)
+def _build_decode_table_cached(
+    bits: tuple[int, ...], vals: tuple[int, ...]
+) -> dict[tuple[int, int], int]:
     table = {}
     code = 0
     k = 0
@@ -170,9 +173,27 @@ def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int
     return table
 
 
+def _build_decode_table(bits, vals) -> dict[tuple[int, int], int]:
+    """Canonical JPEG Huffman: {(length, code) -> value}. Memoized — a
+    corpus decode sees the same (usually Annex K) tables millions of
+    times, and rebuilding them dominated the per-small-image decode
+    profile (4 DHT segments per file)."""
+    return _build_decode_table_cached(tuple(bits), tuple(vals))
+
+
+@lru_cache(maxsize=64)
+def _build_encode_table_cached(
+    bits: tuple[int, ...], vals: tuple[int, ...]
+) -> dict[int, tuple[int, int]]:
+    return {
+        v: (c, l)
+        for (l, c), v in _build_decode_table_cached(bits, vals).items()
+    }
+
+
 def _build_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
-    """{value -> (code, length)}."""
-    return {v: (c, l) for (l, c), v in _build_decode_table(bits, vals).items()}
+    """{value -> (code, length)} (memoized like the decode table)."""
+    return _build_encode_table_cached(tuple(bits), tuple(vals))
 
 
 class _BitReader:
