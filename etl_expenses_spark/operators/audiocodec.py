@@ -1,12 +1,14 @@
-"""Real audio codec in pure stdlib+numpy: RIFF/WAVE PCM (16-bit).
+"""Real audio codec in pure stdlib+numpy: RIFF/WAVE PCM (16-bit), plus
+G.711 companded WAV (u-law format 7, A-law format 6 — decoded to int16
+through the closed-form expansion, the telephony corpus staple).
 
 Same philosophy as operators/imagecodec.py: the container ships no
 librosa/soundfile/ffmpeg, but canonical PCM WAV is fully parseable with
 ``struct`` + numpy, which makes the multimodal audio path REAL end to end:
 decode → chunk (sample-exact slices re-encoded as standalone WAV) →
 feature-extract, all inside Arrow-batched ``mapInPandas`` workers
-(operators/multimodal.py). Compressed formats (MP3/AAC/Opus) still require
-a codec library and keep the deterministic-fake fallback there.
+(operators/multimodal.py). Compressed formats (MP3/AAC/Opus) still require a codec library and keep
+the deterministic-fake fallback there.
 
 Everything is deterministic (integer sample math, float64 reductions in
 fixed order) so results are stable across partitionings and retries.
@@ -43,13 +45,108 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int] | None:
     if fmt is None or pcm is None:
         return None
     audio_format, channels, sample_rate, _byte_rate, _block_align, bits = fmt
-    if audio_format != 1 or bits != 16 or channels < 1 or sample_rate <= 0:
+    if channels < 1 or sample_rate <= 0:
+        return None
+    if audio_format in (6, 7) and bits == 8:  # G.711 A-law / u-law
+        usable = len(pcm) - (len(pcm) % channels)
+        if usable <= 0:
+            return None
+        raw = np.frombuffer(pcm, dtype=np.uint8, count=usable)
+        lut = _ALAW_LUT if audio_format == 6 else _ULAW_LUT
+        return lut[raw].reshape(-1, channels).copy(), sample_rate
+    if audio_format != 1 or bits != 16:
         return None
     usable = len(pcm) - (len(pcm) % (2 * channels))
     if usable <= 0:
         return None
     samples = np.frombuffer(pcm, dtype="<i2", count=usable // 2)
     return samples.reshape(-1, channels).copy(), sample_rate
+
+
+def _build_ulaw_lut() -> np.ndarray:
+    """G.711 u-law byte → int16 PCM (the ITU expansion: bias 0x84,
+    3-bit exponent, 4-bit mantissa, complemented on the wire)."""
+    out = np.zeros(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        sign = u & 0x80
+        exp = (u >> 4) & 0x07
+        man = u & 0x0F
+        mag = ((man << 3) + 0x84) << exp
+        mag -= 0x84
+        out[b] = -mag if sign else mag
+    return out
+
+
+def _build_alaw_lut() -> np.ndarray:
+    """G.711 A-law byte → int16 PCM (the classic reference expansion:
+    0x55 XOR on the wire; sign bit SET means positive)."""
+    out = np.zeros(256, dtype=np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        i = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg:
+            i = (i + 0x108) << (seg - 1)
+        else:
+            i += 8
+        out[b] = i if (a & 0x80) else -i
+    return out
+
+
+_ULAW_LUT = _build_ulaw_lut()
+_ALAW_LUT = _build_alaw_lut()
+
+
+def _nearest_level_encoder(lut: np.ndarray):
+    """Exact inverse quantizer for a 256-level companding LUT: maps each
+    int16 sample to the byte whose decoded level is NEAREST (ties toward
+    the lower level) — by construction, decode(encode(x)) is the closest
+    representable G.711 level to x, and re-encoding a decoded signal is a
+    fixpoint."""
+    order = np.argsort(lut.astype(np.int32), kind="stable")
+    levels = lut.astype(np.int32)[order]
+
+    def enc(x: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(levels, x)
+        lo = np.clip(pos - 1, 0, 255)
+        hi = np.clip(pos, 0, 255)
+        pick_hi = (levels[hi] - x) < (x - levels[lo])
+        return order[np.where(pick_hi, hi, lo)].astype(np.uint8)
+
+    return enc
+
+
+def encode_g711_wav(samples: np.ndarray, sample_rate: int, law: str = "ulaw") -> bytes:
+    """(n,) or (n, ch) int16 → companded 8-bit WAV (format 7 u-law or 6
+    A-law). The compander is the exact nearest-level inverse of the decode
+    LUT, so roundtrip error is exactly the G.711 quantization step."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    channels = samples.shape[1]
+    flat = samples.astype(np.int32).reshape(-1)
+    if law == "ulaw":
+        enc = _ULAW_ENC(flat)
+        fmt_code = 7
+    elif law == "alaw":
+        enc = _ALAW_ENC(flat)
+        fmt_code = 6
+    else:
+        raise ValueError("law must be 'ulaw' or 'alaw'")
+    payload = enc.astype(np.uint8).tobytes()
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(payload))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH", 16, fmt_code, channels, sample_rate,
+            sample_rate * channels, channels, 8,
+        )
+        + b"data"
+        + struct.pack("<I", len(payload))
+    )
+    return hdr + payload
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
@@ -142,3 +239,7 @@ def make_tone(
     wave = np.round(amplitude * 32767.0 * np.sin(2.0 * np.pi * freq_hz * t))
     mono = wave.astype(np.int16)
     return encode_wav(np.repeat(mono[:, None], channels, axis=1), sample_rate)
+
+
+_ULAW_ENC = _nearest_level_encoder(_ULAW_LUT)
+_ALAW_ENC = _nearest_level_encoder(_ALAW_LUT)

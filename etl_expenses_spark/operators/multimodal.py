@@ -17,8 +17,9 @@ container can parse without binary deps:
   methods (operators/pngcodec.py, stdlib zlib + scanline unfiltering) —
   and GIF87a/89a first-frame (operators/gifcodec.py, variable-width LZW,
   interlace + transparency)
-- audio: RIFF/WAVE 16-bit PCM (operators/audiocodec.py) — chunking slices
-  actual samples and re-encodes standalone WAV payloads
+- audio: RIFF/WAVE 16-bit PCM plus G.711 companded u-law/A-law
+  (operators/audiocodec.py) — chunking slices actual samples and
+  re-encodes standalone WAV payloads
 - video: YUV4MPEG2 (operators/videocodec.py) — frame sampling extracts
   actual luma planes re-encoded as PGM, which feed back into the image
   featurizer

@@ -226,6 +226,40 @@ def test_audiocodec_wav_roundtrip_and_features():
     assert decode_wav(b"not audio at all") is None
 
 
+def test_g711_companded_wav_decode():
+    """u-law/A-law WAV (G.711, formats 7/6) decode through the same
+    decode_wav entry: roundtrip error is bounded by the top-segment
+    quantization step, re-encoding a decoded signal is a fixpoint, and
+    the chunker consumes companded payloads like any PCM WAV."""
+    import numpy as np
+
+    from etl_expenses_spark.operators.audiocodec import (
+        decode_wav,
+        duration_ms,
+        encode_g711_wav,
+    )
+
+    x = (np.sin(np.arange(8000) * 0.07) * 24000).astype(np.int16)
+    for law in ("ulaw", "alaw"):
+        wav = encode_g711_wav(x, 8000, law)
+        dec = decode_wav(wav)
+        assert dec is not None
+        y, rate = dec
+        assert rate == 8000 and y.shape == (8000, 1)
+        err = np.abs(y[:, 0].astype(np.int32) - x.astype(np.int32))
+        assert err.max() <= 512  # top-segment step / 2 for both laws
+        # companding fixpoint: decoded levels re-encode to themselves
+        y2, _ = decode_wav(encode_g711_wav(y[:, 0], 8000, law))
+        assert np.array_equal(y, y2)
+        assert duration_ms(y, rate) == 1000
+    # stereo + truncated payloads stay well-behaved
+    st = np.stack([x[:100], -x[:100]], axis=1)
+    wav = encode_g711_wav(st, 8000, "ulaw")
+    y, _ = decode_wav(wav)
+    assert y.shape == (100, 2)
+    assert decode_wav(wav[:50]) is None or True  # never raises
+
+
 def test_videocodec_y4m_roundtrip():
     """Real video codec unit coverage: luma roundtrip across colorspaces,
     PGM frame encode feeds the image decoder, corrupt streams refuse."""
