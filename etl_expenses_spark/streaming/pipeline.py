@@ -130,6 +130,46 @@ def run_events_stream_once(
     )
 
 
+def run_media_stream_featurize(
+    spark: SparkSession,
+    bronze_dir: str,
+    gold_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Multimodal featurization UNDER INGEST: an availableNow stream of
+    media rows (binary payload + typed meta, operators/multimodal.py
+    MEDIA_SCHEMA) runs the REAL-codec decode→featurize stage
+    (PPM/BMP/JPEG/PNG/GIF images, PCM/G.711 WAV, Y4M video) inside each
+    micro-batch's Arrow-batched mapInPandas, then idempotently merges on
+    media_id — the vision/audio-corpus twin of run_events_stream_once.
+    Features are pure functions of the payload, so stream == batch
+    equality is exact (pinned in tests/test_streaming.py); replay and
+    re-delivery are absorbed by the left_anti merge.
+
+    100 TB shape: payload bytes cross the Arrow boundary once per file,
+    partition-parallel; the merge key is media_id, so gold never
+    re-featurizes history."""
+    from etl_expenses_spark.operators.merge import merge_append
+    from etl_expenses_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_and_featurize,
+    )
+
+    media = spark.readStream.schema(MEDIA_SCHEMA).parquet(bronze_dir)
+    feats = decode_and_featurize(media)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_append(batch_df, gold_path, keys=["media_id"])
+
+    (
+        feats.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def run_events_stream_to_wap(
     spark: SparkSession,
     bronze_dir: str,
