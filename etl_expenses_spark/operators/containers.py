@@ -1,0 +1,562 @@
+"""Container metadata extraction WITHOUT decode: ISO-BMFF (MP4) box walk,
+MPEG-1 Layer III (MP3) frame-header scan, and a unified header-only
+``probe_media`` census over every format this engine knows.
+
+Rationale: decoding H.264 or MP3 audio needs codec libraries this
+container lacks — but the *container* layer is plain structured bytes,
+and at 100 TB the first query on a media corpus is a census: format,
+duration, resolution, codec fourcc, frame count, bitrate. None of that
+requires touching a single compressed sample. This module makes the
+census REAL for the two dominant wire formats whose payloads we cannot
+decode (.mp4, .mp3), and header-only (no pixel/sample materialization)
+for the formats we can (PNG/JPEG/GIF/BMP/PPM/WAV/Y4M).
+
+Reference parity: the reference treats attachments as opaque blobs with
+filename/size predicates only (gmail_pipeline/main.py attachment walk);
+this is the training-data-pipeline extension layer the multimodal brief
+calls for, same MEDIA_SCHEMA plumbing as operators/multimodal.py.
+
+Scale shape: ``probe_media`` is one Arrow-batched ``mapInPandas`` stage —
+header bytes only, O(boxes) per MP4 and O(frames) per MP3 with no
+allocation proportional to media size; downstream census aggregates are
+ordinary shuffled groupBys on the tiny probe rows.
+
+All parsers return ``None`` on any malformed/truncated/garbage input —
+never raise — matching the fuzz contract of the codec modules
+(tests/test_codec_properties.py).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# ISO-BMFF (MP4 / MOV / 3GP) — box walk
+# ---------------------------------------------------------------------------
+
+
+def _iter_boxes(data: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_end) for each box in
+    data[start:end]. Handles 64-bit largesize (size==1) and to-end-of-file
+    (size==0). Stops silently on any malformed size."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos : pos + 4], "big")
+        fourcc = data[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(data[pos + 8 : pos + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            return
+        yield fourcc, pos + hdr, pos + size
+        pos += size
+
+
+def _find_box(data: bytes, start: int, end: int, fourcc: bytes):
+    for fc, s, e in _iter_boxes(data, start, end):
+        if fc == fourcc:
+            return s, e
+    return None
+
+
+def _timed_header(data: bytes, s: int, e: int, v1_off: int, v0_off: int):
+    """(timescale, duration) from an mvhd/mdhd payload; None if truncated.
+    v0: u32 duration at v0_off; v1: u64 duration at v1_off (64-bit
+    creation/modification times shift everything by 8 bytes)."""
+    if e - s < 4:
+        return None
+    if data[s] == 1:
+        if e - s < v1_off + 8:
+            return None
+        ts = int.from_bytes(data[s + v1_off - 4 : s + v1_off], "big")
+        dur = int.from_bytes(data[s + v1_off : s + v1_off + 8], "big")
+    else:
+        if e - s < v0_off + 4:
+            return None
+        ts = int.from_bytes(data[s + v0_off - 4 : s + v0_off], "big")
+        dur = int.from_bytes(data[s + v0_off : s + v0_off + 4], "big")
+    return (ts, dur) if ts > 0 else None
+
+
+def parse_mp4(data: bytes) -> dict | None:
+    """Metadata census of an ISO-BMFF file: brand, movie duration, and
+    per-track (handler, codec fourcc, width/height, sample count,
+    duration). Never raises; returns None unless a valid ftyp box leads.
+
+    Box layout per ISO/IEC 14496-12: moov/mvhd holds the movie timescale
+    and duration (version 0 = 32-bit fields, version 1 = 64-bit);
+    trak/tkhd ends with 16.16 fixed-point width/height; trak/mdia/hdlr
+    carries the 'vide'/'soun' handler; stbl/stsd's first sample entry
+    starts with the codec fourcc; stbl/stsz carries the sample count."""
+    n = len(data)
+    if n < 12:
+        return None
+    ftyp = _find_box(data, 0, n, b"ftyp")
+    if ftyp is None or data[4:8] != b"ftyp":
+        return None
+    fs, fe = ftyp
+    brand = data[fs : fs + 4].decode("ascii", "replace") if fe - fs >= 4 else None
+
+    moov = _find_box(data, 0, n, b"moov")
+    out: dict = {"brand": brand, "duration_ms": None, "tracks": []}
+    if moov is None:
+        return out
+    ms, me = moov
+
+    mvhd = _find_box(data, ms, me, b"mvhd")
+    if mvhd is not None:
+        td = _timed_header(data, mvhd[0], mvhd[1], 24, 16)
+        if td is not None:
+            out["duration_ms"] = td[1] * 1000 // td[0]
+
+    for fc, ts_, te_ in _iter_boxes(data, ms, me):
+        if fc != b"trak":
+            continue
+        trk: dict = {
+            "handler": None,
+            "codec": None,
+            "width": None,
+            "height": None,
+            "n_samples": None,
+            "duration_ms": None,
+        }
+        tkhd = _find_box(data, ts_, te_, b"tkhd")
+        if tkhd is not None and tkhd[1] - tkhd[0] >= 8:
+            # width/height are the last two 16.16 fixed-point u32s
+            w = int.from_bytes(data[tkhd[1] - 8 : tkhd[1] - 4], "big") >> 16
+            h = int.from_bytes(data[tkhd[1] - 4 : tkhd[1]], "big") >> 16
+            if w:
+                trk["width"] = w
+            if h:
+                trk["height"] = h
+        mdia = _find_box(data, ts_, te_, b"mdia")
+        if mdia is not None:
+            ds, de = mdia
+            mdhd = _find_box(data, ds, de, b"mdhd")
+            if mdhd is not None:
+                td = _timed_header(data, mdhd[0], mdhd[1], 24, 16)
+                if td is not None:
+                    trk["duration_ms"] = td[1] * 1000 // td[0]
+            hdlr = _find_box(data, ds, de, b"hdlr")
+            if hdlr is not None and hdlr[1] - hdlr[0] >= 12:
+                trk["handler"] = data[hdlr[0] + 8 : hdlr[0] + 12].decode(
+                    "ascii", "replace"
+                )
+            minf = _find_box(data, ds, de, b"minf")
+            stbl = minf and _find_box(data, minf[0], minf[1], b"stbl")
+            if stbl:
+                stsd = _find_box(data, stbl[0], stbl[1], b"stsd")
+                if stsd is not None and stsd[1] - stsd[0] >= 16:
+                    trk["codec"] = data[stsd[0] + 12 : stsd[0] + 16].decode(
+                        "ascii", "replace"
+                    )
+                stsz = _find_box(data, stbl[0], stbl[1], b"stsz")
+                if stsz is not None and stsz[1] - stsz[0] >= 12:
+                    trk["n_samples"] = int.from_bytes(
+                        data[stsz[0] + 8 : stsz[0] + 12], "big"
+                    )
+        out["tracks"].append(trk)
+    return out
+
+
+def _box(fourcc: bytes, *payload: bytes) -> bytes:
+    body = b"".join(payload)
+    return (len(body) + 8).to_bytes(4, "big") + fourcc + body
+
+
+def _full(fourcc: bytes, version: int, payload: bytes) -> bytes:
+    return _box(fourcc, bytes([version, 0, 0, 0]), payload)
+
+
+def encode_minimal_mp4(
+    width: int,
+    height: int,
+    n_video_samples: int,
+    duration_ms: int,
+    codec: str = "avc1",
+    audio_samples: int = 0,
+    audio_rate: int = 48000,
+    version1: bool = False,
+    mdat: bytes = b"",
+) -> bytes:
+    """Minimal-but-valid ISO-BMFF muxer for fixtures and oracle queries:
+    ftyp + moov(mvhd, video trak, optional audio trak) + mdat. The sample
+    tables carry real counts (stsz/stts) but the mdat payload is caller
+    bytes — we mux containers, we don't synthesize H.264. ``version1``
+    emits 64-bit mvhd/mdhd to exercise the v1 parse path."""
+    timescale = 1000
+    dur = duration_ms  # at timescale 1000, ms == ticks
+
+    def timed(v1: bool, ts: int, d: int) -> bytes:
+        if v1:
+            return struct.pack(">QQIQ", 0, 0, ts, d)
+        return struct.pack(">IIII", 0, 0, ts, d)
+
+    ver = 1 if version1 else 0
+
+    def trak(handler: bytes, fourcc: bytes, w: int, h: int, n: int, ts: int) -> bytes:
+        tkhd = _full(
+            b"tkhd",
+            0,
+            struct.pack(">IIIII", 0, 0, 1, 0, dur)
+            + b"\x00" * 52
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        mdhd = _full(b"mdhd", ver, timed(version1, ts, dur * ts // 1000) + b"\x00" * 4)
+        hdlr = _full(b"hdlr", 0, b"\x00" * 4 + handler + b"\x00" * 12 + b"\x00")
+        entry = _box(fourcc, b"\x00" * 70)
+        stsd = _full(b"stsd", 0, struct.pack(">I", 1) + entry)
+        stts = _full(b"stts", 0, struct.pack(">III", 1, n, max(1, ts * dur // (1000 * max(n, 1)))))
+        stsz = _full(b"stsz", 0, struct.pack(">II", 1, n))  # uniform size 1
+        stsc = _full(b"stsc", 0, struct.pack(">IIII", 1, 1, max(n, 1), 1))
+        stco = _full(b"stco", 0, struct.pack(">I", 0))
+        stbl = _box(b"stbl", stsd, stts, stsc, stsz, stco)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", mdhd, hdlr, minf)
+        return _box(b"trak", tkhd, mdia)
+
+    mvhd = _full(b"mvhd", ver, timed(version1, timescale, dur) + b"\x00" * 80)
+    traks = [trak(b"vide", codec.encode("ascii"), width, height, n_video_samples, 30000)]
+    if audio_samples:
+        traks.append(trak(b"soun", b"mp4a", 0, 0, audio_samples, audio_rate))
+    moov = _box(b"moov", mvhd, *traks)
+    ftyp = _box(b"ftyp", b"isom", struct.pack(">I", 512), b"isomiso2mp41")
+    return ftyp + moov + _box(b"mdat", mdat)
+
+
+# ---------------------------------------------------------------------------
+# MPEG-1 Layer III (.mp3) — frame-header scan
+# ---------------------------------------------------------------------------
+
+# MPEG-1 Layer III bitrate table (kbps), index 0 = free, 15 = bad
+_MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0]
+_MP3_RATES = [44100, 48000, 32000, 0]
+_MP3_SAMPLES_PER_FRAME = 1152
+
+
+def _syncsafe(b: bytes) -> int:
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def parse_mp3(data: bytes) -> dict | None:
+    """Frame-header scan of an MPEG-1 Layer III stream: frame count, sample
+    rate, duration, average bitrate, VBR flag. Skips a leading ID3v2 tag
+    (syncsafe size). Walks frame to frame by the computed frame length —
+    O(frames), zero sample decode. Returns None when no valid frame is
+    found; stops (rather than resyncing) at trailing garbage after the
+    first frame, the standard tolerant-reader behavior."""
+    n = len(data)
+    pos = 0
+    if n >= 10 and data[:3] == b"ID3":
+        pos = 10 + _syncsafe(data[6:10])
+    frames = 0
+    kbps_sum = 0
+    kbps_set: set[int] = set()
+    rate = 0
+    while pos + 4 <= n:
+        h = data[pos : pos + 4]
+        # sync (11 bits) + MPEG-1 (version bits 11) + Layer III (bits 01)
+        if h[0] == 0xFF and (h[1] & 0xFE) == 0xFA:
+            kbps = _MP3_BITRATES[(h[2] >> 4) & 0xF]
+            sr = _MP3_RATES[(h[2] >> 2) & 0x3]
+            pad = (h[2] >> 1) & 1
+            if kbps and sr and (rate == 0 or sr == rate):
+                frames += 1
+                kbps_sum += kbps
+                kbps_set.add(kbps)
+                rate = sr
+                pos += 144 * kbps * 1000 // sr + pad
+                continue
+        if frames == 0:
+            pos += 1  # hunt for first sync
+        else:
+            break  # trailing tag/garbage after a valid stream
+    if frames == 0:
+        return None
+    return {
+        "n_frames": frames,
+        "sample_rate": rate,
+        "duration_ms": frames * _MP3_SAMPLES_PER_FRAME * 1000 // rate,
+        "bitrate_kbps": kbps_sum // frames,
+        "vbr": len(kbps_set) > 1,
+    }
+
+
+def encode_mp3_frames(
+    n_frames: int,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    id3_size: int = 0,
+    vbr_alternate: int = 0,
+) -> bytes:
+    """Fixture muxer: a syntactically valid MPEG-1 Layer III stream of
+    ``n_frames`` silent (zero-payload) frames, optionally fronted by an
+    ID3v2 tag of ``id3_size`` body bytes and alternating every other frame
+    to ``vbr_alternate`` kbps to plant a VBR stream."""
+    bi = {v: i for i, v in enumerate(_MP3_BITRATES) if v}
+    si = {v: i for i, v in enumerate(_MP3_RATES) if v}
+    out = bytearray()
+    if id3_size:
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F, (id3_size >> 7) & 0x7F, id3_size & 0x7F]
+        )
+        out += b"\x00" * id3_size
+    for i in range(n_frames):
+        kbps = vbr_alternate if (vbr_alternate and i % 2) else bitrate_kbps
+        flen = 144 * kbps * 1000 // sample_rate
+        hdr = bytes(
+            [0xFF, 0xFB, (bi[kbps] << 4) | (si[sample_rate] << 2), 0x00]
+        )
+        out += hdr + b"\x00" * (flen - 4)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Unified header-only probe
+# ---------------------------------------------------------------------------
+
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+_EMPTY = {
+    "container": "unknown",
+    "codec": None,
+    "width": None,
+    "height": None,
+    "sample_rate": None,
+    "n_frames": None,
+    "duration_ms": None,
+}
+
+
+def _probe_jpeg(d: bytes) -> dict | None:
+    if d[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    n = len(d)
+    while pos + 4 <= n:
+        if d[pos] != 0xFF:
+            return None
+        marker = d[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seglen = int.from_bytes(d[pos + 2 : pos + 4], "big")
+        if marker in (0xC0, 0xC1, 0xC2) and pos + 9 <= n:
+            return {
+                **_EMPTY,
+                "container": "jpeg",
+                "codec": "progressive" if marker == 0xC2 else "baseline",
+                "height": int.from_bytes(d[pos + 5 : pos + 7], "big"),
+                "width": int.from_bytes(d[pos + 7 : pos + 9], "big"),
+                "n_frames": 1,
+            }
+        if seglen < 2:
+            return None
+        pos += 2 + seglen
+    return None
+
+
+def _probe_wav(d: bytes) -> dict | None:
+    if len(d) < 44 or d[:4] != b"RIFF" or d[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt_tag = rate = block = 0
+    data_size = None
+    while pos + 8 <= len(d):
+        cid = d[pos : pos + 4]
+        csz = int.from_bytes(d[pos + 4 : pos + 8], "little")
+        if cid == b"fmt " and pos + 24 <= len(d):
+            fmt_tag = int.from_bytes(d[pos + 8 : pos + 10], "little")
+            rate = int.from_bytes(d[pos + 12 : pos + 16], "little")
+            block = int.from_bytes(d[pos + 20 : pos + 22], "little")
+        elif cid == b"data":
+            data_size = min(csz, len(d) - pos - 8)
+        pos += 8 + csz + (csz & 1)
+    if not rate or data_size is None or not block:
+        return None
+    n = data_size // block
+    return {
+        **_EMPTY,
+        "container": "wav",
+        "codec": {1: "pcm_s16", 6: "alaw", 7: "ulaw"}.get(fmt_tag, f"fmt{fmt_tag}"),
+        "sample_rate": rate,
+        "n_frames": n,
+        "duration_ms": n * 1000 // rate,
+    }
+
+
+def _probe_ppm(d: bytes) -> dict | None:
+    if d[:2] not in (b"P5", b"P6", b"P3"):
+        return None
+    toks: list[int] = []
+    pos = 2
+    while len(toks) < 2 and pos < len(d) and pos < 64:
+        if d[pos : pos + 1] == b"#":
+            while pos < len(d) and d[pos] not in (10, 13):
+                pos += 1
+        elif d[pos : pos + 1].isdigit():
+            start = pos
+            while pos < len(d) and d[pos : pos + 1].isdigit():
+                pos += 1
+            toks.append(int(d[start:pos]))
+        else:
+            pos += 1
+    if len(toks) < 2:
+        return None
+    return {
+        **_EMPTY,
+        "container": "pnm",
+        "codec": d[:2].decode(),
+        "width": toks[0],
+        "height": toks[1],
+        "n_frames": 1,
+    }
+
+
+def probe_bytes(d: bytes) -> dict:
+    """Header-only metadata for any payload this engine recognizes.
+    Dispatch by magic bytes; O(header) work, no pixel/sample decode.
+    Unknown/garbage bytes come back as container='unknown' — never raises."""
+    try:
+        if len(d) >= 12 and d[4:8] == b"ftyp":
+            m = parse_mp4(d)
+            if m is not None:
+                vid = next(
+                    (t for t in m["tracks"] if t["handler"] == "vide"), None
+                )
+                aud = next(
+                    (t for t in m["tracks"] if t["handler"] == "soun"), None
+                )
+                return {
+                    **_EMPTY,
+                    "container": "mp4",
+                    "codec": (vid or aud or {}).get("codec"),
+                    "width": vid["width"] if vid else None,
+                    "height": vid["height"] if vid else None,
+                    "n_frames": vid["n_samples"] if vid else None,
+                    "duration_ms": m["duration_ms"],
+                }
+        if d[:8] == b"\x89PNG\r\n\x1a\n" and len(d) >= 24:
+            return {
+                **_EMPTY,
+                "container": "png",
+                "codec": f"type{d[25]}" if len(d) > 25 else None,
+                "width": int.from_bytes(d[16:20], "big"),
+                "height": int.from_bytes(d[20:24], "big"),
+                "n_frames": 1,
+            }
+        if d[:6] in (b"GIF87a", b"GIF89a") and len(d) >= 10:
+            return {
+                **_EMPTY,
+                "container": "gif",
+                "codec": d[3:6].decode(),
+                "width": int.from_bytes(d[6:8], "little"),
+                "height": int.from_bytes(d[8:10], "little"),
+                "n_frames": 1,
+            }
+        if d[:2] == b"BM" and len(d) >= 26:
+            return {
+                **_EMPTY,
+                "container": "bmp",
+                "codec": "rgb24",
+                "width": int.from_bytes(d[18:22], "little"),
+                "height": abs(
+                    int.from_bytes(d[22:26], "little", signed=True)
+                ),
+                "n_frames": 1,
+            }
+        jp = _probe_jpeg(d)
+        if jp is not None:
+            return jp
+        pn = _probe_ppm(d)
+        if pn is not None:
+            return pn
+        wv = _probe_wav(d)
+        if wv is not None:
+            return wv
+        if d[:9] == b"YUV4MPEG2":
+            from etl_expenses_spark.operators.videocodec import _parse_header
+
+            nl = d.find(b"\n")
+            hdr = _parse_header(d[:nl]) if nl > 0 else None
+            if hdr is not None:
+                w, h, (cw, ch, ncp) = hdr
+                fsize = w * h + ncp * ((w // cw) * (h // ch))
+                n = max(0, (len(d) - nl - 1)) // (6 + fsize)
+                return {
+                    **_EMPTY,
+                    "container": "y4m",
+                    "codec": "yuv",
+                    "width": w,
+                    "height": h,
+                    "n_frames": n,
+                }
+        mp = parse_mp3(d)
+        if mp is not None:
+            return {
+                **_EMPTY,
+                "container": "mp3",
+                "codec": "vbr" if mp["vbr"] else "cbr",
+                "sample_rate": mp["sample_rate"],
+                "n_frames": mp["n_frames"],
+                "duration_ms": mp["duration_ms"],
+            }
+    except Exception:
+        pass
+    return dict(_EMPTY)
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """Distributed media census: one row of header-derived metadata per
+    payload. Arrow-batched mapInPandas; the probe reads headers only, so
+    per-row cost is independent of payload size — the scan is I/O-bound
+    at 100 TB and the census aggregate downstream shuffles only the tiny
+    probe rows."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            probes = [probe_bytes(bytes(p)) for p in b["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"].astype("int64"),
+                    "container": [p["container"] for p in probes],
+                    "codec": [p["codec"] for p in probes],
+                    "width": pd.array([p["width"] for p in probes], dtype="Int32"),
+                    "height": pd.array([p["height"] for p in probes], dtype="Int32"),
+                    "sample_rate": pd.array(
+                        [p["sample_rate"] for p in probes], dtype="Int32"
+                    ),
+                    "n_frames": pd.array(
+                        [p["n_frames"] for p in probes], dtype="Int64"
+                    ),
+                    "duration_ms": pd.array(
+                        [p["duration_ms"] for p in probes], dtype="Int64"
+                    ),
+                    "n_bytes": b["payload"].map(len).astype("int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(gen, schema=PROBE_SCHEMA)

@@ -24,8 +24,12 @@ container can parse without binary deps:
   actual luma planes re-encoded as PGM, which feed back into the image
   featurizer
 
-Formats that require a codec library this container lacks
-(progressive/arithmetic JPEG, MP3/AAC, MP4/H.264) fall back to a
+Formats whose *payloads* require a codec library this container lacks
+(progressive/arithmetic JPEG, MP3/AAC, MP4/H.264) still get REAL
+container-level metadata — duration, resolution, codec fourcc, frame
+count — via the header-only census in operators/containers.py
+(ISO-BMFF box walk, MP3 frame scan, ``probe_media``); their sample
+decode falls back to a
 deterministic digest-derived fake behind the same API, so the
 Spark-side
 plumbing (schemas, batch iteration, UDF signatures, partitioning) is

@@ -837,6 +837,109 @@ def multimodal_png_roundtrip(spark, sf_dir):
 
 
 @query(
+    "multimodal_container_census",
+    oracle="""
+        WITH sel AS (
+            SELECT doc_id AS did FROM documents WHERE doc_id % 5 = 4
+        ),
+        rows_ AS (
+            SELECT 'mp4' AS container,
+                   CASE WHEN did % 4 < 2 THEN 'avc1' ELSE 'hvc1' END AS codec,
+                   320 + (did % 16) * 16 AS width,
+                   24 * (1 + did % 5) AS frames,
+                   CAST(1000 * (1 + did % 7) AS BIGINT) AS dur
+            FROM sel WHERE did % 2 = 0
+            UNION ALL
+            SELECT 'mp3', 'cbr', NULL,
+                   50 + did % 50,
+                   CAST((50 + did % 50) * 1152 * 1000 AS BIGINT)
+                       // (CASE did % 3 WHEN 0 THEN 44100
+                                        WHEN 1 THEN 48000
+                                        ELSE 32000 END)
+            FROM sel WHERE did % 2 = 1
+        )
+        SELECT container,
+               COUNT(*) AS n_items,
+               CAST(COUNT(DISTINCT codec) AS BIGINT) AS n_codecs,
+               CAST(SUM(width) AS BIGINT) AS sum_width,
+               CAST(SUM(frames) AS BIGINT) AS sum_frames,
+               CAST(SUM(dur) AS BIGINT) AS sum_duration_ms
+        FROM rows_ GROUP BY container
+    """,
+    tags=("multimodal", "container", "census"),
+)
+def multimodal_container_census(spark, sf_dir):
+    """The no-decode media census (operators/containers.py) oracle-checked
+    END TO END through Spark: real ISO-BMFF files (ftyp+moov box trees with
+    planted duration/resolution/sample-count/codec, alternating avc1/hvc1
+    and 64-bit v1 boxes) and real MPEG-1 Layer III streams (valid frame
+    headers at three sample rates, ID3v2-prefixed) are muxed per doc_id,
+    then ``probe_media`` walks the container structures distributed and the
+    header-derived metadata must reproduce every planted value — DuckDB
+    predicts them symbolically (MP3 duration = floor(frames*1152*1000/sr),
+    the exact integer arithmetic the scanner performs).
+
+    This is the first query anyone runs on a 100 TB media lake: format /
+    codec / duration / resolution census without decoding a sample. Scale
+    shape: header-only probe in one mapInPandas stage (per-row cost
+    independent of payload size), shuffle only the tiny probe rows into a
+    2-group aggregate."""
+    import pandas as pd
+
+    from etl_expenses_spark.operators.containers import (
+        encode_minimal_mp4,
+        encode_mp3_frames,
+        probe_media,
+    )
+
+    docs = (
+        T(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 5) == 4)
+        .select("doc_id")
+    )
+
+    def gen(batches):
+        for b in batches:
+            ids, payloads = [], []
+            for did in b["doc_id"]:
+                did = int(did)
+                if did % 2 == 0:
+                    payloads.append(
+                        encode_minimal_mp4(
+                            width=320 + (did % 16) * 16,
+                            height=180 + (did % 9) * 20,
+                            n_video_samples=24 * (1 + did % 5),
+                            duration_ms=1000 * (1 + did % 7),
+                            codec="avc1" if did % 4 < 2 else "hvc1",
+                            version1=did % 8 >= 4,
+                        )
+                    )
+                else:
+                    payloads.append(
+                        encode_mp3_frames(
+                            n_frames=50 + did % 50,
+                            bitrate_kbps=128,
+                            sample_rate=(44100, 48000, 32000)[did % 3],
+                            id3_size=did % 64,
+                        )
+                    )
+                ids.append(did)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(
+        gen, schema="media_id long, payload binary"
+    )
+    probes = probe_media(media)
+    return probes.groupBy("container").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.count_distinct("codec").alias("n_codecs"),
+        F.sum("width").cast("long").alias("sum_width"),
+        F.sum("n_frames").cast("long").alias("sum_frames"),
+        F.sum("duration_ms").cast("long").alias("sum_duration_ms"),
+    )
+
+
+@query(
     "corpus_shuffle_deterministic",
     oracle="""
         SELECT doc_id, bucket, CAST(pos_in_bucket AS INTEGER) AS pos_in_bucket

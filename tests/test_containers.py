@@ -1,0 +1,164 @@
+"""Container-metadata layer: ISO-BMFF box walk + MP3 frame scan + probe.
+
+Contracts (same as the codec modules):
+1. ROUNDTRIP — every field the fixture muxers plant comes back exactly
+   from the parsers (both 32-bit v0 and 64-bit v1 MP4 box variants,
+   CBR and VBR MP3, with and without an ID3v2 prefix).
+2. ROBUSTNESS — parse/probe NEVER raise, whatever bytes arrive
+   (hypothesis fuzz over magic-prefixed garbage and truncations).
+3. CENSUS — probe_bytes dispatches every format this engine encodes to
+   the right container with header-only metadata.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_expenses_spark.operators.containers import (
+    encode_minimal_mp4,
+    encode_mp3_frames,
+    parse_mp3,
+    parse_mp4,
+    probe_bytes,
+)
+
+
+class TestMp4:
+    def test_roundtrip_v0(self):
+        b = encode_minimal_mp4(
+            640, 360, 240, 8000, codec="avc1", audio_samples=384000, audio_rate=48000
+        )
+        m = parse_mp4(b)
+        assert m["brand"] == "isom"
+        assert m["duration_ms"] == 8000
+        vid, aud = m["tracks"]
+        assert (vid["handler"], vid["codec"]) == ("vide", "avc1")
+        assert (vid["width"], vid["height"]) == (640, 360)
+        assert vid["n_samples"] == 240
+        assert vid["duration_ms"] == 8000
+        assert (aud["handler"], aud["codec"]) == ("soun", "mp4a")
+        assert aud["n_samples"] == 384000
+
+    def test_roundtrip_v1_64bit_boxes(self):
+        m = parse_mp4(
+            encode_minimal_mp4(1920, 1080, 50, 2500, codec="hvc1", version1=True)
+        )
+        assert m["duration_ms"] == 2500
+        assert m["tracks"][0]["codec"] == "hvc1"
+        assert m["tracks"][0]["width"] == 1920
+
+    def test_largesize_box(self):
+        # rewrite the mdat box header to use size==1 + 64-bit largesize
+        b = encode_minimal_mp4(64, 64, 10, 1000, mdat=b"x" * 32)
+        idx = b.rindex(b"mdat") - 4
+        size = int.from_bytes(b[idx : idx + 4], "big")
+        patched = (
+            b[:idx]
+            + (1).to_bytes(4, "big")
+            + b"mdat"
+            + (size + 8).to_bytes(8, "big")
+            + b[idx + 8 :]
+        )
+        assert parse_mp4(patched)["duration_ms"] == 1000
+
+    def test_not_mp4(self):
+        assert parse_mp4(b"") is None
+        assert parse_mp4(b"\x00" * 64) is None
+        assert parse_mp4(b"RIFF\x00\x00\x00\x00WAVE") is None
+
+    def test_truncations_never_raise(self):
+        b = encode_minimal_mp4(320, 240, 24, 1000, audio_samples=1000)
+        for cut in range(0, len(b), 7):
+            parse_mp4(b[:cut])  # must not raise; value unspecified
+
+
+class TestMp3:
+    def test_cbr_roundtrip(self):
+        m = parse_mp3(encode_mp3_frames(100, 128, 44100, id3_size=57))
+        assert m == {
+            "n_frames": 100,
+            "sample_rate": 44100,
+            "duration_ms": 100 * 1152 * 1000 // 44100,
+            "bitrate_kbps": 128,
+            "vbr": False,
+        }
+
+    def test_vbr_average(self):
+        m = parse_mp3(encode_mp3_frames(10, 128, 32000, vbr_alternate=64))
+        assert m["vbr"] is True
+        assert m["bitrate_kbps"] == (5 * 128 + 5 * 64) // 10
+        assert m["sample_rate"] == 32000
+
+    @pytest.mark.parametrize("sr", [44100, 48000, 32000])
+    def test_all_mpeg1_rates(self, sr):
+        m = parse_mp3(encode_mp3_frames(7, 192, sr))
+        assert (m["n_frames"], m["sample_rate"]) == (7, sr)
+        assert m["duration_ms"] == 7 * 1152 * 1000 // sr
+
+    def test_leading_junk_then_sync(self):
+        raw = b"\x00junk\xff\x00" + encode_mp3_frames(5, 64, 44100)
+        assert parse_mp3(raw)["n_frames"] == 5
+
+    def test_trailing_garbage_stops_clean(self):
+        raw = encode_mp3_frames(5, 64, 44100) + b"TAG" + b"\x01" * 128
+        assert parse_mp3(raw)["n_frames"] == 5
+
+    def test_no_frames(self):
+        assert parse_mp3(b"") is None
+        assert parse_mp3(b"ID3\x04\x00\x00\x00\x00\x00\x05hello") is None
+
+
+class TestProbe:
+    def test_census_dispatch(self):
+        from etl_expenses_spark.operators.audiocodec import make_tone
+        from etl_expenses_spark.operators.gifcodec import encode_gif
+        from etl_expenses_spark.operators.imagecodec import encode_ppm
+        from etl_expenses_spark.operators.jpegcodec import encode_jpeg
+        from etl_expenses_spark.operators.pngcodec import encode_png
+        from etl_expenses_spark.operators.videocodec import encode_y4m
+
+        arr = np.full((7, 9, 3), 50, np.uint8)
+        cases = {
+            "mp4": encode_minimal_mp4(320, 180, 24, 1000),
+            "mp3": encode_mp3_frames(4, 128, 48000),
+            "pnm": encode_ppm(arr),
+            "png": encode_png(arr),
+            "jpeg": encode_jpeg(arr),
+            "gif": encode_gif(arr),
+            "wav": make_tone(440.0, 1500, sample_rate=8000),
+            "y4m": encode_y4m(np.full((4, 6, 8), 9, np.uint8)),
+        }
+        for want, payload in cases.items():
+            assert probe_bytes(payload)["container"] == want, want
+        for img in ("pnm", "png", "jpeg", "gif"):
+            p = probe_bytes(cases[img])
+            assert (p["width"], p["height"]) == (9, 7), img
+        assert probe_bytes(cases["wav"])["duration_ms"] == 1500
+        assert probe_bytes(cases["y4m"])["n_frames"] == 4
+        assert probe_bytes(cases["mp4"])["n_frames"] == 24
+        assert probe_bytes(b"\x00\x01garbage")["container"] == "unknown"
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        prefix=st.sampled_from(
+            [b"", b"\xff\xfb", b"ID3", b"\x00\x00\x00\x18ftyp", b"RIFF", b"P6"]
+        ),
+        junk=st.binary(max_size=120),
+    )
+    def test_probe_never_raises(self, prefix, junk):
+        out = probe_bytes(prefix + junk)
+        assert isinstance(out["container"], str)
+
+    @settings(max_examples=60, deadline=None)
+    @given(cut=st.integers(min_value=0, max_value=400), data=st.data())
+    def test_probe_truncated_real_files(self, cut, data):
+        which = data.draw(st.sampled_from(["mp4", "mp3"]))
+        full = (
+            encode_minimal_mp4(64, 48, 12, 500, audio_samples=100)
+            if which == "mp4"
+            else encode_mp3_frames(6, 96, 44100, id3_size=11)
+        )
+        probe_bytes(full[: min(cut, len(full))])  # must not raise
