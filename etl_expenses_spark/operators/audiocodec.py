@@ -1,6 +1,9 @@
-"""Real audio codec in pure stdlib+numpy: RIFF/WAVE PCM (16-bit), plus
+"""Real audio codec in pure stdlib+numpy: RIFF/WAVE PCM (16-bit),
 G.711 companded WAV (u-law format 7, A-law format 6 — decoded to int16
-through the closed-form expansion, the telephony corpus staple).
+through the closed-form expansion, the telephony corpus staple), and
+IMA/DVI ADPCM (format 0x11, 4-bit adaptive delta PCM — the game-audio
+and voice-archive workhorse), with a block-vectorized decoder whose
+interpreter cost is O(samples_per_block) regardless of duration.
 
 Same philosophy as operators/imagecodec.py: the container ships no
 librosa/soundfile/ffmpeg, but canonical PCM WAV is fully parseable with
@@ -54,6 +57,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int] | None:
         raw = np.frombuffer(pcm, dtype=np.uint8, count=usable)
         lut = _ALAW_LUT if audio_format == 6 else _ULAW_LUT
         return lut[raw].reshape(-1, channels).copy(), sample_rate
+    if audio_format == 0x11 and bits == 4:  # IMA/DVI ADPCM
+        block_align = fmt[4]
+        decoded = decode_ima_adpcm(pcm, channels, block_align)
+        return (decoded, sample_rate) if decoded is not None else None
     if audio_format != 1 or bits != 16:
         return None
     usable = len(pcm) - (len(pcm) % (2 * channels))
@@ -243,3 +250,161 @@ def make_tone(
 
 _ULAW_ENC = _nearest_level_encoder(_ULAW_LUT)
 _ALAW_ENC = _nearest_level_encoder(_ALAW_LUT)
+
+
+# ---------------------------------------------------------------------------
+# IMA / DVI ADPCM (WAVE format 0x11) — 4 bits/sample adaptive delta PCM,
+# the game-audio / telephony archive staple. Blocks are independent
+# (each opens with a full predictor+step-index header), which is exactly
+# what makes the format distributable — and lets the decoder vectorize
+# ACROSS blocks: the Python loop runs once per in-block sample position
+# with numpy ops over all blocks at once, so decode cost per payload is
+# O(samples_per_block) interpreter steps regardless of duration.
+# ---------------------------------------------------------------------------
+
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+_IMA_STEP = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+        41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+        190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+        724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+        2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+        6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+        16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int32,
+)
+
+
+def _ima_reconstruct(nib: np.ndarray, pred: np.ndarray, idx: np.ndarray):
+    """One IMA step for a vector of streams: nibble + (pred, idx) state →
+    new (pred, idx). The diff formula is the spec's shift-add form
+    (step/8 + step/4·b0 + step/2·b1 + step·b2), bit-exact vs reference
+    decoders."""
+    step = _IMA_STEP[idx]
+    diff = step >> 3
+    diff = diff + np.where(nib & 1, step >> 2, 0)
+    diff = diff + np.where(nib & 2, step >> 1, 0)
+    diff = diff + np.where(nib & 4, step, 0)
+    diff = np.where(nib & 8, -diff, diff)
+    pred = np.clip(pred + diff, -32768, 32767)
+    idx = np.clip(idx + _IMA_INDEX[nib & 7], 0, 88)
+    return pred, idx
+
+
+def _ima_channel_nibbles(blocks: np.ndarray, channels: int, ch: int) -> np.ndarray:
+    """(n_blocks, block_align) uint8 → (n_blocks, n_samples-1) nibble
+    stream for one channel. IMA interleaves 4-byte words round-robin per
+    channel after the per-channel 4-byte headers; within a byte the LOW
+    nibble is the earlier sample."""
+    body = blocks[:, 4 * channels :]
+    words = body.reshape(blocks.shape[0], -1, 4)
+    mine = words[:, ch::channels, :].reshape(blocks.shape[0], -1)
+    nib = np.empty((mine.shape[0], mine.shape[1] * 2), dtype=np.uint8)
+    nib[:, 0::2] = mine & 0x0F
+    nib[:, 1::2] = mine >> 4
+    return nib
+
+
+def decode_ima_adpcm(pcm: bytes, channels: int, block_align: int) -> np.ndarray | None:
+    """ADPCM data chunk → (n_samples, channels) int16. Partial trailing
+    blocks are dropped (the tolerant-reader norm). Returns None on
+    geometry that can't be ADPCM (block too small / not word-aligned)."""
+    if channels < 1 or block_align < 4 * channels + 4 * channels:
+        return None
+    if (block_align - 4 * channels) % (4 * channels) != 0:
+        return None
+    n_blocks = len(pcm) // block_align
+    if n_blocks == 0:
+        return None
+    blocks = np.frombuffer(pcm, dtype=np.uint8, count=n_blocks * block_align)
+    blocks = blocks.reshape(n_blocks, block_align)
+    spb = (block_align - 4 * channels) * 2 // channels + 1
+    out = np.empty((n_blocks, spb, channels), dtype=np.int16)
+    for ch in range(channels):
+        hdr = blocks[:, 4 * ch : 4 * ch + 4]
+        pred = (
+            hdr[:, 0].astype(np.int32) | (hdr[:, 1].astype(np.int32) << 8)
+        ).astype(np.int16).astype(np.int32)
+        idx = np.clip(hdr[:, 2].astype(np.int32), 0, 88)
+        out[:, 0, ch] = pred
+        nib = _ima_channel_nibbles(blocks, channels, ch)
+        for t in range(spb - 1):
+            pred, idx = _ima_reconstruct(nib[:, t].astype(np.int32), pred, idx)
+            out[:, t + 1, ch] = pred
+    return out.reshape(-1, channels)
+
+
+def encode_ima_adpcm_wav(
+    samples: np.ndarray, sample_rate: int, block_align: int | None = None
+) -> bytes:
+    """(n,) or (n, ch) int16 → IMA ADPCM WAV (format 0x11) with the
+    canonical fmt-extension (wSamplesPerBlock) and fact chunk. Encoder
+    state selection is the spec quantizer (successive step halving), run
+    block-vectorized like the decoder. The tail is zero-padded to a whole
+    block; the fact chunk records the true sample count."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, channels = samples.shape
+    if n == 0:
+        raise ValueError("empty signal")
+    if block_align is None:
+        block_align = 256 * channels
+    spb = (block_align - 4 * channels) * 2 // channels + 1
+    n_blocks = -(-n // spb)
+    padded = np.zeros((n_blocks * spb, channels), dtype=np.int32)
+    padded[:n] = samples.astype(np.int32)
+    grid = padded.reshape(n_blocks, spb, channels)
+    blocks = np.zeros((n_blocks, block_align), dtype=np.uint8)
+    for ch in range(channels):
+        sig = grid[:, :, ch]
+        pred = sig[:, 0].copy()
+        # Seed each block's step index from its own mean |first difference|
+        # (stored in the block header, so decoders are agnostic to the
+        # choice). A zero seed would slew-rate-limit the first ~20 samples
+        # of every block while the index climbs from step 7.
+        mean_d = np.abs(np.diff(sig, axis=1)).mean(axis=1)
+        idx = np.clip(
+            np.searchsorted(_IMA_STEP, np.maximum(mean_d, 1.0)), 0, 88
+        ).astype(np.int32)
+        blocks[:, 4 * ch] = pred & 0xFF
+        blocks[:, 4 * ch + 1] = (pred >> 8) & 0xFF
+        blocks[:, 4 * ch + 2] = idx
+        nib = np.empty((n_blocks, spb - 1), dtype=np.uint8)
+        for t in range(spb - 1):
+            target = sig[:, t + 1]
+            step = _IMA_STEP[idx]
+            diff = target - pred
+            sign = np.where(diff < 0, 8, 0)
+            mag = np.abs(diff)
+            code = np.zeros(n_blocks, dtype=np.int32)
+            for bit, shift in ((4, 0), (2, 1), (1, 2)):
+                thresh = step >> shift
+                take = mag >= thresh
+                code |= np.where(take, bit, 0)
+                mag = np.where(take, mag - thresh, mag)
+            nibble = sign | code
+            pred, idx = _ima_reconstruct(nibble, pred, idx)
+            nib[:, t] = nibble
+        packed = (nib[:, 0::2] | (nib[:, 1::2] << 4)).astype(np.uint8)
+        words = packed.reshape(n_blocks, -1, 4)
+        body = blocks[:, 4 * channels :].reshape(n_blocks, -1, 4)
+        body[:, ch::channels, :] = words
+    payload = blocks.tobytes()
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 52 + len(payload))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHHHH", 20, 0x11, channels, sample_rate,
+            (sample_rate * block_align + spb - 1) // spb, block_align, 4,
+            2, spb,
+        )
+        + b"fact"
+        + struct.pack("<II", 4, n)
+        + b"data"
+        + struct.pack("<I", len(payload))
+    )
+    return hdr + payload

@@ -383,25 +383,37 @@ def _probe_wav(d: bytes) -> dict | None:
     if len(d) < 44 or d[:4] != b"RIFF" or d[8:12] != b"WAVE":
         return None
     pos = 12
-    fmt_tag = rate = block = 0
-    data_size = None
+    fmt_tag = rate = block = channels = spb = 0
+    data_size = fact_samples = None
     while pos + 8 <= len(d):
         cid = d[pos : pos + 4]
         csz = int.from_bytes(d[pos + 4 : pos + 8], "little")
         if cid == b"fmt " and pos + 24 <= len(d):
             fmt_tag = int.from_bytes(d[pos + 8 : pos + 10], "little")
+            channels = int.from_bytes(d[pos + 10 : pos + 12], "little")
             rate = int.from_bytes(d[pos + 12 : pos + 16], "little")
             block = int.from_bytes(d[pos + 20 : pos + 22], "little")
+            if csz >= 20 and pos + 28 <= len(d):
+                spb = int.from_bytes(d[pos + 26 : pos + 28], "little")
+        elif cid == b"fact" and csz >= 4 and pos + 12 <= len(d):
+            fact_samples = int.from_bytes(d[pos + 8 : pos + 12], "little")
         elif cid == b"data":
             data_size = min(csz, len(d) - pos - 8)
         pos += 8 + csz + (csz & 1)
     if not rate or data_size is None or not block:
         return None
-    n = data_size // block
+    if fmt_tag == 0x11:  # IMA ADPCM: frames come from samples-per-block
+        if not spb and channels:
+            spb = (block - 4 * channels) * 2 // channels + 1
+        n = fact_samples if fact_samples is not None else (data_size // block) * spb
+    else:
+        n = data_size // block
     return {
         **_EMPTY,
         "container": "wav",
-        "codec": {1: "pcm_s16", 6: "alaw", 7: "ulaw"}.get(fmt_tag, f"fmt{fmt_tag}"),
+        "codec": {1: "pcm_s16", 6: "alaw", 7: "ulaw", 0x11: "ima_adpcm"}.get(
+            fmt_tag, f"fmt{fmt_tag}"
+        ),
         "sample_rate": rate,
         "n_frames": n,
         "duration_ms": n * 1000 // rate,
