@@ -336,6 +336,7 @@ PROBE_SCHEMA = T.StructType(
         T.StructField("sample_rate", T.IntegerType()),
         T.StructField("n_frames", T.LongType()),
         T.StructField("duration_ms", T.LongType()),
+        T.StructField("orientation", T.IntegerType()),
         T.StructField("n_bytes", T.LongType()),
     ]
 )
@@ -348,7 +349,38 @@ _EMPTY = {
     "sample_rate": None,
     "n_frames": None,
     "duration_ms": None,
+    "orientation": None,
 }
+
+
+def _parse_exif_orientation(seg: bytes) -> int | None:
+    """EXIF orientation (tag 0x0112) from an APP1 payload: 'Exif\\0\\0'
+    + TIFF header (II/MM endianness, magic 42, IFD0 offset) + IFD0 entry
+    scan. The one metadata field an image pipeline must honor before any
+    resize/crop stage. Returns 1–8, or None when absent/malformed."""
+    if seg[:6] != b"Exif\x00\x00" or len(seg) < 14:
+        return None
+    t = seg[6:]
+    if t[:2] == b"II":
+        bo = "little"
+    elif t[:2] == b"MM":
+        bo = "big"
+    else:
+        return None
+    if int.from_bytes(t[2:4], bo) != 42:
+        return None
+    ifd = int.from_bytes(t[4:8], bo)
+    if ifd + 2 > len(t):
+        return None
+    count = int.from_bytes(t[ifd : ifd + 2], bo)
+    for i in range(count):
+        e = ifd + 2 + 12 * i
+        if e + 12 > len(t):
+            return None
+        if int.from_bytes(t[e : e + 2], bo) == 0x0112:
+            v = int.from_bytes(t[e + 8 : e + 10], bo)
+            return v if 1 <= v <= 8 else None
+    return None
 
 
 def _probe_jpeg(d: bytes) -> dict | None:
@@ -356,6 +388,7 @@ def _probe_jpeg(d: bytes) -> dict | None:
         return None
     pos = 2
     n = len(d)
+    orientation = None
     while pos + 4 <= n:
         if d[pos] != 0xFF:
             return None
@@ -364,6 +397,8 @@ def _probe_jpeg(d: bytes) -> dict | None:
             pos += 2
             continue
         seglen = int.from_bytes(d[pos + 2 : pos + 4], "big")
+        if marker == 0xE1:
+            orientation = _parse_exif_orientation(d[pos + 4 : pos + 2 + seglen])
         if marker in (0xC0, 0xC1, 0xC2) and pos + 9 <= n:
             return {
                 **_EMPTY,
@@ -372,6 +407,7 @@ def _probe_jpeg(d: bytes) -> dict | None:
                 "height": int.from_bytes(d[pos + 5 : pos + 7], "big"),
                 "width": int.from_bytes(d[pos + 7 : pos + 9], "big"),
                 "n_frames": 1,
+                "orientation": orientation,
             }
         if seglen < 2:
             return None
@@ -566,6 +602,9 @@ def probe_media(media: DataFrame) -> DataFrame:
                     ),
                     "duration_ms": pd.array(
                         [p["duration_ms"] for p in probes], dtype="Int64"
+                    ),
+                    "orientation": pd.array(
+                        [p["orientation"] for p in probes], dtype="Int32"
                     ),
                     "n_bytes": b["payload"].map(len).astype("int64"),
                 }

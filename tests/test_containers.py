@@ -141,6 +141,39 @@ class TestProbe:
         assert probe_bytes(cases["mp4"])["n_frames"] == 24
         assert probe_bytes(b"\x00\x01garbage")["container"] == "unknown"
 
+    @pytest.mark.parametrize("bo,orient", [("little", 6), ("big", 8), ("little", 1)])
+    def test_exif_orientation(self, bo, orient):
+        from etl_expenses_spark.operators.jpegcodec import encode_jpeg
+
+        # build APP1: Exif\0\0 + TIFF header + IFD0 with one orientation tag
+        e = b"II" if bo == "little" else b"MM"
+        tiff = (
+            e
+            + (42).to_bytes(2, bo)
+            + (8).to_bytes(4, bo)  # IFD0 at offset 8
+            + (1).to_bytes(2, bo)  # one entry
+            + (0x0112).to_bytes(2, bo)
+            + (3).to_bytes(2, bo)  # SHORT
+            + (1).to_bytes(4, bo)
+            + orient.to_bytes(2, bo)
+            + b"\x00\x00"
+            + (0).to_bytes(4, bo)  # next IFD
+        )
+        payload = b"Exif\x00\x00" + tiff
+        app1 = b"\xff\xe1" + (len(payload) + 2).to_bytes(2, "big") + payload
+        jpg = encode_jpeg(np.full((8, 8, 3), 99, np.uint8))
+        tagged = jpg[:2] + app1 + jpg[2:]
+        p = probe_bytes(tagged)
+        assert (p["container"], p["orientation"]) == ("jpeg", orient)
+        assert probe_bytes(jpg)["orientation"] is None  # untagged
+
+    def test_exif_malformed_never_raises(self):
+        from etl_expenses_spark.operators.containers import _parse_exif_orientation
+
+        assert _parse_exif_orientation(b"Exif\x00\x00XX") is None
+        assert _parse_exif_orientation(b"Exif\x00\x00II\x2a\x00\xff\xff\xff\xff") is None
+        assert _parse_exif_orientation(b"") is None
+
     @settings(max_examples=200, deadline=None)
     @given(
         prefix=st.sampled_from(
