@@ -55,3 +55,44 @@ def test_pit_join_is_hash_join_not_nested_loop(spark):
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_runtime_bloom_filter_injects_on_filtered_dim_join(spark):
+    """The 100 TB shuffle-join shape: fact ⋈ selectively-filtered dim.
+    When the join is too big to broadcast, Catalyst's runtime bloom filter
+    (spark.sql.optimizer.runtime.bloomFilter, on by default in Spark 4)
+    should inject a `bloom_filter_might_contain` semi-reduction on the
+    fact side, cutting shuffled fact rows to ~the dim selectivity before
+    the exchange. Our plans are declarative joins over load_table scans,
+    so injection eligibility is free — this pins that no plumbing (UDFs,
+    barriers, re-partitioning) ever breaks it. Thresholds are lowered
+    in-test because the default application-side gate is 10 GB, sized for
+    the real cluster, not sf0.001."""
+    from etl_expenses_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        orders = load_table(spark, SF_DIR, "orders")
+        cust = load_table(spark, SF_DIR, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        joined = orders.join(cust, orders.o_custkey == cust.c_custkey).groupBy(
+            "c_nationkey"
+        ).count()
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
