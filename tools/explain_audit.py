@@ -239,6 +239,7 @@ EXTRA = [
     "link_prediction_jaccard_capped",  # degree-capped wedge tier
     "multimodal_jpeg_roundtrip",    # JPEG decode through mapInPandas
     "multimodal_png_roundtrip",     # PNG lossless decode, bit-identity
+    "multimodal_container_census",  # header-only MP4/MP3 probe, no decode
 ]
 
 
