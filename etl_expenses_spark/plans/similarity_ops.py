@@ -513,3 +513,75 @@ def embedding_class_separation(spark, sf_dir):
         .cast("double")
         .alias("separation"),
     )
+
+
+@query(
+    "semantic_dedup_prune",
+    oracle=None,
+    tags=("similarity", "dedup", "semantic", "rows_only"),
+)
+def semantic_dedup_prune(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
+    semantic dedup for web-scale training corpora. Cluster the embedding
+    space, then find near-duplicates WITHIN clusters only and keep one
+    representative per duplicate component — the pruning step that removes
+    semantically-redundant documents exact-text dedup can't see.
+
+    Spark-first composition of three existing tiers, no new shuffle shape:
+      1. coarse centroids on a bounded sample (train_centroids_sampled —
+         driver holds k×dims floats, never vectors),
+      2. broadcast-centroid assignment in one vectorized pandas UDF,
+      3. within-cell exact cosine pairs (embedding_neardup_pairs_blocked:
+         the cell IS the blocking key, so pair space is Σ|cell|², never
+         n² — exactly the paper's trick: clustering makes exact in-cluster
+         comparison affordable),
+      4. connected components over dup pairs (BSP min-label), keep the
+         component minimum.
+    Output: per-cell prune accounting (members / dropped / kept), the
+    shape a corpus-curation run reports. Deterministic (seeded sampling,
+    min-id keeps) → golden-pinned; component-level keep semantics are
+    property-tested in tests/test_dedup_similarity.py.
+
+    The synthetic embeddings table is near-orthogonal (max in-cell cosine
+    ≈0.51), so semantic duplicates are PLANTED: every 20th vector gets an
+    offset-id exact copy appended before clustering. The copy lands in the
+    same cell (identical vector ⇒ identical assignment), forms a cosine-1.0
+    pair, and min-id keep drops exactly the copy — so n_dropped per cell
+    equals the planted copies that clustered there, a closed-form the
+    golden pins and the pytest property re-derives.
+
+    100 TB shape: one broadcast assign pass + per-cell pair join (cells
+    bound the quadratic term; at scale you raise k so E|cell| stays
+    bounded) + log-round CC on the (sparse) dup graph + one aggregate."""
+    from etl_expenses_spark.operators.dedup import connected_components
+    from etl_expenses_spark.operators.similarity import (
+        embedding_neardup_pairs_blocked,
+        ivf_assign_udf,
+        train_centroids_sampled,
+    )
+
+    base = T(spark, sf_dir, "embeddings")
+    planted = base.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "label", "embedding"
+    )
+    emb = base.select("vec_id", "label", "embedding").unionByName(planted)
+    C0 = train_centroids_sampled(base, k=8)
+    cells = emb.withColumn("cell", ivf_assign_udf(C0)(F.col("embedding"))).persist()
+    pairs = connected_components(
+        embedding_neardup_pairs_blocked(cells, "cell", threshold=0.92),
+        src="id_a",
+        dst="id_b",
+    )
+    dropped = pairs.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("vec_id"), F.lit(1).alias("is_dropped")
+    )
+    return (
+        cells.join(dropped, "vec_id", "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.coalesce("is_dropped", F.lit(0))).cast("long").alias("n_dropped"),
+        )
+        .withColumn("n_kept", (F.col("n_members") - F.col("n_dropped")).cast("long"))
+        .orderBy("cell")
+    )

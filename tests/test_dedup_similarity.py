@@ -292,3 +292,24 @@ def test_minhash_signature_multiplicity_invariance(spark):
     # and the hs array is a set: no duplicate fingerprints anywhere
     for hs, _ in rows.values():
         assert len(hs) == len(set(hs))
+
+
+def test_semantic_dedup_prune_drops_exactly_planted_copies(spark):
+    """SemDeDup composition property: the query plants an exact copy of
+    every 20th vector; clustering must co-locate each copy with its
+    original (identical vector, deterministic assign), the in-cell cosine
+    pass must pair them at sim 1.0, and min-id keep must drop exactly the
+    copies — no original ever dropped, accounting exact per cell."""
+    from etl_expenses_spark.plans import REGISTRY
+    from etl_expenses_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = REGISTRY["semantic_dedup_prune"].build(spark, sf).collect()
+    base = load_table(spark, sf, "embeddings")
+    n_base = base.count()
+    n_planted = base.filter("vec_id % 20 = 0").count()
+    assert sum(r.n_dropped for r in out) == n_planted
+    assert sum(r.n_members for r in out) == n_base + n_planted
+    for r in out:
+        assert r.n_kept == r.n_members - r.n_dropped
+        assert r.n_dropped <= r.n_members // 2 + 1

@@ -54,6 +54,7 @@ GOLDEN_TARGETS = [
     "catalog_inventory",
     "multimodal_doc_features",
     "bpe_trained_segmentation",
+    "semantic_dedup_prune",
 ]
 
 _DUCK_TYPES = {
