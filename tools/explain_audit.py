@@ -240,6 +240,7 @@ EXTRA = [
     "multimodal_jpeg_roundtrip",    # JPEG decode through mapInPandas
     "multimodal_png_roundtrip",     # PNG lossless decode, bit-identity
     "multimodal_container_census",  # header-only MP4/MP3 probe, no decode
+    "semantic_dedup_prune",         # SemDeDup: cluster -> in-cell cosine -> CC
 ]
 
 
