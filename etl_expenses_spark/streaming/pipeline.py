@@ -170,6 +170,43 @@ def run_media_stream_featurize(
     )
 
 
+def run_media_stream_probe(
+    spark: SparkSession,
+    bronze_dir: str,
+    gold_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Container census UNDER INGEST: the header-only ``probe_media``
+    stage (operators/containers.py — ISO-BMFF box walk, MP3 frame scan,
+    image/audio/video header parses, EXIF orientation) runs per
+    micro-batch and merges idempotently on media_id. This is how a 100 TB
+    media lake keeps its format/duration/resolution census current as
+    objects land, without ever decoding a sample: probe cost is O(header)
+    per file, so the stream is ingest-I/O-bound.
+
+    Probe rows are pure functions of the payload bytes, so stream ==
+    batch equality is exact (pinned in tests/test_streaming.py); replay
+    and re-delivery are absorbed by the left_anti merge, same contract as
+    run_media_stream_featurize."""
+    from etl_expenses_spark.operators.containers import probe_media
+    from etl_expenses_spark.operators.merge import merge_append
+    from etl_expenses_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.readStream.schema(MEDIA_SCHEMA).parquet(bronze_dir)
+    probes = probe_media(media)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_append(batch_df, gold_path, keys=["media_id"])
+
+    (
+        probes.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def run_events_stream_to_wap(
     spark: SparkSession,
     bronze_dir: str,

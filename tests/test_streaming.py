@@ -904,6 +904,62 @@ def test_media_stream_featurize_equals_batch(spark, dirs):
     assert spark.read.parquet(g).count() == 7
 
 
+def test_media_stream_probe_equals_batch(spark, dirs):
+    """Census-under-ingest proof: header-only probe_media over a mixed
+    stream (MP4, MP3, EXIF-tagged JPEG, ADPCM WAV, unknown bytes) merges
+    to EXACTLY the batch probe rows across two ingest batches, a restart
+    on the same checkpoint, and re-delivered rows."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from etl_expenses_spark.operators.audiocodec import encode_ima_adpcm_wav
+    from etl_expenses_spark.operators.containers import (
+        encode_minimal_mp4,
+        encode_mp3_frames,
+        probe_media,
+    )
+    from etl_expenses_spark.operators.jpegcodec import encode_jpeg
+    from etl_expenses_spark.operators.multimodal import MEDIA_SCHEMA
+    from etl_expenses_spark.streaming.pipeline import run_media_stream_probe
+
+    bronze, gold, ckpt, _ = dirs
+    meta = Row(width=None, height=None, sample_rate=None, n_frames=None,
+               duration_ms=None)
+    tone = (np.sin(np.arange(900) * 0.2) * 9000).astype(np.int16)
+    rows = [
+        Row(media_id=1, kind="video",
+            payload=encode_minimal_mp4(640, 360, 120, 5000, audio_samples=240000),
+            meta=meta),
+        Row(media_id=2, kind="audio",
+            payload=encode_mp3_frames(40, 192, 48000, id3_size=33), meta=meta),
+        Row(media_id=3, kind="image",
+            payload=encode_jpeg(np.full((6, 10, 3), 77, np.uint8)), meta=meta),
+        Row(media_id=4, kind="audio",
+            payload=encode_ima_adpcm_wav(tone, 16000), meta=meta),
+        Row(media_id=5, kind="image", payload=b"\x01not-a-format", meta=meta),
+    ]
+    first, second = rows[:3], rows[2:]  # media_id 3 delivered TWICE
+    media_all = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    want = {tuple(r) for r in probe_media(media_all).collect()}
+    assert {r[1] for r in want} == {"mp4", "mp3", "jpeg", "wav", "unknown"}
+
+    b = str(bronze) + "_probe"
+    g = str(gold) + "_probe"
+    c = str(ckpt) + "_probe"
+    spark.createDataFrame(first, schema=MEDIA_SCHEMA).write.mode(
+        "append").parquet(b)
+    run_media_stream_probe(spark, b, g, c)
+    spark.createDataFrame(second, schema=MEDIA_SCHEMA).write.mode(
+        "append").parquet(b)
+    run_media_stream_probe(spark, b, g, c)
+
+    got = {tuple(r) for r in spark.read.parquet(g).collect()}
+    assert got == want
+    assert spark.read.parquet(g).count() == 5  # re-delivered id 3 merged once
+    run_media_stream_probe(spark, b, g, c)  # restart: no-op
+    assert spark.read.parquet(g).count() == 5
+
+
 def test_cms_guards_checkpoint_reset_and_empty_state(spark, dirs, tmp_path):
     """r4 ADVICE guards: (a) a stream restarted with a lost checkpoint
     (batch ids back at 0) after a compaction must FAIL FAST, not write
