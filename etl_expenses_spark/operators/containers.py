@@ -130,6 +130,7 @@ def parse_mp4(data: bytes) -> dict | None:
             "height": None,
             "n_samples": None,
             "duration_ms": None,
+            "timescale": None,
         }
         tkhd = _find_box(data, ts_, te_, b"tkhd")
         if tkhd is not None and tkhd[1] - tkhd[0] >= 8:
@@ -148,6 +149,7 @@ def parse_mp4(data: bytes) -> dict | None:
                 td = _timed_header(data, mdhd[0], mdhd[1], 24, 16)
                 if td is not None:
                     trk["duration_ms"] = td[1] * 1000 // td[0]
+                    trk["timescale"] = td[0]  # soun tracks: the sample rate
             hdlr = _find_box(data, ds, de, b"hdlr")
             if hdlr is not None and hdlr[1] - hdlr[0] >= 12:
                 trk["handler"] = data[hdlr[0] + 8 : hdlr[0] + 12].decode(
@@ -504,6 +506,7 @@ def probe_bytes(d: bytes) -> dict:
                     "codec": (vid or aud or {}).get("codec"),
                     "width": vid["width"] if vid else None,
                     "height": vid["height"] if vid else None,
+                    "sample_rate": aud["timescale"] if aud else None,
                     "n_frames": vid["n_samples"] if vid else None,
                     "duration_ms": m["duration_ms"],
                 }

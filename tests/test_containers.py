@@ -137,6 +137,10 @@ class TestProbe:
             p = probe_bytes(cases[img])
             assert (p["width"], p["height"]) == (9, 7), img
         assert probe_bytes(cases["wav"])["duration_ms"] == 1500
+        mp4_audio = encode_minimal_mp4(
+            320, 180, 24, 1000, audio_samples=48000, audio_rate=48000
+        )
+        assert probe_bytes(mp4_audio)["sample_rate"] == 48000
         assert probe_bytes(cases["y4m"])["n_frames"] == 4
         assert probe_bytes(cases["mp4"])["n_frames"] == 24
         assert probe_bytes(b"\x00\x01garbage")["container"] == "unknown"
