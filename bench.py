@@ -81,6 +81,12 @@ HEADLINE = [
     # Arrow-batched mapInPandas (the round's new Python-stage archetype)
     "link_prediction_jaccard_capped",
     "multimodal_jpeg_roundtrip",
+    # round-5 additions (late): the header-only container census (per-row
+    # cost independent of payload bytes — the probe archetype) and the
+    # SemDeDup composition (cluster -> in-cell pairs -> CC, the corpus
+    # curation archetype with the adaptive-k linear pair bound)
+    "multimodal_container_census",
+    "semantic_dedup_prune",
 ]
 
 
