@@ -98,7 +98,14 @@ def parse_mp4(data: bytes) -> dict | None:
     and duration (version 0 = 32-bit fields, version 1 = 64-bit);
     trak/tkhd ends with 16.16 fixed-point width/height; trak/mdia/hdlr
     carries the 'vide'/'soun' handler; stbl/stsd's first sample entry
-    starts with the codec fourcc; stbl/stsz carries the sample count."""
+    starts with the codec fourcc; stbl/stsz carries the sample count.
+
+    FRAGMENTED MP4 (the DASH/HLS segment layout — what a real video lake
+    mostly contains): when moov carries mvex, sample counts live in the
+    movie fragments instead of stbl — each top-level moof/traf pairs a
+    tfhd (track_id) with trun boxes (sample_count). The walk sums trun
+    counts per track and takes the whole-movie duration from mvex/mehd
+    when mvhd says 0, so probe output is layout-agnostic."""
     n = len(data)
     if n < 12:
         return None
@@ -115,10 +122,23 @@ def parse_mp4(data: bytes) -> dict | None:
     ms, me = moov
 
     mvhd = _find_box(data, ms, me, b"mvhd")
+    movie_timescale = None
     if mvhd is not None:
         td = _timed_header(data, mvhd[0], mvhd[1], 24, 16)
         if td is not None:
+            movie_timescale = td[0]
             out["duration_ms"] = td[1] * 1000 // td[0]
+
+    mvex = _find_box(data, ms, me, b"mvex")
+    if mvex is not None and not out["duration_ms"] and movie_timescale:
+        mehd = _find_box(data, mvex[0], mvex[1], b"mehd")
+        if mehd is not None and mehd[1] - mehd[0] >= 8:
+            s = mehd[0]
+            if data[s] == 1 and mehd[1] - s >= 12:
+                frag_dur = int.from_bytes(data[s + 4 : s + 12], "big")
+            else:
+                frag_dur = int.from_bytes(data[s + 4 : s + 8], "big")
+            out["duration_ms"] = frag_dur * 1000 // movie_timescale
 
     for fc, ts_, te_ in _iter_boxes(data, ms, me):
         if fc != b"trak":
@@ -131,6 +151,7 @@ def parse_mp4(data: bytes) -> dict | None:
             "n_samples": None,
             "duration_ms": None,
             "timescale": None,
+            "track_id": None,
         }
         tkhd = _find_box(data, ts_, te_, b"tkhd")
         if tkhd is not None and tkhd[1] - tkhd[0] >= 8:
@@ -141,6 +162,13 @@ def parse_mp4(data: bytes) -> dict | None:
                 trk["width"] = w
             if h:
                 trk["height"] = h
+            # track_id: after version/flags + creation/modification times
+            # (v0: 4+4+4 -> offset 12; v1: 4+8+8 -> offset 20)
+            tid_off = 20 if data[tkhd[0]] == 1 else 12
+            if tkhd[1] - tkhd[0] >= tid_off + 4:
+                trk["track_id"] = int.from_bytes(
+                    data[tkhd[0] + tid_off : tkhd[0] + tid_off + 4], "big"
+                )
         mdia = _find_box(data, ts_, te_, b"mdia")
         if mdia is not None:
             ds, de = mdia
@@ -169,6 +197,28 @@ def parse_mp4(data: bytes) -> dict | None:
                         data[stsz[0] + 8 : stsz[0] + 12], "big"
                     )
         out["tracks"].append(trk)
+
+    # fragmented layout: sum trun sample_counts per track from every moof
+    frag_counts: dict[int, int] = {}
+    for fc, fs_, fe_ in _iter_boxes(data, 0, n):
+        if fc != b"moof":
+            continue
+        for tc, trs, tre in _iter_boxes(data, fs_, fe_):
+            if tc != b"traf":
+                continue
+            tfhd = _find_box(data, trs, tre, b"tfhd")
+            if tfhd is None or tfhd[1] - tfhd[0] < 8:
+                continue
+            tid = int.from_bytes(data[tfhd[0] + 4 : tfhd[0] + 8], "big")
+            for rc, rs, re_ in _iter_boxes(data, trs, tre):
+                if rc == b"trun" and re_ - rs >= 8:
+                    frag_counts[tid] = frag_counts.get(tid, 0) + int.from_bytes(
+                        data[rs + 4 : rs + 8], "big"
+                    )
+    if frag_counts:
+        for trk in out["tracks"]:
+            if not trk["n_samples"] and trk["track_id"] in frag_counts:
+                trk["n_samples"] = frag_counts[trk["track_id"]]
     return out
 
 
@@ -235,6 +285,99 @@ def encode_minimal_mp4(
     moov = _box(b"moov", mvhd, *traks)
     ftyp = _box(b"ftyp", b"isom", struct.pack(">I", 512), b"isomiso2mp41")
     return ftyp + moov + _box(b"mdat", mdat)
+
+
+def encode_fragmented_mp4(
+    width: int,
+    height: int,
+    samples_per_fragment: int,
+    n_fragments: int,
+    duration_ms: int,
+    codec: str = "avc1",
+) -> bytes:
+    """Fixture muxer for the DASH/HLS layout: moov carries mvex(mehd+trex)
+    and an EMPTY sample table (stsz count 0, mvhd duration 0 — as real
+    packagers emit); frame counts live only in the moof/traf/trun chain,
+    one moof+mdat pair per fragment."""
+    timescale = 1000
+
+    def trak() -> bytes:
+        tkhd = _full(
+            b"tkhd",
+            0,
+            struct.pack(">IIIII", 0, 0, 1, 0, 0)
+            + b"\x00" * 52
+            + struct.pack(">II", width << 16, height << 16),
+        )
+        mdhd = _full(b"mdhd", 0, struct.pack(">IIII", 0, 0, 30000, 0) + b"\x00" * 4)
+        hdlr = _full(b"hdlr", 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"\x00")
+        entry = _box(codec.encode("ascii"), b"\x00" * 70)
+        stsd = _full(b"stsd", 0, struct.pack(">I", 1) + entry)
+        stbl = _box(
+            b"stbl",
+            stsd,
+            _full(b"stts", 0, struct.pack(">I", 0)),
+            _full(b"stsc", 0, struct.pack(">I", 0)),
+            _full(b"stsz", 0, struct.pack(">II", 0, 0)),
+            _full(b"stco", 0, struct.pack(">I", 0)),
+        )
+        return _box(b"trak", tkhd, _box(b"mdia", mdhd, hdlr, _box(b"minf", stbl)))
+
+    mvhd = _full(b"mvhd", 0, struct.pack(">IIII", 0, 0, timescale, 0) + b"\x00" * 80)
+    mehd = _full(b"mehd", 0, struct.pack(">I", duration_ms))  # ticks == ms
+    trex = _full(b"trex", 0, struct.pack(">IIIII", 1, 1, 0, 0, 0))
+    moov = _box(b"moov", mvhd, _box(b"mvex", mehd, trex), trak())
+    ftyp = _box(b"ftyp", b"iso5", struct.pack(">I", 512), b"iso5dash")
+    frags = b""
+    for i in range(n_fragments):
+        mfhd = _full(b"mfhd", 0, struct.pack(">I", i + 1))
+        tfhd = _full(b"tfhd", 0, struct.pack(">I", 1))
+        trun = _full(b"trun", 0, struct.pack(">I", samples_per_fragment))
+        frags += _box(b"moof", mfhd, _box(b"traf", tfhd, trun)) + _box(b"mdat")
+    return ftyp + moov + frags
+
+
+# ---------------------------------------------------------------------------
+# FLAC — STREAMINFO block (the lossless-audio archive staple)
+# ---------------------------------------------------------------------------
+
+
+def parse_flac_streaminfo(data: bytes) -> dict | None:
+    """'fLaC' magic + first metadata block (STREAMINFO, type 0, 34 bytes):
+    bits 80..99 sample rate, 100..102 channels-1, 103..107 bps-1,
+    108..143 total samples. Header-only; returns None on anything else."""
+    if data[:4] != b"fLaC" or len(data) < 4 + 4 + 34:
+        return None
+    if data[4] & 0x7F != 0:  # first block must be STREAMINFO
+        return None
+    si = data[8:42]
+    word = int.from_bytes(si[10:18], "big")
+    rate = word >> 44
+    channels = ((word >> 41) & 0x7) + 1
+    total = word & ((1 << 36) - 1)
+    if rate == 0:
+        return None
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "n_samples": total,
+        "duration_ms": total * 1000 // rate,
+    }
+
+
+def encode_flac_streaminfo(
+    sample_rate: int, n_samples: int, channels: int = 2
+) -> bytes:
+    """Fixture muxer: a valid fLaC header + STREAMINFO (no audio frames —
+    the probe never reads past the metadata block)."""
+    word = (sample_rate << 44) | ((channels - 1) << 41) | (16 - 1) << 36 | n_samples
+    si = (
+        struct.pack(">HH", 4096, 4096)  # min/max blocksize
+        + b"\x00" * 6  # min/max framesize (24-bit each, unset)
+        + word.to_bytes(8, "big")
+        + b"\x00" * 16  # md5 of raw samples (unset)
+    )
+    return b"fLaC" + b"\x80" + len(si).to_bytes(3, "big") + si
 
 
 # ---------------------------------------------------------------------------
@@ -538,6 +681,16 @@ def probe_bytes(d: bytes) -> dict:
                     int.from_bytes(d[22:26], "little", signed=True)
                 ),
                 "n_frames": 1,
+            }
+        fl = parse_flac_streaminfo(d)
+        if fl is not None:
+            return {
+                **_EMPTY,
+                "container": "flac",
+                "codec": f"pcm{fl['channels']}ch",
+                "sample_rate": fl["sample_rate"],
+                "n_frames": fl["n_samples"],
+                "duration_ms": fl["duration_ms"],
             }
         jp = _probe_jpeg(d)
         if jp is not None:

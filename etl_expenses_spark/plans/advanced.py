@@ -844,11 +844,11 @@ def multimodal_png_roundtrip(spark, sf_dir):
         ),
         rows_ AS (
             SELECT 'mp4' AS container,
-                   CASE WHEN did % 4 < 2 THEN 'avc1' ELSE 'hvc1' END AS codec,
+                   'avc1' AS codec,
                    320 + (did % 16) * 16 AS width,
                    24 * (1 + did % 5) AS frames,
                    CAST(1000 * (1 + did % 7) AS BIGINT) AS dur
-            FROM sel WHERE did % 2 = 0
+            FROM sel WHERE did % 4 = 0
             UNION ALL
             SELECT 'mp3', 'cbr', NULL,
                    50 + did % 50,
@@ -856,7 +856,19 @@ def multimodal_png_roundtrip(spark, sf_dir):
                        // (CASE did % 3 WHEN 0 THEN 44100
                                         WHEN 1 THEN 48000
                                         ELSE 32000 END)
-            FROM sel WHERE did % 2 = 1
+            FROM sel WHERE did % 4 = 1
+            UNION ALL
+            SELECT 'mp4', 'hvc1', 1280,
+                   (24 + did % 8) * (4 + did % 6),
+                   CAST(2000 * (1 + did % 5) AS BIGINT)
+            FROM sel WHERE did % 4 = 2
+            UNION ALL
+            SELECT 'flac', 'pcm2ch', NULL,
+                   (CASE did % 3 WHEN 0 THEN 44100
+                                 WHEN 1 THEN 48000
+                                 ELSE 32000 END) * (1 + did % 4),
+                   CAST(1000 * (1 + did % 4) AS BIGINT)
+            FROM sel WHERE did % 4 = 3
         )
         SELECT container,
                COUNT(*) AS n_items,
@@ -870,23 +882,28 @@ def multimodal_png_roundtrip(spark, sf_dir):
 )
 def multimodal_container_census(spark, sf_dir):
     """The no-decode media census (operators/containers.py) oracle-checked
-    END TO END through Spark: real ISO-BMFF files (ftyp+moov box trees with
-    planted duration/resolution/sample-count/codec, alternating avc1/hvc1
-    and 64-bit v1 boxes) and real MPEG-1 Layer III streams (valid frame
-    headers at three sample rates, ID3v2-prefixed) are muxed per doc_id,
-    then ``probe_media`` walks the container structures distributed and the
+    END TO END through Spark over FOUR real container families muxed per
+    doc_id: plain ISO-BMFF (ftyp+moov box trees, planted duration/
+    resolution/sample-count, 64-bit v1 boxes on half the rows), FRAGMENTED
+    ISO-BMFF (DASH/HLS layout — empty stbl, frame counts only in
+    moof/traf/trun, duration in mvex/mehd), MPEG-1 Layer III streams
+    (valid frame headers at three sample rates, ID3v2-prefixed), and FLAC
+    STREAMINFO. ``probe_media`` walks the structures distributed and the
     header-derived metadata must reproduce every planted value — DuckDB
     predicts them symbolically (MP3 duration = floor(frames*1152*1000/sr),
-    the exact integer arithmetic the scanner performs).
+    fMP4 frames = samples_per_fragment × n_fragments, the exact integer
+    arithmetic the scanners perform).
 
     This is the first query anyone runs on a 100 TB media lake: format /
     codec / duration / resolution census without decoding a sample. Scale
     shape: header-only probe in one mapInPandas stage (per-row cost
     independent of payload size), shuffle only the tiny probe rows into a
-    2-group aggregate."""
+    3-group aggregate."""
     import pandas as pd
 
     from etl_expenses_spark.operators.containers import (
+        encode_flac_streaminfo,
+        encode_fragmented_mp4,
         encode_minimal_mp4,
         encode_mp3_frames,
         probe_media,
@@ -903,24 +920,44 @@ def multimodal_container_census(spark, sf_dir):
             ids, payloads = [], []
             for did in b["doc_id"]:
                 did = int(did)
-                if did % 2 == 0:
+                m = did % 4
+                if m == 0:
                     payloads.append(
                         encode_minimal_mp4(
                             width=320 + (did % 16) * 16,
                             height=180 + (did % 9) * 20,
                             n_video_samples=24 * (1 + did % 5),
                             duration_ms=1000 * (1 + did % 7),
-                            codec="avc1" if did % 4 < 2 else "hvc1",
+                            codec="avc1",
                             version1=did % 8 >= 4,
                         )
                     )
-                else:
+                elif m == 1:
                     payloads.append(
                         encode_mp3_frames(
                             n_frames=50 + did % 50,
                             bitrate_kbps=128,
                             sample_rate=(44100, 48000, 32000)[did % 3],
                             id3_size=did % 64,
+                        )
+                    )
+                elif m == 2:
+                    payloads.append(
+                        encode_fragmented_mp4(
+                            width=1280,
+                            height=720,
+                            samples_per_fragment=24 + did % 8,
+                            n_fragments=4 + did % 6,
+                            duration_ms=2000 * (1 + did % 5),
+                            codec="hvc1",
+                        )
+                    )
+                else:
+                    payloads.append(
+                        encode_flac_streaminfo(
+                            sample_rate=(44100, 48000, 32000)[did % 3],
+                            n_samples=(44100, 48000, 32000)[did % 3]
+                            * (1 + did % 4),
                         )
                     )
                 ids.append(did)

@@ -64,6 +64,26 @@ class TestMp4:
         )
         assert parse_mp4(patched)["duration_ms"] == 1000
 
+    def test_fragmented_mp4_counts_trun_samples(self):
+        from etl_expenses_spark.operators.containers import encode_fragmented_mp4
+
+        f = encode_fragmented_mp4(1280, 720, 48, 10, 16000)
+        m = parse_mp4(f)
+        vid = m["tracks"][0]
+        # stbl is empty (as DASH packagers emit): frames come from the
+        # 10 moof/traf/trun fragments, duration from mvex/mehd
+        assert vid["n_samples"] == 480
+        assert (vid["width"], vid["height"]) == (1280, 720)
+        assert m["duration_ms"] == 16000
+        p = probe_bytes(f)
+        assert (p["container"], p["n_frames"], p["duration_ms"]) == (
+            "mp4",
+            480,
+            16000,
+        )
+        for cut in range(0, len(f), 11):
+            parse_mp4(f[:cut])  # never raises
+
     def test_not_mp4(self):
         assert parse_mp4(b"") is None
         assert parse_mp4(b"\x00" * 64) is None
@@ -109,6 +129,34 @@ class TestMp3:
     def test_no_frames(self):
         assert parse_mp3(b"") is None
         assert parse_mp3(b"ID3\x04\x00\x00\x00\x00\x00\x05hello") is None
+
+
+class TestFlac:
+    def test_streaminfo_roundtrip(self):
+        from etl_expenses_spark.operators.containers import (
+            encode_flac_streaminfo,
+            parse_flac_streaminfo,
+        )
+
+        fl = encode_flac_streaminfo(44100, 441000, channels=2)
+        assert parse_flac_streaminfo(fl) == {
+            "sample_rate": 44100,
+            "channels": 2,
+            "n_samples": 441000,
+            "duration_ms": 10000,
+        }
+        p = probe_bytes(fl)
+        assert (p["container"], p["sample_rate"], p["duration_ms"]) == (
+            "flac",
+            44100,
+            10000,
+        )
+        mono = encode_flac_streaminfo(96000, 96000 * 7, channels=1)
+        assert parse_flac_streaminfo(mono)["duration_ms"] == 7000
+        assert parse_flac_streaminfo(b"fLaC") is None
+        assert parse_flac_streaminfo(b"") is None
+        for cut in range(len(fl)):
+            parse_flac_streaminfo(fl[:cut])  # never raises
 
 
 class TestProbe:
