@@ -338,6 +338,189 @@ def encode_fragmented_mp4(
 
 
 # ---------------------------------------------------------------------------
+# Matroska / WebM — EBML walk (the other half of the video lake)
+# ---------------------------------------------------------------------------
+
+_EBML_MAGIC = b"\x1a\x45\xdf\xa3"
+_MKV_SEGMENT = 0x18538067
+_MKV_INFO = 0x1549A966
+_MKV_TIMESTAMPSCALE = 0x2AD7B1
+_MKV_DURATION = 0x4489
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TRACKENTRY = 0xAE
+_MKV_TRACKTYPE = 0x83
+_MKV_CODECID = 0x86
+_MKV_VIDEO = 0xE0
+_MKV_PIXELWIDTH = 0xB0
+_MKV_PIXELHEIGHT = 0xBA
+_MKV_AUDIO = 0xE1
+_MKV_SAMPLINGFREQ = 0xB5
+
+
+def _ebml_vint(data: bytes, pos: int, keep_marker: bool):
+    """EBML variable-length integer at ``pos`` → (value, next_pos) or
+    None. IDs keep the length-marker bit; sizes strip it (an all-ones
+    size means 'unknown/to-end' and comes back as None value)."""
+    if pos >= len(data):
+        return None
+    first = data[pos]
+    if first == 0:
+        return None
+    length = 8 - first.bit_length() + 1
+    if pos + length > len(data):
+        return None
+    raw = int.from_bytes(data[pos : pos + length], "big")
+    if keep_marker:
+        return raw, pos + length
+    val = raw - (1 << (7 * length))
+    if val == (1 << (7 * length)) - 1:  # all value bits set: unknown size
+        return None, pos + length
+    return val, pos + length
+
+
+def _ebml_children(data: bytes, start: int, end: int):
+    """Yield (element_id, payload_start, payload_end); unknown-size
+    elements extend to the region end (the live-stream convention)."""
+    pos = start
+    while pos < end:
+        got = _ebml_vint(data, pos, keep_marker=True)
+        if got is None:
+            return
+        eid, pos = got
+        got = _ebml_vint(data, pos, keep_marker=False)
+        if got is None:
+            return
+        size, pos = got
+        pend = end if size is None else pos + size
+        if pend > end:
+            return
+        yield eid, pos, pend
+        pos = pend
+
+
+def _ebml_uint(data: bytes, s: int, e: int) -> int:
+    return int.from_bytes(data[s:e], "big") if e > s else 0
+
+
+def _ebml_float(data: bytes, s: int, e: int) -> float | None:
+    if e - s == 4:
+        return struct.unpack(">f", data[s:e])[0]
+    if e - s == 8:
+        return struct.unpack(">d", data[s:e])[0]
+    return None
+
+
+def parse_mkv(data: bytes) -> dict | None:
+    """Header-only Matroska/WebM census: duration (Info/Duration ×
+    TimestampScale), per-track type/codec/dimensions/sample-rate from the
+    Tracks element. Pure EBML varint walking; never raises, None unless
+    the EBML magic leads."""
+    if data[:4] != _EBML_MAGIC:
+        return None
+    out: dict = {"duration_ms": None, "tracks": []}
+    for eid, s, e in _ebml_children(data, 0, len(data)):
+        if eid != _MKV_SEGMENT:
+            continue
+        for cid, cs, ce in _ebml_children(data, s, e):
+            if cid == _MKV_INFO:
+                scale = 1_000_000  # default: ticks are 1 ms
+                dur = None
+                for iid, is_, ie in _ebml_children(data, cs, ce):
+                    if iid == _MKV_TIMESTAMPSCALE:
+                        scale = _ebml_uint(data, is_, ie)
+                    elif iid == _MKV_DURATION:
+                        dur = _ebml_float(data, is_, ie)
+                if dur is not None and scale:
+                    out["duration_ms"] = int(dur * scale / 1_000_000)
+            elif cid == _MKV_TRACKS:
+                for tid, ts, te in _ebml_children(data, cs, ce):
+                    if tid != _MKV_TRACKENTRY:
+                        continue
+                    trk = {
+                        "type": None,
+                        "codec": None,
+                        "width": None,
+                        "height": None,
+                        "sample_rate": None,
+                    }
+                    for fid, fs, fe in _ebml_children(data, ts, te):
+                        if fid == _MKV_TRACKTYPE:
+                            trk["type"] = {1: "video", 2: "audio"}.get(
+                                _ebml_uint(data, fs, fe)
+                            )
+                        elif fid == _MKV_CODECID:
+                            trk["codec"] = data[fs:fe].decode("ascii", "replace")
+                        elif fid == _MKV_VIDEO:
+                            for vid, vs, ve in _ebml_children(data, fs, fe):
+                                if vid == _MKV_PIXELWIDTH:
+                                    trk["width"] = _ebml_uint(data, vs, ve)
+                                elif vid == _MKV_PIXELHEIGHT:
+                                    trk["height"] = _ebml_uint(data, vs, ve)
+                        elif fid == _MKV_AUDIO:
+                            for aid, as_, ae in _ebml_children(data, fs, fe):
+                                if aid == _MKV_SAMPLINGFREQ:
+                                    f = _ebml_float(data, as_, ae)
+                                    if f:
+                                        trk["sample_rate"] = int(f)
+                    out["tracks"].append(trk)
+    return out
+
+
+def _ebml_encode_vint(value: int, keep_marker_len: int | None = None) -> bytes:
+    """Encode a size vint (marker bit in the leading byte)."""
+    for length in range(1, 9):
+        if value < (1 << (7 * length)) - 1:
+            return (value | (1 << (7 * length))).to_bytes(length, "big")
+    raise ValueError("vint too large")
+
+
+def _ebml_el(eid: int, payload: bytes) -> bytes:
+    id_len = (eid.bit_length() + 7) // 8
+    return eid.to_bytes(id_len, "big") + _ebml_encode_vint(len(payload)) + payload
+
+
+def encode_minimal_mkv(
+    width: int,
+    height: int,
+    duration_ms: int,
+    codec: str = "V_VP9",
+    audio_rate: int | None = None,
+) -> bytes:
+    """Fixture muxer: EBML header + Segment(Info(TimestampScale,
+    Duration), Tracks(video entry [+ audio entry])). No clusters — the
+    probe is header-only by design."""
+    ebml_hdr = _EBML_MAGIC + _ebml_encode_vint(0)
+    info = _ebml_el(
+        _MKV_INFO,
+        _ebml_el(_MKV_TIMESTAMPSCALE, (1_000_000).to_bytes(3, "big"))
+        + _ebml_el(_MKV_DURATION, struct.pack(">d", float(duration_ms))),
+    )
+    video_entry = _ebml_el(
+        _MKV_TRACKENTRY,
+        _ebml_el(_MKV_TRACKTYPE, b"\x01")
+        + _ebml_el(_MKV_CODECID, codec.encode("ascii"))
+        + _ebml_el(
+            _MKV_VIDEO,
+            _ebml_el(_MKV_PIXELWIDTH, width.to_bytes(2, "big"))
+            + _ebml_el(_MKV_PIXELHEIGHT, height.to_bytes(2, "big")),
+        ),
+    )
+    entries = video_entry
+    if audio_rate:
+        entries += _ebml_el(
+            _MKV_TRACKENTRY,
+            _ebml_el(_MKV_TRACKTYPE, b"\x02")
+            + _ebml_el(_MKV_CODECID, b"A_OPUS")
+            + _ebml_el(
+                _MKV_AUDIO,
+                _ebml_el(_MKV_SAMPLINGFREQ, struct.pack(">f", float(audio_rate))),
+            ),
+        )
+    segment = _ebml_el(_MKV_SEGMENT, info + _ebml_el(_MKV_TRACKS, entries))
+    return ebml_hdr + segment
+
+
+# ---------------------------------------------------------------------------
 # FLAC — STREAMINFO block (the lossless-audio archive staple)
 # ---------------------------------------------------------------------------
 
@@ -682,6 +865,20 @@ def probe_bytes(d: bytes) -> dict:
                 ),
                 "n_frames": 1,
             }
+        if d[:4] == _EBML_MAGIC:
+            mk = parse_mkv(d)
+            if mk is not None:
+                vid = next((t for t in mk["tracks"] if t["type"] == "video"), None)
+                aud = next((t for t in mk["tracks"] if t["type"] == "audio"), None)
+                return {
+                    **_EMPTY,
+                    "container": "mkv",
+                    "codec": (vid or aud or {}).get("codec"),
+                    "width": vid["width"] if vid else None,
+                    "height": vid["height"] if vid else None,
+                    "sample_rate": aud["sample_rate"] if aud else None,
+                    "duration_ms": mk["duration_ms"],
+                }
         fl = parse_flac_streaminfo(d)
         if fl is not None:
             return {

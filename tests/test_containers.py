@@ -159,6 +159,61 @@ class TestFlac:
             parse_flac_streaminfo(fl[:cut])  # never raises
 
 
+class TestMkv:
+    def test_roundtrip(self):
+        from etl_expenses_spark.operators.containers import (
+            encode_minimal_mkv,
+            parse_mkv,
+        )
+
+        b = encode_minimal_mkv(1920, 1080, 42000, codec="V_AV1", audio_rate=48000)
+        m = parse_mkv(b)
+        assert m["duration_ms"] == 42000
+        vid, aud = m["tracks"]
+        assert (vid["type"], vid["codec"], vid["width"], vid["height"]) == (
+            "video",
+            "V_AV1",
+            1920,
+            1080,
+        )
+        assert (aud["type"], aud["codec"], aud["sample_rate"]) == (
+            "audio",
+            "A_OPUS",
+            48000,
+        )
+        p = probe_bytes(b)
+        assert (p["container"], p["codec"], p["sample_rate"]) == (
+            "mkv",
+            "V_AV1",
+            48000,
+        )
+
+    def test_unknown_size_segment(self):
+        # live-stream convention: segment size all-ones = to-end-of-file
+        from etl_expenses_spark.operators.containers import (
+            encode_minimal_mkv,
+            parse_mkv,
+        )
+
+        b = encode_minimal_mkv(640, 480, 9000)
+        idx = b.index(bytes.fromhex("18538067")) + 4
+        ln = 8 - b[idx].bit_length() + 1
+        patched = b[:idx] + bytes([0xFF]) + b[idx + ln :]
+        assert parse_mkv(patched)["duration_ms"] == 9000
+
+    def test_truncations_and_garbage_never_raise(self):
+        from etl_expenses_spark.operators.containers import (
+            encode_minimal_mkv,
+            parse_mkv,
+        )
+
+        b = encode_minimal_mkv(64, 48, 500, audio_rate=8000)
+        for cut in range(len(b)):
+            parse_mkv(b[:cut])
+        assert parse_mkv(b"\x1a\x45\xdf\xa3" + b"\x00" * 8) is not None
+        assert parse_mkv(b"nope") is None
+
+
 class TestProbe:
     def test_census_dispatch(self):
         from etl_expenses_spark.operators.audiocodec import make_tone
@@ -229,7 +284,16 @@ class TestProbe:
     @settings(max_examples=200, deadline=None)
     @given(
         prefix=st.sampled_from(
-            [b"", b"\xff\xfb", b"ID3", b"\x00\x00\x00\x18ftyp", b"RIFF", b"P6"]
+            [
+                b"",
+                b"\xff\xfb",
+                b"ID3",
+                b"\x00\x00\x00\x18ftyp",
+                b"RIFF",
+                b"P6",
+                b"fLaC",
+                b"\x1a\x45\xdf\xa3",
+            ]
         ),
         junk=st.binary(max_size=120),
     )
