@@ -521,6 +521,79 @@ def encode_minimal_mkv(
 
 
 # ---------------------------------------------------------------------------
+# Ogg (Opus / Vorbis) — page scan
+# ---------------------------------------------------------------------------
+
+
+def parse_ogg(data: bytes) -> dict | None:
+    """Ogg census: codec from the first page's payload magic (OpusHead /
+    Vorbis id header), duration from the LAST page's granule position —
+    the standard trick: granules are absolute sample counts (48 kHz ticks
+    for Opus, native rate for Vorbis), so the tail page alone dates the
+    whole stream. Scans backward from EOF for the final 'OggS' capture,
+    so cost is O(tail), not O(file)."""
+    if data[:4] != b"OggS" or len(data) < 28:
+        return None
+    seg_n = data[26]
+    payload_at = 27 + seg_n
+    head = data[payload_at : payload_at + 16]
+    if head[:8] == b"OpusHead":
+        codec, rate = "opus", 48000  # granules are always 48 kHz for Opus
+    elif head[:7] == b"\x01vorbis" and len(head) >= 16:
+        codec = "vorbis"
+        rate = int.from_bytes(data[payload_at + 12 : payload_at + 16], "little")
+    else:
+        codec, rate = None, 0
+    last = data.rfind(b"OggS")
+    duration_ms = None
+    n_samples = None
+    if last >= 0 and last + 14 <= len(data):
+        granule = int.from_bytes(data[last + 6 : last + 14], "little", signed=True)
+        if granule > 0 and rate:
+            n_samples = granule
+            duration_ms = granule * 1000 // rate
+    return {
+        "codec": codec,
+        "sample_rate": rate or None,
+        "n_samples": n_samples,
+        "duration_ms": duration_ms,
+    }
+
+
+def encode_minimal_ogg(
+    n_samples: int, codec: str = "opus", sample_rate: int = 48000
+) -> bytes:
+    """Fixture muxer: a first Ogg page carrying the codec id header and a
+    final page whose granule position is ``n_samples``."""
+
+    def page(granule: int, seq: int, payload: bytes, htype: int) -> bytes:
+        segs = bytes([len(payload)]) if payload else b"\x00"
+        return (
+            b"OggS\x00"
+            + bytes([htype])
+            + granule.to_bytes(8, "little", signed=True)
+            + (1).to_bytes(4, "little")  # serial
+            + seq.to_bytes(4, "little")
+            + b"\x00\x00\x00\x00"  # crc (probe doesn't verify)
+            + bytes([1])
+            + segs
+            + payload
+        )
+
+    if codec == "opus":
+        idhdr = b"OpusHead" + b"\x01\x02" + b"\x00" * 9
+    else:
+        idhdr = (
+            b"\x01vorbis"
+            + b"\x00" * 4  # version
+            + b"\x02"  # channels
+            + sample_rate.to_bytes(4, "little")
+            + b"\x00" * 12
+        )
+    return page(0, 0, idhdr, 0x02) + page(n_samples, 1, b"\x00", 0x04)
+
+
+# ---------------------------------------------------------------------------
 # FLAC — STREAMINFO block (the lossless-audio archive staple)
 # ---------------------------------------------------------------------------
 
@@ -878,6 +951,17 @@ def probe_bytes(d: bytes) -> dict:
                     "height": vid["height"] if vid else None,
                     "sample_rate": aud["sample_rate"] if aud else None,
                     "duration_ms": mk["duration_ms"],
+                }
+        if d[:4] == b"OggS":
+            og = parse_ogg(d)
+            if og is not None:
+                return {
+                    **_EMPTY,
+                    "container": "ogg",
+                    "codec": og["codec"],
+                    "sample_rate": og["sample_rate"],
+                    "n_frames": og["n_samples"],
+                    "duration_ms": og["duration_ms"],
                 }
         fl = parse_flac_streaminfo(d)
         if fl is not None:

