@@ -914,7 +914,11 @@ def test_media_stream_probe_equals_batch(spark, dirs):
 
     from etl_expenses_spark.operators.audiocodec import encode_ima_adpcm_wav
     from etl_expenses_spark.operators.containers import (
+        encode_flac_streaminfo,
+        encode_fragmented_mp4,
+        encode_minimal_mkv,
         encode_minimal_mp4,
+        encode_minimal_ogg,
         encode_mp3_frames,
         probe_media,
     )
@@ -937,11 +941,22 @@ def test_media_stream_probe_equals_batch(spark, dirs):
         Row(media_id=4, kind="audio",
             payload=encode_ima_adpcm_wav(tone, 16000), meta=meta),
         Row(media_id=5, kind="image", payload=b"\x01not-a-format", meta=meta),
+        Row(media_id=6, kind="video",
+            payload=encode_minimal_mkv(1920, 1080, 30000, audio_rate=48000),
+            meta=meta),
+        Row(media_id=7, kind="audio",
+            payload=encode_flac_streaminfo(44100, 220500), meta=meta),
+        Row(media_id=8, kind="audio",
+            payload=encode_minimal_ogg(144000, "opus"), meta=meta),
+        Row(media_id=9, kind="video",
+            payload=encode_fragmented_mp4(1280, 720, 30, 6, 6000), meta=meta),
     ]
     first, second = rows[:3], rows[2:]  # media_id 3 delivered TWICE
     media_all = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
     want = {tuple(r) for r in probe_media(media_all).collect()}
-    assert {r[1] for r in want} == {"mp4", "mp3", "jpeg", "wav", "unknown"}
+    assert {r[1] for r in want} == {
+        "mp4", "mp3", "jpeg", "wav", "unknown", "mkv", "flac", "ogg",
+    }
 
     b = str(bronze) + "_probe"
     g = str(gold) + "_probe"
@@ -955,9 +970,9 @@ def test_media_stream_probe_equals_batch(spark, dirs):
 
     got = {tuple(r) for r in spark.read.parquet(g).collect()}
     assert got == want
-    assert spark.read.parquet(g).count() == 5  # re-delivered id 3 merged once
+    assert spark.read.parquet(g).count() == 9  # re-delivered id 3 merged once
     run_media_stream_probe(spark, b, g, c)  # restart: no-op
-    assert spark.read.parquet(g).count() == 5
+    assert spark.read.parquet(g).count() == 9
 
 
 def test_cms_guards_checkpoint_reset_and_empty_state(spark, dirs, tmp_path):
