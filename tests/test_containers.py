@@ -214,6 +214,84 @@ class TestMkv:
         assert parse_mkv(b"nope") is None
 
 
+class TestRoundtripProperties:
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(16, 4096),
+        h=st.integers(16, 4096),
+        n=st.integers(1, 100000),
+        dur=st.integers(1, 10**7),
+        v1=st.booleans(),
+    )
+    def test_mp4_any_planted_values_roundtrip(self, w, h, n, dur, v1):
+        m = parse_mp4(encode_minimal_mp4(w, h, n, dur, version1=v1))
+        t = m["tracks"][0]
+        assert (t["width"], t["height"], t["n_samples"]) == (w, h, n)
+        assert m["duration_ms"] == dur
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        spf=st.integers(1, 5000),
+        nf=st.integers(1, 64),
+        dur=st.integers(1, 10**7),
+    )
+    def test_fmp4_any_planted_values_roundtrip(self, spf, nf, dur):
+        from etl_expenses_spark.operators.containers import encode_fragmented_mp4
+
+        m = parse_mp4(encode_fragmented_mp4(640, 360, spf, nf, dur))
+        assert m["tracks"][0]["n_samples"] == spf * nf
+        assert m["duration_ms"] == dur
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 65535),
+        h=st.integers(1, 65535),
+        dur=st.integers(0, 10**8),
+        rate=st.integers(1, 384000),
+    )
+    def test_mkv_any_planted_values_roundtrip(self, w, h, dur, rate):
+        from etl_expenses_spark.operators.containers import (
+            encode_minimal_mkv,
+            parse_mkv,
+        )
+
+        m = parse_mkv(encode_minimal_mkv(w, h, dur, audio_rate=rate))
+        vid, aud = m["tracks"]
+        assert (vid["width"], vid["height"]) == (w, h)
+        assert m["duration_ms"] == dur
+        assert aud["sample_rate"] == rate
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        rate=st.sampled_from([8000, 22050, 44100, 48000, 96000, 192000]),
+        n=st.integers(0, 2**36 - 1),
+        ch=st.integers(1, 8),
+    )
+    def test_flac_any_planted_values_roundtrip(self, rate, n, ch):
+        from etl_expenses_spark.operators.containers import (
+            encode_flac_streaminfo,
+            parse_flac_streaminfo,
+        )
+
+        m = parse_flac_streaminfo(encode_flac_streaminfo(rate, n, channels=ch))
+        assert (m["sample_rate"], m["n_samples"], m["channels"]) == (rate, n, ch)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        nf=st.integers(1, 500),
+        kbps=st.sampled_from([32, 64, 96, 128, 192, 256, 320]),
+        sr=st.sampled_from([44100, 48000, 32000]),
+        id3=st.integers(0, 500),
+    )
+    def test_mp3_any_planted_values_roundtrip(self, nf, kbps, sr, id3):
+        m = parse_mp3(encode_mp3_frames(nf, kbps, sr, id3_size=id3))
+        assert (m["n_frames"], m["bitrate_kbps"], m["sample_rate"]) == (
+            nf,
+            kbps,
+            sr,
+        )
+
+
 class TestOgg:
     def test_opus_and_vorbis(self):
         from etl_expenses_spark.operators.containers import (
