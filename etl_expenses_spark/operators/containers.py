@@ -724,6 +724,79 @@ def encode_mp3_frames(
 
 
 # ---------------------------------------------------------------------------
+# Archives — ZIP central directory & tar header walk (document lakes
+# receive bundles; the census must see inside without extracting)
+# ---------------------------------------------------------------------------
+
+
+def parse_zip_listing(data: bytes) -> list[dict] | None:
+    """ZIP member listing from the central directory: (name, compressed /
+    uncompressed sizes, method) per entry. Finds EOCD by scanning the tail
+    (the spec-mandated way — the comment field makes the offset variable),
+    then walks the central directory records. O(directory), never inflates
+    a single byte. Returns None unless a plausible ZIP structure is found."""
+    if len(data) < 22 or data[:2] != b"PK":
+        return None
+    tail_start = max(0, len(data) - 65536 - 22)
+    eocd = data.rfind(b"PK\x05\x06", tail_start)
+    if eocd < 0 or eocd + 22 > len(data):
+        return None
+    n_entries = int.from_bytes(data[eocd + 10 : eocd + 12], "little")
+    cd_off = int.from_bytes(data[eocd + 16 : eocd + 20], "little")
+    out = []
+    pos = cd_off
+    for _ in range(n_entries):
+        if pos + 46 > len(data) or data[pos : pos + 4] != b"PK\x01\x02":
+            return out or None
+        method = int.from_bytes(data[pos + 10 : pos + 12], "little")
+        csize = int.from_bytes(data[pos + 20 : pos + 24], "little")
+        usize = int.from_bytes(data[pos + 24 : pos + 28], "little")
+        nlen = int.from_bytes(data[pos + 28 : pos + 30], "little")
+        xlen = int.from_bytes(data[pos + 30 : pos + 32], "little")
+        clen = int.from_bytes(data[pos + 32 : pos + 34], "little")
+        name = data[pos + 46 : pos + 46 + nlen].decode("utf-8", "replace")
+        out.append(
+            {
+                "name": name,
+                "compressed": csize,
+                "uncompressed": usize,
+                "method": {0: "store", 8: "deflate"}.get(method, f"m{method}"),
+            }
+        )
+        pos += 46 + nlen + xlen + clen
+    return out
+
+
+def parse_tar_listing(data: bytes) -> list[dict] | None:
+    """Tar member listing: walk the 512-byte header blocks (name at 0,
+    octal size at 124, typeflag at 156, 'ustar' magic at 257), skipping
+    each member's content blocks. Stops at the zero-block terminator or
+    any malformed header. Returns None unless the first block is a valid
+    ustar header."""
+    if len(data) < 512 or data[257:262] != b"ustar":
+        return None
+    out = []
+    pos = 0
+    while pos + 512 <= len(data):
+        block = data[pos : pos + 512]
+        if block == b"\x00" * 512:
+            break
+        if block[257:262] != b"ustar" and out:
+            break
+        name = block[:100].split(b"\x00", 1)[0].decode("utf-8", "replace")
+        try:
+            size = int(block[124:136].split(b"\x00", 1)[0].strip() or b"0", 8)
+        except ValueError:
+            break
+        kind = {48: "file", 53: "dir", 50: "symlink"}.get(block[156], "other")
+        if not name:
+            break
+        out.append({"name": name, "size": size, "kind": kind})
+        pos += 512 + ((size + 511) // 512) * 512
+    return out or None
+
+
+# ---------------------------------------------------------------------------
 # Unified header-only probe
 # ---------------------------------------------------------------------------
 
@@ -951,6 +1024,25 @@ def probe_bytes(d: bytes) -> dict:
                     "height": vid["height"] if vid else None,
                     "sample_rate": aud["sample_rate"] if aud else None,
                     "duration_ms": mk["duration_ms"],
+                }
+        if d[:2] == b"PK":
+            zl = parse_zip_listing(d)
+            if zl is not None:
+                methods = {e["method"] for e in zl}
+                return {
+                    **_EMPTY,
+                    "container": "zip",
+                    "codec": methods.pop() if len(methods) == 1 else "mixed",
+                    "n_frames": len(zl),  # members
+                }
+        if len(d) >= 512 and d[257:262] == b"ustar":
+            tl = parse_tar_listing(d)
+            if tl is not None:
+                return {
+                    **_EMPTY,
+                    "container": "tar",
+                    "codec": "ustar",
+                    "n_frames": len(tl),
                 }
         if d[:4] == b"OggS":
             og = parse_ogg(d)

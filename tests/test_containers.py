@@ -214,6 +214,71 @@ class TestMkv:
         assert parse_mkv(b"nope") is None
 
 
+class TestArchives:
+    """Archive listings are cross-checked against stdlib zipfile/tarfile
+    OUTPUT (independent writers), not against our own muxers."""
+
+    def test_zip_listing_matches_stdlib_writer(self):
+        import io
+        import zipfile
+
+        from etl_expenses_spark.operators.containers import parse_zip_listing
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+            z.writestr("docs/a.txt", "hello world " * 50)
+            z.writestr("docs/b.json", '{"x": 1}')
+            z.writestr("stored.bin", b"\x00" * 10, compress_type=zipfile.ZIP_STORED)
+        zb = buf.getvalue()
+        got = parse_zip_listing(zb)
+        assert [e["name"] for e in got] == ["docs/a.txt", "docs/b.json", "stored.bin"]
+        assert got[0]["uncompressed"] == 600 and got[0]["method"] == "deflate"
+        assert got[2]["method"] == "store"
+        p = probe_bytes(zb)
+        assert (p["container"], p["codec"], p["n_frames"]) == ("zip", "mixed", 3)
+        for cut in range(0, len(zb), 7):
+            parse_zip_listing(zb[:cut])  # never raises
+
+    def test_tar_listing_matches_stdlib_writer(self):
+        import io
+        import tarfile
+
+        from etl_expenses_spark.operators.containers import parse_tar_listing
+
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as t:
+            for name, content in [("a.txt", b"x" * 700), ("dir/b.bin", b"y" * 10)]:
+                info = tarfile.TarInfo(name)
+                info.size = len(content)
+                t.addfile(info, io.BytesIO(content))
+        tb = buf.getvalue()
+        got = parse_tar_listing(tb)
+        assert got == [
+            {"name": "a.txt", "size": 700, "kind": "file"},
+            {"name": "dir/b.bin", "size": 10, "kind": "file"},
+        ]
+        assert probe_bytes(tb)["container"] == "tar"
+        for cut in range(0, len(tb), 64):
+            parse_tar_listing(tb[:cut])  # never raises
+
+    def test_xlsx_payload_probes_as_zip(self):
+        # OOXML is a zip on the wire; the byte census must say so
+        from etl_expenses_spark.sources.xlsx import make_xlsx
+
+        x = make_xlsx([["c1"], [1]])
+        assert probe_bytes(x)["container"] == "zip"
+
+    def test_not_archives(self):
+        from etl_expenses_spark.operators.containers import (
+            parse_tar_listing,
+            parse_zip_listing,
+        )
+
+        assert parse_zip_listing(b"PK\x03\x04 but truncated") is None
+        assert parse_zip_listing(b"") is None
+        assert parse_tar_listing(b"\x00" * 1024) is None
+
+
 class TestRoundtripProperties:
     @settings(max_examples=60, deadline=None)
     @given(
