@@ -561,10 +561,14 @@ def parse_ogg(data: bytes) -> dict | None:
 
 
 def encode_minimal_ogg(
-    n_samples: int, codec: str = "opus", sample_rate: int = 48000
+    n_samples: int,
+    codec: str = "opus",
+    sample_rate: int = 48000,
+    tags: dict | None = None,
 ) -> bytes:
-    """Fixture muxer: a first Ogg page carrying the codec id header and a
-    final page whose granule position is ``n_samples``."""
+    """Fixture muxer: a first Ogg page carrying the codec id header, an
+    optional OpusTags comment page, and a final page whose granule
+    position is ``n_samples``."""
 
     def page(granule: int, seq: int, payload: bytes, htype: int) -> bytes:
         segs = bytes([len(payload)]) if payload else b"\x00"
@@ -590,7 +594,15 @@ def encode_minimal_ogg(
             + sample_rate.to_bytes(4, "little")
             + b"\x00" * 12
         )
-    return page(0, 0, idhdr, 0x02) + page(n_samples, 1, b"\x00", 0x04)
+    mid = b""
+    if tags:
+        magic = b"OpusTags" if codec == "opus" else b"\x03vorbis"
+        mid = page(0, 1, magic + _vorbis_comment_block(tags), 0x00)
+    return (
+        page(0, 0, idhdr, 0x02)
+        + mid
+        + page(n_samples, 2 if mid else 1, b"\x00", 0x04)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -621,11 +633,21 @@ def parse_flac_streaminfo(data: bytes) -> dict | None:
     }
 
 
+def _vorbis_comment_block(tags: dict) -> bytes:
+    body = (0).to_bytes(4, "little")  # empty vendor string
+    body += len(tags).to_bytes(4, "little")
+    for k, v in tags.items():
+        entry = f"{k.upper()}={v}".encode("utf-8")
+        body += len(entry).to_bytes(4, "little") + entry
+    return body
+
+
 def encode_flac_streaminfo(
-    sample_rate: int, n_samples: int, channels: int = 2
+    sample_rate: int, n_samples: int, channels: int = 2, tags: dict | None = None
 ) -> bytes:
-    """Fixture muxer: a valid fLaC header + STREAMINFO (no audio frames —
-    the probe never reads past the metadata block)."""
+    """Fixture muxer: a valid fLaC header + STREAMINFO (+ an optional
+    VORBIS_COMMENT block carrying ``tags``); no audio frames — the probe
+    never reads past the metadata blocks."""
     word = (sample_rate << 44) | ((channels - 1) << 41) | (16 - 1) << 36 | n_samples
     si = (
         struct.pack(">HH", 4096, 4096)  # min/max blocksize
@@ -633,7 +655,14 @@ def encode_flac_streaminfo(
         + word.to_bytes(8, "big")
         + b"\x00" * 16  # md5 of raw samples (unset)
     )
-    return b"fLaC" + b"\x80" + len(si).to_bytes(3, "big") + si
+    if not tags:
+        return b"fLaC" + b"\x80" + len(si).to_bytes(3, "big") + si
+    vc = _vorbis_comment_block(tags)
+    return (
+        b"fLaC"
+        + b"\x00" + len(si).to_bytes(3, "big") + si
+        + b"\x84" + len(vc).to_bytes(3, "big") + vc
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -721,6 +750,182 @@ def encode_mp3_frames(
         )
         out += hdr + b"\x00" * (flen - 4)
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Media tags — ID3v2 text frames and Vorbis comments (FLAC / Ogg).
+# Title/artist/album metadata is curation signal (tag-level dedup, source
+# attribution) a 100 TB audio lake extracts at ingest, no decode needed.
+# ---------------------------------------------------------------------------
+
+_ID3_KEYS = {
+    "TIT2": "title",
+    "TPE1": "artist",
+    "TALB": "album",
+    "TDRC": "date",
+    "TYER": "date",
+    "TCON": "genre",
+    "TRCK": "track",
+}
+
+
+def _id3_text(enc: int, raw: bytes) -> str:
+    if enc == 0:
+        s = raw.decode("latin-1", "replace")
+    elif enc == 1:
+        s = raw.decode("utf-16", "replace")
+    elif enc == 2:
+        s = raw.decode("utf-16-be", "replace")
+    else:
+        s = raw.decode("utf-8", "replace")
+    return s.rstrip("\x00")
+
+
+def parse_id3v2_tags(data: bytes) -> dict | None:
+    """Text frames from an ID3v2.3/2.4 tag: TIT2/TPE1/TALB/TDRC/TCON/TRCK
+    → canonical keys, all four text encodings handled. v2.4 frame sizes
+    are syncsafe, v2.3 plain — dispatched on the version byte."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return None
+    ver = data[3]
+    end = 10 + _syncsafe(data[6:10])
+    pos = 10
+    if data[5] & 0x40:  # extended header present: skip it
+        if pos + 4 > len(data):
+            return None
+        ext = (
+            _syncsafe(data[pos : pos + 4])
+            if ver >= 4
+            else int.from_bytes(data[pos : pos + 4], "big")
+        )
+        pos += ext if ver >= 4 else ext + 4
+    out: dict[str, str] = {}
+    end = min(end, len(data))
+    while pos + 10 <= end:
+        fid = data[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break
+        raw_size = data[pos + 4 : pos + 8]
+        size = _syncsafe(raw_size) if ver >= 4 else int.from_bytes(raw_size, "big")
+        if size <= 0 or pos + 10 + size > end:
+            break
+        if fid[:1] == b"T" and size >= 1:
+            key = _ID3_KEYS.get(fid.decode("latin-1"))
+            if key and key not in out:
+                body = data[pos + 10 : pos + 10 + size]
+                text = _id3_text(body[0], body[1:])
+                if text:
+                    out[key] = text
+        pos += 10 + size
+    return out or None
+
+
+def encode_id3v2_tags(tags: dict, version: int = 4) -> bytes:
+    """Fixture muxer: an ID3v2.3 or v2.4 tag block carrying the given
+    canonical keys as UTF-8 (v2.4) / UTF-16 (v2.3) text frames. Prepend
+    to an MP3 stream."""
+    rev = {v: k for k, v in _ID3_KEYS.items() if k != "TYER"}
+    body = b""
+    for key, value in tags.items():
+        fid = rev[key].encode("latin-1")
+        if version >= 4:
+            payload = b"\x03" + value.encode("utf-8")
+            size = bytes(
+                [(len(payload) >> 21) & 0x7F, (len(payload) >> 14) & 0x7F,
+                 (len(payload) >> 7) & 0x7F, len(payload) & 0x7F]
+            )
+        else:
+            payload = b"\x01" + value.encode("utf-16")  # BOM included
+            size = len(payload).to_bytes(4, "big")
+        body += fid + size + b"\x00\x00" + payload
+    hdr = b"ID3" + bytes([version, 0, 0]) + bytes(
+        [(len(body) >> 21) & 0x7F, (len(body) >> 14) & 0x7F,
+         (len(body) >> 7) & 0x7F, len(body) & 0x7F]
+    )
+    return hdr + body
+
+
+def _vorbis_comments(data: bytes, pos: int, end: int) -> dict:
+    """The shared Vorbis-comment structure: vendor string + N 'KEY=value'
+    UTF-8 comments, all length-prefixed little-endian."""
+    out: dict[str, str] = {}
+    if pos + 4 > end:
+        return out
+    vlen = int.from_bytes(data[pos : pos + 4], "little")
+    pos += 4 + vlen
+    if pos + 4 > end:
+        return out
+    count = int.from_bytes(data[pos : pos + 4], "little")
+    pos += 4
+    for _ in range(count):
+        if pos + 4 > end:
+            break
+        clen = int.from_bytes(data[pos : pos + 4], "little")
+        pos += 4
+        if pos + clen > end:
+            break
+        entry = data[pos : pos + clen].decode("utf-8", "replace")
+        pos += clen
+        if "=" in entry:
+            k, v = entry.split("=", 1)
+            out.setdefault(k.lower(), v)
+    return out
+
+
+def extract_tags(data: bytes) -> dict:
+    """Best-effort tag dict for any known audio payload: ID3v2 (MP3),
+    VORBIS_COMMENT metadata block (FLAC), OpusTags / Vorbis comment
+    header (Ogg). Empty dict when none present; never raises."""
+    try:
+        if data[:3] == b"ID3":
+            return parse_id3v2_tags(data) or {}
+        if data[:4] == b"fLaC":
+            pos = 4
+            while pos + 4 <= len(data):
+                hdr = data[pos]
+                blen = int.from_bytes(data[pos + 1 : pos + 4], "big")
+                if hdr & 0x7F == 4:  # VORBIS_COMMENT
+                    return _vorbis_comments(data, pos + 4, min(pos + 4 + blen, len(data)))
+                pos += 4 + blen
+                if hdr & 0x80:  # last block
+                    break
+            return {}
+        if data[:4] == b"OggS":
+            for magic, skip in ((b"OpusTags", 8), (b"\x03vorbis", 7)):
+                at = data.find(magic, 0, 65536)
+                if at >= 0:
+                    return _vorbis_comments(data, at + skip, len(data))
+            return {}
+    except Exception:
+        pass
+    return {}
+
+
+TAGS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("value", T.StringType()),
+    ]
+)
+
+
+def extract_media_tags(media: DataFrame) -> DataFrame:
+    """Distributed tag extraction: one (media_id, key, value) row per tag.
+    Arrow-batched mapInPandas, header-only — the audio-lake metadata
+    table (tag-level dedup, source attribution) built at ingest cost."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, keys, vals = [], [], []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                for k, v in extract_tags(bytes(payload)).items():
+                    ids.append(int(mid))
+                    keys.append(k)
+                    vals.append(v)
+            yield pd.DataFrame({"media_id": ids, "key": keys, "value": vals})
+
+    return media.select("media_id", "payload").mapInPandas(gen, schema=TAGS_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

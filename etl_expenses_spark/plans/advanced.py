@@ -977,6 +977,84 @@ def multimodal_container_census(spark, sf_dir):
 
 
 @query(
+    "media_tags_census",
+    oracle="""
+        WITH sel AS (
+            SELECT doc_id AS did FROM documents WHERE doc_id % 10 = 6
+        ),
+        tags AS (
+            SELECT 'title' AS key, 't' || CAST(did AS VARCHAR) AS value
+            FROM sel
+            UNION ALL
+            SELECT 'artist', 'a' || CAST(did % 7 AS VARCHAR) FROM sel
+        )
+        SELECT key,
+               COUNT(*) AS n_rows,
+               CAST(COUNT(DISTINCT value) AS BIGINT) AS n_distinct_values
+        FROM tags GROUP BY key
+    """,
+    tags=("multimodal", "container", "tags"),
+)
+def media_tags_census(spark, sf_dir):
+    """Tag metadata extraction (operators/containers.py:extract_media_tags)
+    oracle-checked END TO END: title/artist values derived from doc_id are
+    embedded as REAL ID3v2.4 frames (MP3, UTF-8), ID3v2.3 frames (UTF-16
+    with BOM), FLAC VORBIS_COMMENT blocks, and OpusTags pages — rotating
+    by doc_id % 4 — then extracted distributed and the per-key row and
+    distinct-value counts must reproduce the planted closed form. The
+    audio-lake dedup/attribution signal, built header-only at ingest.
+    Scale shape: one mapInPandas stage, 2-group aggregate."""
+    import pandas as pd
+
+    from etl_expenses_spark.operators.containers import (
+        encode_flac_streaminfo,
+        encode_id3v2_tags,
+        encode_minimal_ogg,
+        encode_mp3_frames,
+        extract_media_tags,
+    )
+
+    docs = (
+        T(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 10) == 6)
+        .select("doc_id")
+    )
+
+    def gen(batches):
+        for b in batches:
+            ids, payloads = [], []
+            for did in b["doc_id"]:
+                did = int(did)
+                tags = {"title": f"t{did}", "artist": f"a{did % 7}"}
+                m = did % 4
+                if m == 0:
+                    p = encode_id3v2_tags(tags, version=4) + encode_mp3_frames(
+                        2, 64, 44100
+                    )
+                elif m == 1:
+                    p = encode_id3v2_tags(tags, version=3) + encode_mp3_frames(
+                        2, 64, 44100
+                    )
+                elif m == 2:
+                    p = encode_flac_streaminfo(48000, 48000, tags=tags)
+                else:
+                    p = encode_minimal_ogg(1000, "opus", tags=tags)
+                ids.append(did)
+                payloads.append(p)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, schema="media_id long, payload binary")
+    return (
+        extract_media_tags(media)
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("value").alias("n_distinct_values"),
+        )
+    )
+
+
+@query(
     "corpus_shuffle_deterministic",
     oracle="""
         SELECT doc_id, bucket, CAST(pos_in_bucket AS INTEGER) AS pos_in_bucket

@@ -214,6 +214,62 @@ class TestMkv:
         assert parse_mkv(b"nope") is None
 
 
+class TestMediaTags:
+    TAGS = {"title": "Canción de prueba", "artist": "Ensayo", "album": "Demo"}
+
+    def test_id3v2_both_versions_and_encodings(self):
+        from etl_expenses_spark.operators.containers import (
+            encode_id3v2_tags,
+            extract_tags,
+        )
+
+        for ver in (4, 3):  # v2.4 = UTF-8 frames, v2.3 = UTF-16 w/ BOM
+            mp3 = encode_id3v2_tags(self.TAGS, version=ver) + encode_mp3_frames(
+                5, 128, 44100
+            )
+            assert extract_tags(mp3) == self.TAGS
+            assert parse_mp3(mp3)["n_frames"] == 5  # scan still skips the tag
+
+    def test_flac_vorbis_comment_block(self):
+        from etl_expenses_spark.operators.containers import (
+            encode_flac_streaminfo,
+            extract_tags,
+            parse_flac_streaminfo,
+        )
+
+        fl = encode_flac_streaminfo(44100, 441000, tags={"title": "Pista", "artist": "A&B"})
+        assert extract_tags(fl) == {"title": "Pista", "artist": "A&B"}
+        assert parse_flac_streaminfo(fl)["duration_ms"] == 10000  # probe unchanged
+
+    def test_ogg_opustags(self):
+        from etl_expenses_spark.operators.containers import (
+            encode_minimal_ogg,
+            extract_tags,
+            parse_ogg,
+        )
+
+        o = encode_minimal_ogg(96000, "opus", tags={"title": "Opuscule"})
+        assert extract_tags(o) == {"title": "Opuscule"}
+        assert parse_ogg(o)["duration_ms"] == 2000
+
+    def test_untagged_and_garbage_give_empty(self):
+        from etl_expenses_spark.operators.containers import extract_tags
+
+        assert extract_tags(encode_mp3_frames(3, 64, 44100)) == {}
+        assert extract_tags(b"") == {}
+        assert extract_tags(b"ID3\x04\x00\x00\x00\x00\x00\x02xx") == {}
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        prefix=st.sampled_from([b"ID3", b"fLaC", b"OggS", b""]),
+        junk=st.binary(max_size=150),
+    )
+    def test_extract_never_raises(self, prefix, junk):
+        from etl_expenses_spark.operators.containers import extract_tags
+
+        assert isinstance(extract_tags(prefix + junk), dict)
+
+
 class TestArchives:
     """Archive listings are cross-checked against stdlib zipfile/tarfile
     OUTPUT (independent writers), not against our own muxers."""

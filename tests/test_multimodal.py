@@ -352,6 +352,41 @@ def test_ima_adpcm_wav_decode():
         decode_wav(wav[:cut])
 
 
+def test_extract_media_tags_through_spark(spark):
+    """The audio-lake metadata table: (media_id, key, value) rows from
+    ID3v2 MP3, tagged FLAC, and OpusTags Ogg payloads through the
+    Arrow-batched mapInPandas stage; untagged payloads contribute no
+    rows."""
+    from pyspark.sql import Row
+
+    from etl_expenses_spark.operators.containers import (
+        encode_flac_streaminfo,
+        encode_id3v2_tags,
+        encode_minimal_ogg,
+        encode_mp3_frames,
+        extract_media_tags,
+    )
+
+    rows = [
+        Row(media_id=1,
+            payload=encode_id3v2_tags({"title": "Uno", "artist": "A"})
+            + encode_mp3_frames(3, 128, 44100)),
+        Row(media_id=2,
+            payload=encode_flac_streaminfo(48000, 48000, tags={"title": "Dos"})),
+        Row(media_id=3,
+            payload=encode_minimal_ogg(1000, "opus", tags={"artist": "Tres"})),
+        Row(media_id=4, payload=encode_mp3_frames(3, 64, 44100)),  # untagged
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {(r.media_id, r.key, r.value) for r in extract_media_tags(media).collect()}
+    assert got == {
+        (1, "title", "Uno"),
+        (1, "artist", "A"),
+        (2, "title", "Dos"),
+        (3, "artist", "Tres"),
+    }
+
+
 def test_videocodec_y4m_roundtrip():
     """Real video codec unit coverage: luma roundtrip across colorspaces,
     PGM frame encode feeds the image decoder, corrupt streams refuse."""
