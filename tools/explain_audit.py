@@ -241,6 +241,7 @@ EXTRA = [
     "multimodal_png_roundtrip",     # PNG lossless decode, bit-identity
     "multimodal_container_census",  # header-only MP4/MP3 probe, no decode
     "semantic_dedup_prune",         # SemDeDup: cluster -> in-cell cosine -> CC
+    "media_tags_census",            # ID3/Vorbis tag extraction table
 ]
 
 
