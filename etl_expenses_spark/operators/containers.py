@@ -1230,6 +1230,26 @@ def probe_bytes(d: bytes) -> dict:
                     "sample_rate": aud["sample_rate"] if aud else None,
                     "duration_ms": mk["duration_ms"],
                 }
+        if d[:5] == b"%PDF-":
+            # version from the header comment; object count as a cheap
+            # structure signal (every indirect object ends with 'endobj')
+            ver = d[5:8].decode("ascii", "replace").rstrip()
+            return {
+                **_EMPTY,
+                "container": "pdf",
+                "codec": ver,
+                "n_frames": d.count(b"endobj") or None,
+            }
+        if d[:2] == b"\x1f\x8b":
+            # gzip: ISIZE trailer = uncompressed size mod 2^32, surfaced
+            # in n_frames (the census "how big when inflated" signal)
+            usize = int.from_bytes(d[-4:], "little") if len(d) >= 18 else None
+            return {**_EMPTY, "container": "gzip", "codec": "deflate",
+                    "n_frames": usize}
+        if d[:4] == b"\x28\xb5\x2f\xfd":
+            return {**_EMPTY, "container": "zstd"}
+        if d[:6] == b"\xfd7zXZ\x00":
+            return {**_EMPTY, "container": "xz"}
         if d[:2] == b"PK":
             zl = parse_zip_listing(d)
             if zl is not None:

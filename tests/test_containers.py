@@ -324,6 +324,26 @@ class TestArchives:
         x = make_xlsx([["c1"], [1]])
         assert probe_bytes(x)["container"] == "zip"
 
+    def test_document_lake_formats(self):
+        import gzip
+
+        from etl_expenses_spark.pdftext import make_pdf
+
+        pdf = make_pdf(["Ticket 1 total 9.99", "page two"])
+        p = probe_bytes(pdf)
+        assert p["container"] == "pdf" and p["codec"].startswith("1.")
+        assert p["n_frames"] and p["n_frames"] > 0  # endobj count
+
+        g = gzip.compress(b"hello world " * 1000)
+        pg = probe_bytes(g)
+        assert (pg["container"], pg["codec"], pg["n_frames"]) == (
+            "gzip",
+            "deflate",
+            12000,  # ISIZE trailer
+        )
+        assert probe_bytes(b"\x28\xb5\x2f\xfdxxxx")["container"] == "zstd"
+        assert probe_bytes(b"\xfd7zXZ\x00rest")["container"] == "xz"
+
     def test_not_archives(self):
         from etl_expenses_spark.operators.containers import (
             parse_tar_listing,
