@@ -1135,6 +1135,63 @@ def _probe_wav(d: bytes) -> dict | None:
     }
 
 
+def _probe_webp(d: bytes) -> dict | None:
+    """WebP dims from the first chunk: VP8 (lossy keyframe header),
+    VP8L (14-bit packed), or VP8X (24-bit minus-one canvas)."""
+    if len(d) < 25 or d[:4] != b"RIFF" or d[8:12] != b"WEBP":
+        return None
+    fourcc = d[12:16]
+    if fourcc == b"VP8 ":
+        # keyframe: 3-byte frame tag, then 9D 01 2A, then dims (14 bits)
+        if len(d) < 30 or d[23:26] != b"\x9d\x01\x2a":
+            return None
+        w = int.from_bytes(d[26:28], "little") & 0x3FFF
+        h = int.from_bytes(d[28:30], "little") & 0x3FFF
+        codec = "vp8"
+    elif fourcc == b"VP8L":
+        if d[20] != 0x2F:
+            return None
+        bits = int.from_bytes(d[21:25], "little")
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+        codec = "vp8l"
+    elif fourcc == b"VP8X":
+        if len(d) < 30:
+            return None
+        w = int.from_bytes(d[24:27], "little") + 1
+        h = int.from_bytes(d[27:30], "little") + 1
+        codec = "vp8x"
+    else:
+        return None
+    return {**_EMPTY, "container": "webp", "codec": codec,
+            "width": w, "height": h, "n_frames": 1}
+
+
+def _probe_heif(d: bytes) -> dict | None:
+    """AVIF/HEIC dims: ISO-BMFF meta/iprp/ipco/ispe (image spatial
+    extents — width/height u32 after the full-box header). The brand
+    (avif/heic/mif1) names the codec."""
+    if len(d) < 16 or d[4:8] != b"ftyp":
+        return None
+    brand = d[8:12]
+    if brand not in (b"avif", b"avis", b"heic", b"heix", b"mif1"):
+        return None
+    meta = _find_box(d, 0, len(d), b"meta")
+    if meta is None:
+        return None
+    # meta is a FULL box: children start after version/flags
+    iprp = _find_box(d, meta[0] + 4, meta[1], b"iprp")
+    ipco = iprp and _find_box(d, iprp[0], iprp[1], b"ipco")
+    ispe = ipco and _find_box(d, ipco[0], ipco[1], b"ispe")
+    w = h = None
+    if ispe and ispe[1] - ispe[0] >= 12:
+        w = int.from_bytes(d[ispe[0] + 4 : ispe[0] + 8], "big")
+        h = int.from_bytes(d[ispe[0] + 8 : ispe[0] + 12], "big")
+    return {**_EMPTY, "container": "heif",
+            "codec": brand.decode("ascii", "replace").strip(),
+            "width": w, "height": h, "n_frames": 1}
+
+
 def _probe_ppm(d: bytes) -> dict | None:
     if d[:2] not in (b"P5", b"P6", b"P3"):
         return None
@@ -1169,6 +1226,9 @@ def probe_bytes(d: bytes) -> dict:
     Unknown/garbage bytes come back as container='unknown' — never raises."""
     try:
         if len(d) >= 12 and d[4:8] == b"ftyp":
+            hf = _probe_heif(d)
+            if hf is not None:
+                return hf
             m = parse_mp4(d)
             if m is not None:
                 vid = next(
@@ -1296,6 +1356,9 @@ def probe_bytes(d: bytes) -> dict:
         pn = _probe_ppm(d)
         if pn is not None:
             return pn
+        wp = _probe_webp(d)
+        if wp is not None:
+            return wp
         wv = _probe_wav(d)
         if wv is not None:
             return wv

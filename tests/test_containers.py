@@ -214,6 +214,65 @@ class TestMkv:
         assert parse_mkv(b"nope") is None
 
 
+class TestWebImages:
+    """WebP and AVIF/HEIC — the web-scrape image formats: dims without
+    decode (fixtures built to spec byte layouts)."""
+
+    @staticmethod
+    def _riff(fourcc, chunk):
+        payload = b"WEBP" + fourcc + len(chunk).to_bytes(4, "little") + chunk
+        return b"RIFF" + len(payload).to_bytes(4, "little") + payload
+
+    def test_webp_all_three_variants(self):
+        vp8 = self._riff(
+            b"VP8 ",
+            b"\x00\x00\x00\x9d\x01\x2a"
+            + (320).to_bytes(2, "little")
+            + (240).to_bytes(2, "little"),
+        )
+        bits = 499 | (699 << 14)  # (w-1) | (h-1)<<14
+        vp8l = self._riff(b"VP8L", b"\x2f" + bits.to_bytes(4, "little"))
+        vp8x = self._riff(
+            b"VP8X",
+            b"\x00" * 4
+            + (1023).to_bytes(3, "little")
+            + (767).to_bytes(3, "little"),
+        )
+        for payload, codec, w, h in (
+            (vp8, "vp8", 320, 240),
+            (vp8l, "vp8l", 500, 700),
+            (vp8x, "vp8x", 1024, 768),
+        ):
+            p = probe_bytes(payload)
+            assert (p["container"], p["codec"], p["width"], p["height"]) == (
+                "webp",
+                codec,
+                w,
+                h,
+            ), codec
+            for cut in range(len(payload)):
+                probe_bytes(payload[:cut])  # never raises
+
+    def test_avif_heic_ispe_dims(self):
+        import struct
+
+        from etl_expenses_spark.operators.containers import _box, _full
+
+        ispe = _full(b"ispe", 0, struct.pack(">II", 800, 600))
+        meta = _full(b"meta", 0, _box(b"iprp", _box(b"ipco", ispe)))
+        for brand in (b"avif", b"heic"):
+            f = _box(b"ftyp", brand, b"\x00" * 4, brand + b"mif1") + meta
+            p = probe_bytes(f)
+            assert (p["container"], p["codec"], p["width"], p["height"]) == (
+                "heif",
+                brand.decode(),
+                800,
+                600,
+            )
+        # a video ftyp must NOT be captured by the heif branch
+        assert probe_bytes(encode_minimal_mp4(64, 48, 10, 1000))["container"] == "mp4"
+
+
 class TestMediaTags:
     TAGS = {"title": "Canción de prueba", "artist": "Ensayo", "album": "Demo"}
 
