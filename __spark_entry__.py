@@ -37,7 +37,8 @@ _PRIORITY = [
     # output columns). Rotated-out queries keep their green rows on record
     # and stay verified by the local type-aware sweep at every SF.
     # r6 rotation candidates (first-time, added late in r5):
-    # multimodal_container_census, semantic_dedup_prune, plus the §2.10e
+    # multimodal_container_census, semantic_dedup_prune, media_tags_census,
+    # plus the §2.10e
     # twins session_windows_30m / session_bounce_rate_daily (verdict r4 #5).
     # -- kept green anchors (one per §2 family) --
     "flagship_spend_by_category",   # agg / flagship
