@@ -702,3 +702,115 @@ def dedup_substring_windows(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_shared_windows"))
     )
+
+
+@query(
+    "corpus_curation_funnel",
+    oracle=None,
+    tags=("training", "curation", "dedup", "rows_only"),
+)
+def corpus_curation_funnel(spark, sf_dir):
+    """The END-TO-END curation pipeline a pretraining corpus goes through,
+    as ONE declarative job with per-stage retention accounting — the
+    composition proof that the individual operators (each independently
+    oracle-checked) chain into the real workflow:
+
+      1. benchmark split   — hold out doc_id < 50 as the eval set
+      2. quality gate      — Gopher-style integer rules (length band,
+                             mean-word-length band, punct/digit density)
+      3. exact dedup       — md5 groupBy, keep min-id per identical text
+      4. near-dup dedup    — banded MinHash candidates, exact-Jaccard
+                             verify (>= 0.5), connected components,
+                             keep the component minimum
+      5. decontamination   — drop survivors sharing ANY 8-token shingle
+                             with the benchmark set (broadcast semi-join)
+
+    Output: (stage_order, stage, n_in, n_out) — the funnel card every
+    curation run reports. Deterministic (integer rules, hash ids, min-id
+    keeps) → golden-pinned; each stage's semantics are already verified
+    by its own oracle query (quality_filter_rules, dedup_exact_groups,
+    dedup_minhash_lsh, decontaminate_benchmark_overlap).
+
+    100 TB shape: stages 2-3 are scan-fused + one groupBy; stage 4 is the
+    banded-join tier (never all-pairs); stage 5 broadcasts the (small)
+    benchmark shingle set — the corpus side never shuffles. The funnel
+    persists each stage frontier once; counts are branch aggregates
+    unioned into one job."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    n_total = docs
+    corpus = docs.filter(F.col("doc_id") >= 50).persist()
+    track(corpus)
+
+    # stage 2: quality gate (same integer rules as quality_filter_rules)
+    toks = tokens(F.lower(F.col("text")))
+    n_tokens = F.size(toks).cast("long")
+    n_glyph = F.length(F.regexp_replace("text", r"\s", "")).cast("long")
+    n_punct = F.regexp_count("text", F.lit(r"""[.,;:!?"'()\-]""")).cast("long")
+    n_digit = F.regexp_count("text", F.lit(r"[0-9]")).cast("long")
+    n_chars = F.greatest(F.length("text"), F.lit(1)).cast("long")
+    passes = (
+        n_tokens.between(10, 100000)
+        & (3 * n_tokens <= n_glyph)
+        & (n_glyph <= 10 * n_tokens)
+        & (10 * n_punct < n_chars)
+        & (5 * n_digit < n_chars)
+    )
+    q = corpus.filter(passes).persist()
+    track(q)
+
+    # stage 3: exact dedup — keep min doc_id per identical text
+    keep_exact = exact_dedup_groups(q).select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    e = q.join(keep_exact, "doc_id").persist()
+    track(e)
+
+    # stage 4: near-dup — banded MinHash + exact-Jaccard verify + CC
+    pairs = minhash_lsh_pairs(e, min_jaccard=0.5)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    dropped = comp.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    m = e.join(dropped, "doc_id", "left_anti").persist()
+    track(m)
+
+    # stage 5: decontamination — any shared 8-shingle with the benchmark
+    def shingle_hashes(df):
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        shingles_of_tokens(tokens(F.col("text")), 8),
+                        lambda s: F.xxhash64(s),
+                    )
+                )
+            ).alias("s"),
+        )
+
+    bench = (
+        shingle_hashes(docs.filter(F.col("doc_id") < 50)).select("s").distinct()
+    )
+    contaminated = (
+        shingle_hashes(m).join(F.broadcast(bench), "s").select("doc_id").distinct()
+    )
+    c = m.join(contaminated, "doc_id", "left_anti")
+
+    def stage(order, name, fin, fout):
+        return fin.agg(F.count(F.lit(1)).alias("n_in")).crossJoin(
+            fout.agg(F.count(F.lit(1)).alias("n_out"))
+        ).select(
+            F.lit(order).alias("stage_order"),
+            F.lit(name).alias("stage"),
+            "n_in",
+            "n_out",
+        )
+
+    return (
+        stage(1, "benchmark_split", n_total, corpus)
+        .unionByName(stage(2, "quality_gate", corpus, q))
+        .unionByName(stage(3, "exact_dedup", q, e))
+        .unionByName(stage(4, "neardup_minhash", e, m))
+        .unionByName(stage(5, "decontaminate", m, c))
+        .orderBy("stage_order")
+    )

@@ -313,3 +313,35 @@ def test_semantic_dedup_prune_drops_exactly_planted_copies(spark):
     for r in out:
         assert r.n_kept == r.n_members - r.n_dropped
         assert r.n_dropped <= r.n_members // 2 + 1
+
+
+def test_corpus_curation_funnel_chain_invariants(spark):
+    """The funnel's accounting must be internally consistent: stages chain
+    (n_out of stage i == n_in of stage i+1), retention is monotone
+    (n_out <= n_in everywhere), stage 1 splits exactly the benchmark
+    docs out, and the near-dup/decontamination stages actually drop
+    documents on this corpus (the stages do real work)."""
+    from etl_expenses_spark.plans import REGISTRY
+    from etl_expenses_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        REGISTRY["corpus_curation_funnel"].build(spark, sf).collect(),
+        key=lambda r: r.stage_order,
+    )
+    assert [r.stage for r in rows] == [
+        "benchmark_split",
+        "quality_gate",
+        "exact_dedup",
+        "neardup_minhash",
+        "decontaminate",
+    ]
+    docs = load_table(spark, sf, "documents")
+    assert rows[0].n_in == docs.count()
+    assert rows[0].n_out == docs.filter("doc_id >= 50").count()
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_out == b.n_in  # stages chain
+    for r in rows:
+        assert 0 <= r.n_out <= r.n_in  # retention monotone
+    assert rows[3].n_out < rows[3].n_in  # near-dup drops something
+    assert rows[4].n_out < rows[4].n_in  # decontamination drops something

@@ -55,6 +55,7 @@ GOLDEN_TARGETS = [
     "multimodal_doc_features",
     "bpe_trained_segmentation",
     "semantic_dedup_prune",
+    "corpus_curation_funnel",
 ]
 
 _DUCK_TYPES = {
