@@ -44,6 +44,7 @@ BNLJ_OK: set[str] = {
     # constant-cost per-partition probe
     "tfidf_top_terms_per_doc",
     "funnel_view_click_purchase",
+    "corpus_curation_funnel",  # five 1-row x 1-row stage-count joins
     # scalar-average subquery: the broadcast side is the one-row avg_bal
     "tpch_q22_global_sales_opportunity",
     # one-row (total, part-count) broadcast for the HAVING threshold
@@ -242,6 +243,7 @@ EXTRA = [
     "multimodal_container_census",  # header-only MP4/MP3 probe, no decode
     "semantic_dedup_prune",         # SemDeDup: cluster -> in-cell cosine -> CC
     "media_tags_census",            # ID3/Vorbis tag extraction table
+    "corpus_curation_funnel",       # end-to-end curation composition
 ]
 
 
