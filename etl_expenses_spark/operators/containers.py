@@ -768,6 +768,16 @@ _ID3_KEYS = {
     "TRCK": "track",
 }
 
+# ID3v2.2 used 3-character frame ids with 3-byte sizes
+_ID3V22_KEYS = {
+    "TT2": "title",
+    "TP1": "artist",
+    "TAL": "album",
+    "TYE": "date",
+    "TCO": "genre",
+    "TRK": "track",
+}
+
 
 def _id3_text(enc: int, raw: bytes) -> str:
     if enc == 0:
@@ -788,8 +798,25 @@ def parse_id3v2_tags(data: bytes) -> dict | None:
     if data[:3] != b"ID3" or len(data) < 10:
         return None
     ver = data[3]
-    end = 10 + _syncsafe(data[6:10])
+    end = min(10 + _syncsafe(data[6:10]), len(data))
     pos = 10
+    if ver == 2:  # ID3v2.2: 3-char ids, 3-byte sizes, no frame flags
+        out22: dict[str, str] = {}
+        while pos + 6 <= end:
+            fid = data[pos : pos + 3]
+            if fid == b"\x00\x00\x00":
+                break
+            size = int.from_bytes(data[pos + 3 : pos + 6], "big")
+            if size <= 0 or pos + 6 + size > end:
+                break
+            key = _ID3V22_KEYS.get(fid.decode("latin-1", "replace"))
+            if key and key not in out22:
+                body = data[pos + 6 : pos + 6 + size]
+                text = _id3_text(body[0], body[1:])
+                if text:
+                    out22[key] = text
+            pos += 6 + size
+        return out22 or None
     if data[5] & 0x40:  # extended header present: skip it
         if pos + 4 > len(data):
             return None
@@ -872,11 +899,46 @@ def _vorbis_comments(data: bytes, pos: int, end: int) -> dict:
     return out
 
 
+_ILST_KEYS = {
+    b"\xa9nam": "title",
+    b"\xa9ART": "artist",
+    b"\xa9alb": "album",
+    b"\xa9day": "date",
+    b"\xa9gen": "genre",
+}
+
+
+def _parse_mp4_ilst(data: bytes) -> dict:
+    """iTunes-style tags: moov/udta/meta(full)/ilst; each item box holds a
+    'data' full-box whose flags==1 payload is UTF-8 text after 4 reserved
+    bytes."""
+    out: dict[str, str] = {}
+    moov = _find_box(data, 0, len(data), b"moov")
+    udta = moov and _find_box(data, moov[0], moov[1], b"udta")
+    meta = udta and _find_box(data, udta[0], udta[1], b"meta")
+    ilst = meta and _find_box(data, meta[0] + 4, meta[1], b"ilst")
+    if not ilst:
+        return out
+    for fc, s, e in _iter_boxes(data, ilst[0], ilst[1]):
+        key = _ILST_KEYS.get(fc)
+        if not key:
+            continue
+        db = _find_box(data, s, e, b"data")
+        if db and db[1] - db[0] > 8 and data[db[0] : db[0] + 4] == b"\x00\x00\x00\x01":
+            text = data[db[0] + 8 : db[1]].decode("utf-8", "replace")
+            if text:
+                out.setdefault(key, text)
+    return out
+
+
 def extract_tags(data: bytes) -> dict:
-    """Best-effort tag dict for any known audio payload: ID3v2 (MP3),
-    VORBIS_COMMENT metadata block (FLAC), OpusTags / Vorbis comment
-    header (Ogg). Empty dict when none present; never raises."""
+    """Best-effort tag dict for any known audio/video payload: ID3v2.2-2.4
+    (MP3), VORBIS_COMMENT metadata block (FLAC), OpusTags / Vorbis comment
+    header (Ogg), and iTunes-style ilst atoms (MP4/M4A). Empty dict when
+    none present; never raises."""
     try:
+        if len(data) >= 12 and data[4:8] == b"ftyp":
+            return _parse_mp4_ilst(data)
         if data[:3] == b"ID3":
             return parse_id3v2_tags(data) or {}
         if data[:4] == b"fLaC":

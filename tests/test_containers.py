@@ -311,6 +311,50 @@ class TestMediaTags:
         assert extract_tags(o) == {"title": "Opuscule"}
         assert parse_ogg(o)["duration_ms"] == 2000
 
+    def test_id3v22_three_char_frames(self):
+        from etl_expenses_spark.operators.containers import extract_tags
+
+        body = b""
+        for fid, v in ((b"TT2", "Old School"), (b"TP1", "Retro")):
+            payload = b"\x00" + v.encode("latin-1")
+            body += fid + len(payload).to_bytes(3, "big") + payload
+        size = len(body)
+        tag = b"ID3\x02\x00\x00" + bytes(
+            [(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F, size & 0x7F]
+        ) + body
+        mp3 = tag + encode_mp3_frames(3, 64, 44100)
+        assert extract_tags(mp3) == {"title": "Old School", "artist": "Retro"}
+        assert parse_mp3(mp3)["n_frames"] == 3
+
+    def test_mp4_ilst_atoms(self):
+        from etl_expenses_spark.operators.containers import (
+            _box,
+            _full,
+            encode_minimal_mp4,
+            extract_tags,
+        )
+
+        items = b""
+        for fc, v in ((b"\xa9nam", "Película"), (b"\xa9ART", "Estudio")):
+            items += _box(
+                fc, _box(b"data", b"\x00\x00\x00\x01" + b"\x00" * 4 + v.encode())
+            )
+        udta = _box(b"udta", _full(b"meta", 0, _box(b"ilst", items)))
+        base = encode_minimal_mp4(320, 180, 24, 1000)
+        midx = base.index(b"moov") - 4
+        msize = int.from_bytes(base[midx : midx + 4], "big")
+        tagged = (
+            base[:midx]
+            + (msize + len(udta)).to_bytes(4, "big")
+            + b"moov"
+            + base[midx + 8 : midx + msize]
+            + udta
+            + base[midx + msize :]
+        )
+        assert extract_tags(tagged) == {"title": "Película", "artist": "Estudio"}
+        assert probe_bytes(tagged)["duration_ms"] == 1000  # probe unaffected
+        assert extract_tags(base) == {}
+
     def test_untagged_and_garbage_give_empty(self):
         from etl_expenses_spark.operators.containers import extract_tags
 
