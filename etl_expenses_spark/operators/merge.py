@@ -82,6 +82,120 @@ def merge_append(
     return n
 
 
+# numeric widening lattice for safe automatic evolution: a column may move
+# UP this chain (int -> bigint, float -> double), never down or across
+_WIDEN = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+    ("date", "timestamp"),
+}
+
+
+def _widened(a: str, b: str) -> str | None:
+    """The wider of two primitive type names, or None if incompatible."""
+    if a == b:
+        return a
+    if (a, b) in _WIDEN:
+        return b
+    if (b, a) in _WIDEN:
+        return a
+    return None
+
+
+def evolve_schema(batch: DataFrame, target: DataFrame) -> DataFrame:
+    """Align ``batch`` to the UNION of both schemas — the ADD COLUMN /
+    widen-type half of schema evolution a parquet gold table can absorb
+    without rewriting history:
+
+    - columns only in the target are added to the batch as typed NULLs
+      (old files already lack the batch's new columns; parquet
+      ``mergeSchema`` readers see NULLs both ways),
+    - shared columns where the batch is NARROWER are cast up to the
+      target's type (int→bigint, float→double, date→timestamp: lossless);
+    - a batch column WIDER than the target raises: appending wider
+      footers makes the table unreadable (parquet mergeSchema refuses
+      int32/int64 mixes — verified), and narrowing silently is how gold
+      tables rot. Widening the table itself is a rewrite, not an append.
+
+    Returns the aligned batch (target columns first, new columns after, so
+    appended files keep a stable column order)."""
+    t_fields = {f.name: f.dataType.simpleString() for f in target.schema.fields}
+    b_fields = {f.name: f.dataType.simpleString() for f in batch.schema.fields}
+    cols = []
+    for f in target.schema.fields:
+        name, t_type = f.name, f.dataType.simpleString()
+        if name not in b_fields:
+            cols.append(F.lit(None).cast(f.dataType).alias(name))
+            continue
+        b_type = b_fields[name]
+        wide = _widened(b_type, t_type)
+        if wide is None:
+            raise TypeError(
+                f"column {name!r}: batch type {b_type} incompatible with "
+                f"target type {t_type} (not in the widening lattice)"
+            )
+        if wide != t_type:
+            raise TypeError(
+                f"column {name!r}: batch type {b_type} is WIDER than target "
+                f"type {t_type} — appending would leave mixed parquet "
+                f"footers mergeSchema cannot read; widen the table with a "
+                f"rewrite (WAP compact), then load"
+            )
+        cols.append(F.col(name).cast(f.dataType).alias(name))
+    for f in batch.schema.fields:  # genuinely new columns, batch order
+        if f.name not in t_fields:
+            cols.append(F.col(f.name))
+    return batch.select(*cols)
+
+
+def merge_append_evolve(
+    batch: DataFrame,
+    target_path: str,
+    keys: Sequence[str],
+    partition_by: Sequence[str] | None = None,
+) -> int:
+    """``merge_append`` with schema evolution: the batch is aligned to the
+    union schema (``evolve_schema``) before the anti-join, so a source
+    that grew a column — the reference's recurring dual-header problem
+    (SURVEY §2.9 F16) in its incremental form — keeps loading instead of
+    failing or forking the table. Readers of an evolved gold table must
+    pass ``mergeSchema=true`` (older footers lack the new columns);
+    ``read_evolved`` below does."""
+    spark = batch.sparkSession
+    try:
+        target = spark.read.option("mergeSchema", "true").parquet(target_path)
+    except AnalysisException as e:
+        msg = str(e)
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+        ):
+            target = None
+        else:
+            raise
+    if target is not None:
+        batch = evolve_schema(batch, target)
+    fresh = batch if target is None else new_rows(batch, target, keys)
+    fresh = fresh.cache()
+    n = fresh.count()
+    if n > 0:
+        writer = fresh.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(target_path)
+    fresh.unpersist()
+    return n
+
+
+def read_evolved(spark, target_path: str) -> DataFrame:
+    """Read an evolved gold table: union schema across all footers, files
+    missing newer columns contribute NULLs."""
+    return spark.read.option("mergeSchema", "true").parquet(target_path)
+
+
 def snapshot_diff(
     old: DataFrame, new: DataFrame, keys: Sequence[str]
 ) -> DataFrame:

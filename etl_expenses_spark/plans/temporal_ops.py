@@ -236,6 +236,56 @@ def incremental_merge_new_orders(spark, sf_dir):
 
 
 @query(
+    "merge_evolved_schema_orders",
+    oracle="""
+        WITH target AS (
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_orderdate < TIMESTAMP '2000-08-01'
+        ),
+        batch AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS total
+            FROM orders WHERE o_orderdate >= TIMESTAMP '2000-06-01'
+        ),
+        fresh AS (
+            SELECT b.* FROM batch b WHERE NOT EXISTS (
+                SELECT 1 FROM target t WHERE t.o_orderkey = b.o_orderkey)
+        )
+        SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE) AS total
+        FROM target
+        UNION ALL
+        SELECT o_orderkey, o_custkey, CAST(total AS DOUBLE) FROM fresh
+    """,
+    tags=("temporal", "incremental", "schema-evolution"),
+)
+def merge_evolved_schema_orders(spark, sf_dir):
+    """Schema-EVOLVING incremental merge (K3 + F16 composed): the source
+    grew a column (`total`) the loaded target lacks. `evolve_schema`
+    aligns the batch to the union schema, the anti-join keeps only new
+    keys, and the merged view is `target ⊎ fresh` with historical rows
+    reading NULL for the new column — exactly what
+    `operators/merge.py:merge_append_evolve` + `read_evolved` produce on
+    disk (mergeSchema parquet), expressed purely so DuckDB can predict
+    every row. The write-side contract (mixed-footer readability, refusal
+    of WIDER batches) is pinned in tests/test_merge.py."""
+    from etl_expenses_spark.operators.merge import evolve_schema
+
+    o = T(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderdate") < "2000-08-01").select(
+        "o_orderkey", "o_custkey"
+    )
+    batch = o.filter(F.col("o_orderdate") >= "2000-06-01").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("total"),
+    )
+    fresh = new_rows(evolve_schema(batch, target), target, ["o_orderkey"])
+    return target.withColumn("total", F.lit(None).cast("double")).unionByName(
+        fresh.withColumn("total", F.col("total").cast("double"))
+    )
+
+
+@query(
     "latest_event_per_user_asof_style",
     oracle="""
         SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM (

@@ -79,3 +79,56 @@ def test_snapshot_diff_apply_roundtrip(spark):
     want = {tuple(r) for r in new.collect()}
     got = {tuple(r) for r in rebuilt.collect()}
     assert got == want, (len(got), len(want))
+
+
+def test_merge_append_evolve_add_column_and_widen(spark, tmp_path):
+    """Schema-evolving merge: a source that grows a column keeps loading;
+    old rows read as NULL for the new column through read_evolved. A batch
+    column NARROWER than the target is cast up losslessly; a batch column
+    WIDER than the target is refused (appending wider footers makes the
+    parquet table unreadable under mergeSchema — verified behavior)."""
+    import pytest as _pytest
+
+    from etl_expenses_spark.operators.merge import (
+        merge_append_evolve,
+        read_evolved,
+    )
+
+    g = str(tmp_path / "gold_evolve")
+    b1 = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    assert merge_append_evolve(b1, g, keys=["k"]) == 2
+
+    # batch 2: new column 'w' + re-delivered key 2 (dropped) + narrower v
+    b2 = spark.createDataFrame([(2, 99, "x"), (3, 30, "y")], "k int, v int, w string")
+    assert merge_append_evolve(b2, g, keys=["k"]) == 1
+    rows = {r.k: (r.v, r.w) for r in read_evolved(spark, g).collect()}
+    assert rows == {1: (10, None), 2: (20, None), 3: (30, "y")}
+    out_types = dict(read_evolved(spark, g).dtypes)
+    assert out_types["v"] == "bigint"  # narrower batch cast up, not forked
+
+    # batch 3: missing column 'v' entirely -> typed NULL
+    b3 = spark.createDataFrame([(4, "z")], "k long, w string")
+    assert merge_append_evolve(b3, g, keys=["k"]) == 1
+    assert {r.k: r.v for r in read_evolved(spark, g).collect()}[4] is None
+
+    # idempotency is preserved through evolution
+    assert merge_append_evolve(b2, g, keys=["k"]) == 0
+
+    # a WIDER batch column must be refused, not appended (int table,
+    # bigint batch: appending would leave unreadable mixed footers)
+    g2 = str(tmp_path / "gold_narrow")
+    merge_append_evolve(
+        spark.createDataFrame([(1, 1)], "k long, v int"), g2, keys=["k"]
+    )
+    wide = spark.createDataFrame([(5, 50)], "k long, v long")
+    with _pytest.raises(TypeError, match="WIDER"):
+        merge_append_evolve(wide, g2, keys=["k"])
+    # bigint -> double is lossy above 2^53: incompatible, not widenable
+    lossy = spark.createDataFrame([(5, 50.0, "q")], "k long, v double, w string")
+    with _pytest.raises(TypeError, match="incompatible"):
+        merge_append_evolve(lossy, g, keys=["k"])
+    bad = spark.createDataFrame([(6, "not-a-number")], "k long, v string")
+    with _pytest.raises(TypeError, match="incompatible"):
+        merge_append_evolve(bad, g, keys=["k"])
+    # the table stayed readable throughout
+    assert read_evolved(spark, g).count() == 4
