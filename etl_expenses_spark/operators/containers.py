@@ -1254,6 +1254,62 @@ def _probe_heif(d: bytes) -> dict | None:
             "width": w, "height": h, "n_frames": 1}
 
 
+def _probe_avi(d: bytes) -> dict | None:
+    """AVI dims/frame-count from the avih main header (RIFF 'AVI ' →
+    LIST hdrl → avih: microsec/frame u32 at +0, total frames u32 at +16,
+    width/height u32 at +32/+36)."""
+    if len(d) < 12 or d[:4] != b"RIFF" or d[8:12] != b"AVI ":
+        return None
+    at = d.find(b"avih", 12, 4096)
+    if at < 0 or at + 48 > len(d):
+        return None
+    s = at + 8  # past fourcc + chunk size
+    usec_pf = int.from_bytes(d[s : s + 4], "little")
+    frames = int.from_bytes(d[s + 16 : s + 20], "little")
+    w = int.from_bytes(d[s + 32 : s + 36], "little")
+    h = int.from_bytes(d[s + 36 : s + 40], "little")
+    return {
+        **_EMPTY,
+        "container": "avi",
+        "codec": "riff",
+        "width": w or None,
+        "height": h or None,
+        "n_frames": frames or None,
+        "duration_ms": (frames * usec_pf) // 1000 if frames and usec_pf else None,
+    }
+
+
+def _probe_aiff(d: bytes) -> dict | None:
+    """AIFF audio census from the COMM chunk: channels (u16), frame count
+    (u32), bits (u16), then the sample rate as an 80-bit IEEE extended
+    float (sign+15-bit exponent, 64-bit mantissa) — decoded exactly."""
+    if len(d) < 12 or d[:4] != b"FORM" or d[8:12] not in (b"AIFF", b"AIFC"):
+        return None
+    pos = 12
+    while pos + 8 <= len(d):
+        cid = d[pos : pos + 4]
+        csz = int.from_bytes(d[pos + 4 : pos + 8], "big")
+        if cid == b"COMM" and csz >= 18 and pos + 26 <= len(d):
+            s = pos + 8
+            frames = int.from_bytes(d[s + 2 : s + 6], "big")
+            ext = d[s + 8 : s + 18]
+            exp = (int.from_bytes(ext[:2], "big") & 0x7FFF) - 16383
+            mant = int.from_bytes(ext[2:10], "big")
+            rate = int(mant * (2.0 ** (exp - 63))) if mant else 0
+            if rate <= 0:
+                return None
+            return {
+                **_EMPTY,
+                "container": "aiff",
+                "codec": "pcm_be",
+                "sample_rate": rate,
+                "n_frames": frames,
+                "duration_ms": frames * 1000 // rate,
+            }
+        pos += 8 + csz + (csz & 1)
+    return None
+
+
 def _probe_ppm(d: bytes) -> dict | None:
     if d[:2] not in (b"P5", b"P6", b"P3"):
         return None
@@ -1421,9 +1477,15 @@ def probe_bytes(d: bytes) -> dict:
         wp = _probe_webp(d)
         if wp is not None:
             return wp
+        av = _probe_avi(d)
+        if av is not None:
+            return av
         wv = _probe_wav(d)
         if wv is not None:
             return wv
+        af = _probe_aiff(d)
+        if af is not None:
+            return af
         if d[:9] == b"YUV4MPEG2":
             from etl_expenses_spark.operators.videocodec import _parse_header
 

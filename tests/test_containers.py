@@ -273,6 +273,56 @@ class TestWebImages:
         assert probe_bytes(encode_minimal_mp4(64, 48, 10, 1000))["container"] == "mp4"
 
 
+class TestLegacyAV:
+    def test_avi_avih_header(self):
+        import struct
+
+        avih_body = (
+            struct.pack("<IIII", 33367, 0, 0, 0)
+            + struct.pack("<I", 720)
+            + b"\x00" * 12
+            + struct.pack("<II", 640, 480)
+            + b"\x00" * 16
+        )
+        avih = b"avih" + len(avih_body).to_bytes(4, "little") + avih_body
+        hdrl = b"LIST" + (len(avih) + 4).to_bytes(4, "little") + b"hdrl" + avih
+        avi = b"RIFF" + (len(hdrl) + 4).to_bytes(4, "little") + b"AVI " + hdrl
+        p = probe_bytes(avi)
+        assert (p["container"], p["width"], p["height"], p["n_frames"]) == (
+            "avi",
+            640,
+            480,
+            720,
+        )
+        assert p["duration_ms"] == 720 * 33367 // 1000
+        for cut in range(0, len(avi), 5):
+            probe_bytes(avi[:cut])  # never raises
+
+    def test_aiff_comm_extended_float_rate(self):
+        import math
+        import struct
+
+        def ext80(rate):
+            e = math.floor(math.log2(rate))
+            mant = int(rate / (2**e) * (1 << 63))
+            return struct.pack(">H", 16383 + e) + mant.to_bytes(8, "big")
+
+        for rate in (8000, 22050, 44100, 48000, 96000):
+            comm = (
+                b"COMM"
+                + (18).to_bytes(4, "big")
+                + struct.pack(">hIh", 2, rate * 2, 16)
+                + ext80(rate)
+            )
+            aiff = b"FORM" + (len(comm) + 4).to_bytes(4, "big") + b"AIFF" + comm
+            p = probe_bytes(aiff)
+            assert (p["container"], p["sample_rate"], p["duration_ms"]) == (
+                "aiff",
+                rate,
+                2000,
+            ), rate
+
+
 class TestMediaTags:
     TAGS = {"title": "Canción de prueba", "artist": "Ensayo", "album": "Demo"}
 
