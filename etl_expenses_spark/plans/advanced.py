@@ -1055,6 +1055,71 @@ def media_tags_census(spark, sf_dir):
 
 
 @query(
+    "archive_member_census",
+    oracle="""
+        WITH sel AS (
+            SELECT doc_id AS did FROM documents WHERE doc_id % 10 = 8
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_archives,
+               CAST(SUM(2 + did % 5) AS BIGINT) AS n_members,
+               CAST(SUM((2 + did % 5) * (100 + did % 40)) AS BIGINT)
+                   AS sum_uncompressed
+        FROM sel
+    """,
+    tags=("multimodal", "container", "archive"),
+)
+def archive_member_census(spark, sf_dir):
+    """Archive census oracle-checked END TO END against an INDEPENDENT
+    writer: per doc_id, a real ZIP with a planted member count (2+did%5)
+    and per-member uncompressed size (100+did%40) is built by stdlib
+    ``zipfile`` (store mode — incompressible random-ish payloads planted
+    by repetition of the doc_id byte), then ``parse_zip_listing`` walks
+    the central directory distributed and the member counts and
+    uncompressed-size sums must reproduce the closed form. This is the
+    bundled-drop triage query: what's inside, how big inflated, before
+    extracting anything."""
+    import io
+    import zipfile
+
+    import pandas as pd
+
+    from etl_expenses_spark.operators.containers import parse_zip_listing
+
+    docs = (
+        T(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 10) == 8)
+        .select("doc_id")
+    )
+
+    def gen(batches):
+        for b in batches:
+            rows = {"n_members": [], "sum_uncompressed": []}
+            for did in b["doc_id"]:
+                did = int(did)
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+                    for i in range(2 + did % 5):
+                        z.writestr(
+                            f"m{i}.bin", bytes([did % 256]) * (100 + did % 40)
+                        )
+                listing = parse_zip_listing(buf.getvalue())
+                rows["n_members"].append(len(listing))
+                rows["sum_uncompressed"].append(
+                    sum(e["uncompressed"] for e in listing)
+                )
+            yield pd.DataFrame(rows)
+
+    per_archive = docs.mapInPandas(
+        gen, schema="n_members long, sum_uncompressed long"
+    )
+    return per_archive.agg(
+        F.count(F.lit(1)).alias("n_archives"),
+        F.sum("n_members").cast("long").alias("n_members"),
+        F.sum("sum_uncompressed").cast("long").alias("sum_uncompressed"),
+    )
+
+
+@query(
     "corpus_shuffle_deterministic",
     oracle="""
         SELECT doc_id, bucket, CAST(pos_in_bucket AS INTEGER) AS pos_in_bucket
