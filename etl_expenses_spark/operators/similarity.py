@@ -281,6 +281,53 @@ def ivf_assign_udf(centroids):
     return assign
 
 
+def ivf_assign_topk_udf(centroids, probes: int = 2):
+    """Multi-probe centroid assignment: the ``probes`` nearest cells per
+    vector (array<int>, nearest first). The SemDeDup cluster-blocking
+    mitigation: a near-dup pair split across a cell boundary still meets
+    in one of the probed cells — measured in DEDUP_QUALITY.md to lift
+    recall from ~0.78 to ~1 at 2x compare cost."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    p = min(probes, C.shape[0])
+
+    @pandas_udf("array<int>")
+    def assign(vecs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = X @ C.T
+        top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+        order = np.take_along_axis(sims, top, axis=1).argsort(axis=1)[:, ::-1]
+        ranked = np.take_along_axis(top, order, axis=1).astype(np.int32)
+        return pd.Series(list(ranked))
+
+    return assign
+
+
+def semantic_neardup_pairs_multiprobe(
+    embeddings: DataFrame,
+    centroids,
+    threshold: float = 0.85,
+    probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """In-cell exact cosine pairs under MULTI-PROBE cell assignment: each
+    vector joins the pair stage in its ``probes`` nearest cells, and a
+    pair counts once however many cells it meets in (dropDuplicates on
+    ids). Compare cost scales by ~probes x E|cell| per vector; recall loss
+    from cluster blocking shrinks to the pairs whose probed cell sets are
+    disjoint."""
+    cells = embeddings.withColumn(
+        "cell", F.explode(ivf_assign_topk_udf(centroids, probes)(F.col(vec_col)))
+    )
+    return embedding_neardup_pairs_blocked(
+        cells, "cell", threshold=threshold, id_col=id_col, vec_col=vec_col
+    ).dropDuplicates(["id_a", "id_b"])
+
+
 _CENTROID_CACHE: dict = {}
 
 

@@ -345,3 +345,52 @@ def test_corpus_curation_funnel_chain_invariants(spark):
         assert 0 <= r.n_out <= r.n_in  # retention monotone
     assert rows[3].n_out < rows[3].n_in  # near-dup drops something
     assert rows[4].n_out < rows[4].n_in  # decontamination drops something
+
+
+def test_multiprobe_assignment_recovers_cell_boundary_pairs(spark):
+    """SemDeDup mitigation pin: planted jittered copies (cos ~0.91) lose
+    pairs to cell boundaries under single-assignment; top-2 multi-probe
+    (semantic_neardup_pairs_multiprobe) must strictly improve recall and
+    be a superset of the single-probe pair set."""
+    from pyspark.sql import functions as F
+
+    from etl_expenses_spark.operators.similarity import (
+        embedding_neardup_pairs_blocked,
+        ivf_assign_udf,
+        semantic_neardup_pairs_multiprobe,
+        train_centroids_sampled,
+    )
+    from etl_expenses_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    eps = 0.46
+    v = F.col("embedding")
+    rolled = F.concat(F.slice(v, 2, 63), F.slice(v, 1, 1))
+    mixed = F.zip_with(v, rolled, lambda x, y: x + F.lit(eps) * y)
+    nrm = F.sqrt(F.aggregate(mixed, F.lit(0.0), lambda s, x: s + x * x))
+    planted = emb.select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        "label",
+        F.transform(mixed, lambda x: (x / nrm).cast("float")).alias("embedding"),
+    )
+    union = emb.select("vec_id", "label", "embedding").unionByName(planted)
+    C0 = train_centroids_sampled(emb, k=8)
+    cells = union.withColumn("cell", ivf_assign_udf(C0)(F.col("embedding")))
+    got1 = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs_blocked(
+            cells, "cell", threshold=0.85
+        ).collect()
+    }
+    got2 = {
+        (r.id_a, r.id_b)
+        for r in semantic_neardup_pairs_multiprobe(
+            union, C0, threshold=0.85, probes=2
+        ).collect()
+    }
+    truth = {(r.vec_id, r.vec_id + 10_000_000) for r in emb.select("vec_id").collect()}
+    r1 = len(got1 & truth) / len(truth)
+    r2 = len(got2 & truth) / len(truth)
+    assert got1 <= got2  # multi-probe is a strict superset of single-probe
+    assert r2 > r1  # and it recovers boundary pairs
+    assert r2 >= 0.95  # near-complete at 2 probes
