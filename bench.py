@@ -87,6 +87,9 @@ HEADLINE = [
     # curation archetype with the adaptive-k linear pair bound)
     "multimodal_container_census",
     "semantic_dedup_prune",
+    # the end-to-end curation composition (quality -> exact -> near-dup ->
+    # decontaminate): regression-tracks the chained plan, not a new shape
+    "corpus_curation_funnel",
 ]
 
 

@@ -244,6 +244,8 @@ EXTRA = [
     "semantic_dedup_prune",         # SemDeDup: cluster -> in-cell cosine -> CC
     "media_tags_census",            # ID3/Vorbis tag extraction table
     "corpus_curation_funnel",       # end-to-end curation composition
+    "archive_member_census",        # ZIP central-directory walk
+    "merge_evolved_schema_orders",  # schema-evolving incremental merge
 ]
 
 
