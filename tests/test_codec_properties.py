@@ -116,3 +116,41 @@ def test_jpeg_q100_roundtrip_bounded_for_arbitrary_pixels(h, w, seed):
     # all-ones quantizers: worst-case spatial error from coefficient
     # rounding + two integer color conversions stays far below this
     assert np.abs(dec.astype(int) - img.astype(int)).max() <= 16
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    prefix=st.sampled_from(
+        [b"", b"RIFF", b"RIFF\x00\x00\x00\x00WAVE", b"FORM", b"OggS", b"fLaC"]
+    ),
+    junk=st.binary(min_size=0, max_size=300),
+)
+def test_decode_wav_never_raises(prefix, junk):
+    """The audio dispatch (PCM / G.711 / IMA-ADPCM) must turn any bytes —
+    including a valid RIFF/WAVE head with garbage fmt geometry (zero
+    block_align, absurd channel counts, truncated ADPCM blocks) — into
+    None or a well-formed (samples, rate), never an exception."""
+    from etl_expenses_spark.operators.audiocodec import decode_wav
+
+    out = decode_wav(prefix + junk)
+    if out is not None:
+        samples, rate = out
+        assert samples.ndim == 2 and rate > 0
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    n=st.integers(1, 3000),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    block=st.sampled_from([None, 64, 256, 1024]),
+    cut=st.floats(0.0, 1.0),
+)
+def test_truncated_adpcm_never_raises(n, rate, block, cut):
+    from etl_expenses_spark.operators.audiocodec import (
+        decode_wav,
+        encode_ima_adpcm_wav,
+    )
+
+    sig = (np.sin(np.arange(n) * 0.05) * 12000).astype(np.int16)
+    wav = encode_ima_adpcm_wav(sig, rate, block_align=block)
+    decode_wav(wav[: int(len(wav) * cut)])  # must not raise
