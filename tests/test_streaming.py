@@ -1293,3 +1293,73 @@ def test_streaming_curation_pipeline_composes(spark, dirs):
         ).collect()
     }
     assert got_idx == want_idx
+
+
+def test_stream_restart_with_evolved_schema(spark, dirs):
+    """Schema evolution under ingest: bronze v1 lacks a column that v2
+    adds. The stream restarts with the UNION schema (Spark's file source
+    reads v1 files with the missing column as NULL) and the foreachBatch
+    sink uses merge_append_evolve — gold stays one readable table, v1-era
+    rows carrying NULL for the new column, idempotency intact."""
+    from pyspark.sql import functions as SF
+    from pyspark.sql import types as T
+
+    from etl_expenses_spark.operators.merge import (
+        merge_append_evolve,
+        read_evolved,
+    )
+
+    bronze, gold, ckpt, _ = dirs
+    b = str(bronze) + "_ev"
+    g = str(gold) + "_ev"
+    c = str(ckpt) + "_ev"
+
+    v1 = T.StructType(
+        [T.StructField("event_id", T.LongType()), T.StructField("value", T.LongType())]
+    )
+    v2 = T.StructType(
+        [*v1.fields, T.StructField("source", T.StringType())]
+    )
+
+    def run(schema):
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(b)
+            .writeStream.foreachBatch(
+                lambda df, _e: merge_append_evolve(df, g, keys=["event_id"])
+            )
+            .option("checkpointLocation", c)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame([(1, 10), (2, 20)], v1).write.mode("append").parquet(b)
+    run(v1)
+    # v2 lands with the new column; restart the stream with the union schema
+    spark.createDataFrame([(3, 30, "api")], v2).write.mode("append").parquet(b)
+    run(v2)
+    rows = {r.event_id: (r.value, r.source) for r in read_evolved(spark, g).collect()}
+    assert rows == {1: (10, None), 2: (20, None), 3: (30, "api")}
+    # restart on the same checkpoint (no new files): no-op
+    run(v2)
+    assert read_evolved(spark, g).count() == 3
+    # full replay on a FRESH checkpoint: exactly-once through evolution
+    nonlocal_c = c + "2"
+
+    q = (
+        spark.readStream.schema(v2)
+        .parquet(b)
+        .writeStream.foreachBatch(
+            lambda df, _e: merge_append_evolve(df, g, keys=["event_id"])
+        )
+        .option("checkpointLocation", nonlocal_c)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert read_evolved(spark, g).count() == 3
+    # and the evolved gold filters/projects normally
+    assert (
+        read_evolved(spark, g).filter(SF.col("source").isNull()).count() == 2
+    )
