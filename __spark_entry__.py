@@ -36,10 +36,13 @@ _PRIORITY = [
     # harness-safe (tools/check_oracle.py --lint-window: no array/struct/map
     # output columns). Rotated-out queries keep their green rows on record
     # and stay verified by the local type-aware sweep at every SF.
-    # r6 rotation candidates (first-time, added late in r5):
-    # multimodal_container_census, semantic_dedup_prune, media_tags_census,
-    # plus the §2.10e
-    # twins session_windows_30m / session_bounce_rate_daily (verdict r4 #5).
+    # Late-r5 swap: the session's NEW operator families (container census,
+    # semantic dedup, media tags, schema-evolving merge) take four slots
+    # from same-family spares (theta weekly twin, MAD twin, fx/installment
+    # spread) so the new code earns driver rows THIS round; the spares stay
+    # local-sweep-verified. r6 candidates: session_windows_30m /
+    # session_bounce_rate_daily (verdict r4 #5), archive_member_census,
+    # corpus_curation_funnel.
     # -- kept green anchors (one per §2 family) --
     "flagship_spend_by_category",   # agg / flagship
     "derived_columns",              # projection
@@ -70,10 +73,8 @@ _PRIORITY = [
     "inverted_index_postings",
     # -- first-time rows: round-4 additions --
     "theta_retention_daily",
-    "theta_weekly_rollup_from_daily",
     "vocab_coverage_topk",
     "winsorized_spend_by_segment",
-    "mad_spend_by_segment",
     "pps_sample_stratified_by_source",
     "link_prediction_jaccard",
     "session_bounce_rate_daily",
@@ -86,8 +87,11 @@ _PRIORITY = [
     "expectations_report_orders",
     "multitouch_attribution_credits",
     "seasonal_naive_backtest",
-    "installment_schedule_expansion",
-    "fx_convert_order_totals",
+    # -- first-time: this session's new operator families --
+    "multimodal_container_census",  # 4-family no-decode census
+    "semantic_dedup_prune",         # SemDeDup composition
+    "media_tags_census",            # ID3/Vorbis/ilst tag table
+    "merge_evolved_schema_orders",  # schema-evolving merge
     # -- first-time: never-checked family reps --
     "dedup_minhash_lsh",            # MinHash-LSH (golden-pinned at 0.01)
     "similarity_cosine_topk_ivf",   # IVF scale tier
