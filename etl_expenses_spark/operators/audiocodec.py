@@ -70,6 +70,67 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int] | None:
     return samples.reshape(-1, channels).copy(), sample_rate
 
 
+def decode_aiff(data: bytes) -> tuple[np.ndarray, int] | None:
+    """AIFF (FORM/AIFF) 16-bit big-endian PCM → ((n, ch) int16, rate).
+    COMM supplies channels/frames/bits and the sample rate as an 80-bit
+    IEEE extended float (decoded exactly); SSND carries offset+blocksize
+    then interleaved big-endian samples. Returns None for AIFC compressed
+    variants or non-16-bit depth."""
+    if len(data) < 12 or data[:4] != b"FORM" or data[8:12] != b"AIFF":
+        return None
+    pos = 12
+    channels = bits = rate = 0
+    frames = 0
+    pcm = None
+    n = len(data)
+    while pos + 8 <= n:
+        cid = data[pos : pos + 4]
+        csz = int.from_bytes(data[pos + 4 : pos + 8], "big")
+        body = data[pos + 8 : pos + 8 + csz]
+        if cid == b"COMM" and len(body) >= 18:
+            channels = int.from_bytes(body[0:2], "big")
+            frames = int.from_bytes(body[2:6], "big")
+            bits = int.from_bytes(body[6:8], "big")
+            exp = (int.from_bytes(body[8:10], "big") & 0x7FFF) - 16383
+            mant = int.from_bytes(body[10:18], "big")
+            rate = int(mant * (2.0 ** (exp - 63))) if mant else 0
+        elif cid == b"SSND" and len(body) >= 8:
+            off = int.from_bytes(body[0:4], "big")
+            pcm = body[8 + off :]
+        pos += 8 + csz + (csz & 1)
+    if not rate or not channels or bits != 16 or pcm is None:
+        return None
+    usable = len(pcm) - (len(pcm) % (2 * channels))
+    if usable <= 0:
+        return None
+    samples = np.frombuffer(pcm, dtype=">i2", count=usable // 2)
+    out = samples.reshape(-1, channels)[: frames or None]
+    return out.astype(np.int16), rate
+
+
+def encode_aiff(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n,) or (n, ch) int16 → AIFF with an exact 80-bit extended-float
+    rate (fixture + interchange writer)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    nframes, channels = samples.shape
+    import math
+
+    e = math.floor(math.log2(sample_rate))
+    mant = int(sample_rate / (2**e) * (1 << 63))
+    comm = (
+        b"COMM"
+        + (18).to_bytes(4, "big")
+        + struct.pack(">hIh", channels, nframes, 16)
+        + struct.pack(">H", 16383 + e)
+        + mant.to_bytes(8, "big")
+    )
+    pcm = samples.astype(">i2").tobytes()
+    ssnd = b"SSND" + (8 + len(pcm)).to_bytes(4, "big") + b"\x00" * 8 + pcm
+    body = b"AIFF" + comm + ssnd
+    return b"FORM" + len(body).to_bytes(4, "big") + body
+
+
 def _build_ulaw_lut() -> np.ndarray:
     """G.711 u-law byte → int16 PCM (the ITU expansion: bias 0x84,
     3-bit exponent, 4-bit mantissa, complemented on the wire)."""

@@ -1310,6 +1310,45 @@ def _probe_aiff(d: bytes) -> dict | None:
     return None
 
 
+def _probe_tiff(d: bytes) -> dict | None:
+    """TIFF dims from IFD0: ImageWidth (tag 256) / ImageLength (257),
+    SHORT or LONG values, both byte orders — the scanned-document staple."""
+    if d[:4] not in (b"II*\x00", b"MM\x00*"):
+        return None
+    bo = "little" if d[:2] == b"II" else "big"
+    if len(d) < 8:
+        return None
+    ifd = int.from_bytes(d[4:8], bo)
+    if ifd + 2 > len(d):
+        return None
+    count = int.from_bytes(d[ifd : ifd + 2], bo)
+    w = h = None
+    for i in range(count):
+        e = ifd + 2 + 12 * i
+        if e + 12 > len(d):
+            break
+        tag = int.from_bytes(d[e : e + 2], bo)
+        typ = int.from_bytes(d[e + 2 : e + 4], bo)
+        if tag in (256, 257):
+            val = int.from_bytes(
+                d[e + 8 : e + 10] if typ == 3 else d[e + 8 : e + 12], bo
+            )
+            if tag == 256:
+                w = val
+            else:
+                h = val
+    if w is None and h is None:
+        return None
+    return {
+        **_EMPTY,
+        "container": "tiff",
+        "codec": "ifd",
+        "width": w,
+        "height": h,
+        "n_frames": 1,
+    }
+
+
 def _probe_ppm(d: bytes) -> dict | None:
     if d[:2] not in (b"P5", b"P6", b"P3"):
         return None
@@ -1486,6 +1525,9 @@ def probe_bytes(d: bytes) -> dict:
         af = _probe_aiff(d)
         if af is not None:
             return af
+        tf = _probe_tiff(d)
+        if tf is not None:
+            return tf
         if d[:9] == b"YUV4MPEG2":
             from etl_expenses_spark.operators.videocodec import _parse_header
 

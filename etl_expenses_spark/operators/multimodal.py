@@ -17,8 +17,8 @@ container can parse without binary deps:
   methods (operators/pngcodec.py, stdlib zlib + scanline unfiltering) —
   and GIF87a/89a first-frame (operators/gifcodec.py, variable-width LZW,
   interlace + transparency)
-- audio: RIFF/WAVE 16-bit PCM plus G.711 companded u-law/A-law
-  (operators/audiocodec.py) — chunking slices actual samples and
+- audio: RIFF/WAVE 16-bit PCM, G.711 companded u-law/A-law,
+  IMA/DVI ADPCM, and AIFF big-endian PCM (operators/audiocodec.py) — chunking slices actual samples and
   re-encodes standalone WAV payloads
 - video: YUV4MPEG2 (operators/videocodec.py) — frame sampling extracts
   actual luma planes re-encoded as PGM, which feed back into the image
@@ -95,7 +95,11 @@ def _feature_of(data: bytes) -> list[float]:
     digest fake otherwise.
     Dispatch is by payload magic bytes, not the declared kind column, so a
     mislabeled row still featurizes by its actual content."""
-    from etl_expenses_spark.operators.audiocodec import audio_features, decode_wav
+    from etl_expenses_spark.operators.audiocodec import (
+        audio_features,
+        decode_aiff,
+        decode_wav,
+    )
     from etl_expenses_spark.operators.imagecodec import decode_image, image_features
     from etl_expenses_spark.operators.videocodec import decode_y4m, video_features
 
@@ -105,6 +109,9 @@ def _feature_of(data: bytes) -> list[float]:
     wav = decode_wav(data)
     if wav is not None:
         return audio_features(*wav)
+    aif = decode_aiff(data)
+    if aif is not None:
+        return audio_features(*aif)
     vid = decode_y4m(data)
     if vid is not None:
         return video_features(*vid)

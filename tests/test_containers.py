@@ -711,3 +711,24 @@ class TestProbe:
             else encode_mp3_frames(6, 96, 44100, id3_size=11)
         )
         probe_bytes(full[: min(cut, len(full))])  # must not raise
+
+
+class TestTiff:
+    def test_both_byte_orders(self):
+        for bo, pre in (("little", b"II*\x00"), ("big", b"MM\x00*")):
+            def entry(tag, val):
+                return (
+                    tag.to_bytes(2, bo) + (3).to_bytes(2, bo)
+                    + (1).to_bytes(4, bo) + val.to_bytes(2, bo) + b"\x00\x00"
+                )
+
+            tif = (
+                pre + (8).to_bytes(4, bo) + (2).to_bytes(2, bo)
+                + entry(256, 2480) + entry(257, 3508) + (0).to_bytes(4, bo)
+            )
+            p = probe_bytes(tif)
+            assert (p["container"], p["width"], p["height"]) == (
+                "tiff", 2480, 3508,
+            ), bo
+            for cut in range(len(tif)):
+                probe_bytes(tif[:cut])  # never raises

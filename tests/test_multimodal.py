@@ -468,3 +468,40 @@ def test_real_audio_video_paths_through_spark_stages(spark):
     feats = {r.media_id: r.feature for r in decode_and_featurize(media).collect()}
     assert abs(feats[20][5] - 12.5) < 1e-9   # audio: duration_s feature slot
     assert feats[21][5] == 25.0              # video: frame-count feature slot
+
+
+def test_aiff_decode_and_featurize_path():
+    """AIFF big-endian PCM: lossless roundtrip, features bit-identical to
+    the same signal as little-endian WAV (endianness fully transparent),
+    stereo interleave preserved, truncations never raise, and the
+    container probe reports rate/duration."""
+    import numpy as np
+
+    from etl_expenses_spark.operators.audiocodec import (
+        audio_features,
+        decode_aiff,
+        decode_wav,
+        encode_aiff,
+        encode_wav,
+    )
+    from etl_expenses_spark.operators.containers import probe_bytes
+    from etl_expenses_spark.operators.multimodal import _feature_of
+
+    t = np.arange(4000) / 8000.0
+    sig = np.round(10000 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+    aiff = encode_aiff(sig, 8000)
+    dec, rate = decode_aiff(aiff)
+    assert rate == 8000 and np.array_equal(dec[:, 0], sig)
+    assert audio_features(dec, rate) == audio_features(
+        *decode_wav(encode_wav(sig, 8000))
+    )
+    assert _feature_of(aiff) == audio_features(dec, rate)  # dispatch wired
+    st = np.stack([sig, -sig], axis=1)
+    d2, _ = decode_aiff(encode_aiff(st, 16000))
+    assert np.array_equal(d2, st)
+    p = probe_bytes(aiff)
+    assert (p["container"], p["sample_rate"], p["duration_ms"]) == (
+        "aiff", 8000, 500,
+    )
+    for cut in range(0, len(aiff), 9):
+        decode_aiff(aiff[:cut])
