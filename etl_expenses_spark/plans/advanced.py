@@ -498,6 +498,55 @@ def sketch_hll_distinct_users(spark, sf_dir):
 
 
 @query(
+    "hll_sliding_7d_users",
+    oracle=None,
+    tags=("agg", "sketch", "sliding", "rows_only"),
+)
+def hll_sliding_7d_users(spark, sf_dir):
+    """Sliding-window distinct users from MERGED daily sketches — the
+    reason mergeable sketches exist at 100 TB: `rolling_7d_active_users`
+    re-touches seven days of raw rows per output day (self-range-join on
+    the events table); this query scans events ONCE to build per-day HLL
+    sketches (KB each), then the 7-day window is a union over ≤7 sketch
+    rows per day — the window cost is O(days × 7 × KB), independent of
+    event volume. exact rides along per day so the error-bound test can
+    check every window (lgK=12 ⇒ ~±2%).
+
+    Rows-only/golden: sketch estimates are library-specific by design;
+    register-max union is order-insensitive, so the output is
+    deterministic and pinnable."""
+    e = T(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = e.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    a, b = daily.alias("a"), daily.alias("b")
+    windows = a.join(
+        b,
+        (F.col("b.day") >= F.date_sub(F.col("a.day"), 6))
+        & (F.col("b.day") <= F.col("a.day")),
+    )
+    est = windows.groupBy(F.col("a.day").alias("day")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("b.sk"))).alias(
+            "est_7d_users"
+        )
+    )
+    # exact twin: (day, user) distinct first, then each row contributes to
+    # ≤7 output days via the day spine — never a raw event×event join
+    du = e.distinct()
+    spine = daily.select(F.col("day").alias("out_day"))
+    exact = (
+        du.join(
+            spine,
+            (F.col("day") >= F.date_sub(F.col("out_day"), 6))
+            & (F.col("day") <= F.col("out_day")),
+        )
+        .groupBy(F.col("out_day").alias("day"))
+        .agg(F.count_distinct("user_id").alias("exact_7d_users"))
+    )
+    return est.join(exact, "day").orderBy("day")
+
+
+@query(
     "heavy_hitters_users",
     oracle="""
         WITH counts AS (

@@ -68,3 +68,20 @@ def test_theta_retention_partition_invariant_and_exact(spark):
     }
     got_days = {(day, n_cur) for day, _, _, n_cur, *_ in rows}
     assert got_days <= truth
+
+
+def test_hll_sliding_window_union_error_bound(spark):
+    """Sliding 7-day distinct from merged daily sketches: every window's
+    estimate within the lgK=12 error envelope of the exact count, and the
+    window that unions ≤7 KB-sized sketches must agree with the raw
+    rolling computation's day set."""
+    from etl_expenses_spark.plans import REGISTRY
+
+    rows = REGISTRY["hll_sliding_7d_users"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "no windows"
+    for r in rows:
+        assert abs(r.est_7d_users - r.exact_7d_users) <= max(
+            3, 0.05 * r.exact_7d_users
+        ), (r.day, r.est_7d_users, r.exact_7d_users)

@@ -56,6 +56,7 @@ GOLDEN_TARGETS = [
     "bpe_trained_segmentation",
     "semantic_dedup_prune",
     "corpus_curation_funnel",
+    "hll_sliding_7d_users",
 ]
 
 _DUCK_TYPES = {
@@ -90,6 +91,10 @@ def _lit(v) -> str:
         return f"'{v!r}'::DOUBLE"
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
+    import datetime
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return f"'{v.isoformat()}'"
     if isinstance(v, (list, tuple)):
         return "[" + ", ".join(_lit(x) for x in v) + "]"
     return str(v)
