@@ -81,6 +81,9 @@ BNLJ_OK: set[str] = {
     "pareto_revenue_concentration",
     # one-row total-weight broadcast for the crossing predicate
     "weighted_median_spend",
+    # day-granularity sketch relation range-self-joined (<=365 rows/year
+    # regardless of event volume — the sketch union IS the reduction)
+    "hll_sliding_7d_users",
 }
 
 
@@ -246,6 +249,7 @@ EXTRA = [
     "corpus_curation_funnel",       # end-to-end curation composition
     "archive_member_census",        # ZIP central-directory walk
     "merge_evolved_schema_orders",  # schema-evolving incremental merge
+    "hll_sliding_7d_users",         # sketch-union sliding window
 ]
 
 
