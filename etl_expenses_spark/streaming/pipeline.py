@@ -860,6 +860,39 @@ def hll_read_daily_users(spark: SparkSession, state_path: str) -> DataFrame:
     )
 
 
+def hll_read_sliding_users(
+    spark: SparkSession, state_path: str, window_days: int = 7
+) -> DataFrame:
+    """Sliding-window distinct users straight from the stream-maintained
+    sketch MV: per-day sketches (merge-on-read over epochs) range-joined
+    to the day spine and unioned per window. Because register-max union is
+    associative and order-insensitive, this answers EXACTLY what the batch
+    `hll_sliding_7d_users` query computes from raw events — pinned in
+    tests — while touching only O(days) KB-sized state rows. The
+    streaming system never re-scans events to answer a window question."""
+    from pyspark.sql import functions as F
+
+    daily = (
+        spark.read.parquet(state_path)
+        .groupBy("day")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.day") >= F.date_sub(F.col("a.day"), window_days - 1))
+            & (F.col("b.day") <= F.col("a.day")),
+        )
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("b.sk"))).alias(
+                "est_window_users"
+            )
+        )
+    )
+
+
 def run_events_stream_hll(
     spark: SparkSession, bronze_dir: str, state_path: str, checkpoint_dir: str
 ) -> None:

@@ -600,6 +600,21 @@ def test_stream_hll_sketch_mv_equals_batch(spark, dirs):
     want = {(r.day, int(r.est_users)) for r in want_df.collect()}
     assert got == want
 
+    # sliding window straight from the stream-maintained state equals the
+    # batch sliding query's estimates on the same events (union algebra)
+    from etl_expenses_spark.plans import REGISTRY
+    from etl_expenses_spark.streaming.pipeline import hll_read_sliding_users
+
+    got_sliding = {
+        (r.day, int(r.est_window_users))
+        for r in hll_read_sliding_users(spark, st, window_days=7).collect()
+    }
+    want_sliding = {
+        (r.day, int(r.est_7d_users))
+        for r in REGISTRY["hll_sliding_7d_users"].build(spark, SF_DIR).collect()
+    }
+    assert got_sliding == want_sliding
+
     # estimates within HLL error of truth (lgK default 12 -> ~1.6% rse)
     truth = {
         r.day: r.n
