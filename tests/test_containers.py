@@ -732,3 +732,128 @@ class TestTiff:
             ), bo
             for cut in range(len(tif)):
                 probe_bytes(tif[:cut])  # never raises
+
+
+def test_probe_media_all_formats_through_spark(spark):
+    """The full dispatch table through the Spark stage: one payload per
+    known container format, one probe pass, every format lands in its own
+    bucket with sane metadata. Locks the probe dispatch comprehensively —
+    a new format colliding with an existing magic breaks this first."""
+    import gzip
+    import io
+    import struct
+    import tarfile
+    import zipfile
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    from etl_expenses_spark.operators.audiocodec import (
+        encode_aiff,
+        encode_g711_wav,
+        encode_ima_adpcm_wav,
+        make_tone,
+    )
+    from etl_expenses_spark.operators.containers import (
+        _box,
+        _full,
+        encode_flac_streaminfo,
+        encode_fragmented_mp4,
+        encode_minimal_mkv,
+        encode_minimal_mp4,
+        encode_minimal_ogg,
+        encode_mp3_frames,
+        probe_media,
+    )
+    from etl_expenses_spark.operators.gifcodec import encode_gif
+    from etl_expenses_spark.operators.imagecodec import encode_ppm
+    from etl_expenses_spark.operators.jpegcodec import encode_jpeg
+    from etl_expenses_spark.operators.pngcodec import encode_png
+    from etl_expenses_spark.operators.videocodec import encode_y4m
+    from etl_expenses_spark.pdftext import make_pdf
+
+    img = np.full((6, 8, 3), 120, np.uint8)
+    tone = (np.sin(np.arange(800) * 0.1) * 9000).astype(np.int16)
+
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as z:
+        z.writestr("a.txt", "x" * 100)
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w") as t:
+        info = tarfile.TarInfo("a.txt")
+        info.size = 3
+        t.addfile(info, io.BytesIO(b"abc"))
+
+    ispe = _full(b"ispe", 0, struct.pack(">II", 80, 60))
+    meta = _full(b"meta", 0, _box(b"iprp", _box(b"ipco", ispe)))
+    heif = _box(b"ftyp", b"avif", b"\x00" * 4, b"avifmif1") + meta
+
+    vp8l = (
+        b"RIFF" + (13).to_bytes(4, "little") + b"WEBP" + b"VP8L"
+        + (5).to_bytes(4, "little") + b"\x2f"
+        + ((79) | (59 << 14)).to_bytes(4, "little")
+    )
+
+    avih_body = struct.pack("<IIII", 40000, 0, 0, 0) + struct.pack("<I", 10) \
+        + b"\x00" * 12 + struct.pack("<II", 32, 24) + b"\x00" * 16
+    avih = b"avih" + len(avih_body).to_bytes(4, "little") + avih_body
+    hdrl = b"LIST" + (len(avih) + 4).to_bytes(4, "little") + b"hdrl" + avih
+    avi = b"RIFF" + (len(hdrl) + 4).to_bytes(4, "little") + b"AVI " + hdrl
+
+    def tiff():
+        bo = "little"
+
+        def entry(tag, val):
+            return (
+                tag.to_bytes(2, bo) + (3).to_bytes(2, bo)
+                + (1).to_bytes(4, bo) + val.to_bytes(2, bo) + b"\x00\x00"
+            )
+
+        return (
+            b"II*\x00" + (8).to_bytes(4, bo) + (2).to_bytes(2, bo)
+            + entry(256, 40) + entry(257, 30) + (0).to_bytes(4, bo)
+        )
+
+    payloads = {
+        "mp4": encode_minimal_mp4(64, 48, 10, 1000),
+        "mp4-frag": encode_fragmented_mp4(64, 48, 5, 2, 500),
+        "mkv": encode_minimal_mkv(64, 48, 700),
+        "mp3": encode_mp3_frames(3, 64, 44100),
+        "flac": encode_flac_streaminfo(48000, 4800),
+        "ogg": encode_minimal_ogg(960, "opus"),
+        "wav-pcm": make_tone(440.0, 100, sample_rate=8000),
+        "wav-g711": encode_g711_wav(tone, 8000),
+        "wav-adpcm": encode_ima_adpcm_wav(tone, 8000),
+        "aiff": encode_aiff(tone, 8000),
+        "pnm": encode_ppm(img),
+        "png": encode_png(img),
+        "jpeg": encode_jpeg(img),
+        "gif": encode_gif(img),
+        "y4m": encode_y4m(np.full((2, 4, 4), 7, np.uint8)),
+        "webp": vp8l,
+        "heif": heif,
+        "tiff": tiff(),
+        "avi": avi,
+        "zip": zbuf.getvalue(),
+        "tar": tbuf.getvalue(),
+        "pdf": make_pdf(["hello"]),
+        "gzip": gzip.compress(b"y" * 500),
+        "unknown": b"\x00\x01mystery",
+    }
+    rows = [
+        Row(media_id=i, payload=p) for i, p in enumerate(payloads.values())
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in probe_media(media).collect()}
+    expected_containers = [
+        "mp4", "mp4", "mkv", "mp3", "flac", "ogg", "wav", "wav", "wav",
+        "aiff", "pnm", "png", "jpeg", "gif", "y4m", "webp", "heif", "tiff",
+        "avi", "zip", "tar", "pdf", "gzip", "unknown",
+    ]
+    for i, want in enumerate(expected_containers):
+        assert got[i].container == want, (list(payloads)[i], got[i])
+    # spot metadata sanity across families
+    assert got[15].width == 80 and got[15].height == 60  # webp vp8l
+    assert got[16].codec == "avif"
+    assert got[9].sample_rate == 8000  # aiff
+    assert got[1].n_frames == 10  # fragmented mp4 truns
