@@ -35,6 +35,7 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int] | None:
     pos = 12
     fmt = None
     pcm = None
+    fact_samples = None
     n = len(data)
     while pos + 8 <= n:
         cid = data[pos : pos + 4]
@@ -42,6 +43,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int] | None:
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt " and len(body) >= 16:
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"fact" and len(body) >= 4:
+            fact_samples = int.from_bytes(body[0:4], "little")
         elif cid == b"data":
             pcm = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
@@ -60,7 +63,14 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int] | None:
     if audio_format == 0x11 and bits == 4:  # IMA/DVI ADPCM
         block_align = fmt[4]
         decoded = decode_ima_adpcm(pcm, channels, block_align)
-        return (decoded, sample_rate) if decoded is not None else None
+        if decoded is None:
+            return None
+        # the encoder zero-pads the final block; the fact chunk records
+        # the true sample count — honor it so decode(encode(x)) is
+        # length-preserving and features agree with the container probe
+        if fact_samples is not None and 0 < fact_samples <= decoded.shape[0]:
+            decoded = decoded[:fact_samples]
+        return decoded, sample_rate
     if audio_format != 1 or bits != 16:
         return None
     usable = len(pcm) - (len(pcm) % (2 * channels))

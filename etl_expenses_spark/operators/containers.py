@@ -466,7 +466,7 @@ def parse_mkv(data: bytes) -> dict | None:
     return out
 
 
-def _ebml_encode_vint(value: int, keep_marker_len: int | None = None) -> bytes:
+def _ebml_encode_vint(value: int) -> bytes:
     """Encode a size vint (marker bit in the leading byte)."""
     for length in range(1, 9):
         if value < (1 << (7 * length)) - 1:
@@ -571,7 +571,13 @@ def encode_minimal_ogg(
     position is ``n_samples``."""
 
     def page(granule: int, seq: int, payload: bytes, htype: int) -> bytes:
-        segs = bytes([len(payload)]) if payload else b"\x00"
+        # proper lacing: 255-byte segments + a terminating short segment
+        segs = []
+        rest = len(payload)
+        while rest >= 255:
+            segs.append(255)
+            rest -= 255
+        segs.append(rest)  # 0..254 terminates the packet
         return (
             b"OggS\x00"
             + bytes([htype])
@@ -579,8 +585,8 @@ def encode_minimal_ogg(
             + (1).to_bytes(4, "little")  # serial
             + seq.to_bytes(4, "little")
             + b"\x00\x00\x00\x00"  # crc (probe doesn't verify)
-            + bytes([1])
-            + segs
+            + bytes([len(segs)])
+            + bytes(segs)
             + payload
         )
 
@@ -1422,17 +1428,6 @@ def probe_bytes(d: bytes) -> dict:
                 "height": int.from_bytes(d[8:10], "little"),
                 "n_frames": 1,
             }
-        if d[:2] == b"BM" and len(d) >= 26:
-            return {
-                **_EMPTY,
-                "container": "bmp",
-                "codec": "rgb24",
-                "width": int.from_bytes(d[18:22], "little"),
-                "height": abs(
-                    int.from_bytes(d[22:26], "little", signed=True)
-                ),
-                "n_frames": 1,
-            }
         if d[:4] == _EBML_MAGIC:
             mk = parse_mkv(d)
             if mk is not None:
@@ -1448,14 +1443,28 @@ def probe_bytes(d: bytes) -> dict:
                     "duration_ms": mk["duration_ms"],
                 }
         if d[:5] == b"%PDF-":
-            # version from the header comment; object count as a cheap
-            # structure signal (every indirect object ends with 'endobj')
+            # version from the header comment; object count from the xref
+            # trailer's /Size (always near EOF per spec) — O(tail) only,
+            # preserving the census's payload-size-independent contract
             ver = d[5:8].decode("ascii", "replace").rstrip()
+            n_objs = None
+            tail = d[-2048:]
+            at = tail.rfind(b"/Size")
+            if at >= 0:
+                seg = tail[at + 5 : at + 20]
+                i = 0
+                while i < len(seg) and seg[i] in b" \t\r\n":
+                    i += 1
+                j = i
+                while j < len(seg) and 48 <= seg[j] <= 57:
+                    j += 1
+                if j > i:
+                    n_objs = int(seg[i:j])
             return {
                 **_EMPTY,
                 "container": "pdf",
                 "codec": ver,
-                "n_frames": d.count(b"endobj") or None,
+                "n_frames": n_objs,
             }
         if d[:2] == b"\x1f\x8b":
             # gzip: ISIZE trailer = uncompressed size mod 2^32, surfaced
@@ -1507,6 +1516,20 @@ def probe_bytes(d: bytes) -> dict:
                 "n_frames": fl["n_samples"],
                 "duration_ms": fl["duration_ms"],
             }
+        # BMP's 2-byte "BM" is the weakest magic here — checked only after
+        # every strong-magic format (a tar whose first member is named
+        # "BM..." must census as tar, not bmp)
+        if d[:2] == b"BM" and len(d) >= 26:
+            return {
+                **_EMPTY,
+                "container": "bmp",
+                "codec": "rgb24",
+                "width": int.from_bytes(d[18:22], "little"),
+                "height": abs(
+                    int.from_bytes(d[22:26], "little", signed=True)
+                ),
+                "n_frames": 1,
+            }
         jp = _probe_jpeg(d)
         if jp is not None:
             return jp
@@ -1536,7 +1559,17 @@ def probe_bytes(d: bytes) -> dict:
             if hdr is not None:
                 w, h, (cw, ch, ncp) = hdr
                 fsize = w * h + ncp * ((w // cw) * (h // ch))
-                n = max(0, (len(d) - nl - 1)) // (6 + fsize)
+                # walk FRAME headers (they may carry parameters, so each
+                # header is variable-length up to its newline) — O(frames)
+                # pointer hops, matching decode_y4m's tolerance
+                n = 0
+                pos = nl + 1
+                while pos + 5 <= len(d) and d[pos : pos + 5] == b"FRAME":
+                    fh = d.find(b"\n", pos)
+                    if fh < 0 or fh + 1 + fsize > len(d):
+                        break
+                    n += 1
+                    pos = fh + 1 + fsize
                 return {
                     **_EMPTY,
                     "container": "y4m",

@@ -518,18 +518,10 @@ def hll_sliding_7d_users(spark, sf_dir):
     e = T(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"), "user_id"
     )
+    from etl_expenses_spark.operators.sketchwindow import sliding_hll_estimates
+
     daily = e.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
-    a, b = daily.alias("a"), daily.alias("b")
-    windows = a.join(
-        b,
-        (F.col("b.day") >= F.date_sub(F.col("a.day"), 6))
-        & (F.col("b.day") <= F.col("a.day")),
-    )
-    est = windows.groupBy(F.col("a.day").alias("day")).agg(
-        F.hll_sketch_estimate(F.hll_union_agg(F.col("b.sk"))).alias(
-            "est_7d_users"
-        )
-    )
+    est = sliding_hll_estimates(daily, 7, out_col="est_7d_users")
     # exact twin: (day, user) distinct first, then each row contributes to
     # ≤7 output days via the day spine — never a raw event×event join
     du = e.distinct()
@@ -1049,7 +1041,8 @@ def media_tags_census(spark, sf_dir):
     oracle-checked END TO END: title/artist values derived from doc_id are
     embedded as REAL ID3v2.4 frames (MP3, UTF-8), ID3v2.3 frames (UTF-16
     with BOM), FLAC VORBIS_COMMENT blocks, and OpusTags pages — rotating
-    by doc_id % 4 — then extracted distributed and the per-key row and
+    by (doc_id // 10) % 4, which cycles all four carriers over the
+    doc_id % 10 == 6 selection — then extracted distributed and the per-key row and
     distinct-value counts must reproduce the planted closed form. The
     audio-lake dedup/attribution signal, built header-only at ingest.
     Scale shape: one mapInPandas stage, 2-group aggregate."""
@@ -1075,7 +1068,7 @@ def media_tags_census(spark, sf_dir):
             for did in b["doc_id"]:
                 did = int(did)
                 tags = {"title": f"t{did}", "artist": f"a{did % 7}"}
-                m = did % 4
+                m = (did // 10) % 4
                 if m == 0:
                     p = encode_id3v2_tags(tags, version=4) + encode_mp3_frames(
                         2, 64, 44100

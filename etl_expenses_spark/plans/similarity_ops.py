@@ -571,7 +571,10 @@ def semantic_dedup_prune(spark, sf_dir):
     emb = base.select("vec_id", "label", "embedding").unionByName(planted)
     k = max(8, base.count() // 512)
     C0 = train_centroids_sampled(base, k=k)
+    from etl_expenses_spark.caching import track
+
     cells = emb.withColumn("cell", ivf_assign_udf(C0)(F.col("embedding"))).persist()
+    track(cells)
     pairs = connected_components(
         embedding_neardup_pairs_blocked(cells, "cell", threshold=0.92),
         src="id_a",

@@ -872,25 +872,14 @@ def hll_read_sliding_users(
     streaming system never re-scans events to answer a window question."""
     from pyspark.sql import functions as F
 
+    from etl_expenses_spark.operators.sketchwindow import sliding_hll_estimates
+
     daily = (
         spark.read.parquet(state_path)
         .groupBy("day")
         .agg(F.hll_union_agg("sk").alias("sk"))
     )
-    a, b = daily.alias("a"), daily.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("b.day") >= F.date_sub(F.col("a.day"), window_days - 1))
-            & (F.col("b.day") <= F.col("a.day")),
-        )
-        .groupBy(F.col("a.day").alias("day"))
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg(F.col("b.sk"))).alias(
-                "est_window_users"
-            )
-        )
-    )
+    return sliding_hll_estimates(daily, window_days)
 
 
 def run_events_stream_hll(

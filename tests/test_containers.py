@@ -485,7 +485,7 @@ class TestArchives:
         pdf = make_pdf(["Ticket 1 total 9.99", "page two"])
         p = probe_bytes(pdf)
         assert p["container"] == "pdf" and p["codec"].startswith("1.")
-        assert p["n_frames"] and p["n_frames"] > 0  # endobj count
+        assert p["n_frames"] and p["n_frames"] > 0  # trailer /Size
 
         g = gzip.compress(b"hello world " * 1000)
         pg = probe_bytes(g)
@@ -857,3 +857,55 @@ def test_probe_media_all_formats_through_spark(spark):
     assert got[16].codec == "avif"
     assert got[9].sample_rate == 8000  # aiff
     assert got[1].n_frames == 10  # fragmented mp4 truns
+
+
+class TestReviewRegressions:
+    """Pins for the round-5 code-review findings."""
+
+    def test_adpcm_decode_is_length_preserving(self):
+        import numpy as np
+
+        from etl_expenses_spark.operators.audiocodec import (
+            decode_wav,
+            encode_ima_adpcm_wav,
+        )
+
+        sig = (np.sin(np.arange(3777) * 0.05) * 12000).astype(np.int16)
+        dec, _ = decode_wav(encode_ima_adpcm_wav(sig, 8000))
+        assert dec.shape[0] == 3777  # fact chunk honored, no padded tail
+
+    def test_tar_with_bm_member_name_is_tar(self):
+        import io
+        import tarfile
+
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as t:
+            info = tarfile.TarInfo("BMlogo.bin")
+            info.size = 4
+            t.addfile(info, io.BytesIO(b"abcd"))
+        p = probe_bytes(buf.getvalue())
+        assert (p["container"], p["n_frames"]) == ("tar", 1)
+
+    def test_ogg_long_tag_multisegment_lacing(self):
+        from etl_expenses_spark.operators.containers import (
+            encode_minimal_ogg,
+            extract_tags,
+            parse_ogg,
+        )
+
+        o = encode_minimal_ogg(96000, "opus", tags={"title": "x" * 600})
+        assert extract_tags(o)["title"] == "x" * 600
+        assert parse_ogg(o)["duration_ms"] == 2000
+
+    def test_y4m_frame_parameters_counted(self):
+        import numpy as np
+
+        from etl_expenses_spark.operators.videocodec import encode_y4m
+
+        y = encode_y4m(np.full((3, 4, 4), 9, np.uint8))
+        withparams = y.replace(b"FRAME\n", b"FRAME Ip\n")
+        assert probe_bytes(withparams)["n_frames"] == 3
+
+    def test_tags_census_reaches_all_four_carriers(self):
+        # (did // 10) % 4 over doc_id % 10 == 6 must cycle every carrier
+        assert sorted({(d // 10) % 4 for d in range(6, 500, 10)}) == [0, 1, 2, 3]
