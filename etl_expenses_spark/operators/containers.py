@@ -759,6 +759,134 @@ def encode_mp3_frames(
 
 
 # ---------------------------------------------------------------------------
+# WARC — the web-archive record format (what Common Crawl ships).
+# THE ingestion format for web-scale text corpora: records are
+# "WARC/1.x" header blocks (named fields incl. Content-Length) followed
+# by exactly Content-Length body bytes, concatenated; on the wire each
+# record is usually its own gzip member (multi-member .warc.gz).
+# ---------------------------------------------------------------------------
+
+
+def parse_warc(data: bytes, max_records: int | None = None) -> list[dict] | None:
+    """Record listing of a WARC file: (type, uri, date, content_length)
+    per record. Accepts uncompressed WARC and multi-member .warc.gz
+    (each member inflated with stdlib zlib). The walk skips each body by
+    its declared Content-Length — O(records) header parsing, no content
+    interpretation. Returns None unless a WARC/ header leads; stops
+    cleanly at truncation/garbage."""
+    import zlib
+
+    if data[:2] == b"\x1f\x8b":
+        # multi-member gzip: inflate members until the stream is consumed
+        out = bytearray()
+        rest = bytes(data)
+        try:
+            while rest[:2] == b"\x1f\x8b":
+                d = zlib.decompressobj(wbits=31)
+                out += d.decompress(rest)
+                rest = d.unused_data
+        except zlib.error:
+            pass
+        data = bytes(out)
+    if data[:5] != b"WARC/":
+        return None
+    records = []
+    pos = 0
+    n = len(data)
+    while pos < n and data[pos : pos + 5] == b"WARC/":
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            break
+        rec: dict = {"type": None, "uri": None, "date": None, "content_length": None}
+        for line in data[pos:hdr_end].split(b"\r\n")[1:]:
+            if b":" not in line:
+                continue
+            k, v = line.split(b":", 1)
+            key = k.strip().lower()
+            val = v.strip().decode("utf-8", "replace")
+            if key == b"warc-type":
+                rec["type"] = val
+            elif key == b"warc-target-uri":
+                rec["uri"] = val
+            elif key == b"warc-date":
+                rec["date"] = val
+            elif key == b"content-length":
+                try:
+                    rec["content_length"] = int(val)
+                except ValueError:
+                    rec["content_length"] = None
+        if rec["content_length"] is None:
+            break
+        records.append(rec)
+        if max_records is not None and len(records) >= max_records:
+            break
+        # body + the record-terminating blank lines
+        pos = hdr_end + 4 + rec["content_length"] + 4
+    return records or None
+
+
+def encode_warc(
+    records: list[tuple[str, str, bytes]], gzip_members: bool = False
+) -> bytes:
+    """Fixture muxer: (warc_type, target_uri, body) triples → a spec-shaped
+    WARC file, optionally with each record as its own gzip member (the
+    Common Crawl layout)."""
+    import gzip as _gzip
+
+    out = bytearray()
+    for rtype, uri, body in records:
+        hdr = (
+            f"WARC/1.0\r\n"
+            f"WARC-Type: {rtype}\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            f"Content-Length: {len(body)}\r\n"
+            f"\r\n"
+        ).encode()
+        rec = hdr + body + b"\r\n\r\n"
+        out += _gzip.compress(rec) if gzip_members else rec
+    return bytes(out)
+
+
+WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("rec_type", T.StringType()),
+        T.StructField("uri", T.StringType()),
+        T.StructField("content_length", T.LongType()),
+    ]
+)
+
+
+def extract_warc_records(media: DataFrame) -> DataFrame:
+    """Distributed WARC record listing: one row per record per payload —
+    the first table a crawl-ingestion pipeline builds (URL census, size
+    profile, response/request mix) before any content parsing. Arrow-
+    batched mapInPandas; per-payload cost is O(records), bodies skipped
+    by declared length."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, types, uris, lens = [], [], [], []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                for r in parse_warc(bytes(payload)) or []:
+                    ids.append(int(mid))
+                    types.append(r["type"])
+                    uris.append(r["uri"])
+                    lens.append(r["content_length"])
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "rec_type": types,
+                    "uri": uris,
+                    "content_length": pd.array(lens, dtype="Int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(gen, schema=WARC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # Media tags — ID3v2 text frames and Vorbis comments (FLAC / Ogg).
 # Title/artist/album metadata is curation signal (tag-level dedup, source
 # attribution) a 100 TB audio lake extracts at ingest, no decode needed.
@@ -1466,7 +1594,22 @@ def probe_bytes(d: bytes) -> dict:
                 "codec": ver,
                 "n_frames": n_objs,
             }
+        if d[:5] == b"WARC/":
+            recs = parse_warc(d)
+            if recs is not None:
+                return {**_EMPTY, "container": "warc", "codec": "plain",
+                        "n_frames": len(recs)}
         if d[:2] == b"\x1f\x8b":
+            # peek the first member's first bytes only (bounded inflate):
+            # a .warc.gz must census as warc, not generic gzip
+            import zlib
+
+            try:
+                head = zlib.decompressobj(wbits=31).decompress(bytes(d[:4096]), 16)
+            except zlib.error:
+                head = b""
+            if head[:5] == b"WARC/":
+                return {**_EMPTY, "container": "warc", "codec": "gzip"}
             # gzip: ISIZE trailer = uncompressed size mod 2^32, surfaced
             # in n_frames (the census "how big when inflated" signal)
             usize = int.from_bytes(d[-4:], "little") if len(d) >= 18 else None

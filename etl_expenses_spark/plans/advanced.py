@@ -1162,6 +1162,87 @@ def archive_member_census(spark, sf_dir):
 
 
 @query(
+    "warc_record_census",
+    oracle="""
+        WITH sel AS (
+            SELECT doc_id AS did FROM documents WHERE doc_id % 10 = 5
+        ),
+        rows_ AS (
+            SELECT 'warcinfo' AS rec_type, 1 AS n, CAST(17 AS BIGINT) AS clen
+            FROM sel
+            UNION ALL
+            SELECT 'request', 1 + did % 4,
+                   CAST((1 + did % 4) * 19 AS BIGINT)
+            FROM sel
+            UNION ALL
+            SELECT 'response', 1 + did % 4,
+                   CAST((1 + did % 4) * (100 + did % 50) AS BIGINT)
+            FROM sel
+        )
+        SELECT rec_type,
+               CAST(SUM(n) AS BIGINT) AS n_records,
+               CAST(SUM(clen) AS BIGINT) AS sum_content_length
+        FROM rows_ GROUP BY rec_type
+    """,
+    tags=("multimodal", "container", "warc", "training"),
+)
+def warc_record_census(spark, sf_dir):
+    """WARC — the Common Crawl wire format — oracle-checked END TO END:
+    per doc_id a spec-shaped WARC file is muxed (one warcinfo record plus
+    1+did%4 request/response pairs with planted body lengths; every other
+    file uses per-record gzip members, the actual .warc.gz layout), then
+    ``extract_warc_records`` walks the record headers distributed —
+    skipping bodies by declared Content-Length, inflating gzip members
+    with stdlib zlib — and the per-type record counts and content-length
+    sums must reproduce the closed form.
+
+    This is the first query a crawl-scale text pipeline runs: record mix
+    and size profile of a WARC drop before any HTML parsing. Scale shape:
+    one mapInPandas stage, O(records) per file, 3-group aggregate."""
+    import pandas as pd
+
+    from etl_expenses_spark.operators.containers import (
+        encode_warc,
+        extract_warc_records,
+    )
+
+    docs = (
+        T(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 10) == 5)
+        .select("doc_id")
+    )
+
+    def gen(batches):
+        for b in batches:
+            ids, payloads = [], []
+            for did in b["doc_id"]:
+                did = int(did)
+                recs = [("warcinfo", "", b"software: spark\r\n")]
+                for i in range(1 + did % 4):
+                    recs.append(
+                        ("request", f"http://ex.com/{did}/{i}",
+                         b"GET /p HTTP/1.1\r\n\r\n")
+                    )
+                    recs.append(
+                        ("response", f"http://ex.com/{did}/{i}",
+                         b"x" * (100 + did % 50))
+                    )
+                ids.append(did)
+                payloads.append(encode_warc(recs, gzip_members=did % 2 == 1))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, schema="media_id long, payload binary")
+    return (
+        extract_warc_records(media)
+        .groupBy("rec_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum("content_length").cast("long").alias("sum_content_length"),
+        )
+    )
+
+
+@query(
     "corpus_shuffle_deterministic",
     oracle="""
         SELECT doc_id, bucket, CAST(pos_in_bucket AS INTEGER) AS pos_in_bucket

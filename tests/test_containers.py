@@ -909,3 +909,80 @@ class TestReviewRegressions:
     def test_tags_census_reaches_all_four_carriers(self):
         # (did // 10) % 4 over doc_id % 10 == 6 must cycle every carrier
         assert sorted({(d // 10) % 4 for d in range(6, 500, 10)}) == [0, 1, 2, 3]
+
+
+class TestWarc:
+    RECS = [
+        ("warcinfo", "", b"software: test\r\n"),
+        ("request", "http://example.com/a", b"GET /a HTTP/1.1\r\n\r\n"),
+        ("response", "http://example.com/a", b"HTTP/1.1 200 OK\r\n\r\nhello"),
+    ]
+
+    def test_plain_and_gzip_members_identical(self):
+        from etl_expenses_spark.operators.containers import (
+            encode_warc,
+            parse_warc,
+        )
+
+        plain = encode_warc(self.RECS)
+        gz = encode_warc(self.RECS, gzip_members=True)
+        got = parse_warc(plain)
+        assert got == parse_warc(gz)
+        assert [r["type"] for r in got] == ["warcinfo", "request", "response"]
+        assert got[2]["uri"] == "http://example.com/a"
+        assert got[2]["content_length"] == len(self.RECS[2][2])
+
+    def test_probe_dispatch(self):
+        from etl_expenses_spark.operators.containers import encode_warc
+
+        p = probe_bytes(encode_warc(self.RECS))
+        assert (p["container"], p["codec"], p["n_frames"]) == ("warc", "plain", 3)
+        pg = probe_bytes(encode_warc(self.RECS, gzip_members=True))
+        assert (pg["container"], pg["codec"]) == ("warc", "gzip")
+        import gzip
+
+        assert probe_bytes(gzip.compress(b"zzz" * 200))["container"] == "gzip"
+
+    def test_max_records_bound(self):
+        from etl_expenses_spark.operators.containers import (
+            encode_warc,
+            parse_warc,
+        )
+
+        many = encode_warc([("response", f"u{i}", b"b" * 10) for i in range(50)])
+        assert len(parse_warc(many, max_records=7)) == 7
+
+    @settings(max_examples=120, deadline=None)
+    @given(junk=st.binary(max_size=300), cut=st.integers(0, 500))
+    def test_never_raises(self, junk, cut):
+        from etl_expenses_spark.operators.containers import (
+            encode_warc,
+            parse_warc,
+        )
+
+        parse_warc(b"WARC/" + junk)
+        parse_warc(b"\x1f\x8b" + junk)
+        full = encode_warc(self.RECS, gzip_members=True)
+        parse_warc(full[: min(cut, len(full))])
+
+
+def test_extract_warc_records_through_spark(spark):
+    from pyspark.sql import Row
+
+    from etl_expenses_spark.operators.containers import (
+        encode_warc,
+        extract_warc_records,
+    )
+
+    rows = [
+        Row(media_id=1, payload=encode_warc(TestWarc.RECS)),
+        Row(media_id=2, payload=encode_warc(TestWarc.RECS, gzip_members=True)),
+        Row(media_id=3, payload=b"not a warc"),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        (r.media_id, r.rec_type, r.content_length)
+        for r in extract_warc_records(media).collect()
+    }
+    assert len(got) == 6  # 3 records from each of the two warcs, none from junk
+    assert {m for m, _, _ in got} == {1, 2}

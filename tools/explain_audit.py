@@ -250,6 +250,7 @@ EXTRA = [
     "archive_member_census",        # ZIP central-directory walk
     "merge_evolved_schema_orders",  # schema-evolving incremental merge
     "hll_sliding_7d_users",         # sketch-union sliding window
+    "warc_record_census",           # Common Crawl record walk
 ]
 
 
