@@ -820,8 +820,11 @@ def parse_warc(data: bytes, max_records: int | None = None) -> list[dict] | None
         records.append(rec)
         if max_records is not None and len(records) >= max_records:
             break
-        # body + the record-terminating blank lines
-        pos = hdr_end + 4 + rec["content_length"] + 4
+        # body, then skip the record-terminating blank lines (tolerant:
+        # real writers vary between exactly two CRLFs and a few extras)
+        pos = hdr_end + 4 + rec["content_length"]
+        while pos < n and data[pos] in (0x0D, 0x0A):
+            pos += 1
     return records or None
 
 
