@@ -42,7 +42,7 @@ _PRIORITY = [
     # spread) so the new code earns driver rows THIS round; the spares stay
     # local-sweep-verified. r6 candidates: session_windows_30m /
     # session_bounce_rate_daily (verdict r4 #5), archive_member_census,
-    # corpus_curation_funnel.
+    # corpus_curation_funnel, warc_record_census, hll_sliding_7d_users.
     # -- kept green anchors (one per §2 family) --
     "flagship_spend_by_category",   # agg / flagship
     "derived_columns",              # projection
