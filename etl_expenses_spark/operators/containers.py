@@ -815,14 +815,23 @@ def parse_warc(data: bytes, max_records: int | None = None) -> list[dict] | None
                     rec["content_length"] = int(val)
                 except ValueError:
                     rec["content_length"] = None
-        if rec["content_length"] is None:
+        # a record counts only when its declared body is sane AND fully
+        # present: negative lengths would walk the cursor backward
+        # (infinite loop), absurd ones overflow downstream int64 columns,
+        # and a truncated final body must not be reported at its declared
+        # size — all three are malformed-input stops, not records
+        cl = rec["content_length"]
+        if cl is None or cl < 0 or cl > (1 << 62):
+            break
+        body_start = hdr_end + 4
+        if body_start + cl > n:
             break
         records.append(rec)
         if max_records is not None and len(records) >= max_records:
             break
         # body, then skip the record-terminating blank lines (tolerant:
         # real writers vary between exactly two CRLFs and a few extras)
-        pos = hdr_end + 4 + rec["content_length"]
+        pos = body_start + cl
         while pos < n and data[pos] in (0x0D, 0x0A):
             pos += 1
     return records or None
@@ -1598,10 +1607,14 @@ def probe_bytes(d: bytes) -> dict:
                 "n_frames": n_objs,
             }
         if d[:5] == b"WARC/":
-            recs = parse_warc(d)
+            # bounded walk keeps the census payload-size-independent: a
+            # record count is reported only when the file has fewer than
+            # the cap (same spirit as the gzip branch's bounded peek)
+            _CAP = 1000
+            recs = parse_warc(d, max_records=_CAP)
             if recs is not None:
                 return {**_EMPTY, "container": "warc", "codec": "plain",
-                        "n_frames": len(recs)}
+                        "n_frames": len(recs) if len(recs) < _CAP else None}
         if d[:2] == b"\x1f\x8b":
             # peek the first member's first bytes only (bounded inflate):
             # a .warc.gz must census as warc, not generic gzip

@@ -986,3 +986,62 @@ def test_extract_warc_records_through_spark(spark):
     }
     assert len(got) == 6  # 3 records from each of the two warcs, none from junk
     assert {m for m, _, _ in got} == {1, 2}
+
+
+class TestWarcReviewRegressions:
+    """Pins for the second review pass on the WARC walk."""
+
+    def test_negative_content_length_terminates(self):
+        from etl_expenses_spark.operators.containers import parse_warc
+
+        assert parse_warc(b"WARC/1.0\r\nContent-Length: -33\r\n\r\n") is None
+
+    def test_absurd_content_length_dropped(self):
+        from etl_expenses_spark.operators.containers import parse_warc
+
+        assert (
+            parse_warc(
+                b"WARC/1.0\r\nContent-Length: 99999999999999999999999\r\n\r\nhi"
+            )
+            is None
+        )
+
+    def test_truncated_body_not_reported(self):
+        from etl_expenses_spark.operators.containers import (
+            encode_warc,
+            parse_warc,
+        )
+
+        full = encode_warc(
+            [("response", "u", b"abc"), ("response", "u2", b"defgh")]
+        )
+        got = parse_warc(full[:-8])  # cuts into the last record's body
+        assert len(got) == 1 and got[0]["content_length"] == 3
+
+    def test_probe_walk_is_bounded(self):
+        from etl_expenses_spark.operators.containers import encode_warc
+
+        many = encode_warc([("response", f"u{i}", b"b") for i in range(1200)])
+        p = probe_bytes(many)
+        assert (p["container"], p["n_frames"]) == ("warc", None)  # capped
+        few = encode_warc([("response", "u", b"b")] * 5)
+        assert probe_bytes(few)["n_frames"] == 5
+
+    def test_extract_degrades_cleanly_on_poison_rows(self, spark):
+        from pyspark.sql import Row
+
+        from etl_expenses_spark.operators.containers import (
+            encode_warc,
+            extract_warc_records,
+        )
+
+        rows = [
+            Row(media_id=1, payload=encode_warc([("response", "u", b"ok")])),
+            Row(media_id=2,
+                payload=b"WARC/1.0\r\nContent-Length: -33\r\n\r\n"),
+            Row(media_id=3,
+                payload=b"WARC/1.0\r\nContent-Length: 99999999999999999999999\r\n\r\nhi"),
+        ]
+        media = spark.createDataFrame(rows, "media_id long, payload binary")
+        got = extract_warc_records(media).collect()
+        assert [r.media_id for r in got] == [1]  # poison rows yield nothing
