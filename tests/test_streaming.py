@@ -935,6 +935,7 @@ def test_media_stream_probe_equals_batch(spark, dirs):
         encode_minimal_mp4,
         encode_minimal_ogg,
         encode_mp3_frames,
+        encode_warc,
         probe_media,
     )
     from etl_expenses_spark.operators.jpegcodec import encode_jpeg
@@ -965,12 +966,18 @@ def test_media_stream_probe_equals_batch(spark, dirs):
             payload=encode_minimal_ogg(144000, "opus"), meta=meta),
         Row(media_id=9, kind="video",
             payload=encode_fragmented_mp4(1280, 720, 30, 6, 6000), meta=meta),
+        Row(media_id=10, kind="text",
+            payload=encode_warc(
+                [("response", "http://x/1", b"hello"),
+                 ("request", "http://x/1", b"GET /")],
+                gzip_members=True,
+            ), meta=meta),
     ]
     first, second = rows[:3], rows[2:]  # media_id 3 delivered TWICE
     media_all = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
     want = {tuple(r) for r in probe_media(media_all).collect()}
     assert {r[1] for r in want} == {
-        "mp4", "mp3", "jpeg", "wav", "unknown", "mkv", "flac", "ogg",
+        "mp4", "mp3", "jpeg", "wav", "unknown", "mkv", "flac", "ogg", "warc",
     }
 
     b = str(bronze) + "_probe"
@@ -985,9 +992,9 @@ def test_media_stream_probe_equals_batch(spark, dirs):
 
     got = {tuple(r) for r in spark.read.parquet(g).collect()}
     assert got == want
-    assert spark.read.parquet(g).count() == 9  # re-delivered id 3 merged once
+    assert spark.read.parquet(g).count() == 10  # re-delivered id 3 merged once
     run_media_stream_probe(spark, b, g, c)  # restart: no-op
-    assert spark.read.parquet(g).count() == 9
+    assert spark.read.parquet(g).count() == 10
 
 
 def test_cms_guards_checkpoint_reset_and_empty_state(spark, dirs, tmp_path):
