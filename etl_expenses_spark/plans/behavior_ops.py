@@ -836,11 +836,11 @@ def proportional_budget_allocation(spark, sf_dir):
             FROM pts GROUP BY grp
         )
         SELECT grp, n,
-               CAST(CAST((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy)
-                         * (n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) AS DOUBLE)
-                    / CAST((n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
-                           * (n * syy - CAST(sy AS DECIMAL(38,0)) * sy) AS DOUBLE)
-                    AS DOUBLE) AS r2
+               (CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+                * CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE))
+               / (CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+                  * CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE))
+               AS r2
         FROM s
         WHERE n >= 3
           AND (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx) <> 0
@@ -852,8 +852,12 @@ def correlation_r2_qty_price(spark, sf_dir):
     """Coefficient of determination (r²) between quantity and line price
     per part-group — the strength companion to trend_daily_spend_slope's
     direction. Same sufficient-statistic recipe: numerator and denominator
-    stay EXACT (bigint inputs, wide-decimal products), one double division
-    at the end — so both engines emit bit-identical r².
+    stay EXACT (bigint inputs, wide-decimal products) up to the three
+    sufficient differences (cov, varx, vary); each converts to double
+    BEFORE the squaring/products, because cov² can exceed decimal(38)
+    precision and the two engines round that overflow differently (the
+    sf0.001 last-ulp divergence this discipline fixed). From there the
+    op sequence is identical IEEE mult/mult/div — bit-identical r².
 
     One partial-aggregatable pass computes (n, Σx, Σx², Σy, Σy², Σxy) for
     all groups; millions of correlations cost one shuffle of six numbers
@@ -882,9 +886,10 @@ def correlation_r2_qty_price(spark, sf_dir):
         .select(
             "grp",
             "n",
-            ((cov_n * cov_n).cast("double") / (varx_n * vary_n).cast("double")).alias(
-                "r2"
-            ),
+            (
+                (cov_n.cast("double") * cov_n.cast("double"))
+                / (varx_n.cast("double") * vary_n.cast("double"))
+            ).alias("r2"),
         )
     )
 
