@@ -422,6 +422,14 @@ def encode_ima_adpcm_wav(
         raise ValueError("empty signal")
     if block_align is None:
         block_align = 256 * channels
+    # Same geometry check as decode_ima_adpcm: the data body must pack into
+    # whole 4-byte channel words, else the nibble-pair packing below would
+    # die on a numpy shape mismatch instead of a clear error (r5 ADVICE).
+    if block_align <= 4 * channels or (block_align - 4 * channels) % (4 * channels) != 0:
+        raise ValueError(
+            f"block_align {block_align} invalid for {channels} channel(s): "
+            f"need 4*channels header + a multiple of 4*channels data bytes"
+        )
     spb = (block_align - 4 * channels) * 2 // channels + 1
     n_blocks = -(-n // spb)
     padded = np.zeros((n_blocks * spb, channels), dtype=np.int32)

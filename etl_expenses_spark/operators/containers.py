@@ -1156,6 +1156,21 @@ def parse_zip_listing(data: bytes) -> list[dict] | None:
         return None
     n_entries = int.from_bytes(data[eocd + 10 : eocd + 12], "little")
     cd_off = int.from_bytes(data[eocd + 16 : eocd + 20], "little")
+    # ZIP64: >65535 members or a >4 GiB directory offset store sentinel
+    # values (0xFFFF / 0xFFFFFFFF) in the classic EOCD and the real 64-bit
+    # fields in a ZIP64 EOCD record, located via the 20-byte locator that
+    # sits immediately before the classic EOCD (APPNOTE 4.3.14-15). Without
+    # this the census silently truncates exactly the large bundles a 100 TB
+    # document lake receives (r5 ADVICE).
+    if n_entries == 0xFFFF or cd_off == 0xFFFFFFFF:
+        loc = eocd - 20
+        if loc < 0 or data[loc : loc + 4] != b"PK\x06\x07":
+            return None
+        z64 = int.from_bytes(data[loc + 8 : loc + 16], "little")
+        if z64 + 56 > len(data) or data[z64 : z64 + 4] != b"PK\x06\x06":
+            return None
+        n_entries = int.from_bytes(data[z64 + 32 : z64 + 40], "little")
+        cd_off = int.from_bytes(data[z64 + 48 : z64 + 56], "little")
     out = []
     pos = cd_off
     for _ in range(n_entries):
@@ -1168,6 +1183,24 @@ def parse_zip_listing(data: bytes) -> list[dict] | None:
         xlen = int.from_bytes(data[pos + 30 : pos + 32], "little")
         clen = int.from_bytes(data[pos + 32 : pos + 34], "little")
         name = data[pos + 46 : pos + 46 + nlen].decode("utf-8", "replace")
+        if csize == 0xFFFFFFFF or usize == 0xFFFFFFFF:
+            # Per-entry ZIP64 extra field (id 0x0001): 64-bit sizes appear
+            # in sentinel order — uncompressed first, then compressed.
+            extra = data[pos + 46 + nlen : pos + 46 + nlen + xlen]
+            ep = 0
+            while ep + 4 <= len(extra):
+                eid = int.from_bytes(extra[ep : ep + 2], "little")
+                esz = int.from_bytes(extra[ep + 2 : ep + 4], "little")
+                if eid == 0x0001:
+                    body = extra[ep + 4 : ep + 4 + esz]
+                    bp = 0
+                    if usize == 0xFFFFFFFF and bp + 8 <= len(body):
+                        usize = int.from_bytes(body[bp : bp + 8], "little")
+                        bp += 8
+                    if csize == 0xFFFFFFFF and bp + 8 <= len(body):
+                        csize = int.from_bytes(body[bp : bp + 8], "little")
+                    break
+                ep += 4 + esz
         out.append(
             {
                 "name": name,
@@ -1284,7 +1317,10 @@ def _probe_jpeg(d: bytes) -> dict | None:
             pos += 2
             continue
         seglen = int.from_bytes(d[pos + 2 : pos + 4], "big")
-        if marker == 0xE1:
+        if marker == 0xE1 and orientation is None:
+            # Only the FIRST APP1 carrying a value wins: cameras/Adobe
+            # commonly emit EXIF APP1 then XMP APP1, and letting the later
+            # non-EXIF segment overwrite would drop the orientation.
             orientation = _parse_exif_orientation(d[pos + 4 : pos + 2 + seglen])
         if marker in (0xC0, 0xC1, 0xC2) and pos + 9 <= n:
             return {

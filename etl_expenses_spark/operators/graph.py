@@ -105,9 +105,14 @@ def jaccard_link_prediction(
     )
     du = deg.select(F.col("nbr").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("nbr").alias("v"), F.col("d").alias("dv"))
+    # No broadcast hint: the degree relation is O(nodes), so pinning a
+    # broadcast risks driver OOM at the 100 TB tier (r5 ADVICE). AQE
+    # converts these to broadcast joins at runtime whenever the measured
+    # size fits autoBroadcastJoinThreshold; otherwise they are the plain
+    # hash joins the docstring promises.
     cand = (
-        non_edges.join(F.broadcast(du), "u")
-        .join(F.broadcast(dv), "v")
+        non_edges.join(du, "u")
+        .join(dv, "v")
         .withColumn("uc", F.col("du") + F.col("dv") - F.col("ic"))
     )
     return cand.filter(

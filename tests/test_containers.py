@@ -448,6 +448,71 @@ class TestArchives:
         for cut in range(0, len(zb), 7):
             parse_zip_listing(zb[:cut])  # never raises
 
+    def test_zip64_eocd_and_per_entry_sizes(self):
+        # ZIP64 (r5 ADVICE): >65535 members / >4 GiB offsets put sentinels
+        # in the classic EOCD and the real values in a ZIP64 EOCD record.
+        # Rewrite a stdlib zip's tail into the ZIP64 layout and check the
+        # walk recovers the identical listing via the 64-bit fields.
+        import io
+        import struct
+        import zipfile
+
+        from etl_expenses_spark.operators.containers import parse_zip_listing
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+            z.writestr("docs/a.txt", "hello world " * 50)
+            z.writestr("stored.bin", b"\x00" * 10, compress_type=zipfile.ZIP_STORED)
+        zb = buf.getvalue()
+        classic = parse_zip_listing(zb)
+        eocd = zb.rfind(b"PK\x05\x06")
+        n = int.from_bytes(zb[eocd + 10 : eocd + 12], "little")
+        cd_size = int.from_bytes(zb[eocd + 12 : eocd + 16], "little")
+        cd_off = int.from_bytes(zb[eocd + 16 : eocd + 20], "little")
+        z64_off = eocd  # record replaces the classic EOCD position
+        z64 = (
+            b"PK\x06\x06" + struct.pack("<Q", 44) + struct.pack("<HH", 45, 45)
+            + struct.pack("<II", 0, 0) + struct.pack("<QQQQ", n, n, cd_size, cd_off)
+        )
+        loc = b"PK\x06\x07" + struct.pack("<IQI", 0, z64_off, 1)
+        sentinel_eocd = (
+            b"PK\x05\x06" + b"\x00" * 4 + b"\xff\xff\xff\xff"
+            + struct.pack("<I", cd_size) + b"\xff\xff\xff\xff" + b"\x00\x00"
+        )
+        zb64 = zb[:eocd] + z64 + loc + sentinel_eocd
+        assert parse_zip_listing(zb64) == classic
+        assert probe_bytes(zb64)["container"] == "zip"
+        # sentinel EOCD with NO locator → None, never a bogus listing
+        assert parse_zip_listing(zb[:eocd] + sentinel_eocd) is None
+        for cut in range(len(zb), len(zb64), 5):
+            parse_zip_listing(zb64[:cut])  # never raises
+
+        # per-entry ZIP64 extra field: 0xFFFFFFFF sizes resolved from the
+        # 0x0001 extra (uncompressed first, then compressed)
+        name = b"huge.bin"
+        extra = struct.pack("<HH", 0x0001, 16) + struct.pack(
+            "<QQ", 5_000_000_000, 4_900_000_000
+        )
+        cde = (
+            b"PK\x01\x02" + struct.pack("<HHHH", 45, 45, 0, 0)
+            + struct.pack("<HHIII", 0, 0, 0, 0xFFFFFFFF, 0xFFFFFFFF)
+            + struct.pack("<HHHHHII", len(name), len(extra), 0, 0, 0, 0, 0)
+            + name + extra
+        )
+        eocd_small = (
+            b"PK\x05\x06" + b"\x00" * 4 + struct.pack("<HH", 1, 1)
+            + struct.pack("<II", len(cde), 0) + b"\x00\x00"
+        )
+        got = parse_zip_listing(cde + eocd_small)
+        assert got == [
+            {
+                "name": "huge.bin",
+                "compressed": 4_900_000_000,
+                "uncompressed": 5_000_000_000,
+                "method": "store",
+            }
+        ]
+
     def test_tar_listing_matches_stdlib_writer(self):
         import io
         import tarfile
@@ -673,6 +738,35 @@ class TestProbe:
         p = probe_bytes(tagged)
         assert (p["container"], p["orientation"]) == ("jpeg", orient)
         assert probe_bytes(jpg)["orientation"] is None  # untagged
+
+    def test_exif_then_xmp_app1_keeps_orientation(self):
+        # the common camera/Adobe layout: EXIF APP1 followed by an XMP APP1.
+        # A later non-EXIF APP1 must not erase the already-found value
+        # (r5 ADVICE: unconditional overwrite reported orientation=None).
+        from etl_expenses_spark.operators.jpegcodec import encode_jpeg
+
+        tiff = (
+            b"II"
+            + (42).to_bytes(2, "little")
+            + (8).to_bytes(4, "little")
+            + (1).to_bytes(2, "little")
+            + (0x0112).to_bytes(2, "little")
+            + (3).to_bytes(2, "little")
+            + (1).to_bytes(4, "little")
+            + (6).to_bytes(2, "little")
+            + b"\x00\x00"
+            + (0).to_bytes(4, "little")
+        )
+        exif = b"Exif\x00\x00" + tiff
+        app1_exif = b"\xff\xe1" + (len(exif) + 2).to_bytes(2, "big") + exif
+        xmp = b"http://ns.adobe.com/xap/1.0/\x00<x:xmpmeta/>"
+        app1_xmp = b"\xff\xe1" + (len(xmp) + 2).to_bytes(2, "big") + xmp
+        jpg = encode_jpeg(np.full((8, 8, 3), 99, np.uint8))
+        tagged = jpg[:2] + app1_exif + app1_xmp + jpg[2:]
+        assert probe_bytes(tagged)["orientation"] == 6
+        # reversed order still finds it (first APP1 has no EXIF value)
+        swapped = jpg[:2] + app1_xmp + app1_exif + jpg[2:]
+        assert probe_bytes(swapped)["orientation"] == 6
 
     def test_exif_malformed_never_raises(self):
         from etl_expenses_spark.operators.containers import _parse_exif_orientation

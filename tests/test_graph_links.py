@@ -81,3 +81,13 @@ def test_capped_sample_is_deterministic_across_partitionings(spark):
     a = _rows(jaccard_link_prediction(_edges_df(spark, graph, 1), max_degree=6))
     b = _rows(jaccard_link_prediction(_edges_df(spark, graph, 7), max_degree=6))
     assert a == b and a
+
+
+def test_degree_join_carries_no_broadcast_hint(spark):
+    # r5 ADVICE: the degree relation is O(nodes); a pinned F.broadcast on
+    # it risks driver OOM at scale. The logical plan must carry NO
+    # broadcast hint — AQE may still pick a broadcast join at runtime when
+    # the measured size fits, which is the desired adaptive behavior.
+    out = jaccard_link_prediction(_edges_df(spark, _planted_graph()))
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" not in analyzed.lower()

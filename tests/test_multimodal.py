@@ -352,6 +352,33 @@ def test_ima_adpcm_wav_decode():
         decode_wav(wav[:cut])
 
 
+def test_ima_adpcm_encoder_rejects_misaligned_block_align():
+    # r5 ADVICE: the encoder must validate block_align geometry up front
+    # (same check as the decoder) instead of dying in the nibble packing
+    # with a numpy shape mismatch.
+    import numpy as np
+    import pytest
+
+    from etl_expenses_spark.operators.audiocodec import encode_ima_adpcm_wav
+
+    sig = np.zeros(100, dtype=np.int16)
+    for bad in (10, 6, 4, 3):  # (bad - 4) % 4 != 0 or no data bytes
+        with pytest.raises(ValueError, match="block_align"):
+            encode_ima_adpcm_wav(sig, 8000, block_align=bad)
+    with pytest.raises(ValueError, match="block_align"):
+        encode_ima_adpcm_wav(
+            np.zeros((100, 2), dtype=np.int16), 8000, block_align=12
+        )  # stereo: (12 - 8) % 8 != 0
+    # word-aligned geometries still encode fine
+    assert encode_ima_adpcm_wav(sig, 8000, block_align=12)[:4] == b"RIFF"
+    assert (
+        encode_ima_adpcm_wav(
+            np.zeros((100, 2), dtype=np.int16), 8000, block_align=16
+        )[:4]
+        == b"RIFF"
+    )
+
+
 def test_extract_media_tags_through_spark(spark):
     """The audio-lake metadata table: (media_id, key, value) rows from
     ID3v2 MP3, tagged FLAC, and OpusTags Ogg payloads through the
