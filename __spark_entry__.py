@@ -31,18 +31,12 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # registered after the window and is verified by tools/check_oracle.py
 # (the local replica of the same gate) across all scale factors.
 _PRIORITY = [
-    # Round-5 window: 26 kept green §2-family anchors + 24 first-time rows.
-    # Rotation history lives in COVERAGE.md; every slot is lint-checked
-    # harness-safe (tools/check_oracle.py --lint-window: no array/struct/map
-    # output columns). Rotated-out queries keep their green rows on record
-    # and stay verified by the local type-aware sweep at every SF.
-    # Late-r5 swap: the session's NEW operator families (container census,
-    # semantic dedup, media tags, schema-evolving merge) take four slots
-    # from same-family spares (theta weekly twin, MAD twin, fx/installment
-    # spread) so the new code earns driver rows THIS round; the spares stay
-    # local-sweep-verified. r6 candidates: session_windows_30m /
-    # session_bounce_rate_daily (verdict r4 #5), archive_member_census,
-    # corpus_curation_funnel, warc_record_census, hll_sliding_7d_users.
+    # Round-6 window: 20 kept green §2-family anchors + 30 first-time rows
+    # (driver rows for the last round-5 operator families — WARC census,
+    # sliding HLL, curation funnel, PNG codec — plus six TPC-H shapes and a
+    # spread of never-checked family reps). Rotation rationale + history:
+    # COVERAGE.md. Every slot is lint-checked harness-safe
+    # (tools/check_oracle.py --lint-window).
     # -- kept green anchors (one per §2 family) --
     "flagship_spend_by_category",   # agg / flagship
     "derived_columns",              # projection
@@ -61,46 +55,44 @@ _PRIORITY = [
     "webhook_source_ingest",        # REST source
     "pdf_ticket_pipeline",          # PDF source + UDTF
     "xlsx_report_pipeline",         # XLSX source
-    "grouping_sets_spend",          # advanced agg
     "tpch_q8_market_share",         # TPC-H
     "k_anonymity_report",           # privacy
-    "colocated_join_spend_by_segment",  # lakehouse bucketing
-    "except_all_order_lines",       # set ops
-    "fuzzy_best_match_dirty_parts", # fuzzy ER
     "cohort_retention_monthly",     # behavior
-    "heavy_hitters_users",          # sketches
-    # -- the round-4 red, re-fixed (postings now a sortable string) --
-    "inverted_index_postings",
-    # -- first-time rows: round-4 additions --
-    "theta_retention_daily",
-    "vocab_coverage_topk",
-    "winsorized_spend_by_segment",
-    "pps_sample_stratified_by_source",
-    "link_prediction_jaccard",
-    "session_bounce_rate_daily",
-    # -- first-time: round-5 addition (hot-node capped tier) --
-    "link_prediction_jaccard_capped",
-    # -- first-time: streaming twin cycle (verdict r4 #5) --
-    "window_sliding_hourly",
-    # -- first-time: lakehouse / quality / behavior spread --
-    "zorder_curve_values",
-    "expectations_report_orders",
-    "multitouch_attribution_credits",
-    "seasonal_naive_backtest",
-    # -- first-time: this session's new operator families --
-    "multimodal_container_census",  # 4-family no-decode census
-    "semantic_dedup_prune",         # SemDeDup composition
-    "media_tags_census",            # ID3/Vorbis/ilst tag table
-    "merge_evolved_schema_orders",  # schema-evolving merge
-    # -- first-time: never-checked family reps --
-    "dedup_minhash_lsh",            # MinHash-LSH (golden-pinned at 0.01)
-    "similarity_cosine_topk_ivf",   # IVF scale tier
-    "sketch_hll_distinct_users",    # HLL family
-    "udtf_lateral_word_split",      # Spark-4 Python UDTF §2.11g
-    "catalog_inventory",            # S10 catalog scan
-    "join_salted_skew",             # salted skew join
-    "multimodal_jpeg_roundtrip",    # r5: real baseline-JPEG decode oracle
-    "sql_lateral_topk_per_group",   # SQL LATERAL
+    # -- first-time: round-5 operator families without a driver row --
+    "warc_record_census",
+    "archive_member_census",
+    "hll_sliding_7d_users",
+    "corpus_curation_funnel",
+    "multimodal_png_roundtrip",
+    # -- first-time: TPC-H spread --
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    # -- first-time: dedup / similarity / text / quality tiers --
+    "dedup_simhash",
+    "similarity_cosine_topk_lsh",
+    "text_redact_pii",
+    "quality_filter_rules",
+    "dataset_split_assign",
+    "feature_hashing_tokens",
+    # -- first-time: temporal / behavior / relational spread --
+    "rolling_7d_active_users",
+    "fx_convert_order_totals",
+    "installment_schedule_expansion",
+    "pivot_qty_by_status",
+    "null_safe_join",
+    "not_in_null_semantics",
+    "gapfill_daily_user_values",
+    "event_transition_matrix",
+    "agg_exact_percentiles",
+    # -- first-time: monitoring / privacy / sketch twins --
+    "data_drift_monitor",
+    "benford_first_digit_screen",
+    "pseudonymize_stable_ids",
+    "theta_weekly_rollup_from_daily",
 ]
 
 

@@ -11,6 +11,18 @@ one untimed structural warm-up would hide codegen compilation entirely,
 while best-of-N hides variance; median-of-3 reports a typical steady run
 honestly. The first of the three still carries codegen for that query's
 plan shape; the median discards it unless runs are genuinely noisy.
+
+Contamination control (VERDICT r5 #1 — BENCH_r04 AND _r05 were recorded
+under mid-run host contention and overstated every query): besides the
+start-load gate, every query's 3-run window is bracketed by the
+tools/cpuprobe external-CPU probe, which counts cores burned OUTSIDE our
+process tree during the window (in-run loadavg cannot do this — the bench
+itself drives load past 6). A query whose window saw more than
+$SPARK_GRAFT_BENCH_MAX_EXT external cores (default 1.5) is re-measured up
+to twice after a short backoff; the cleanest attempt wins. The JSON line
+records per-query `ext_cores` and the overall `ext_cores_max` so
+tools/bench_compare.py can refuse cross-round deltas from runs that stayed
+contaminated.
 """
 
 from __future__ import annotations
@@ -99,6 +111,40 @@ def run_once(q, spark, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def measure_query(q, spark, sf_dir: str, max_ext: float,
+                  attempts: int = 3) -> tuple[float, float, int]:
+    """Median-of-3 timing with contention-aware retry.
+
+    Returns (median_sec, ext_cores, retries). Each attempt brackets its
+    3-run window with the external-CPU probe; if co-tenant processes burned
+    more than `max_ext` cores on average during the window, the timing is a
+    load artifact — back off briefly and re-measure. The attempt with the
+    LOWEST external load wins (its median is the least contaminated
+    estimate we managed to take)."""
+    from tools.cpuprobe import ContentionWindow
+
+    best: tuple[float, float] | None = None  # (ext_cores, median)
+    for attempt in range(attempts):
+        win = ContentionWindow()
+        t0 = time.perf_counter()
+        runs = sorted(run_once(q, spark, sf_dir) for _ in range(3))
+        ext = win.external_cores(time.perf_counter() - t0)
+        if best is None or ext < best[0]:
+            best = (ext, runs[1])
+        if ext <= max_ext:
+            break
+        if attempt + 1 < attempts:
+            print(
+                f"bench: {q.name if hasattr(q, 'name') else '?'} window saw "
+                f"{ext:.2f} external cores (> {max_ext}); re-measuring "
+                f"(retry {attempt + 1}/{attempts - 1})",
+                file=sys.stderr,
+            )
+            time.sleep(5.0)
+    ext, med = best
+    return med, ext, attempt
+
+
 def wait_for_idle_host(max_load: float = 1.0, max_wait_sec: float = 300.0) -> float:
     """Gate the measurement on host load.
 
@@ -148,11 +194,16 @@ def main() -> None:
     # code). One untimed run of the first headline query absorbs them.
     run_once(REGISTRY[HEADLINE[0]], spark, sf_dir)
 
+    max_ext = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXT", "1.5"))
     timings: dict[str, float] = {}
+    ext_cores: dict[str, float] = {}
+    retried: dict[str, int] = {}
     for name in HEADLINE:
-        q = REGISTRY[name]
-        runs = sorted(run_once(q, spark, sf_dir) for _ in range(3))
-        timings[name] = round(runs[1], 4)  # median of 3
+        med, ext, retries = measure_query(REGISTRY[name], spark, sf_dir, max_ext)
+        timings[name] = round(med, 4)
+        ext_cores[name] = round(ext, 2)
+        if retries:
+            retried[name] = retries
 
     total = round(sum(timings.values()), 4)
     print(
@@ -164,13 +215,20 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # host contention markers. `loadavg_start` is captured
-                # BEFORE warm-up (post idle-gate) — it is the one that
-                # certifies the measurement window; the finish value mostly
-                # measures the bench itself (a 32-thread local[32] run ends
-                # near load ~6 even on an otherwise idle host). Deltas are
-                # comparable only between runs whose start load is < 1.
+                # BEFORE warm-up (post idle-gate); loadavg_1m at finish
+                # mostly measures the bench itself. The authoritative
+                # in-run signal is `ext_cores` (per query) and
+                # `ext_cores_max`: average CPU cores burned by processes
+                # OUTSIDE our tree during each query's measurement window
+                # (tools/cpuprobe.py). Deltas are comparable only between
+                # runs whose ext_cores_max stayed below ~1.5.
                 "loadavg_start": round(load_start, 2),
                 "loadavg_1m": round(os.getloadavg()[0], 2),
+                "ext_cores": ext_cores,
+                "ext_cores_max": round(max(ext_cores.values()), 2)
+                if ext_cores
+                else 0.0,
+                "retried": retried,
             }
         )
     )

@@ -34,3 +34,111 @@ def test_load_drop_releases_the_gate(monkeypatch):
     monkeypatch.setattr(os, "getloadavg", lambda: next(seq))
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     assert bench.wait_for_idle_host(max_load=1.0, max_wait_sec=60.0) == 0.4
+
+
+class _FakeQuery:
+    """Stands in for a registry entry: build().write chain is bypassed by
+    monkeypatching bench.run_once below."""
+
+    name = "fake"
+
+
+def test_cpuprobe_counts_own_subtree_as_self():
+    # CPU burned by a process WE spawned (and even reaped) must register as
+    # subtree work, not as external contention: an idle host reads ~0
+    # external cores no matter how hard the bench itself runs.
+    import subprocess
+    import time as _t
+
+    from tools.cpuprobe import ContentionWindow
+
+    win = ContentionWindow()
+    t0 = _t.perf_counter()
+    subprocess.run(
+        ["python", "-c",
+         "t=__import__('time');e=t.process_time\nwhile e()<0.5: pass"],
+        check=True,
+    )
+    ext = win.external_cores(_t.perf_counter() - t0)
+    # the child burned ~0.5 CPU-sec inside our tree; external must not see
+    # it (tolerance for unrelated background daemons on the test host)
+    assert ext < 0.9
+
+
+def test_measure_query_retries_under_contention(monkeypatch):
+    import bench
+
+    class _Win:
+        seq = iter([5.0, 3.0, 0.2])  # contaminated, contaminated, clean
+
+        def __init__(self):
+            self._ext = next(self.seq)
+
+        def external_cores(self, wall):
+            return self._ext
+
+    fake_mod = type("M", (), {"ContentionWindow": _Win})
+    import sys as _sys
+
+    monkeypatch.setitem(_sys.modules, "tools.cpuprobe", fake_mod)
+    times = iter([1.0, 1.1, 1.2, 2.0, 2.1, 2.2, 0.5, 0.55, 0.6])
+    monkeypatch.setattr(bench, "run_once", lambda q, s, d: next(times))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    med, ext, retries = bench.measure_query(_FakeQuery(), None, "/x", 1.5)
+    assert (med, ext, retries) == (0.55, 0.2, 2)  # cleanest attempt wins
+
+
+def test_measure_query_keeps_least_contaminated_when_never_clean(monkeypatch):
+    import bench
+
+    class _Win:
+        seq = iter([5.0, 2.0, 4.0])
+
+        def __init__(self):
+            self._ext = next(self.seq)
+
+        def external_cores(self, wall):
+            return self._ext
+
+    fake_mod = type("M", (), {"ContentionWindow": _Win})
+    import sys as _sys
+
+    monkeypatch.setitem(_sys.modules, "tools.cpuprobe", fake_mod)
+    times = iter([3.0, 3.1, 3.2, 1.0, 1.1, 1.2, 2.0, 2.1, 2.2])
+    monkeypatch.setattr(bench, "run_once", lambda q, s, d: next(times))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    med, ext, retries = bench.measure_query(_FakeQuery(), None, "/x", 1.5)
+    assert (med, ext) == (1.1, 2.0)  # attempt with the lowest ext wins
+    assert retries == 2
+
+
+def test_bench_compare_refuses_contaminated_and_rejects_garbage(tmp_path, capsys):
+    import json as _json
+    import sys as _sys
+
+    _sys.path.insert(0, "tools")
+    import bench_compare
+
+    clean = {"metric": "m", "value": 1, "queries": {"a": 1.0, "b": 2.0},
+             "loadavg_start": 0.3, "ext_cores_max": 0.1}
+    dirty = dict(clean, queries={"a": 2.0, "b": 2.1}, ext_cores_max=4.2)
+    p1, p2, p3 = tmp_path / "c.json", tmp_path / "d.json", tmp_path / "g.txt"
+    p1.write_text(_json.dumps(clean))
+    p2.write_text(_json.dumps(dirty))
+    p3.write_text("complete garbage, no json here")
+
+    _sys.argv = ["bench_compare", str(p1), str(p2)]
+    assert bench_compare.main() == 2
+    out = capsys.readouterr().out
+    assert "REFUSED" in out and "4.2" in out
+    assert "regressions" not in out  # deltas withheld
+
+    _sys.argv = ["bench_compare", str(p1), str(p1)]
+    assert bench_compare.main() == 0
+
+    try:
+        bench_compare.load(str(p3))
+    except SystemExit as e:
+        assert "g.txt" in str(e.code) or "g.txt" in str(e)
+    else:
+        raise AssertionError("garbage file must SystemExit with a message")

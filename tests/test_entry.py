@@ -32,15 +32,15 @@ def test_correctness_window_priority():
         "multimodal_codec_roundtrip",  # real-codec decode, driver-verified
         "pdf_ticket_pipeline",  # S4+: real binary PDF ingestion end-to-end
         "xlsx_report_pipeline",  # S2+: real XLSX ingestion end-to-end
-        "grouping_sets_spend",
         "tpch_q8_market_share",
         "bm25_topk_per_query",
-        # the round-4 red, re-fixed (postings string-encoded) — the driver
-        # must re-verify the fix
-        "inverted_index_postings",
-        # round-5 rotation: streaming twin cycle + the hot-node capped tier
-        "window_sliding_hourly",
-        "link_prediction_jaccard_capped",
+        # round-6 rotation: the round-5 operator families that still lacked
+        # driver rows (VERDICT r5 "What's missing" #1 / "Next round" #7)
+        "warc_record_census",
+        "archive_member_census",
+        "hll_sliding_7d_users",
+        "corpus_curation_funnel",
+        "multimodal_png_roundtrip",
     }
     assert must <= set(window), must - set(window)
     # nothing silently dropped: priority reordering preserves the registry

@@ -53,15 +53,27 @@ def main() -> int:
     for tag, d in (("old", old), ("new", new)):
         start = d.get("loadavg_start")
         finish = d.get("loadavg_1m")
-        if start is not None or finish is not None:
-            note = ""
-            if start is not None and start >= 1.0:
-                note = "  <-- CONTAMINATED (start load >= 1; deltas unusable)"
-                contaminated = True
-            print(f"  {tag} loadavg start={start} finish={finish}{note}")
+        ext_max = d.get("ext_cores_max")
+        note = ""
+        # in-run external-CPU probe (authoritative when present): a window
+        # that saw > 1.5 co-tenant cores even after the bench's retries is
+        # a load artifact — refuse the comparison (VERDICT r5 #1: two
+        # consecutive committed BENCH files were exactly this).
+        if ext_max is not None and ext_max > 1.5:
+            note = f"  <-- CONTAMINATED (in-run external cores {ext_max} > 1.5)"
+            contaminated = True
+        elif ext_max is None and start is not None and start >= 1.0:
+            # legacy files without the in-run probe: start gate only
+            note = "  <-- CONTAMINATED (start load >= 1; deltas unusable)"
+            contaminated = True
+        if start is not None or finish is not None or ext_max is not None:
+            print(f"  {tag} loadavg start={start} finish={finish} "
+                  f"ext_cores_max={ext_max}{note}")
     if contaminated:
-        print("  NOTE: at least one run started under host load; treat the "
-              "deltas below as load artifacts, not code changes.")
+        print("\nREFUSED: at least one run was measured under host "
+              "contention; per-query deltas would be load artifacts, not "
+              "code changes. Re-run the contaminated side on an idle host.")
+        return 2
     worse = [(k, oq[k], nq[k]) for k in shared if nq[k] > oq[k] * (1 + thr)]
     better = [(k, oq[k], nq[k]) for k in shared if nq[k] < oq[k] * (1 - thr)]
     only_new = sorted(set(nq) - set(oq))
