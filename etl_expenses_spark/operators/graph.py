@@ -123,3 +123,77 @@ def jaccard_link_prediction(
         F.col("ic").alias("n_common_neighbors"),
         (F.col("ic").cast("double") / F.col("uc")).alias("jaccard"),
     )
+
+
+def kcore_decomposition(
+    edges: DataFrame,
+    src: str = "pa",
+    dst: str = "pb",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Exact core number per node → ``(node, core)`` via distributed
+    h-index iteration (Montresor, De Pellegrini, Miorandi, "Distributed
+    k-Core Decomposition", IEEE TPDS 2013).
+
+    The core number of v is the largest k such that v belongs to a
+    subgraph where every node has degree ≥ k. Sequential peeling is
+    inherently serial; the distributed formulation iterates
+
+        c₀(v) = deg(v);  c_{t+1}(v) = H-index{ c_t(u) : u ∈ N(v) }
+
+    which is non-increasing, bounded below by the true core number, and
+    converges to it exactly (locality theorem). Each round is ONE shuffle:
+    join neighbor estimates onto the symmetric adjacency, groupBy node,
+    h-index of the collected neighbor values as a JVM array expression
+    (sort desc, count positions where a[i] ≥ i+1 — prefix-monotone, so a
+    plain size(filter(...))). Labels are localCheckpoint-ed per round so
+    the plan stays one round deep (the CC loop's discipline); the changed
+    flag is materialized with the labels so the convergence probe is a
+    metadata count, not a re-join.
+
+    100 TB shape: per-round cost ≡ one hash join + one hash aggregate on
+    the edge relation — identical to one BSP round of CC/PageRank; rounds
+    needed ≈ graph's "coreness diameter", observed single digits on real
+    co-occurrence graphs. Per-node state during the aggregate is O(deg):
+    hub-heavy graphs pair this with `capped_adjacency` the way
+    link-prediction does (a degree-capped run lower-bounds core numbers
+    and is exact for nodes under the cap).
+    """
+    hindex = (
+        "size(filter(transform(sort_array(cs, false), (x, i) -> "
+        "case when x >= i + 1 then 1 end), y -> y is not null))"
+    )
+    sym = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+        .distinct()
+        .localCheckpoint()
+    )
+    est = (
+        sym.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        nbrv = sym.join(
+            est.select(F.col("node").alias("nbr"), F.col("c").alias("c_nbr")),
+            "nbr",
+        )
+        new = (
+            nbrv.groupBy("node")
+            .agg(F.collect_list("c_nbr").alias("cs"))
+            .select("node", F.expr(hindex).cast("long").alias("h"))
+            .join(est, "node")
+            .select(
+                "node",
+                F.least("h", "c").alias("c_new"),
+                (F.least("h", "c") != F.col("c")).alias("changed"),
+            )
+            .select(F.col("node"), F.col("c_new").alias("c"), "changed")
+            .localCheckpoint()
+        )
+        n_changed = new.filter("changed").limit(1).count()
+        est = new.drop("changed")
+        if n_changed == 0:
+            break
+    return est.select("node", F.col("c").alias("core"))

@@ -1346,3 +1346,109 @@ def curriculum_quality_bins(spark, sf_dir):
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual image near-dup (operators/phash.py): synthesized deterministic
+# images -> REAL PPM encode -> real decode -> 9x8 nearest resample -> dHash
+# -> banded LSH self-join. Even/odd doc pairs share a base image; odd docs
+# get one perturbed 4x4 block, so every (even, odd) twin lands within
+# hamming <= 2 and the 4-band pigeonhole join finds ALL of them exactly.
+# The oracle recomputes the pixels symbolically and brute-forces the n^2
+# hamming join — at sf it verifies the LSH lost nothing; at 100 TB only the
+# banded buckets ever exist.
+# --------------------------------------------------------------------------
+@query(
+    "image_dhash_neardup",
+    oracle="""
+        WITH ids AS (
+            SELECT doc_id, doc_id - (doc_id % 2) AS g FROM documents),
+        k0 AS (
+            SELECT doc_id, g, r.r, c.c, g * 73 + r.r * 9 + c.c AS k
+            FROM ids,
+                 (SELECT unnest(range(0, 8)) AS r) r,
+                 (SELECT unnest(range(0, 9)) AS c) c),
+        h1 AS (SELECT *, xor(k, k // 65536) * 73244475 % 4294967296 AS h
+               FROM k0),
+        h2 AS (SELECT doc_id, g, r, c, k,
+                      xor(h, h // 65536) * 73244475 % 4294967296 AS h
+               FROM h1),
+        px AS (
+            SELECT doc_id, r, c,
+                   CASE WHEN doc_id % 2 = 1 AND (r * 9 + c) = (g % 72)
+                        THEN (xor(h, h // 65536) % 256 + 128) % 256
+                        ELSE xor(h, h // 65536) % 256
+                   END AS p
+            FROM h2),
+        bits AS (
+            SELECT a.doc_id, (a.r * 8 + a.c) AS pos,
+                   CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS bit
+            FROM px a
+            JOIN px b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+            WHERE a.c < 8),
+        bands AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN pos // 16 = 0
+                            THEN bit * (1 << (pos % 16)) ELSE 0 END) AS BIGINT) AS b0,
+                   CAST(SUM(CASE WHEN pos // 16 = 1
+                            THEN bit * (1 << (pos % 16)) ELSE 0 END) AS BIGINT) AS b1,
+                   CAST(SUM(CASE WHEN pos // 16 = 2
+                            THEN bit * (1 << (pos % 16)) ELSE 0 END) AS BIGINT) AS b2,
+                   CAST(SUM(CASE WHEN pos // 16 = 3
+                            THEN bit * (1 << (pos % 16)) ELSE 0 END) AS BIGINT) AS b3
+            FROM bits GROUP BY doc_id)
+        SELECT id_a, id_b, hamming FROM (
+            SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                   CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+                      + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+                        AS BIGINT) AS hamming
+            FROM bands x JOIN bands y ON x.doc_id < y.doc_id)
+        WHERE hamming <= 3
+    """,
+    tags=("multimodal", "dedup", "phash"),
+)
+def image_dhash_neardup(spark, sf_dir):
+    """Image near-duplicate pairs by dHash banded LSH, end-to-end through
+    the real codec stack: per doc a 36x32 RGB image of 4x4 constant blocks
+    (block value = a murmur-style xor-shift-multiply hash of 73*group +
+    block index; odd
+    docs perturb one block by +128 mod 256) is PPM-encoded, decoded by
+    operators/imagecodec.decode_image, nearest-resampled to 9x8, dHashed
+    into four 16-bit bands, and self-joined on shared bands. hamming <= 3
+    with 4 bands is pigeonhole-exact recall — the DuckDB n^2 oracle proves
+    the banded join equals the full hamming join."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_expenses_spark.operators.imagecodec import encode_ppm
+    from etl_expenses_spark.operators.phash import dhash_bands, dhash_neardup_pairs
+
+    def synth(batches):
+        for b in batches:
+            ids, imgs = [], []
+            for d in b["doc_id"]:
+                d = int(d)
+                g = d - (d % 2)
+                idx = np.arange(72, dtype=np.int64)
+                k = g * 73 + idx
+                h = ((k ^ (k >> 16)) * 73244475) % 4294967296
+                h = ((h ^ (h >> 16)) * 73244475) % 4294967296
+                base = (h ^ (h >> 16)) % 256
+                if d % 2 == 1:
+                    ip = int(g % 72)
+                    base[ip] = (base[ip] + 128) % 256
+                block = base.reshape(8, 9).astype(np.uint8)
+                gray = np.kron(block, np.ones((4, 4), dtype=np.uint8))
+                rgb = np.stack([gray, gray, gray], axis=-1)
+                ids.append(d)
+                imgs.append(encode_ppm(rgb))
+            yield pd.DataFrame({"id": ids, "img": imgs})
+
+    imgs = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(synth, schema="id bigint, img binary")
+    )
+    return dhash_neardup_pairs(dhash_bands(imgs), max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )

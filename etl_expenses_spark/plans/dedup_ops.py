@@ -814,3 +814,50 @@ def corpus_curation_funnel(spark, sf_dir):
         .unionByName(stage(5, "decontaminate", m, c))
         .orderBy("stage_order")
     )
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id AS id, source AS blk,
+                   list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                               t -> t <> '') AS tk
+            FROM documents),
+        pos AS (
+            SELECT id, blk, tk, unnest(range(1, len(tk) - 1)) AS i
+            FROM toks WHERE len(tk) >= 3),
+        sh AS (
+            SELECT DISTINCT id, blk, array_to_string(tk[i:i+2], ' ') AS shingle
+            FROM pos),
+        sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY id),
+        inter AS (
+            SELECT a.id AS id_small, b.id AS id_big,
+                   CAST(COUNT(*) AS BIGINT) AS n_inter
+            FROM sh a
+            JOIN sh b ON a.blk = b.blk AND a.shingle = b.shingle
+                     AND a.id <> b.id
+            GROUP BY a.id, b.id)
+        SELECT id_small, id_big, s.n AS n_shingles_small, n_inter,
+               CAST(CAST(CAST(n_inter AS DOUBLE) / CAST(s.n AS DOUBLE)
+                         AS DECIMAL(18,6)) AS DOUBLE) AS containment
+        FROM inter JOIN sizes s ON s.id = id_small
+        WHERE CAST(n_inter AS DOUBLE) / CAST(s.n AS DOUBLE) >= 0.5
+    """,
+    tags=("dedup", "containment"),
+)
+def dedup_containment_pairs(spark, sf_dir):
+    """Directional containment dedup: (contained, container) pairs whose
+    distinct-3-gram-shingle containment |S(a) ∩ S(b)| / |S(a)| >= 0.5
+    inside `source` blocking groups — the quote/wrapper/superset duplicate
+    detector symmetric Jaccard under-scores (a short doc fully embedded in
+    a long one has tiny Jaccard but containment 1.0). Inverted-index
+    formulation (operators/apss.py): postings joined on (block, shingle)
+    then re-aggregated, so intersections materialize only for docs that
+    actually share a shingle and each posting row crosses the shuffle
+    once."""
+    from etl_expenses_spark.operators.apss import containment_pairs_inverted
+
+    return containment_pairs_inverted(
+        T(spark, sf_dir, "documents"), threshold=0.5, k=3, block_col="source"
+    )

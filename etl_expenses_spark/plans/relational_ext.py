@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import udtf
 from pyspark.sql.window import Window as W
 
-from etl_expenses_spark.plans._util import T, dec
+from etl_expenses_spark.plans._util import T, dec, dsum
 from etl_expenses_spark.plans.registry import query
 
 
@@ -1655,4 +1655,50 @@ def gapfill_interpolate_linear(spark, sf_dir):
         "day",
         filled.alias("filled_value"),
         F.col("day_value").isNull().alias("was_gap"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter semi-join reduction (operators/bloom.py): the runtime-filter
+# pattern Spark injects internally (SPARK-32268), built from relational
+# primitives because bloom_filter_agg/might_contain are not in the public
+# registry. Probe side (lineitem) is filtered by a broadcast 1-row bit-array
+# map BEFORE the exact semi-join — at 100 TB the probe shuffle carries only
+# true matches + ~fp% noise instead of the full fact table, and the filter
+# broadcast is O(m bits) regardless of build-side row count.
+# --------------------------------------------------------------------------
+@query(
+    "bloom_semijoin_reduction",
+    oracle="""
+        SELECT l.l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(9,2))) AS DOUBLE)
+                   AS gross_revenue
+        FROM lineitem l
+        WHERE l.l_orderkey IN (
+            SELECT o_orderkey FROM orders WHERE o_totalprice > 250000)
+        GROUP BY l.l_returnflag
+    """,
+    tags=("join", "bloom", "scale"),
+)
+def bloom_semijoin_reduction(spark, sf_dir):
+    """Revenue of lineitems belonging to high-value orders, computed as
+    bloom-prefilter → exact semi-join → aggregate. The bloom stage is pure
+    reduction: the final left-semi join removes its false positives, so the
+    result is bit-identical to the oracle's plain IN-subquery — the filter
+    changes the PLAN (probe shuffle volume), never the ANSWER."""
+    from etl_expenses_spark.operators.bloom import bloom_semijoin
+
+    build = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 250000)
+        .select("o_orderkey")
+    )
+    probe = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    kept = bloom_semijoin(probe, build, "l_orderkey", "o_orderkey")
+    return kept.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum("l_extendedprice", 2, 9).alias("gross_revenue"),
     )

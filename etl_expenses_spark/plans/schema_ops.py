@@ -1079,3 +1079,55 @@ def table_checksum_orders(spark, sf_dir):
         F.expr("bit_xor(rh)").alias("xor_hash"),
         F.sum(F.col("rh").cast("decimal(38,0)")).cast("string").alias("sum_hash"),
     )
+
+
+@query(
+    "orc_roundtrip_orders",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+        FROM orders
+    """,
+    tags=("source", "orc", "format"),
+)
+def orc_roundtrip_orders(spark, sf_dir):
+    """ORC format surface: every orders row is serialized to a real ORC
+    stripe (pyarrow.orc writer) and parsed back INSIDE the task, Arrow
+    batch in → ORC bytes → Arrow batch out, covering the int64 / string /
+    double / timestamp type mappings. The oracle reads the same rows from
+    parquet, so any value the ORC codec mangles (timestamp epoch shifts,
+    double rounding) fails the hash. Distributed end-to-end: each
+    mapInPandas batch round-trips independently — no driver-side bytes,
+    per-task memory bounded by the Arrow batch size. The directory-level
+    spark.read/write.orc path (predicate pushdown, column pruning) is
+    pinned in tests/test_formats.py."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.orc as po
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate"]
+
+    def rt(batches):
+        for b in batches:
+            t = pa.Table.from_pandas(b, preserve_index=False)
+            buf = io.BytesIO()
+            po.write_table(t, buf)
+            back = po.read_table(io.BytesIO(buf.getvalue()))
+            if back.num_rows != t.num_rows:
+                raise ValueError(
+                    f"ORC roundtrip dropped rows: {t.num_rows} -> {back.num_rows}"
+                )
+            yield back.to_pandas()
+
+    return (
+        T(spark, sf_dir, "orders")
+        .select(*cols)
+        .mapInPandas(
+            rt,
+            schema=(
+                "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+                "o_totalprice double, o_orderdate timestamp"
+            ),
+        )
+    )

@@ -471,3 +471,30 @@ def link_prediction_jaccard_capped(spark, sf_dir):
     from etl_expenses_spark.operators.graph import jaccard_link_prediction
 
     return jaccard_link_prediction(edges, max_degree=_LINKPRED_DEGREE_CAP)
+
+
+@query(
+    "kcore_copurchase",
+    tags=("graph", "kcore"),
+)
+def kcore_copurchase(spark, sf_dir):
+    """Core-number histogram of the co-purchase graph: distributed k-core
+    decomposition (operators/graph.py kcore_decomposition — Montresor
+    h-index BSP, one shuffle per round, exact at convergence), aggregated
+    to (core, n_nodes, min_node, max_node) so the output is a stable
+    handful of rows. Rows-only + golden-pinned: peeling is iterative and
+    outside ANSI SQL's recursive-CTE semantics; semantic correctness
+    (vs literal sequential peeling) is pinned in tests/test_graph_links.py."""
+    from etl_expenses_spark.operators.graph import kcore_decomposition
+
+    edges = _copurchase_edges(spark, sf_dir)
+    cores = kcore_decomposition(edges, "pa", "pb")
+    return (
+        cores.groupBy("core")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("core")
+    )

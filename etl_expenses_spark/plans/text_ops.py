@@ -892,3 +892,166 @@ def text_collapse_token_runs(spark, sf_dir):
         F.size(kept).cast("long").alias("n_after"),
         F.array_join(kept, " ").alias("cleaned_text"),
     )
+
+
+_D_TOKENS_LC = (
+    r"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '')"
+)
+
+
+@query(
+    "boilerplate_bigram_strip",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source, {_D_TOKENS_LC} AS tk FROM documents),
+        pos AS (
+            SELECT doc_id, source, tk, unnest(range(1, len(tk))) AS i
+            FROM toks WHERE len(tk) >= 2),
+        bg AS (
+            SELECT doc_id, source, array_to_string(tk[i:i+1], ' ') AS bigram
+            FROM pos),
+        boiler AS (
+            SELECT source, bigram FROM bg
+            GROUP BY source, bigram HAVING COUNT(DISTINCT doc_id) >= 5)
+        SELECT g.doc_id, g.source,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CASE WHEN b.bigram IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_boiler,
+               CAST(SUM(CASE WHEN b.bigram IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS boiler_frac
+        FROM bg g
+        LEFT JOIN boiler b ON b.source = g.source AND b.bigram = g.bigram
+        GROUP BY g.doc_id, g.source
+    """,
+    tags=("text", "quality", "boilerplate"),
+)
+def boilerplate_bigram_strip(spark, sf_dir):
+    """CCNet-style corpus-level boilerplate measurement: a bigram is
+    boilerplate when it recurs across >= 5 DISTINCT documents of the same
+    source (navigation chrome, footers, templates — per-domain repetition
+    that within-document repetition metrics miss). Output is the per-doc
+    boilerplate fraction a curation gate thresholds on.
+
+    Plan: one bigram explode feeding two hash aggregates (the boilerplate
+    vocabulary needs COUNT(DISTINCT doc) per (source, bigram) — map-side
+    partial agg collapses the explosion) and one join back on
+    (source, bigram). The boilerplate relation is tiny (HAVING >= 5 prunes
+    the long tail) but grows with corpus breadth, so it stays a hash join
+    under AQE rather than a pinned broadcast. Integer counts end-to-end;
+    the fraction is one double division — bit-identical to the oracle."""
+    from etl_expenses_spark.operators.dedup import shingles_of_tokens
+
+    base = (
+        T(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "source", tokens(F.lower(F.col("text"))).alias("toks")
+        )
+        .filter(F.size("toks") >= 2)
+    )
+    bg = base.select(
+        "doc_id",
+        "source",
+        F.explode(shingles_of_tokens(F.col("toks"), 2)).alias("bigram"),
+    )
+    boiler = (
+        bg.groupBy("source", "bigram")
+        .agg(F.countDistinct("doc_id").alias("dd"))
+        .filter(F.col("dd") >= 5)
+        .select("source", "bigram", F.lit(True).alias("is_boiler"))
+    )
+    return (
+        bg.join(boiler, ["source", "bigram"], "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("is_boiler"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_bigrams",
+            "n_boiler",
+            (
+                F.col("n_boiler").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("boiler_frac"),
+        )
+    )
+
+
+@query(
+    "mojibake_screen_and_fix",
+    oracle="""
+        WITH raw AS (
+            SELECT doc_id,
+                   text || ' café piñata añejo vigésimo' AS clean
+            FROM documents),
+        damaged AS (
+            SELECT doc_id, clean,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN replace(replace(replace(replace(clean,
+                             'á', chr(195) || chr(161)),
+                             'é', chr(195) || chr(169)),
+                             'ñ', chr(195) || chr(177)),
+                             'í', chr(195) || chr(173))
+                        ELSE clean END AS wire
+            FROM raw),
+        screened AS (
+            SELECT doc_id, clean, wire,
+                   CAST(length(wire) - length(replace(wire, chr(195), ''))
+                        AS BIGINT) AS n_moji,
+                   replace(replace(replace(replace(wire,
+                       chr(195) || chr(161), 'á'),
+                       chr(195) || chr(169), 'é'),
+                       chr(195) || chr(177), 'ñ'),
+                       chr(195) || chr(173), 'í') AS fixed
+            FROM damaged)
+        SELECT doc_id, n_moji > 0 AS had_mojibake, n_moji,
+               fixed = clean AS repaired_ok
+        FROM screened
+    """,
+    tags=("text", "quality", "encoding"),
+)
+def mojibake_screen_and_fix(spark, sf_dir):
+    """Encoding-damage screen + repair (ftfy-lite): detect UTF-8-bytes-
+    read-as-Latin-1 mojibake (the 'Ã©'-for-'é' family — the single most
+    common corpus encoding defect) and un-damage it with the inverse
+    digraph mapping. The fixture plants the damage deterministically (every
+    doc gets an accented suffix; doc_id % 3 == 0 docs are corrupted with
+    the REAL UTF-8-as-Latin-1 digraphs 'Ã¡ Ã© Ã± Ã­'), so `repaired_ok`
+    must be TRUE everywhere — the oracle proves detection count and repair
+    are exact. Pure string expressions end-to-end: whole-stage codegen, no
+    UDF, no shuffle until display; at 100 TB this is a free map stage
+    fused into whatever scan feeds it. The marker count uses UTF-8-aware
+    length arithmetic on the 'Ã' (U+00C3) lead character, identical in
+    both engines."""
+    A_TILDE = "Ã"  # the Latin-1 lead byte of 2-byte UTF-8 sequences
+    moji = {"Ã¡": "á", "Ã©": "é",
+            "Ã±": "ñ", "Ã­": "í"}
+
+    clean = F.concat(F.col("text"), F.lit(" café piñata añejo vigésimo"))
+    wire = clean
+    for fixed_ch, damaged in (("á", "Ã¡"), ("é", "Ã©"),
+                              ("ñ", "Ã±"), ("í", "Ã­")):
+        wire = F.replace(wire, F.lit(fixed_ch), F.lit(damaged))
+    wire = F.when(F.col("doc_id") % 3 == 0, wire).otherwise(clean)
+
+    repaired = F.col("wire")
+    for damaged, fixed_ch in moji.items():
+        repaired = F.replace(repaired, F.lit(damaged), F.lit(fixed_ch))
+    n_moji = (
+        F.length("wire") - F.length(F.replace(F.col("wire"), F.lit(A_TILDE)))
+    ).cast("long")
+
+    return (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", clean.alias("clean"), wire.alias("wire"))
+        .select(
+            "doc_id",
+            (n_moji > 0).alias("had_mojibake"),
+            n_moji.alias("n_moji"),
+            (repaired == F.col("clean")).alias("repaired_ok"),
+        )
+    )

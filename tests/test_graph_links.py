@@ -91,3 +91,70 @@ def test_degree_join_carries_no_broadcast_hint(spark):
     out = jaccard_link_prediction(_edges_df(spark, _planted_graph()))
     analyzed = out._jdf.queryExecution().analyzed().toString()
     assert "broadcast" not in analyzed.lower()
+
+
+def _peel_cores(edge_list):
+    """Literal sequential peeling (the textbook algorithm)."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edge_list:
+        adj[a].add(b)
+        adj[b].add(a)
+    core = {}
+    deg = {v: len(n) for v, n in adj.items()}
+    remaining = set(adj)
+    k = 0
+    while remaining:
+        k = max(k, min(deg[v] for v in remaining))
+        peel = [v for v in remaining if deg[v] <= k]
+        while peel:
+            v = peel.pop()
+            if v not in remaining:
+                continue
+            core[v] = k
+            remaining.discard(v)
+            for u in adj[v]:
+                if u in remaining:
+                    deg[u] -= 1
+                    if deg[u] <= k:
+                        peel.append(u)
+    return core
+
+
+def test_kcore_matches_sequential_peeling_known_graph(spark):
+    from etl_expenses_spark.operators.graph import kcore_decomposition
+
+    # K4 (core 3) + triangle (core 2), bridged by a path whose inner nodes
+    # still have degree 2 (core 2), plus a pendant leaf (core 1)
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),   # K4
+        (10, 11), (11, 12), (10, 12),                      # triangle
+        (4, 20), (20, 21), (21, 10),                       # bridge
+        (21, 30),                                          # pendant leaf
+    ]
+    df = spark.createDataFrame(edges, "pa long, pb long")
+    got = {r.node: r.core for r in kcore_decomposition(df).collect()}
+    assert got == _peel_cores(edges)
+    assert got[1] == 3 and got[10] == 2 and got[20] == 2 and got[30] == 1
+
+
+def test_kcore_matches_peeling_random_graphs(spark):
+    import random
+
+    from etl_expenses_spark.operators.graph import kcore_decomposition
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 40
+        edges = sorted(
+            {
+                (a, b)
+                for a, b in (
+                    sorted(rng.sample(range(n), 2)) for _ in range(150)
+                )
+            }
+        )
+        df = spark.createDataFrame(edges, "pa long, pb long")
+        got = {r.node: r.core for r in kcore_decomposition(df).collect()}
+        assert got == _peel_cores(edges), f"trial {trial}"

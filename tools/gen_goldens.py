@@ -57,6 +57,7 @@ GOLDEN_TARGETS = [
     "semantic_dedup_prune",
     "corpus_curation_funnel",
     "hll_sliding_7d_users",
+    "kcore_copurchase",
 ]
 
 _DUCK_TYPES = {
