@@ -102,6 +102,14 @@ HEADLINE = [
     # the end-to-end curation composition (quality -> exact -> near-dup ->
     # decontaminate): regression-tracks the chained plan, not a new shape
     "corpus_curation_funnel",
+    # round-6 additions: the four new plan archetypes — exact-threshold
+    # APSS (prefix-filtered inverted index), bloom semi-join reduction
+    # (broadcast bit-array runtime filter), perceptual image dedup (codec
+    # decode + pigeonhole-banded hamming join), and the h-index k-core BSP
+    "allpairs_cosine_prefix_join",
+    "bloom_semijoin_reduction",
+    "image_dhash_neardup",
+    "kcore_copurchase",
 ]
 
 

@@ -19,6 +19,25 @@ term that *could* push it over the threshold:
   for the few documents where it is rare-side mass, so Σ|posting|² stays
   near-linear; the verify join touches candidates only.
 
+  The operator is ADAPTIVE on corpus statistics: prefix filtering derives
+  all of its power from a skewed (Zipf) document-frequency distribution.
+  When the measured vocabulary is tiny (≤ ``DENSE_VOCAB_MAX`` distinct
+  terms), every doc shares mass with every other doc, no threshold filter
+  has pruning power, and the inverted index degenerates to Σdf² ≈ n²·d
+  exploded join rows. In that regime the exact answer is still quadratic
+  in PAIRS — that is information-theoretically unavoidable — but it need
+  not be quadratic in SHUFFLED ROWS: the dense tier pivots each doc to a
+  d-dim integer TF vector and computes block-pair Gram matrices with one
+  BLAS3 ``A @ B.T`` per block pair (each vector crosses the shuffle
+  n_blocks times, not n times; the |block|² matrix lives in one task).
+  TF counts are small integers, so the float64 GEMM is EXACT (every
+  product and partial sum is an integer < 2^53) and the cos division uses
+  the same IEEE double ops as the oracle — the two tiers are bit-identical
+  where both apply. Real 100 TB text corpora are Zipf (vocab ≫ 2048) and
+  take the sparse path; the dense tier covers dense low-dim TF spaces
+  (codes, enums, synthetic corpora) where the sparse plan is the wrong
+  shape.
+
 - ``containment_pairs_inverted``: directional shingle containment
   C(a→b) = |S(a) ∩ S(b)| / |S(a)| — catches quote/wrapper/superset
   duplicates that symmetric Jaccard under-scores (a 50-line doc fully
@@ -43,6 +62,15 @@ from pyspark.sql.window import Window as W
 from etl_expenses_spark.caching import tracked_persist
 from etl_expenses_spark.functions.text import tokens
 
+# Above this many distinct terms the corpus is treated as sparse/Zipf and
+# prefix filtering applies; at or below it the dense GEMM tier is both the
+# faster and the smaller-shuffle plan (see module docstring).
+DENSE_VOCAB_MAX = 2048
+# Rows per GEMM block: bounds the |block_a|×|block_b| matrix one task holds
+# (2048² doubles = 32 MiB) — the same per-task bound every blocked pairwise
+# scheme requires.
+_DENSE_BLOCK_ROWS = 2048
+
 
 def term_frequencies(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
@@ -56,11 +84,109 @@ def term_frequencies(docs: DataFrame, text_col: str = "text",
     )
 
 
+def _allpairs_cosine_dense(
+    tf: DataFrame, terms: list, threshold: float
+) -> DataFrame:
+    """Dense GEMM tier: exact ≥-threshold cosine pairs when the vocabulary
+    is small enough that each doc is a d-dim integer vector (see module
+    docstring for when this is the RIGHT plan and why it is bit-identical
+    to the sparse tier).
+
+    Plan: term→index broadcast join → per-doc dense cells (one hash agg) →
+    each doc replicated to its n_blocks block-pair groups (explode over
+    partner blocks; (least, greatest) keying lands each doc exactly once
+    per pair) → one Arrow-batched ``applyInPandas`` per block pair runs
+    ``A @ B.T``. Shuffle volume is n·n_blocks vector rows — the minimum any
+    exact all-pairs scheme moves — and no |block|² rows ever cross the
+    shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    spark = tf.sparkSession
+    d = len(terms)
+    id_dtype = dict(tf.dtypes)["id"]
+    tix = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(terms)], "term string, tix int"
+    )
+    cells = tracked_persist(
+        tf.join(F.broadcast(tix), "term")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("tix", "f"))).alias("c"))
+        .select(
+            "id",
+            F.col("c.tix").alias("tixs"),
+            F.col("c.f").alias("fs"),
+        )
+    )
+    n = cells.count()
+    n_blocks = max(1, -(-n // _DENSE_BLOCK_ROWS))
+    rep = (
+        cells.withColumn(
+            "blk", F.pmod(F.hash("id"), F.lit(n_blocks)).cast("int")
+        )
+        .withColumn("p", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
+        .select(
+            F.least("blk", "p").alias("ba"),
+            F.greatest("blk", "p").alias("bb"),
+            "id",
+            "blk",
+            "tixs",
+            "fs",
+        )
+    )
+
+    def gram(key, pdf):
+        ba, bb = int(key[0]), int(key[1])
+        ids = pdf["id"].to_numpy()
+        X = np.zeros((len(pdf), d), dtype=np.float64)
+        for r, (tt, ff) in enumerate(zip(pdf["tixs"], pdf["fs"])):
+            X[r, np.asarray(tt, dtype=np.int64)] = np.asarray(ff, dtype=np.float64)
+        n2 = np.einsum("ij,ij->i", X, X)
+        if ba == bb:
+            if len(ids) < 2:
+                return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0],
+                                     "cos_raw": np.zeros(0)})
+            G = X @ X.T
+            ia, ib = np.triu_indices(len(ids), 1)
+            dots, na, nb = G[ia, ib], n2[ia], n2[ib]
+            id_a, id_b = ids[ia], ids[ib]
+        else:
+            mask = pdf["blk"].to_numpy() == ba
+            A, B = X[mask], X[~mask]
+            if not len(A) or not len(B):
+                return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0],
+                                     "cos_raw": np.zeros(0)})
+            G = A @ B.T
+            ia, ib = np.nonzero(np.ones_like(G, dtype=bool))
+            dots = G[ia, ib]
+            na, nb = n2[mask][ia], n2[~mask][ib]
+            id_a, id_b = ids[mask][ia], ids[~mask][ib]
+        # same IEEE double ops as the oracle: sqrt, mul, div, >= — and the
+        # dots/norms are exact integers in float64, so no fold-order issue
+        cos = dots / (np.sqrt(na) * np.sqrt(nb))
+        keep = cos >= threshold
+        id_a, id_b, cos = id_a[keep], id_b[keep], cos[keep]
+        swap = id_a > id_b
+        lo = np.where(swap, id_b, id_a)
+        hi = np.where(swap, id_a, id_b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_raw": cos})
+
+    out = rep.groupBy("ba", "bb").applyInPandas(
+        gram, schema=f"id_a {id_dtype}, id_b {id_dtype}, cos_raw double"
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("cos_raw").cast("decimal(18,6)").cast("double").alias("cos_sim"),
+    )
+
+
 def allpairs_cosine_prefix(
     docs: DataFrame,
     threshold: float,
     text_col: str = "text",
     id_col: str = "doc_id",
+    dense_vocab_max: int | None = None,
 ) -> DataFrame:
     """Exact cosine-similarity self-join: every unordered pair with
     cos(a, b) ≥ threshold over integer TF vectors, no pair enumerated
@@ -79,11 +205,27 @@ def allpairs_cosine_prefix(
       4. Verify: exact integer dot via TF re-join, cos = dot /
          (‖a‖·‖b‖) in double — identical IEEE ops to the oracle, then
          quantized to 1e-6 for hash stability.
+
+    Tier selection (module docstring): if the measured vocabulary is
+    ≤ ``dense_vocab_max`` (default ``DENSE_VOCAB_MAX``) the prefix filter
+    provably has no pruning power and the dense GEMM tier runs instead —
+    same exact output, bit-identical doubles. The vocab count is one extra
+    aggregate job over the already-persisted TF relation; df_tbl is needed
+    by the sparse path anyway.
     """
+    if dense_vocab_max is None:
+        dense_vocab_max = DENSE_VOCAB_MAX
     tf = tracked_persist(term_frequencies(docs, text_col, id_col))
     norms = tf.groupBy("id").agg(F.sum(F.col("f") * F.col("f")).alias("n2"))
 
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if dense_vocab_max > 0:
+        vocab = [
+            r["term"]
+            for r in df_tbl.select("term").limit(dense_vocab_max + 1).collect()
+        ]
+        if len(vocab) <= dense_vocab_max:
+            return _allpairs_cosine_dense(tf, sorted(vocab), threshold)
     w = W.partitionBy("id").orderBy("df", "term").rowsBetween(
         W.unboundedPreceding, -1
     )

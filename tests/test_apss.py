@@ -73,6 +73,27 @@ def test_prefix_filter_planted_geometry(spark):
     assert not any(4 in p for p in got)
 
 
+def test_sparse_tier_matches_dense_tier_and_bruteforce(spark):
+    """Tier equivalence: the sf0.001 documents vocabulary is tiny, so the
+    default call takes the dense GEMM tier; forcing dense_vocab_max=0 runs
+    the prefix-filtered sparse tier on the same corpus. Both must equal the
+    brute-force ≥ t set exactly, with bit-identical quantized cosines."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    want = _brute_cosine_pairs(docs.collect(), 0.9)
+    dense = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in allpairs_cosine_prefix(docs, threshold=0.9).collect()
+    }
+    sparse = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in allpairs_cosine_prefix(
+            docs, threshold=0.9, dense_vocab_max=0
+        ).collect()
+    }
+    assert set(dense) == set(want) and set(sparse) == set(want)
+    assert dense == sparse  # bit-identical after 1e-6 quantization
+
+
 def test_containment_catches_embedded_short_doc(spark):
     long_doc = " ".join(f"w{i}" for i in range(200))
     short_doc = " ".join(f"w{i}" for i in range(40, 60))  # fully embedded
