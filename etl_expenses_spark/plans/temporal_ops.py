@@ -1023,3 +1023,182 @@ def seasonal_naive_backtest(spark, sf_dir):
         )
         .filter(F.col("n_days") >= 5)
     )
+
+
+# --------------------------------------------------------------------------
+# Exponential smoothing + changepoint screening — the two time-series
+# monitors a finance pipeline runs over its daily loads (the reference's
+# nightly spend reports stop at raw monthly sums; these are the natural
+# next step and the classic SPC pair). Both are engineered for the
+# cross-engine gate: every accumulation happens in the INTEGER domain and
+# the only floating-point op is one final division of identical operands.
+# --------------------------------------------------------------------------
+@query(
+    "ewma_daily_revenue",
+    oracle="""
+        WITH d AS (
+            SELECT o_orderdate AS day,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY 1),
+        r AS (
+            SELECT day, cents,
+                   ROW_NUMBER() OVER (ORDER BY day) AS rn,
+                   LAG(cents, 1, 0) OVER (ORDER BY day) * 64
+                 + LAG(cents, 2, 0) OVER (ORDER BY day) * 32
+                 + LAG(cents, 3, 0) OVER (ORDER BY day) * 16
+                 + LAG(cents, 4, 0) OVER (ORDER BY day) * 8
+                 + LAG(cents, 5, 0) OVER (ORDER BY day) * 4
+                 + LAG(cents, 6, 0) OVER (ORDER BY day) * 2
+                 + LAG(cents, 7, 0) OVER (ORDER BY day) * 1
+                 + cents * 128 AS ewts
+            FROM d)
+        SELECT day, cents, ewts,
+               CAST(ewts AS DOUBLE)
+                   / CAST(256 - CAST(POWER(2, 8 - LEAST(rn, 8)) AS BIGINT)
+                          AS DOUBLE) AS ewma_cents
+        FROM r
+    """,
+    tags=("temporal", "window", "timeseries"),
+)
+def ewma_daily_revenue(spark, sf_dir):
+    """Exponentially-weighted trailing mean of daily revenue (alpha=1/2,
+    8-tap kernel): the smoothed series a spend dashboard plots next to the
+    raw one. Weights are powers of two so the weighted sum is a plain
+    BIGINT — no float accumulation anywhere; the single normalizing
+    division (by the partial-kernel weight sum 256 - 2^(8-avail)) is one
+    IEEE op on identical operands in both engines. Aggregate-first shape:
+    the window orders ~days rows, never the fact table, so the global sort
+    is constant-cost at any corpus size."""
+    o = T(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum((dec("o_totalprice", 2, 18) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = W.partitionBy(
+        single_defined_partition(F.col("day").cast("long"))
+    ).orderBy("day")
+    ewts = (F.col("cents") * 128).cast("bigint")
+    for k, wt in ((1, 64), (2, 32), (3, 16), (4, 8), (5, 4), (6, 2), (7, 1)):
+        ewts = ewts + F.lag("cents", k, 0).over(w) * wt
+    r = d.select(
+        "day", "cents", ewts.alias("ewts"), F.row_number().over(w).alias("rn")
+    )
+    avail = F.least(F.col("rn"), F.lit(8))
+    norm = F.lit(256) - F.pow(F.lit(2), F.lit(8) - avail).cast("bigint")
+    return r.select(
+        "day",
+        "cents",
+        "ewts",
+        (F.col("ewts").cast("double") / norm.cast("double")).alias("ewma_cents"),
+    )
+
+
+@query(
+    "cusum_changepoint_screen",
+    oracle="""
+        WITH d AS (
+            SELECT c.c_mktsegment AS segment, o.o_orderdate AS day,
+                   CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2),
+        s AS (
+            SELECT segment, day, cents,
+                   COUNT(*) OVER (PARTITION BY segment) AS n_days,
+                   SUM(cents) OVER (PARTITION BY segment) AS tot
+            FROM d),
+        p AS (
+            SELECT segment, day, n_days,
+                   SUM(n_days * cents - tot) OVER (
+                       PARTITION BY segment ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) AS pre
+            FROM s),
+        c AS (
+            SELECT segment, day, n_days,
+                   pre - LEAST(0, MIN(pre) OVER (
+                       PARTITION BY segment ORDER BY day
+                       ROWS UNBOUNDED PRECEDING)) AS cusum
+            FROM p),
+        k AS (
+            SELECT segment, day, n_days, cusum,
+                   ROW_NUMBER() OVER (PARTITION BY segment
+                                      ORDER BY cusum DESC, day) AS rk
+            FROM c)
+        SELECT segment, CAST(n_days AS BIGINT) AS n_days, day AS peak_day,
+               CAST(cusum AS BIGINT) AS peak_cusum_scaled,
+               CAST(cusum AS DOUBLE) / CAST(n_days AS DOUBLE)
+                   AS peak_cusum_cents
+        FROM k WHERE rk = 1
+    """,
+    tags=("temporal", "window", "changepoint"),
+)
+def cusum_changepoint_screen(spark, sf_dir):
+    """One-sided CUSUM changepoint screen over each market segment's daily
+    revenue: where did spend shift upward relative to the segment's own
+    mean? The clamp recurrence S_t = max(0, S_{t-1} + (x_t - mean)) is not
+    window-expressible directly, but its closed form is: with prefix sums
+    P_t of the deviations, S_t = P_t - min(0, min_{j<=t} P_j) — two
+    cumulative windows, no recursion, no UDF. Deviations are scaled by
+    n_days (dev = n*x - total) so everything stays in BIGINT; the single
+    de-scaling division is the only float op. Windows partition by segment
+    over aggregate-sized input (segments x days), never over raw orders;
+    the orders->customer join is a plain equi hash join — the same plan at
+    100 TB."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    d = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.sum((dec("o_totalprice", 2, 18) * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    wseg = W.partitionBy("segment")
+    wcum = W.partitionBy("segment").orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    s = d.select(
+        "segment",
+        "day",
+        "cents",
+        F.count(F.lit(1)).over(wseg).alias("n_days"),
+        F.sum("cents").over(wseg).alias("tot"),
+    )
+    p = s.select(
+        "segment",
+        "day",
+        "n_days",
+        F.sum(F.col("n_days") * F.col("cents") - F.col("tot"))
+        .over(wcum)
+        .alias("pre"),
+    )
+    cu = p.select(
+        "segment",
+        "day",
+        "n_days",
+        (
+            F.col("pre")
+            - F.least(F.lit(0).cast("long"), F.min("pre").over(wcum))
+        ).alias("cusum"),
+    )
+    wrk = W.partitionBy("segment").orderBy(F.desc("cusum"), F.asc("day"))
+    return (
+        cu.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "segment",
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("day").alias("peak_day"),
+            F.col("cusum").cast("bigint").alias("peak_cusum_scaled"),
+            (F.col("cusum").cast("double") / F.col("n_days").cast("double")).alias(
+                "peak_cusum_cents"
+            ),
+        )
+    )

@@ -1055,3 +1055,74 @@ def mojibake_screen_and_fix(spark, sf_dir):
             (repaired == F.col("clean")).alias("repaired_ok"),
         )
     )
+
+
+@query(
+    "gopher_dup_ngram_chars",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_D_TOKENS.replace("text", "lower(text)")} AS toks
+            FROM documents),
+        g AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks) - 3),
+                          i -> toks[i] || ' ' || toks[i + 1] || ' ' ||
+                               toks[i + 2] || ' ' || toks[i + 3] || ' ' ||
+                               toks[i + 4])) AS gram
+            FROM t WHERE len(toks) >= 5),
+        counts AS (
+            SELECT doc_id, gram, COUNT(*) AS c, LENGTH(gram) AS glen
+            FROM g GROUP BY doc_id, gram)
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN c > 1 THEN c * glen ELSE 0 END) AS BIGINT)
+                   AS dup_gram_chars,
+               CAST(SUM(c * glen) AS BIGINT) AS total_gram_chars,
+               CAST(SUM(CASE WHEN c > 1 THEN c * glen ELSE 0 END) AS DOUBLE)
+                   / SUM(c * glen) AS dup_char_fraction
+        FROM counts GROUP BY doc_id
+    """,
+    tags=("text", "quality", "dedup"),
+)
+def gopher_dup_ngram_chars(spark, sf_dir):
+    """Duplicated-5-gram character fraction — the within-document
+    repetition signal from the Gopher quality-filter family (Rae et al.
+    2021, "fraction of characters in duplicate n-grams"): what share of a
+    document's 5-gram character mass belongs to 5-grams that occur more
+    than once? Complements text_repetition_ratio (which only looks at the
+    single top bigram): this catches documents whose repetition is spread
+    across MANY repeated phrases. Character mass is counted as
+    count * len(gram) per distinct gram — the standard overlap-free
+    simplification. explode -> two hash aggregates keyed by doc_id;
+    partial aggregation collapses the gram explosion map-side, and integer
+    counts make the one final division the only float op."""
+    d = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", tokens(F.lower(F.col("text"))).alias("toks"))
+        .filter(F.size("toks") >= 5)
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 4),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("toks", i),
+            F.element_at("toks", i + 1),
+            F.element_at("toks", i + 2),
+            F.element_at("toks", i + 3),
+            F.element_at("toks", i + 4),
+        ),
+    )
+    counts = (
+        d.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("glen", F.length("gram"))
+    )
+    dup_mass = F.sum(F.when(F.col("c") > 1, F.col("c") * F.col("glen")).otherwise(0))
+    tot_mass = F.sum(F.col("c") * F.col("glen"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        dup_mass.alias("dup_gram_chars"),
+        tot_mass.alias("total_gram_chars"),
+        (dup_mass.cast("double") / tot_mass).alias("dup_char_fraction"),
+    )
