@@ -1,0 +1,297 @@
+"""Avro Object Container File codec — pure Python, from the public spec.
+
+Implements the Apache Avro 1.11 binary encoding and object-container file
+format (https://avro.apache.org/docs/1.11.1/specification/) for FLAT record
+schemas over the primitive types (null, boolean, int, long, float, double,
+bytes, string) plus the two-branch nullable union ``["null", T]`` — the
+shape every tabular export uses. Logical types (date = int days,
+timestamp-micros = long) travel as their underlying primitives.
+
+Container layout (spec §"Object Container Files"):
+
+    magic "Obj\\x01"
+    file metadata map  (avro.schema = schema JSON, avro.codec = null|deflate)
+    16-byte sync marker
+    repeat: block = { long count, long byte-size, data, sync marker }
+
+Binary encoding: int/long are zigzag + base-128 little-endian varints;
+float/double little-endian IEEE; string/bytes are long-length-prefixed;
+union is the branch index (long) then the value; a record is its fields in
+declared order. The ``deflate`` codec is raw DEFLATE (RFC 1951, no zlib
+header), per spec.
+
+Why hand-rolled: the container ships no avro/fastavro package and pyarrow
+has no Avro module, while Avro remains a first-class interchange format for
+event pipelines (the reference's webhook/event surface at
+/root/reference/etl_gmail/main.py ships JSON; Avro is the schema'd
+equivalent at scale). The reader/writer run INSIDE tasks via mapInPandas —
+no driver-side bytes. Like the WARC/ZIP walks in containers.py, the probe
+is header+block-skips only: O(#blocks), independent of payload bytes.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+
+MAGIC = b"Obj\x01"
+
+_PRIMITIVES = {"null", "boolean", "int", "long", "float", "double",
+               "bytes", "string"}
+
+
+# ---------------------------------------------------------------- varints
+def zigzag_encode(n: int) -> int:
+    return (n << 1) ^ (n >> 63) if n >= 0 else ((-n) << 1) - 1
+
+
+def zigzag_decode(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def write_long(out: io.BytesIO, n: int) -> None:
+    u = (n << 1) ^ (n >> 63)  # arbitrary-precision Python: sign-safe zigzag
+    if n < 0:
+        u = ((-n) << 1) - 1
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.write(bytes((b | 0x80,)))
+        else:
+            out.write(bytes((b,)))
+            return
+
+
+def read_long(buf: memoryview, pos: int) -> tuple[int, int]:
+    u = 0
+    shift = 0
+    while True:
+        if pos >= len(buf):
+            raise ValueError("avro: truncated varint")
+        b = buf[pos]
+        pos += 1
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return zigzag_decode(u), pos
+        shift += 7
+        if shift > 70:
+            raise ValueError("avro: varint too long")
+
+
+# ------------------------------------------------------------- datum codec
+def _normalize(schema) -> dict | str:
+    """Accept {"type": "string"} / "string" / full record dicts."""
+    if isinstance(schema, str):
+        return schema
+    if isinstance(schema, dict) and schema.get("type") in _PRIMITIVES and \
+            len(schema) <= 2:  # possibly a logicalType annotation
+        return schema["type"]
+    return schema
+
+
+def _write_datum(out: io.BytesIO, schema, value) -> None:
+    schema = _normalize(schema)
+    if isinstance(schema, list):  # union — nullable only
+        if value is None:
+            null_at = schema.index("null")
+            write_long(out, null_at)
+            return
+        branch = next(i for i, s in enumerate(schema) if _normalize(s) != "null")
+        write_long(out, branch)
+        _write_datum(out, schema[branch], value)
+        return
+    if schema == "null":
+        return
+    if schema == "boolean":
+        out.write(b"\x01" if value else b"\x00")
+    elif schema in ("int", "long"):
+        write_long(out, int(value))
+    elif schema == "float":
+        out.write(struct.pack("<f", value))
+    elif schema == "double":
+        out.write(struct.pack("<d", value))
+    elif schema == "bytes":
+        write_long(out, len(value))
+        out.write(value)
+    elif schema == "string":
+        enc = value.encode("utf-8")
+        write_long(out, len(enc))
+        out.write(enc)
+    elif isinstance(schema, dict) and schema.get("type") == "record":
+        for f in schema["fields"]:
+            _write_datum(out, f["type"], value[f["name"]])
+    else:
+        raise ValueError(f"avro: unsupported schema {schema!r}")
+
+
+def _read_datum(buf: memoryview, pos: int, schema) -> tuple[object, int]:
+    schema = _normalize(schema)
+    if isinstance(schema, list):
+        idx, pos = read_long(buf, pos)
+        if not 0 <= idx < len(schema):
+            raise ValueError(f"avro: union branch {idx} out of range")
+        return _read_datum(buf, pos, schema[idx])
+    if schema == "null":
+        return None, pos
+    if schema == "boolean":
+        return buf[pos] != 0, pos + 1
+    if schema in ("int", "long"):
+        return read_long(buf, pos)
+    if schema == "float":
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if schema == "double":
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if schema == "bytes":
+        n, pos = read_long(buf, pos)
+        return bytes(buf[pos:pos + n]), pos + n
+    if schema == "string":
+        n, pos = read_long(buf, pos)
+        return str(buf[pos:pos + n], "utf-8"), pos + n
+    if isinstance(schema, dict) and schema.get("type") == "record":
+        rec = {}
+        for f in schema["fields"]:
+            rec[f["name"]], pos = _read_datum(buf, pos, f["type"])
+        return rec, pos
+    raise ValueError(f"avro: unsupported schema {schema!r}")
+
+
+# ---------------------------------------------------------------- container
+def _sync_for(schema_json: str) -> bytes:
+    """Deterministic 16-byte sync marker derived from the schema text
+    (writers may choose any value; deterministic ⇒ reproducible files)."""
+    import hashlib
+
+    return hashlib.md5(schema_json.encode("utf-8")).digest()
+
+
+def write_avro(records: list[dict], schema: dict, codec: str = "null",
+               block_records: int = 1000) -> bytes:
+    """Serialize records to one Avro object-container file (bytes)."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"avro: unsupported codec {codec!r}")
+    schema_json = json.dumps(schema, separators=(",", ":"))
+    sync = _sync_for(schema_json)
+    out = io.BytesIO()
+    out.write(MAGIC)
+    # file metadata map: one block of 2 entries, then end-of-map 0
+    meta = {"avro.schema": schema_json.encode(), "avro.codec": codec.encode()}
+    write_long(out, len(meta))
+    for k, v in meta.items():
+        _write_datum(out, "string", k)
+        _write_datum(out, "bytes", v)
+    write_long(out, 0)
+    out.write(sync)
+    for start in range(0, len(records), block_records):
+        chunk = records[start:start + block_records]
+        body = io.BytesIO()
+        for rec in chunk:
+            _write_datum(body, schema, rec)
+        data = body.getvalue()
+        if codec == "deflate":
+            comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+            data = comp.compress(data) + comp.flush()
+        write_long(out, len(chunk))
+        write_long(out, len(data))
+        out.write(data)
+        out.write(sync)
+    return out.getvalue()
+
+
+def _read_header(buf: memoryview) -> tuple[dict, str, bytes, int]:
+    """-> (schema, codec, sync, pos-after-header). Raises on malformed."""
+    if bytes(buf[:4]) != MAGIC:
+        raise ValueError("avro: bad magic")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        count, pos = read_long(buf, pos)
+        if count == 0:
+            break
+        if count < 0:  # spec: negative count is followed by a byte size
+            count = -count
+            _, pos = read_long(buf, pos)
+        for _ in range(count):
+            k, pos = _read_datum(buf, pos, "string")
+            v, pos = _read_datum(buf, pos, "bytes")
+            meta[k] = v
+    if "avro.schema" not in meta:
+        raise ValueError("avro: missing avro.schema metadata")
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    sync = bytes(buf[pos:pos + 16])
+    if len(sync) != 16:
+        raise ValueError("avro: truncated sync marker")
+    return schema, codec, sync, pos + 16
+
+
+def read_avro(data: bytes) -> tuple[dict, list[dict]]:
+    """Parse a container file -> (schema, records). Validates every block's
+    sync marker — a mismatch means torn/corrupt data and raises."""
+    buf = memoryview(data)
+    schema, codec, sync, pos = _read_header(buf)
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"avro: unsupported codec {codec!r}")
+    records: list[dict] = []
+    while pos < len(buf):
+        count, pos = read_long(buf, pos)
+        size, pos = read_long(buf, pos)
+        if count < 0 or size < 0 or pos + size + 16 > len(buf):
+            raise ValueError("avro: truncated block")
+        body = bytes(buf[pos:pos + size])
+        pos += size
+        if bytes(buf[pos:pos + 16]) != sync:
+            raise ValueError("avro: sync marker mismatch")
+        pos += 16
+        if codec == "deflate":
+            body = zlib.decompress(body, wbits=-15)
+        bview = memoryview(body)
+        bpos = 0
+        for _ in range(count):
+            rec, bpos = _read_datum(bview, bpos, schema)
+            records.append(rec)
+        if bpos != len(body):
+            raise ValueError("avro: block decoded to wrong length")
+    return schema, records
+
+
+def probe_avro(data: bytes, max_blocks: int = 10000) -> dict | None:
+    """Header + block-skip census: schema name/field count/codec and the
+    total record count WITHOUT decoding any datum — each block header gives
+    (count, size), so the walk is O(#blocks) regardless of payload bytes.
+    Returns None when the magic doesn't match; lenient on a torn tail
+    (reports the blocks that are intact)."""
+    if data[:4] != MAGIC:
+        return None
+    try:
+        buf = memoryview(data)
+        schema, codec, _sync, pos = _read_header(buf)
+        n_records = 0
+        n_blocks = 0
+        while pos < len(buf) and n_blocks < max_blocks:
+            try:
+                count, pos = read_long(buf, pos)
+                size, pos = read_long(buf, pos)
+            except ValueError:
+                break
+            if count < 0 or size < 0 or pos + size + 16 > len(buf):
+                break
+            n_records += count
+            n_blocks += 1
+            pos += size + 16
+        name = schema.get("name") if isinstance(schema, dict) else str(schema)
+        n_fields = (
+            len(schema.get("fields", [])) if isinstance(schema, dict) else None
+        )
+        return {
+            "container": "avro",
+            "codec": codec,
+            "schema_name": name,
+            "n_fields": n_fields,
+            "n_records": n_records,
+            "n_blocks": n_blocks,
+        }
+    except (ValueError, KeyError, json.JSONDecodeError):
+        return None

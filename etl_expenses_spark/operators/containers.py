@@ -1651,6 +1651,15 @@ def probe_bytes(d: bytes) -> dict:
             if recs is not None:
                 return {**_EMPTY, "container": "warc", "codec": "plain",
                         "n_frames": len(recs) if len(recs) < _CAP else None}
+        if d[:4] == b"Obj\x01":
+            # Avro object container: header + block-skip walk — record
+            # count comes from block headers, no datum is decoded
+            from etl_expenses_spark.operators.avrocodec import probe_avro
+
+            av = probe_avro(d)
+            if av is not None:
+                return {**_EMPTY, "container": "avro", "codec": av["codec"],
+                        "n_frames": av["n_records"]}
         if d[:2] == b"\x1f\x8b":
             # peek the first member's first bytes only (bounded inflate):
             # a .warc.gz must census as warc, not generic gzip

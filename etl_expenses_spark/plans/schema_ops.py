@@ -1131,3 +1131,87 @@ def orc_roundtrip_orders(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "avro_roundtrip_orders",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+        FROM orders
+    """,
+    tags=("source", "avro", "format"),
+)
+def avro_roundtrip_orders(spark, sf_dir):
+    """Avro format surface: every orders row is serialized to a real Avro
+    object-container file (operators/avrocodec.py — the public Avro 1.11
+    binary encoding, written from the spec) and decoded back INSIDE the
+    task, covering long / string / double / nullable-union / deflate-codec
+    mappings; timestamps travel as timestamp-micros longs per the logical
+    -type convention. The oracle reads the same rows from parquet, so any
+    value the codec mangles (zigzag sign errors, varint boundaries, IEEE
+    byte order, utf-8 slicing) fails the value hash. Distributed
+    end-to-end: each mapInPandas batch becomes its own container file —
+    no driver-side bytes, per-task memory bounded by the batch."""
+    import pandas as pd
+
+    from etl_expenses_spark.operators.avrocodec import read_avro, write_avro
+
+    schema = {
+        "type": "record",
+        "name": "Order",
+        "fields": [
+            {"name": "o_orderkey", "type": "long"},
+            {"name": "o_custkey", "type": "long"},
+            {"name": "o_orderstatus", "type": ["null", "string"]},
+            {"name": "o_totalprice", "type": "double"},
+            {"name": "o_orderdate_us", "type": "long"},
+        ],
+    }
+
+    def rt(batches):
+        for b in batches:
+            us = b["o_orderdate"].astype("datetime64[us]").astype("int64")
+            recs = [
+                {
+                    "o_orderkey": int(k),
+                    "o_custkey": int(c),
+                    "o_orderstatus": s,
+                    "o_totalprice": float(p),
+                    "o_orderdate_us": int(u),
+                }
+                for k, c, s, p, u in zip(
+                    b["o_orderkey"], b["o_custkey"], b["o_orderstatus"],
+                    b["o_totalprice"], us,
+                )
+            ]
+            data = write_avro(recs, schema, codec="deflate")
+            _, back = read_avro(data)
+            if len(back) != len(recs):
+                raise ValueError(
+                    f"avro roundtrip dropped rows: {len(recs)} -> {len(back)}"
+                )
+            yield pd.DataFrame(
+                {
+                    "o_orderkey": [r["o_orderkey"] for r in back],
+                    "o_custkey": [r["o_custkey"] for r in back],
+                    "o_orderstatus": [r["o_orderstatus"] for r in back],
+                    "o_totalprice": [r["o_totalprice"] for r in back],
+                    "o_orderdate": pd.to_datetime(
+                        [r["o_orderdate_us"] for r in back], unit="us"
+                    ),
+                }
+            )
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate"]
+    return (
+        T(spark, sf_dir, "orders")
+        .select(*cols)
+        .mapInPandas(
+            rt,
+            schema=(
+                "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+                "o_totalprice double, o_orderdate timestamp"
+            ),
+        )
+    )

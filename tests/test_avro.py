@@ -1,0 +1,138 @@
+"""Avro object-container codec (operators/avrocodec.py) — spec pins.
+
+No avro/fastavro package exists in this container to cross-check against,
+so correctness rests on (a) the spec's own zigzag test vectors, (b)
+property-based roundtrips over the full supported type lattice, and (c)
+torn-file / corruption behavior. The census integration (probe_bytes) and
+the Spark-side roundtrip are pinned in the oracle-checked
+`avro_roundtrip_orders` query.
+"""
+
+from __future__ import annotations
+
+import io
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_expenses_spark.operators.avrocodec import (
+    MAGIC,
+    probe_avro,
+    read_avro,
+    read_long,
+    write_avro,
+    write_long,
+    zigzag_encode,
+)
+
+SCHEMA = {
+    "type": "record",
+    "name": "T",
+    "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": "string"},
+        {"name": "c", "type": "double"},
+        {"name": "d", "type": ["null", "string"]},
+        {"name": "e", "type": "boolean"},
+        {"name": "f", "type": "bytes"},
+        {"name": "g", "type": "int"},
+        {"name": "h", "type": "float"},
+    ],
+}
+
+
+def test_zigzag_spec_vectors():
+    # Avro spec, "Binary Encoding / Primitive Types" example table
+    assert [zigzag_encode(n) for n in (0, -1, 1, -2, 2, -64, 64)] == [
+        0, 1, 2, 3, 4, 127, 128,
+    ]
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+@settings(max_examples=300)
+def test_varint_roundtrip(n):
+    out = io.BytesIO()
+    write_long(out, n)
+    got, pos = read_long(memoryview(out.getvalue()), 0)
+    assert got == n and pos == len(out.getvalue())
+
+
+_REC = st.fixed_dictionaries(
+    {
+        "a": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        "b": st.text(max_size=40),
+        "c": st.floats(allow_nan=False),
+        "d": st.none() | st.text(max_size=10),
+        "e": st.booleans(),
+        "f": st.binary(max_size=30),
+        "g": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        # float32 field: values exactly representable in binary32
+        "h": st.sampled_from([0.0, -0.0, 1.5, -2.25, 2.0**100, -(2.0**-100)]),
+    }
+)
+
+
+@given(st.lists(_REC, max_size=25), st.sampled_from(["null", "deflate"]))
+@settings(max_examples=60, deadline=None)
+def test_container_roundtrip(recs, codec):
+    data = write_avro(recs, SCHEMA, codec=codec, block_records=7)
+    schema, back = read_avro(data)
+    assert schema == SCHEMA
+    assert back == recs
+
+
+def test_probe_counts_without_decoding():
+    recs = [{"a": i, "b": "x", "c": 0.5, "d": None, "e": True,
+             "f": b"", "g": 1, "h": 1.0} for i in range(533)]
+    data = write_avro(recs, SCHEMA, codec="deflate", block_records=100)
+    p = probe_avro(data)
+    assert p == {
+        "container": "avro",
+        "codec": "deflate",
+        "schema_name": "T",
+        "n_fields": 8,
+        "n_records": 533,
+        "n_blocks": 6,
+    }
+
+
+def test_probe_torn_tail_is_lenient_reader_raises():
+    recs = [{"a": i, "b": "y" * 50, "c": 1.0, "d": "z", "e": False,
+             "f": b"\x00" * 20, "g": 0, "h": 0.0} for i in range(400)]
+    data = write_avro(recs, SCHEMA, codec="null", block_records=50)
+    torn = data[: len(data) * 2 // 3]
+    p = probe_avro(torn)
+    assert p is not None and 0 < p["n_records"] < 400
+    with pytest.raises(ValueError):
+        read_avro(torn)
+
+
+def test_sync_marker_mismatch_raises():
+    recs = [{"a": 1, "b": "q", "c": 2.0, "d": None, "e": True,
+             "f": b"ab", "g": 3, "h": 4.0}]
+    data = bytearray(write_avro(recs, SCHEMA, codec="null"))
+    data[-1] ^= 0xFF  # corrupt the trailing sync marker
+    with pytest.raises(ValueError, match="sync"):
+        read_avro(bytes(data))
+
+
+def test_bad_magic_and_unknown_codec():
+    assert probe_avro(b"NOPE" + b"\x00" * 64) is None
+    with pytest.raises(ValueError, match="magic"):
+        read_avro(b"NOPE" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="codec"):
+        write_avro([], SCHEMA, codec="snappy")
+
+
+def test_census_dispatch_recognizes_avro():
+    from etl_expenses_spark.operators.containers import probe_bytes
+
+    recs = [{"a": 1, "b": "w", "c": 0.0, "d": None, "e": False,
+             "f": b"", "g": 0, "h": 0.0}] * 12
+    data = write_avro(recs, SCHEMA, codec="deflate")
+    assert data[:4] == MAGIC
+    got = probe_bytes(data)
+    assert got["container"] == "avro"
+    assert got["codec"] == "deflate"
+    assert got["n_frames"] == 12
