@@ -1215,3 +1215,44 @@ def avro_roundtrip_orders(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "avro_source_roundtrip",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+        FROM orders WHERE o_orderkey % 10 = 0
+    """,
+    tags=("source", "avro", "format", "connector"),
+)
+def avro_source_roundtrip(spark, sf_dir):
+    """Avro CONNECTOR surface (vs avro_roundtrip_orders' in-task codec
+    path): a filtered orders slice is written to a directory of Avro
+    container files through df.write.format('etl_avro') — the Spark-4
+    Python DataSource in sources/avro_source.py, one file per task
+    partition — and read back with spark.read.format('etl_avro'), which
+    infers the Spark schema from the first file's header (O(header)
+    bytes). The oracle recomputes the slice from parquet, so the value
+    hash crosses the full write->infer->read path including the
+    timestamp-micros logical-type mapping. The target is a deterministic
+    per-SF warehouse dir (overwrite replaces prior part files), so the
+    returned DataFrame stays LAZY — no driver-side materialization."""
+    import os
+
+    from etl_expenses_spark.sources.avro_source import register
+
+    try:
+        register(spark)
+    except Exception:
+        pass  # already registered on this session
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    src = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(*cols)
+    )
+    d = os.path.join(
+        "spark-warehouse", f"avro_source_rt_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    src.write.format("etl_avro").mode("overwrite").save(d)
+    return spark.read.format("etl_avro").load(d)

@@ -1,0 +1,221 @@
+"""Avro directory source/sink as a Spark-4 Python DataSource.
+
+``spark.read.format("etl_avro").load(dir)`` / ``df.write.format("etl_avro")
+.save(dir)`` over directories of Avro object-container files, backed by the
+pure-Python codec in operators/avrocodec.py (public Avro 1.11 spec — the
+container ships no avro/fastavro/spark-avro package, so this IS the Avro
+surface). Companion to the webhook DataSource (sources/webhook_source.py):
+that one demonstrates the API against a generated feed; this one is a real
+file-format connector.
+
+Scale shape: one input partition per file — the standard file-source
+parallelism contract (a 100 TB Avro lake is many files; each task decodes
+only its own). Schema is inferred once, driver-side, from the FIRST file's
+header — O(header) bytes, no datum decode. The writer emits one container
+file per task partition with the task's partitionId in the name, so
+speculative/retried tasks overwrite their own output idempotently rather
+than duplicating rows (write-once-per-partition, the same contract as
+Spark's file commit protocol at this storage layer).
+
+Type mapping (both directions):
+    long<->bigint   int<->int       double<->double   float<->float
+    string<->string boolean<->boolean bytes<->binary
+    {long, logicalType=timestamp-micros} <-> timestamp
+    {int,  logicalType=date}             <-> date
+    ["null", T] <-> nullable T
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+from etl_expenses_spark.operators.avrocodec import read_avro, write_avro
+
+_EPOCH_DATE = datetime.date(1970, 1, 1)
+_EPOCH_TS = datetime.datetime(1970, 1, 1)
+
+
+def _avro_field_to_ddl(ftype) -> str:
+    """Avro field type -> Spark DDL type (nullable unions unwrap)."""
+    if isinstance(ftype, list):  # ["null", T]
+        inner = next(t for t in ftype if t != "null")
+        return _avro_field_to_ddl(inner)
+    if isinstance(ftype, dict):
+        lt = ftype.get("logicalType")
+        if lt == "timestamp-micros":
+            return "timestamp"
+        if lt == "date":
+            return "date"
+        ftype = ftype["type"]
+    return {
+        "long": "bigint", "int": "int", "double": "double", "float": "float",
+        "string": "string", "boolean": "boolean", "bytes": "binary",
+    }[ftype]
+
+
+def _is_logical(ftype, name: str) -> bool:
+    if isinstance(ftype, list):
+        return any(_is_logical(t, name) for t in ftype if t != "null")
+    return isinstance(ftype, dict) and ftype.get("logicalType") == name
+
+
+def _files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    if not os.path.isdir(path):  # first write into a fresh target
+        return []
+    return sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".avro") and not f.startswith(("_", "."))
+    )
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class AvroReader(DataSourceReader):
+    def __init__(self, options, avro_schema: dict):
+        self.path = options["path"]
+        self.avro_schema = avro_schema
+
+    def partitions(self):
+        return [_FilePartition(p) for p in _files(self.path)]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        with open(partition.path, "rb") as f:
+            schema, records = read_avro(f.read())
+        fields = schema["fields"]
+        convs = []
+        for fld in fields:
+            if _is_logical(fld["type"], "timestamp-micros"):
+                convs.append(
+                    lambda v: None if v is None
+                    else _EPOCH_TS + datetime.timedelta(microseconds=v)
+                )
+            elif _is_logical(fld["type"], "date"):
+                convs.append(
+                    lambda v: None if v is None
+                    else _EPOCH_DATE + datetime.timedelta(days=v)
+                )
+            else:
+                convs.append(lambda v: v)
+        names = [f["name"] for f in fields]
+        for rec in records:
+            yield tuple(c(rec[n]) for n, c in zip(names, convs))
+
+
+class _WroteFile(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path, self.rows = path, rows
+
+
+class AvroWriter(DataSourceWriter):
+    def __init__(self, options, spark_schema):
+        self.path = options["path"]
+        self.codec = options.get("codec", "deflate")
+        self.spark_schema = spark_schema
+
+    def _avro_schema(self) -> dict:
+        fields = []
+        for f in self.spark_schema.fields:
+            t = f.dataType.simpleString()
+            if t == "timestamp":
+                at: object = {"type": "long", "logicalType": "timestamp-micros"}
+            elif t == "date":
+                at = {"type": "int", "logicalType": "date"}
+            else:
+                at = {
+                    "bigint": "long", "int": "int", "double": "double",
+                    "float": "float", "string": "string",
+                    "boolean": "boolean", "binary": "bytes",
+                }[t]
+            fields.append(
+                {"name": f.name, "type": ["null", at] if f.nullable else at}
+            )
+        return {"type": "record", "name": "row", "fields": fields}
+
+    def write(self, iterator) -> _WroteFile:
+        from pyspark import TaskContext
+
+        schema = self._avro_schema()
+        names = [f.name for f in self.spark_schema.fields]
+        types = [f.dataType.simpleString() for f in self.spark_schema.fields]
+        recs = []
+        for row in iterator:
+            rec = {}
+            for n, t in zip(names, types):
+                v = row[n]
+                if v is not None and t == "timestamp":
+                    v = round((v - _EPOCH_TS).total_seconds() * 1e6)
+                    v = int(v)
+                elif v is not None and t == "date":
+                    v = (v - _EPOCH_DATE).days
+                elif v is not None and t == "binary":
+                    v = bytes(v)
+                rec[n] = v
+            recs.append(rec)
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(self.path, f"part-{pid:05d}.avro")
+        data = write_avro(recs, schema, codec=self.codec)
+        with open(out, "wb") as f:
+            f.write(data)
+        return _WroteFile(out, len(recs))
+
+    def commit(self, messages):
+        pass
+
+    def abort(self, messages):
+        pass
+
+
+class AvroDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "etl_avro"
+
+    def schema(self) -> str:
+        files = _files(self.options["path"])
+        if not files:
+            raise ValueError(f"etl_avro: no .avro files under {self.options['path']}")
+        from etl_expenses_spark.operators.avrocodec import _read_header
+
+        with open(files[0], "rb") as f:
+            head = f.read(65536)
+        schema, _codec, _sync, _pos = _read_header(memoryview(head))
+        return ", ".join(
+            f"{fld['name']} {_avro_field_to_ddl(fld['type'])}"
+            for fld in schema["fields"]
+        )
+
+    def reader(self, schema) -> AvroReader:
+        files = _files(self.options["path"])
+        from etl_expenses_spark.operators.avrocodec import _read_header
+
+        with open(files[0], "rb") as f:
+            head = f.read(65536)
+        avro_schema, _c, _s, _p = _read_header(memoryview(head))
+        return AvroReader(self.options, avro_schema)
+
+    def writer(self, schema, overwrite: bool) -> AvroWriter:
+        if overwrite:
+            for f in _files(self.options["path"]):
+                os.remove(f)
+        return AvroWriter(self.options, schema)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(AvroDataSource)
