@@ -861,3 +861,97 @@ def dedup_containment_pairs(spark, sf_dir):
     return containment_pairs_inverted(
         T(spark, sf_dir, "documents"), threshold=0.5, k=3, block_col="source"
     )
+
+
+@query(
+    "winnowing_shared_fingerprints",
+    oracle=r"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                               x -> x <> '') AS toks
+            FROM documents),
+        h AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(toks) - 1),
+                       i -> CAST(concat('0x', substr(md5(
+                                toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                            ), 1, 15)) AS BIGINT)) AS hs
+            FROM t WHERE len(toks) >= 6),
+        f AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(range(1, len(hs) - 2),
+                       i -> list_min(hs[i:i+3])))) AS fp
+            FROM h),
+        rare AS (
+            SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= 64)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS shared_fps
+        FROM f a JOIN rare USING (fp) JOIN f b USING (fp)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 3
+    """,
+    tags=("dedup", "fingerprint", "winnowing"),
+)
+def winnowing_shared_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprinting (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every token 3-gram, slide a
+    window of 4 hashes, keep each window's minimum; the per-document
+    DISTINCT set of selected minima is the fingerprint sketch, with the
+    guarantee that any shared run of >= 6 tokens contributes at least one
+    common fingerprint. Pairs of documents sharing >= 3 fingerprints are
+    the local-overlap candidates that whole-document near-dup (MinHash)
+    and span dedup both miss.
+
+    Scale shape: the per-doc gram->window->min pipeline is pure array math
+    inside one projection (no explode until fingerprints, which number
+    ~n_grams/window per doc); candidate pairs come from a fingerprint-
+    keyed self-join AFTER dropping fingerprints seen in > 64 documents —
+    MOSS's own common-code filter — which bounds every join bucket at
+    64 x 64. One shuffle keyed by the 60-bit fingerprint."""
+    d = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", tokens(F.lower(F.col("text"))).alias("toks"))
+        .filter(F.size("toks") >= 6)
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("toks", i),
+            F.element_at("toks", i + 1),
+            F.element_at("toks", i + 2),
+        ),
+    )
+    hashes = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    )
+    h = d.select("doc_id", hashes.alias("hs"))
+    # windows of 4 consecutive hashes: i = 1..n-3 (DuckDB's hs[i:i+3]
+    # slice is INCLUSIVE on both ends = the same 4 elements)
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("hs") - 3),
+            lambda i: F.array_min(F.slice("hs", i, 4)),
+        )
+    )
+    f = h.select("doc_id", F.explode(fps).alias("fp"))
+    rare = (
+        f.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") <= 64)
+        .select("fp")
+    )
+    fr = f.join(rare, "fp")
+    pairs = (
+        fr.alias("a")
+        .join(fr.alias("b"), "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 3)
+    )
+    return pairs
