@@ -18,7 +18,9 @@ Binary encoding: int/long are zigzag + base-128 little-endian varints;
 float/double little-endian IEEE; string/bytes are long-length-prefixed;
 union is the branch index (long) then the value; a record is its fields in
 declared order. The ``deflate`` codec is raw DEFLATE (RFC 1951, no zlib
-header), per spec.
+header), per spec; the ``snappy`` codec (operators/snappy.py, pure Python)
+suffixes each compressed block with the big-endian CRC32 of the
+uncompressed data, per spec.
 
 Why hand-rolled: the container ships no avro/fastavro package and pyarrow
 has no Avro module, while Avro remains a first-class interchange format for
@@ -170,7 +172,7 @@ def _sync_for(schema_json: str) -> bytes:
 def write_avro(records: list[dict], schema: dict, codec: str = "null",
                block_records: int = 1000) -> bytes:
     """Serialize records to one Avro object-container file (bytes)."""
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"avro: unsupported codec {codec!r}")
     schema_json = json.dumps(schema, separators=(",", ":"))
     sync = _sync_for(schema_json)
@@ -193,6 +195,13 @@ def write_avro(records: list[dict], schema: dict, codec: str = "null",
         if codec == "deflate":
             comp = zlib.compressobj(6, zlib.DEFLATED, -15)
             data = comp.compress(data) + comp.flush()
+        elif codec == "snappy":
+            # Avro spec: snappy blocks carry a 4-byte big-endian CRC32 of
+            # the UNCOMPRESSED data after the compressed payload
+            from etl_expenses_spark.operators import snappy
+
+            crc = zlib.crc32(data) & 0xFFFFFFFF
+            data = snappy.compress(data) + crc.to_bytes(4, "big")
         write_long(out, len(chunk))
         write_long(out, len(data))
         out.write(data)
@@ -232,7 +241,7 @@ def read_avro(data: bytes) -> tuple[dict, list[dict]]:
     sync marker — a mismatch means torn/corrupt data and raises."""
     buf = memoryview(data)
     schema, codec, sync, pos = _read_header(buf)
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"avro: unsupported codec {codec!r}")
     records: list[dict] = []
     while pos < len(buf):
@@ -247,6 +256,14 @@ def read_avro(data: bytes) -> tuple[dict, list[dict]]:
         pos += 16
         if codec == "deflate":
             body = zlib.decompress(body, wbits=-15)
+        elif codec == "snappy":
+            from etl_expenses_spark.operators import snappy
+
+            if len(body) < 4:
+                raise ValueError("avro: snappy block too short for CRC")
+            body, crc = snappy.decompress(body[:-4]), body[-4:]
+            if (zlib.crc32(body) & 0xFFFFFFFF).to_bytes(4, "big") != crc:
+                raise ValueError("avro: snappy block CRC mismatch")
         bview = memoryview(body)
         bpos = 0
         for _ in range(count):

@@ -122,7 +122,7 @@ def test_bad_magic_and_unknown_codec():
     with pytest.raises(ValueError, match="magic"):
         read_avro(b"NOPE" + b"\x00" * 64)
     with pytest.raises(ValueError, match="codec"):
-        write_avro([], SCHEMA, codec="snappy")
+        write_avro([], SCHEMA, codec="zstandard")
 
 
 def test_census_dispatch_recognizes_avro():
