@@ -1452,3 +1452,83 @@ def image_dhash_neardup(spark, sf_dir):
     return dhash_neardup_pairs(dhash_bands(imgs), max_hamming=3).orderBy(
         "id_a", "id_b"
     )
+
+
+@query(
+    "heavy_hitters_two_pass",
+    oracle="""
+        WITH counts AS (
+            SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts)
+        SELECT user_id, n, CAST(n AS DOUBLE) / t AS share
+        FROM counts, tot
+        WHERE n * 256 > t
+    """,
+    tags=("agg", "skew", "sketch", "heavy_hitters"),
+)
+def heavy_hitters_two_pass(spark, sf_dir):
+    """ε-heavy hitters (support share > 1/256) via the two-pass
+    Misra-Gries recipe — the 100 TB shape for "which keys dominate"
+    when the key universe is too large to GROUP BY in full:
+
+      pass 1  per-partition Misra-Gries summaries (capacity 512) inside
+              one mapInPandas — NO shuffle over the key space; a key with
+              global share > 1/512 must survive in at least one
+              partition's summary (if f_p <= n_p/512 in every partition,
+              summing gives f <= n/512), so the union of summaries is a
+              guaranteed superset of every 1/256-heavy key;
+      pass 2  exact recount of ONLY the candidates (broadcast semi join,
+              then a hash aggregate over a candidate-bounded key set) and
+              the exact threshold filter n*256 > total.
+
+    The final output is therefore EXACT — identical to the full GROUP BY
+    the oracle runs — while the shuffled key cardinality is bounded by
+    (#partitions x 512) instead of the key universe. Complements
+    heavy_hitters_users (the exact mean-relative tier, full groupBy) and
+    countmin_user_frequency (the mergeable-sketch tier). Integer
+    threshold compare (n*256 > t), one IEEE division for the share.
+
+    On this synthetic, near-uniform testdata every user clears the bar at
+    sf0.01 and none does at sf0.1 — both are the correct answer to the
+    fixed-share question; the guarantee, not the row count, is the
+    operator."""
+    import pandas as pd
+
+    ev = T(spark, sf_dir, "events").select("user_id")
+
+    def mg_partition(batches):
+        # vectorized Misra-Gries: count each Arrow batch with value_counts,
+        # merge into the running summary, and apply the generalized
+        # decrement (subtract the (cap+1)-th largest weight from everyone,
+        # drop the non-positive) — the mergeable-summaries formulation,
+        # whose per-key undercount is bounded by n_p/(cap+1)
+        cap = 512
+        counters: dict[int, int] = {}
+        for b in batches:
+            for k, c in b["user_id"].value_counts().items():
+                k = int(k)
+                counters[k] = counters.get(k, 0) + int(c)
+            if len(counters) > cap:
+                cut = sorted(counters.values(), reverse=True)[cap]
+                counters = {k: v - cut for k, v in counters.items() if v > cut}
+        yield pd.DataFrame({"user_id": list(counters.keys())})
+
+    candidates = (
+        ev.mapInPandas(mg_partition, schema="user_id bigint")
+        .distinct()
+    )
+    tot = ev.agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    recount = (
+        ev.join(F.broadcast(candidates), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        recount.crossJoin(F.broadcast(tot))
+        .filter(F.col("n") * 256 > F.col("t"))
+        .select(
+            "user_id",
+            "n",
+            (F.col("n").cast("double") / F.col("t")).alias("share"),
+        )
+    )

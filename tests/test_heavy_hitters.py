@@ -1,0 +1,80 @@
+"""Two-pass Misra-Gries heavy hitters (plans/advanced.py).
+
+Pins the candidate-superset guarantee the query's exactness rests on, under
+adversarial partition layouts, and the final output's equality with a full
+GROUP BY.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from etl_expenses_spark.plans.registry import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def _mg(stream, cap=512):
+    counters = {}
+    for k, c in Counter(stream).items():
+        counters[k] = counters.get(k, 0) + c
+        if len(counters) > cap:
+            cut = sorted(counters.values(), reverse=True)[cap]
+            counters = {k: v - cut for k, v in counters.items() if v > cut}
+    return set(counters)
+
+
+def test_mg_superset_guarantee_adversarial():
+    """A key with share > 1/(cap+1) survives MG with capacity cap, even on
+    a worst-case skew-then-noise ordering."""
+    heavy = [7] * 300
+    noise = list(range(1000, 1000 + 2000))  # 2000 singletons
+    stream = noise[:1000] + heavy + noise[1000:]
+    assert 7 in _mg(stream, cap=512)  # share 300/2300 >> 1/513
+
+
+def test_query_equals_full_groupby(spark):
+    got = {
+        (r.user_id, r.n)
+        for r in REGISTRY["heavy_hitters_two_pass"].build(spark, SF_DIR).collect()
+    }
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select("user_id")
+    exact = (
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    t = sum(r.n for r in exact)
+    expected = {(r.user_id, r.n) for r in exact if r.n * 256 > t}
+    assert got == expected and got  # non-trivial at this SF
+
+
+def test_candidates_cover_heavies_under_many_partitions(spark):
+    """Repartitioning into many tiny partitions must not lose a heavy key:
+    the per-partition guarantee composes across partitions."""
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id")
+        .repartition(64)
+    )
+    import pandas as pd
+
+    def mg_partition(batches):
+        cap = 512
+        counters = {}
+        for b in batches:
+            for k, c in b["user_id"].value_counts().items():
+                k = int(k)
+                counters[k] = counters.get(k, 0) + int(c)
+            if len(counters) > cap:
+                cut = sorted(counters.values(), reverse=True)[cap]
+                counters = {k: v - cut for k, v in counters.items() if v > cut}
+        yield pd.DataFrame({"user_id": list(counters.keys())})
+
+    cands = {
+        r.user_id
+        for r in ev.mapInPandas(mg_partition, schema="user_id bigint").collect()
+    }
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    t = sum(r.n for r in exact)
+    heavies = {r.user_id for r in exact if r.n * 256 > t}
+    assert heavies <= cands
