@@ -1702,3 +1702,70 @@ def bloom_semijoin_reduction(spark, sf_dir):
         F.count(F.lit(1)).alias("n_lines"),
         dsum("l_extendedprice", 2, 9).alias("gross_revenue"),
     )
+
+
+@query(
+    "arrow_grouped_weighted_median",
+    oracle="""
+        WITH t AS (
+            SELECT l_returnflag AS flag,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS cents,
+                   CAST(l_quantity AS BIGINT) AS w
+            FROM lineitem),
+        r AS (
+            SELECT flag, cents,
+                   SUM(w) OVER (PARTITION BY flag ORDER BY cents
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(w) OVER (PARTITION BY flag) AS tot
+            FROM t)
+        SELECT flag, CAST(tot AS BIGINT) AS total_weight,
+               CAST(MIN(cents) AS BIGINT) AS wmedian_cents
+        FROM r WHERE 2 * cum >= tot
+        GROUP BY flag, tot
+    """,
+    tags=("agg", "arrow", "udaf", "median"),
+)
+def arrow_grouped_weighted_median(spark, sf_dir):
+    """Quantity-weighted LOWER median of line price per return flag,
+    computed with ``groupBy().applyInArrow`` — the Spark-4 Arrow-native
+    grouped-UDF surface (zero pandas conversion: the group arrives as a
+    pyarrow.Table, numpy sorts it in place). Lower weighted median =
+    smallest value whose doubled cumulative weight reaches the group
+    total — an integer definition, so both engines agree bit-exactly
+    (the oracle derives it with two windows; ties collapse to the same
+    value on both sides).
+
+    Scale shape: one hash shuffle on the 3-value group key; the per-group
+    sort is O(g log g) inside the task. For high-cardinality group keys
+    this plan holds as-is; for a SINGLE giant group the right tool is the
+    distributed two-phase rank (equidepth_histogram_totals) instead —
+    documented here so nobody reaches for applyInArrow at that shape."""
+    import numpy as np
+    import pyarrow as pa
+
+    t = T(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        (dec("l_extendedprice", 2, 18) * 100).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+
+    def wmedian(table: pa.Table) -> pa.Table:
+        cents = np.asarray(table["cents"])
+        w = np.asarray(table["w"])
+        order = np.argsort(cents, kind="stable")
+        cents, w = cents[order], w[order]
+        cum = np.cumsum(w)
+        tot = int(cum[-1])
+        ix = int(np.searchsorted(2 * cum, tot))
+        return pa.table(
+            {
+                "flag": [table["flag"][0].as_py()],
+                "total_weight": [tot],
+                "wmedian_cents": [int(cents[ix])],
+            }
+        )
+
+    return t.groupBy("flag").applyInArrow(
+        wmedian, schema="flag string, total_weight bigint, wmedian_cents bigint"
+    )

@@ -1126,3 +1126,68 @@ def gopher_dup_ngram_chars(spark, sf_dir):
         tot_mass.alias("total_gram_chars"),
         (dup_mass.cast("double") / tot_mass).alias("dup_char_fraction"),
     )
+
+
+@query(
+    "quality_percentile_gate_by_lang",
+    oracle=f"""
+        WITH q AS (
+            SELECT doc_id, lang,
+                   LEAST(CAST(len({_D_TOKENS}) AS DOUBLE) / 64.0, 1.0) * 0.4
+                   + (CASE WHEN CAST(GREATEST(LENGTH(text), 1) AS DOUBLE)
+                                / GREATEST(CAST(len({_D_TOKENS}) AS DOUBLE),
+                                           CAST(1 AS DOUBLE))
+                                BETWEEN 3.0 AND 12.0
+                           THEN 1.0 ELSE 0.5 END) * 0.3
+                   + (1.0 - LEAST(CAST({_D_PUNCT} AS DOUBLE)
+                                  / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE)
+                                  * 4.0, 1.0)) * 0.3 AS quality
+            FROM documents),
+        r AS (
+            SELECT doc_id, lang, quality,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY quality, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY lang) AS n_lang
+            FROM q)
+        SELECT doc_id, lang, quality, CAST(rn AS BIGINT) AS rn,
+               CAST(n_lang AS BIGINT) AS n_lang
+        FROM r WHERE rn * 4 > n_lang
+    """,
+    tags=("text", "quality", "training", "window"),
+)
+def quality_percentile_gate_by_lang(spark, sf_dir):
+    """DYNAMIC quality gate: drop each language's bottom quartile by
+    heuristic quality score — the per-stratum relative threshold used when
+    a single absolute cutoff would gut low-resource languages (the same
+    score distribution sits much lower for them). Rank-based, so the gate
+    is an INTEGER comparison (rn*4 > n_lang): no percentile interpolation
+    doubles to diverge on. Per-row quality doubles are identical across
+    engines (same IEEE ops — the oracle-checked text_quality_score
+    expression); (quality, doc_id) makes the order total.
+
+    Scale shape: one window partitioned by lang. Lang cardinality is
+    small-and-bounded while partitions are huge, so the per-lang sort is
+    the cost — if a single language dominates, swap the window for the
+    distributed two-phase rank in operators/prefixsum.py (same output,
+    shuffle-balanced); at this corpus the window is the simpler right
+    plan."""
+    from pyspark.sql.window import Window as W
+
+    d = T(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("quality", "doc_id")
+    q = d.select(
+        "doc_id", "lang", quality_score("text").alias("quality")
+    ).select(
+        "doc_id",
+        "lang",
+        "quality",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("lang")).alias("n_lang"),
+    )
+    return q.filter(F.col("rn") * 4 > F.col("n_lang")).select(
+        "doc_id",
+        "lang",
+        "quality",
+        F.col("rn").cast("bigint").alias("rn"),
+        F.col("n_lang").cast("bigint").alias("n_lang"),
+    )
