@@ -1676,6 +1676,14 @@ def probe_bytes(d: bytes) -> dict:
             usize = int.from_bytes(d[-4:], "little") if len(d) >= 18 else None
             return {**_EMPTY, "container": "gzip", "codec": "deflate",
                     "n_frames": usize}
+        if d[:10] == b"\xff\x06\x00\x00sNaPpY":
+            # snappy framing stream: chunk-skip walk, no CRC/decompress
+            from etl_expenses_spark.operators.snappy import probe_snappy_frame
+
+            sf = probe_snappy_frame(d)
+            if sf is not None:
+                return {**_EMPTY, "container": "snappy-frame",
+                        "codec": "snappy", "n_frames": sf["n_chunks"]}
         if d[:4] == b"\x28\xb5\x2f\xfd":
             return {**_EMPTY, "container": "zstd"}
         if d[:6] == b"\xfd7zXZ\x00":

@@ -168,3 +168,124 @@ def decompress(data: bytes) -> bytes:
             f"snappy: declared {ulen} bytes, decoded {len(out)}"
         )
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Snappy FRAMING format (.sz) — the streamable chunked wrapper
+# (framing_format.txt in the same public repo): a stream-identifier chunk
+# followed by compressed/uncompressed data chunks of <= 64 KiB, each
+# carrying a masked CRC32C (Castagnoli) of its uncompressed content.
+# ---------------------------------------------------------------------------
+
+FRAME_MAGIC = b"\xff\x06\x00\x00sNaPpY"
+_MAX_CHUNK = 65536
+_CRC32C_TABLE = None
+
+
+def _crc32c_table():
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        poly = 0x82F63B78  # reflected Castagnoli
+        tbl = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ poly if c & 1 else c >> 1
+            tbl.append(c)
+        _CRC32C_TABLE = tbl
+    return _CRC32C_TABLE
+
+
+def crc32c(data: bytes) -> int:
+    tbl = _crc32c_table()
+    c = 0xFFFFFFFF
+    for b in data:
+        c = tbl[(c ^ b) & 0xFF] ^ (c >> 8)
+    return c ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    c = crc32c(data)
+    return (((c >> 15) | (c << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def frame_compress(data: bytes) -> bytes:
+    out = bytearray(FRAME_MAGIC)
+    for i in range(0, len(data), _MAX_CHUNK) or [0]:
+        chunk = data[i : i + _MAX_CHUNK]
+        crc = _masked_crc(chunk).to_bytes(4, "little")
+        comp = compress(chunk)
+        if len(comp) < len(chunk):  # spec: emit whichever is smaller
+            body = crc + comp
+            out.append(0x00)
+        else:
+            body = crc + chunk
+            out.append(0x01)
+        out += len(body).to_bytes(3, "little")
+        out += body
+    return bytes(out)
+
+
+def frame_decompress(data: bytes) -> bytes:
+    if data[: len(FRAME_MAGIC)] != FRAME_MAGIC:
+        raise ValueError("snappy-frame: bad stream identifier")
+    pos = len(FRAME_MAGIC)
+    out = bytearray()
+    n = len(data)
+    while pos < n:
+        if pos + 4 > n:
+            raise ValueError("snappy-frame: truncated chunk header")
+        kind = data[pos]
+        ln = int.from_bytes(data[pos + 1 : pos + 4], "little")
+        pos += 4
+        if pos + ln > n:
+            raise ValueError("snappy-frame: truncated chunk body")
+        body = data[pos : pos + ln]
+        pos += ln
+        if kind in (0x00, 0x01):
+            if ln < 4:
+                raise ValueError("snappy-frame: chunk too short for CRC")
+            crc = int.from_bytes(body[:4], "little")
+            chunk = decompress(body[4:]) if kind == 0x00 else bytes(body[4:])
+            if len(chunk) > _MAX_CHUNK:
+                raise ValueError("snappy-frame: chunk exceeds 64 KiB limit")
+            if _masked_crc(chunk) != crc:
+                raise ValueError("snappy-frame: chunk CRC mismatch")
+            out += chunk
+        elif kind == 0xFE or 0x80 <= kind <= 0xFD:
+            continue  # padding / skippable
+        elif kind == 0xFF:
+            if body != FRAME_MAGIC[4:]:
+                raise ValueError("snappy-frame: bad repeated identifier")
+        else:  # 0x02-0x7f: unskippable reserved
+            raise ValueError(f"snappy-frame: unskippable chunk 0x{kind:02x}")
+    return bytes(out)
+
+
+def probe_snappy_frame(data: bytes, max_chunks: int = 100000) -> dict | None:
+    """Header + chunk-skip census: chunk counts and declared sizes WITHOUT
+    CRC verification or decompression — O(#chunks). None on wrong magic;
+    lenient on a torn tail."""
+    if data[: len(FRAME_MAGIC)] != FRAME_MAGIC:
+        return None
+    pos = len(FRAME_MAGIC)
+    n = len(data)
+    n_chunks = n_compressed = n_uncompressed = 0
+    while pos + 4 <= n and n_chunks < max_chunks:
+        kind = data[pos]
+        ln = int.from_bytes(data[pos + 1 : pos + 4], "little")
+        if pos + 4 + ln > n:
+            break
+        pos += 4 + ln
+        n_chunks += 1
+        if kind == 0x00:
+            n_compressed += 1
+        elif kind == 0x01:
+            n_uncompressed += 1
+    return {
+        "container": "snappy-frame",
+        "codec": "snappy",
+        "n_chunks": n_chunks,
+        "n_compressed": n_compressed,
+        "n_uncompressed": n_uncompressed,
+    }

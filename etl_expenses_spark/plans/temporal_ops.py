@@ -1202,3 +1202,92 @@ def cusum_changepoint_screen(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "trend_slope_by_segment",
+    oracle="""
+        WITH d AS (
+            SELECT c.c_mktsegment AS segment, o.o_orderdate AS day,
+                   CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2),
+        x AS (
+            SELECT segment, cents,
+                   ROW_NUMBER() OVER (PARTITION BY segment ORDER BY day) AS rn
+            FROM d),
+        s AS (
+            SELECT segment,
+                   CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                   SUM(CAST(rn AS DECIMAL(38,0))) AS sx,
+                   SUM(CAST(cents AS DECIMAL(38,0))) AS sy,
+                   SUM(CAST(rn AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)))
+                       AS sxy,
+                   SUM(CAST(rn AS DECIMAL(38,0)) * CAST(rn AS DECIMAL(38,0)))
+                       AS sxx
+            FROM x GROUP BY segment)
+        SELECT segment, CAST(n AS BIGINT) AS n_days,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)
+                   AS slope_cents_per_day,
+               (CAST(sy AS DOUBLE)
+                - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS intercept_cents
+        FROM s
+    """,
+    tags=("temporal", "regression", "trend"),
+)
+def trend_slope_by_segment(spark, sf_dir):
+    """Per-segment revenue trend: closed-form OLS of daily revenue against
+    the day index — slope = (nΣxy - ΣxΣy) / (nΣx² - (Σx)²). Every sum
+    accumulates in DECIMAL(38,0) (exact, associative — n·Σxy overflows
+    BIGINT beyond ~sf0.3, decimal does not), so both engines hold
+    identical integers; the slope is then exact-decimal→double casts and
+    one division, and the intercept reuses the same expression tree —
+    identical IEEE ops on identical operands. One fact-table equi join +
+    one hash aggregate per grain; the regression itself runs on the
+    segment×day aggregate (constant-size at any corpus)."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    d = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.sum((dec("o_totalprice", 2, 18) * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    x = d.select(
+        "segment",
+        "cents",
+        F.row_number()
+        .over(W.partitionBy("segment").orderBy("day"))
+        .alias("rn"),
+    )
+    d38 = "decimal(38,0)"
+    s = x.groupBy("segment").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("rn").cast(d38)).alias("sx"),
+        F.sum(F.col("cents").cast(d38)).alias("sy"),
+        F.sum(F.col("rn").cast(d38) * F.col("cents").cast(d38)).alias("sxy"),
+        F.sum(F.col("rn").cast(d38) * F.col("rn").cast(d38)).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return s.select(
+        "segment",
+        F.col("n").cast("bigint").alias("n_days"),
+        slope.alias("slope_cents_per_day"),
+        intercept.alias("intercept_cents"),
+    )

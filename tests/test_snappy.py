@@ -93,3 +93,56 @@ def test_avro_snappy_block_roundtrip_and_crc():
     corrupt = data[:mid] + bytes([data[mid] ^ 0x01]) + data[mid + 1 :]
     with pytest.raises(ValueError):
         read_avro(corrupt)
+
+
+# ------------------------------------------------------- framing format
+def test_crc32c_known_vector():
+    from etl_expenses_spark.operators.snappy import crc32c
+
+    assert crc32c(b"123456789") == 0xE3069283  # the standard check value
+    assert crc32c(b"") == 0
+
+
+@given(st.binary(max_size=200000))
+@settings(max_examples=20, deadline=None)
+def test_frame_roundtrip(data):
+    from etl_expenses_spark.operators.snappy import (
+        frame_compress,
+        frame_decompress,
+    )
+
+    assert frame_decompress(frame_compress(data)) == data
+
+
+def test_frame_chunk_crc_and_padding():
+    from etl_expenses_spark.operators.snappy import (
+        FRAME_MAGIC,
+        frame_compress,
+        frame_decompress,
+    )
+
+    data = b"abc" * 100
+    blob = bytearray(frame_compress(data))
+    # inject a padding chunk (0xfe) mid-stream: must be skipped
+    pad = bytes([0xFE, 3, 0, 0]) + b"xxx"
+    blob2 = bytes(blob[: len(FRAME_MAGIC)]) + pad + bytes(blob[len(FRAME_MAGIC) :])
+    assert frame_decompress(blob2) == data
+    # corrupt one payload byte: CRC must catch it
+    blob[-1] ^= 0x01
+    with pytest.raises(ValueError, match="CRC|offset|declared|truncated"):
+        frame_decompress(bytes(blob))
+    # unskippable reserved chunk: must raise
+    bad = bytes(blob2[: len(FRAME_MAGIC)]) + bytes([0x02, 1, 0, 0, 0])
+    with pytest.raises(ValueError, match="unskippable"):
+        frame_decompress(bad)
+
+
+def test_frame_census_dispatch():
+    from etl_expenses_spark.operators.containers import probe_bytes
+    from etl_expenses_spark.operators.snappy import frame_compress
+
+    blob = frame_compress(b"payload " * 50000)  # > 6 chunks
+    got = probe_bytes(blob)
+    assert got["container"] == "snappy-frame"
+    assert got["codec"] == "snappy"
+    assert got["n_frames"] == -(-400000 // 65536)
