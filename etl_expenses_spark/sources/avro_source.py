@@ -34,8 +34,12 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
+    EqualTo,
+    GreaterThan,
     InputPartition,
+    LessThan,
     WriterCommitMessage,
 )
 
@@ -86,35 +90,113 @@ class _FilePartition(InputPartition):
         self.path = path
 
 
+def _converters(schema: dict):
+    convs = []
+    for fld in schema["fields"]:
+        if _is_logical(fld["type"], "timestamp-micros"):
+            convs.append(
+                lambda v: None if v is None
+                else _EPOCH_TS + datetime.timedelta(microseconds=v)
+            )
+        elif _is_logical(fld["type"], "date"):
+            convs.append(
+                lambda v: None if v is None
+                else _EPOCH_DATE + datetime.timedelta(days=v)
+            )
+        else:
+            convs.append(lambda v: v)
+    return [f["name"] for f in schema["fields"]], convs
+
+
+def _decode_file(path: str, predicate=None) -> Iterator[tuple]:
+    with open(path, "rb") as f:
+        schema, records = read_avro(f.read())
+    names, convs = _converters(schema)
+    for rec in records:
+        if predicate is None or predicate(rec):
+            yield tuple(c(rec[n]) for n, c in zip(names, convs))
+
+
 class AvroReader(DataSourceReader):
+    """Batch reader with Python-side filter pushdown: EqualTo / LessThan /
+    GreaterThan on top-level primitive columns are evaluated on the raw
+    decoded record, so filtered rows never cross into the JVM. Spark still
+    re-applies every pushed filter (pushFilters contract: returning [] is
+    an optimization, not a correctness transfer), so a miss here can only
+    cost time, never rows."""
+
     def __init__(self, options, avro_schema: dict):
         self.path = options["path"]
         self.avro_schema = avro_schema
+        self._pushed = []
+
+    def pushFilters(self, filters):
+        rest = []
+        for f in filters:
+            if (
+                isinstance(f, (EqualTo, GreaterThan, LessThan))
+                and len(f.attribute) == 1
+                and isinstance(f.value, (int, float, str, bool))
+            ):
+                self._pushed.append(f)
+            else:
+                rest.append(f)
+        return rest
+
+    def _predicate(self):
+        if not self._pushed:
+            return None
+        pushed = list(self._pushed)
+
+        def pred(rec: dict) -> bool:
+            for f in pushed:
+                v = rec.get(f.attribute[0])
+                if v is None:
+                    return False
+                if isinstance(f, EqualTo) and not v == f.value:
+                    return False
+                if isinstance(f, GreaterThan) and not v > f.value:
+                    return False
+                if isinstance(f, LessThan) and not v < f.value:
+                    return False
+            return True
+
+        return pred
 
     def partitions(self):
         return [_FilePartition(p) for p in _files(self.path)]
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
-        with open(partition.path, "rb") as f:
-            schema, records = read_avro(f.read())
-        fields = schema["fields"]
-        convs = []
-        for fld in fields:
-            if _is_logical(fld["type"], "timestamp-micros"):
-                convs.append(
-                    lambda v: None if v is None
-                    else _EPOCH_TS + datetime.timedelta(microseconds=v)
-                )
-            elif _is_logical(fld["type"], "date"):
-                convs.append(
-                    lambda v: None if v is None
-                    else _EPOCH_DATE + datetime.timedelta(days=v)
-                )
-            else:
-                convs.append(lambda v: v)
-        names = [f["name"] for f in fields]
-        for rec in records:
-            yield tuple(c(rec[n]) for n, c in zip(names, convs))
+        return _decode_file(partition.path, self._predicate())
+
+
+class AvroStreamReader(DataSourceStreamReader):
+    """Landing-directory stream: the offset is the count of files in
+    name-sorted order (an append-only landing zone keeps the prefix
+    stable, so any [start, end) file range is re-readable — checkpoint
+    replay re-produces identical micro-batches, the exactly-once file-
+    source contract). Partition objects carry file PATHS, not indexes, so
+    a replayed task never depends on a fresh listing."""
+
+    def __init__(self, options, avro_schema: dict):
+        self.path = options["path"]
+        self.avro_schema = avro_schema
+
+    def initialOffset(self):
+        return {"n_files": 0}
+
+    def latestOffset(self):
+        return {"n_files": len(_files(self.path))}
+
+    def partitions(self, start, end):
+        files = _files(self.path)[start["n_files"] : end["n_files"]]
+        return [_FilePartition(p) for p in files]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        return _decode_file(partition.path)
+
+    def commit(self, end):
+        pass
 
 
 class _WroteFile(WriterCommitMessage):
@@ -124,9 +206,14 @@ class _WroteFile(WriterCommitMessage):
 
 class AvroWriter(DataSourceWriter):
     def __init__(self, options, spark_schema):
+        import uuid
+
         self.path = options["path"]
         self.codec = options.get("codec", "deflate")
         self.spark_schema = spark_schema
+        # one id per write JOB (driver-side): append jobs never collide,
+        # while a retried task within the job rewrites its own file
+        self.job_id = uuid.uuid4().hex[:12]
 
     def _avro_schema(self) -> dict:
         fields = []
@@ -169,7 +256,7 @@ class AvroWriter(DataSourceWriter):
             recs.append(rec)
         pid = TaskContext.get().partitionId()
         os.makedirs(self.path, exist_ok=True)
-        out = os.path.join(self.path, f"part-{pid:05d}.avro")
+        out = os.path.join(self.path, f"part-{self.job_id}-{pid:05d}.avro")
         data = write_avro(recs, schema, codec=self.codec)
         with open(out, "wb") as f:
             f.write(data)
@@ -201,14 +288,20 @@ class AvroDataSource(DataSource):
             for fld in schema["fields"]
         )
 
-    def reader(self, schema) -> AvroReader:
+    def _first_schema(self) -> dict:
         files = _files(self.options["path"])
         from etl_expenses_spark.operators.avrocodec import _read_header
 
         with open(files[0], "rb") as f:
             head = f.read(65536)
         avro_schema, _c, _s, _p = _read_header(memoryview(head))
-        return AvroReader(self.options, avro_schema)
+        return avro_schema
+
+    def reader(self, schema) -> AvroReader:
+        return AvroReader(self.options, self._first_schema())
+
+    def streamReader(self, schema) -> AvroStreamReader:
+        return AvroStreamReader(self.options, self._first_schema())
 
     def writer(self, schema, overwrite: bool) -> AvroWriter:
         if overwrite:
@@ -218,4 +311,7 @@ class AvroDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # implementing pushFilters() requires the session opt-in, else the
+    # source refuses to initialize — self-configure like load_table does
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(AvroDataSource)

@@ -74,3 +74,75 @@ def test_empty_dir_raises(avro_spark, tmp_path):
     os.makedirs(tmp_path / "empty", exist_ok=True)
     with pytest.raises(Exception, match="no .avro files"):
         spark.read.format("etl_avro").load(str(tmp_path / "empty")).count()
+
+
+def test_filter_pushdown_equivalence(avro_spark, tmp_path):
+    """Pushed EqualTo/GreaterThan/LessThan prune rows Python-side; the
+    result must equal the unpushed filter exactly (Spark re-applies every
+    pushed filter, so this also proves we never drop a wrong row)."""
+    spark = avro_spark
+    target = str(tmp_path / "t")
+    df = spark.range(1000).selectExpr(
+        "id", "CAST(id % 7 AS STRING) AS bucket", "CAST(id AS DOUBLE) * 0.5 AS x"
+    )
+    df.repartition(3).write.format("etl_avro").mode("overwrite").save(target)
+    back = spark.read.format("etl_avro").load(target)
+    got = back.filter("id > 100 AND id < 900 AND bucket = '3'").collect()
+    expected = df.filter("id > 100 AND id < 900 AND bucket = '3'").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+
+
+def test_pushfilters_unit():
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In, LessThan
+
+    from etl_expenses_spark.sources.avro_source import AvroReader
+
+    r = AvroReader({"path": "/nonexistent"}, {"fields": []})
+    rest = r.pushFilters(
+        [EqualTo(("a",), 3), GreaterThan(("b",), 1.5), LessThan(("c",), "m"),
+         In(("d",), (1, 2))]
+    )
+    assert [type(f).__name__ for f in rest] == ["In"]  # unsupported stays
+    pred = r._predicate()
+    assert pred({"a": 3, "b": 2.0, "c": "a"})
+    assert not pred({"a": 4, "b": 2.0, "c": "a"})
+    assert not pred({"a": 3, "b": 1.5, "c": "a"})
+    assert not pred({"a": 3, "b": 2.0, "c": "z"})
+    assert not pred({"a": None, "b": 2.0, "c": "a"})
+
+
+def test_stream_reader_exactly_once(avro_spark, tmp_path):
+    """availableNow over an Avro landing dir: first run reads the first
+    batch of files; after more files land, a restart from the same
+    checkpoint reads ONLY the new ones."""
+    spark = avro_spark
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(lo, hi, part):
+        spark.range(lo, hi).selectExpr("id", "CAST(id AS STRING) AS s") \
+            .coalesce(1).write.format("etl_avro").mode("append").save(landing)
+
+    land(0, 50, 0)
+    land(50, 100, 1)
+
+    def run_once():
+        q = (
+            spark.readStream.format("etl_avro").load(landing)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(out).count()
+    assert first == 100
+    land(100, 130, 2)
+    run_once()
+    rows = spark.read.parquet(out)
+    assert rows.count() == 130  # 30 new rows, nothing re-read
+    assert rows.select("id").distinct().count() == 130
