@@ -110,6 +110,13 @@ HEADLINE = [
     "bloom_semijoin_reduction",
     "image_dhash_neardup",
     "kcore_copurchase",
+    # round-6 additions (late): local fingerprint self-join with MOSS's
+    # common-fingerprint bucket cap, the two-pass Misra-Gries exact heavy
+    # hitters (no key-space shuffle), and the pure-Python Avro container
+    # codec through mapInPandas (the round's Python-stage archetype)
+    "winnowing_shared_fingerprints",
+    "heavy_hitters_two_pass",
+    "avro_roundtrip_orders",
 ]
 
 

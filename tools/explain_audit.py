@@ -251,6 +251,14 @@ EXTRA = [
     "merge_evolved_schema_orders",  # schema-evolving incremental merge
     "hll_sliding_7d_users",         # sketch-union sliding window
     "warc_record_census",           # Common Crawl record walk
+    # round 6 (non-headline additions)
+    "ewma_daily_revenue",           # lag-stack integer kernel over day grain
+    "cusum_changepoint_screen",     # prefix-sum CUSUM identity, two windows
+    "trend_slope_by_segment",       # closed-form OLS in DECIMAL(38,0)
+    "gopher_dup_ngram_chars",       # dup-5-gram char mass, explode+2 aggs
+    "quality_percentile_gate_by_lang",  # rank gate per language stratum
+    "arrow_grouped_weighted_median",    # applyInArrow grouped UDF surface
+    "avro_source_roundtrip",        # Python DataSource write->infer->read
 ]
 
 
