@@ -136,7 +136,10 @@ def test_stream_reader_exactly_once(avro_spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        # availableNow terminates on its own; block until it actually has
+        # (a bounded wait can return early under full-suite load and let
+        # the test read a half-written sink)
+        q.awaitTermination()
 
     run_once()
     first = spark.read.parquet(out).count()
