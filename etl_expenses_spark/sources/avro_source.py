@@ -171,26 +171,31 @@ class AvroReader(DataSourceReader):
 
 
 class AvroStreamReader(DataSourceStreamReader):
-    """Landing-directory stream: the offset is the count of files in
-    name-sorted order (an append-only landing zone keeps the prefix
-    stable, so any [start, end) file range is re-readable — checkpoint
-    replay re-produces identical micro-batches, the exactly-once file-
-    source contract). Partition objects carry file PATHS, not indexes, so
-    a replayed task never depends on a fresh listing."""
+    """Landing-directory stream. The offset carries the EXPLICIT sorted
+    list of files seen — not a count or a name high-watermark — because
+    newly-landed files may sort anywhere in the listing (writer job ids
+    are random), and an index- or name-based watermark would both re-read
+    and skip under that reordering. A (start, end) pair therefore always
+    denotes the exact same file set, which is what makes checkpoint
+    replay exactly-once (the same design as Spark's built-in file source,
+    whose seen-file map lives in the checkpoint's offset log). Partition
+    objects carry file PATHS, so a replayed task never re-lists the
+    directory."""
 
     def __init__(self, options, avro_schema: dict):
         self.path = options["path"]
         self.avro_schema = avro_schema
 
     def initialOffset(self):
-        return {"n_files": 0}
+        return {"files": []}
 
     def latestOffset(self):
-        return {"n_files": len(_files(self.path))}
+        return {"files": [os.path.basename(p) for p in _files(self.path)]}
 
     def partitions(self, start, end):
-        files = _files(self.path)[start["n_files"] : end["n_files"]]
-        return [_FilePartition(p) for p in files]
+        seen = set(start["files"])
+        new = [n for n in end["files"] if n not in seen]
+        return [_FilePartition(os.path.join(self.path, n)) for n in new]
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
         return _decode_file(partition.path)

@@ -144,7 +144,21 @@ def test_stream_reader_exactly_once(avro_spark, tmp_path):
     run_once()
     first = spark.read.parquet(out).count()
     assert first == 100
-    land(100, 130, 2)
+    # adversarial arrival: a file whose name sorts BEFORE everything
+    # already processed — a count- or watermark-based offset would both
+    # re-read an old file and skip this one
+    from etl_expenses_spark.operators.avrocodec import write_avro
+
+    schema = {
+        "type": "record", "name": "row",
+        "fields": [
+            {"name": "id", "type": ["null", "long"]},
+            {"name": "s", "type": ["null", "string"]},
+        ],
+    }
+    recs = [{"id": i, "s": str(i)} for i in range(100, 130)]
+    with open(os.path.join(landing, "aaa-first.avro"), "wb") as f:
+        f.write(write_avro(recs, schema))
     run_once()
     rows = spark.read.parquet(out)
     assert rows.count() == 130  # 30 new rows, nothing re-read
