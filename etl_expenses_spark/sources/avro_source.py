@@ -251,8 +251,11 @@ class AvroWriter(DataSourceWriter):
             for n, t in zip(names, types):
                 v = row[n]
                 if v is not None and t == "timestamp":
-                    v = round((v - _EPOCH_TS).total_seconds() * 1e6)
-                    v = int(v)
+                    # exact integer micros — total_seconds() is float64 and
+                    # can mis-round by 1 µs at ~16 significant digits
+                    td = v - _EPOCH_TS
+                    v = (td.days * 86_400_000_000
+                         + td.seconds * 1_000_000 + td.microseconds)
                 elif v is not None and t == "date":
                     v = (v - _EPOCH_DATE).days
                 elif v is not None and t == "binary":

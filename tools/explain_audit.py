@@ -53,6 +53,8 @@ BNLJ_OK: set[str] = {
     "corpus_mixture_rebalance",
     # one-row (total, n_users) broadcast for the share threshold
     "heavy_hitters_users",
+    # one-row event-total broadcast for the exact n*256 > t gate
+    "heavy_hitters_two_pass",
     "sequence_gap_detection",
     "dedup_keep_best_quality",
     "monthly_spend_mom_delta",
