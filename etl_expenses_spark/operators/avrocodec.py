@@ -85,13 +85,21 @@ def read_long(buf: memoryview, pos: int) -> tuple[int, int]:
 
 # ------------------------------------------------------------- datum codec
 def _normalize(schema) -> dict | str:
-    """Accept {"type": "string"} / "string" / full record dicts."""
+    """Accept {"type": "string"} / "string" / full record dicts. The
+    decimal logical type stays a dict (its encoding differs from raw
+    bytes); other logical annotations reduce to their base primitive."""
     if isinstance(schema, str):
+        return schema
+    if isinstance(schema, dict) and schema.get("logicalType") == "decimal":
         return schema
     if isinstance(schema, dict) and schema.get("type") in _PRIMITIVES and \
             len(schema) <= 2:  # possibly a logicalType annotation
         return schema["type"]
     return schema
+
+
+def _is_decimal(schema) -> bool:
+    return isinstance(schema, dict) and schema.get("logicalType") == "decimal"
 
 
 def _write_datum(out: io.BytesIO, schema, value) -> None:
@@ -106,6 +114,27 @@ def _write_datum(out: io.BytesIO, schema, value) -> None:
         _write_datum(out, schema[branch], value)
         return
     if schema == "null":
+        return
+    if _is_decimal(schema):
+        # bytes-backed decimal (spec: minimal two's-complement big-endian
+        # unscaled integer, length-prefixed like plain bytes)
+        from decimal import Decimal
+
+        scale = int(schema.get("scale", 0))
+        unscaled = int(
+            (value if isinstance(value, Decimal) else Decimal(str(value)))
+            .scaleb(scale).to_integral_value()
+        )
+        nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+        raw = unscaled.to_bytes(nbytes, "big", signed=True)
+        # strip redundant sign bytes to the minimal representation
+        while len(raw) > 1 and (
+            (raw[0] == 0x00 and raw[1] < 0x80)
+            or (raw[0] == 0xFF and raw[1] >= 0x80)
+        ):
+            raw = raw[1:]
+        write_long(out, len(raw))
+        out.write(raw)
         return
     if schema == "boolean":
         out.write(b"\x01" if value else b"\x00")
@@ -138,6 +167,13 @@ def _read_datum(buf: memoryview, pos: int, schema) -> tuple[object, int]:
         return _read_datum(buf, pos, schema[idx])
     if schema == "null":
         return None, pos
+    if _is_decimal(schema):
+        from decimal import Decimal
+
+        n, pos = read_long(buf, pos)
+        unscaled = int.from_bytes(bytes(buf[pos:pos + n]), "big", signed=True)
+        scale = int(schema.get("scale", 0))
+        return Decimal(unscaled).scaleb(-scale), pos + n
     if schema == "boolean":
         return buf[pos] != 0, pos + 1
     if schema in ("int", "long"):

@@ -1532,3 +1532,65 @@ def heavy_hitters_two_pass(spark, sf_dir):
             (F.col("n").cast("double") / F.col("t")).alias("share"),
         )
     )
+
+
+@query(
+    "avro_payload_census",
+    oracle="""
+        WITH sel AS (
+            SELECT doc_id AS did FROM documents WHERE doc_id % 5 = 0)
+        SELECT CASE did % 3 WHEN 0 THEN 'null'
+                            WHEN 1 THEN 'deflate'
+                            ELSE 'snappy' END AS codec,
+               COUNT(*) AS n_files,
+               CAST(SUM(1 + did % 7) AS BIGINT) AS sum_records
+        FROM sel GROUP BY 1
+    """,
+    tags=("multimodal", "container", "census", "avro"),
+)
+def avro_payload_census(spark, sf_dir):
+    """Avro container census oracle-checked END TO END: every fifth
+    document id is muxed in-task into a REAL Avro object-container file
+    (operators/avrocodec.py, codec cycling null/deflate/snappy by id),
+    probed header-only by the census dispatch (probe_bytes — record count
+    from block headers, no datum decode), and aggregated per codec. The
+    oracle recomputes the same counts arithmetically, so a probe that
+    miscounts blocks, misreads the codec, or trips on any of the three
+    compressions fails the hash. Same Arrow-batched mapInPandas shape as
+    the media census: per-row cost independent of payload bytes."""
+    import pandas as pd
+
+    from etl_expenses_spark.operators.avrocodec import write_avro
+    from etl_expenses_spark.operators.containers import probe_bytes
+
+    schema = {
+        "type": "record", "name": "E",
+        "fields": [{"name": "i", "type": "long"},
+                   {"name": "s", "type": "string"}],
+    }
+    codecs = ("null", "deflate", "snappy")
+
+    def census(batches):
+        for b in batches:
+            out_codec, out_n = [], []
+            for did in b["did"]:
+                did = int(did)
+                recs = [{"i": k, "s": f"row{k}"} for k in range(1 + did % 7)]
+                blob = write_avro(recs, schema, codec=codecs[did % 3])
+                p = probe_bytes(blob)
+                if p["container"] != "avro":
+                    raise ValueError(f"census misdispatch: {p['container']}")
+                out_codec.append(p["codec"])
+                out_n.append(p["n_frames"])
+            yield pd.DataFrame({"codec": out_codec, "n_records": out_n})
+
+    d = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(F.col("doc_id").alias("did"))
+    )
+    probed = d.mapInPandas(census, schema="codec string, n_records bigint")
+    return probed.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_records").cast("bigint").alias("sum_records"),
+    )

@@ -60,6 +60,8 @@ def _avro_field_to_ddl(ftype) -> str:
             return "timestamp"
         if lt == "date":
             return "date"
+        if lt == "decimal":
+            return f"decimal({ftype['precision']},{ftype.get('scale', 0)})"
         ftype = ftype["type"]
     return {
         "long": "bigint", "int": "int", "double": "double", "float": "float",
@@ -228,6 +230,10 @@ class AvroWriter(DataSourceWriter):
                 at: object = {"type": "long", "logicalType": "timestamp-micros"}
             elif t == "date":
                 at = {"type": "int", "logicalType": "date"}
+            elif t.startswith("decimal("):
+                p, s = t[8:-1].split(",")
+                at = {"type": "bytes", "logicalType": "decimal",
+                      "precision": int(p), "scale": int(s)}
             else:
                 at = {
                     "bigint": "long", "int": "int", "double": "double",

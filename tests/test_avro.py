@@ -136,3 +136,41 @@ def test_census_dispatch_recognizes_avro():
     assert got["container"] == "avro"
     assert got["codec"] == "deflate"
     assert got["n_frames"] == 12
+
+
+def test_decimal_logical_type_roundtrip():
+    from decimal import Decimal
+
+    dec_schema = {
+        "type": "record", "name": "M",
+        "fields": [
+            {"name": "amount",
+             "type": {"type": "bytes", "logicalType": "decimal",
+                      "precision": 18, "scale": 2}},
+            {"name": "opt",
+             "type": ["null", {"type": "bytes", "logicalType": "decimal",
+                               "precision": 10, "scale": 4}]},
+        ],
+    }
+    recs = [
+        {"amount": Decimal("0.00"), "opt": None},
+        {"amount": Decimal("-0.01"), "opt": Decimal("123.4567")},
+        {"amount": Decimal("123456789012345.67"), "opt": Decimal("-0.0001")},
+        {"amount": Decimal("-128.00"), "opt": Decimal("1.2800")},  # 0x80 edges
+        {"amount": Decimal("1.28"), "opt": Decimal("-655.3600")},
+    ]
+    data = write_avro(recs, dec_schema, codec="deflate")
+    schema, back = read_avro(data)
+    assert back == recs
+    # encoding is the MINIMAL two's-complement form: -0.01 -> unscaled -1
+    # must serialize to exactly one byte 0xFF
+    import io as _io
+
+    from etl_expenses_spark.operators.avrocodec import _write_datum
+
+    buf = _io.BytesIO()
+    _write_datum(buf, dec_schema["fields"][0]["type"], Decimal("-0.01"))
+    assert buf.getvalue() == b"\x02\xff"  # length 1 (zigzag 2) + 0xFF
+    buf = _io.BytesIO()
+    _write_datum(buf, dec_schema["fields"][0]["type"], Decimal("1.28"))
+    assert buf.getvalue() == b"\x04\x00\x80"  # 128 needs a sign byte

@@ -26,15 +26,18 @@ def avro_spark(spark):
 
 def test_all_types_roundtrip(avro_spark, tmp_path):
     spark = avro_spark
+    from decimal import Decimal
+
     rows = [
         (1, "a", 1.5, True, b"\x00\xff", datetime.date(2024, 2, 29),
-         datetime.datetime(2024, 2, 29, 12, 34, 56, 789012)),
+         datetime.datetime(2024, 2, 29, 12, 34, 56, 789012),
+         Decimal("12345.678")),
         (2, None, -0.0, False, b"", datetime.date(1970, 1, 1),
-         datetime.datetime(1969, 12, 31, 23, 59, 59)),
-        (-(2**62), "üñí✓", 2.0**-1022, None, None, None, None),
+         datetime.datetime(1969, 12, 31, 23, 59, 59), Decimal("-0.001")),
+        (-(2**62), "üñí✓", 2.0**-1022, None, None, None, None, None),
     ]
     ddl = ("k bigint, s string, d double, b boolean, bin binary, "
-           "dt date, ts timestamp")
+           "dt date, ts timestamp, amt decimal(12,3)")
     df = spark.createDataFrame(rows, ddl)
     target = str(tmp_path / "t")
     df.write.format("etl_avro").mode("overwrite").save(target)
