@@ -348,3 +348,85 @@ def probe_avro(data: bytes, max_blocks: int = 10000) -> dict | None:
         }
     except (ValueError, KeyError, json.JSONDecodeError):
         return None
+
+
+# ---------------------------------------------------------------------------
+# Schema resolution (spec §"Schema Resolution"): adapt records decoded with
+# their file's WRITER schema to a READER schema — the mechanism that lets
+# one query span years of files whose record shape evolved.
+# ---------------------------------------------------------------------------
+
+_PROMOTIONS = {
+    "int": {"int", "long", "float", "double"},
+    "long": {"long", "float", "double"},
+    "float": {"float", "double"},
+    "double": {"double"},
+    "string": {"string", "bytes"},
+    "bytes": {"bytes", "string"},
+}
+
+
+def _base(schema) -> str | None:
+    """Primitive base type of a possibly-union / logical-annotated schema."""
+    s = _normalize(schema)
+    if isinstance(s, list):
+        inner = [t for t in s if _normalize(t) != "null"]
+        return _base(inner[0]) if len(inner) == 1 else None
+    if _is_decimal(s):
+        return "decimal"
+    return s if isinstance(s, str) else None
+
+
+def _nullable(schema) -> bool:
+    s = schema if isinstance(schema, list) else [schema]
+    return any(_normalize(t) == "null" for t in s)
+
+
+def resolve_record(rec: dict, writer: dict, reader: dict) -> dict:
+    """Adapt one decoded record from writer to reader field layout:
+    fields match by NAME; writer-only fields are dropped; reader-only
+    fields take their declared default (or null when nullable); promoted
+    primitives convert (int->long/float/double, long->float/double,
+    float->double, string<->bytes). Raises on an unresolvable pair."""
+    w_types = {f["name"]: f["type"] for f in writer["fields"]}
+    out = {}
+    for f in reader["fields"]:
+        name, r_type = f["name"], f["type"]
+        if name not in w_types:
+            if "default" in f:
+                out[name] = f["default"]
+            elif _nullable(r_type):
+                out[name] = None
+            else:
+                raise ValueError(
+                    f"avro: reader field {name!r} absent from writer schema "
+                    "and has no default"
+                )
+            continue
+        v = rec[name]
+        wb, rb = _base(w_types[name]), _base(r_type)
+        if wb == rb or v is None:
+            out[name] = v
+        elif wb in _PROMOTIONS and rb in _PROMOTIONS[wb]:
+            if rb in ("float", "double"):
+                out[name] = float(v)
+            elif rb == "long":
+                out[name] = int(v)
+            elif rb == "bytes":
+                out[name] = v.encode("utf-8")
+            else:  # bytes -> string
+                out[name] = v.decode("utf-8")
+        else:
+            raise ValueError(
+                f"avro: cannot resolve field {name!r}: writer {wb} "
+                f"-> reader {rb}"
+            )
+    return out
+
+
+def read_avro_resolved(data: bytes, reader_schema: dict) -> list[dict]:
+    """read_avro + per-record schema resolution to `reader_schema`."""
+    writer, records = read_avro(data)
+    if writer == reader_schema:
+        return records
+    return [resolve_record(r, writer, reader_schema) for r in records]

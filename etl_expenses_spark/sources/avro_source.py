@@ -110,9 +110,21 @@ def _converters(schema: dict):
     return [f["name"] for f in schema["fields"]], convs
 
 
-def _decode_file(path: str, predicate=None) -> Iterator[tuple]:
+def _decode_file(path: str, predicate=None, reader_schema: dict | None = None
+                 ) -> Iterator[tuple]:
+    """Decode one container file; when `reader_schema` differs from the
+    file's writer schema, apply the spec's schema-resolution rules
+    (operators/avrocodec.py:resolve_record) so a directory whose files
+    span schema versions still reads as ONE relation."""
     with open(path, "rb") as f:
-        schema, records = read_avro(f.read())
+        data = f.read()
+    if reader_schema is not None:
+        from etl_expenses_spark.operators.avrocodec import read_avro_resolved
+
+        records = read_avro_resolved(data, reader_schema)
+        schema = reader_schema
+    else:
+        schema, records = read_avro(data)
     names, convs = _converters(schema)
     for rec in records:
         if predicate is None or predicate(rec):
@@ -169,7 +181,9 @@ class AvroReader(DataSourceReader):
         return [_FilePartition(p) for p in _files(self.path)]
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
-        return _decode_file(partition.path, self._predicate())
+        return _decode_file(
+            partition.path, self._predicate(), self.avro_schema
+        )
 
 
 class AvroStreamReader(DataSourceStreamReader):
@@ -200,7 +214,7 @@ class AvroStreamReader(DataSourceStreamReader):
         return [_FilePartition(os.path.join(self.path, n)) for n in new]
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
-        return _decode_file(partition.path)
+        return _decode_file(partition.path, None, self.avro_schema)
 
     def commit(self, end):
         pass
@@ -289,20 +303,22 @@ class AvroDataSource(DataSource):
         return "etl_avro"
 
     def schema(self) -> str:
-        files = _files(self.options["path"])
-        if not files:
+        if not self.options.get("avroschema") and not _files(self.options["path"]):
             raise ValueError(f"etl_avro: no .avro files under {self.options['path']}")
-        from etl_expenses_spark.operators.avrocodec import _read_header
-
-        with open(files[0], "rb") as f:
-            head = f.read(65536)
-        schema, _codec, _sync, _pos = _read_header(memoryview(head))
+        schema = self._first_schema()
         return ", ".join(
             f"{fld['name']} {_avro_field_to_ddl(fld['type'])}"
             for fld in schema["fields"]
         )
 
     def _first_schema(self) -> dict:
+        # explicit reader schema wins (the evolution contract: files
+        # written under older schemas resolve up to it); else the first
+        # file's header defines the relation
+        import json as _json
+
+        if self.options.get("avroschema"):
+            return _json.loads(self.options["avroschema"])
         files = _files(self.options["path"])
         from etl_expenses_spark.operators.avrocodec import _read_header
 

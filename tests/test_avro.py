@@ -174,3 +174,43 @@ def test_decimal_logical_type_roundtrip():
     buf = _io.BytesIO()
     _write_datum(buf, dec_schema["fields"][0]["type"], Decimal("1.28"))
     assert buf.getvalue() == b"\x04\x00\x80"  # 128 needs a sign byte
+
+
+def test_schema_resolution_rules():
+    """Spec §Schema Resolution: name matching, defaults, promotions,
+    drops, and the illegal-narrowing error."""
+    from etl_expenses_spark.operators.avrocodec import (
+        read_avro_resolved,
+        resolve_record,
+    )
+
+    old = {"type": "record", "name": "R", "fields": [
+        {"name": "id", "type": "int"},
+        {"name": "name", "type": "string"}]}
+    new = {"type": "record", "name": "R", "fields": [
+        {"name": "id", "type": "long"},                      # int -> long
+        {"name": "name", "type": "bytes"},                   # string -> bytes
+        {"name": "score", "type": ["null", "double"]},       # added nullable
+        {"name": "tag", "type": "string", "default": "none"}]}  # w/ default
+    data = write_avro([{"id": 7, "name": "a"}], old)
+    assert read_avro_resolved(data, new) == [
+        {"id": 7, "name": b"a", "score": None, "tag": "none"}
+    ]
+    # newer writer -> older reader: extra fields drop, but long->int must
+    # refuse (illegal narrowing)
+    data2 = write_avro(
+        [{"id": 9, "name": b"x", "score": 1.5, "tag": "t"}], new
+    )
+    with pytest.raises(ValueError, match="long -> reader int"):
+        read_avro_resolved(data2, old)
+    # float widening and bytes->string
+    w = {"type": "record", "name": "R", "fields": [
+        {"name": "x", "type": "float"}, {"name": "b", "type": "bytes"}]}
+    r = {"type": "record", "name": "R", "fields": [
+        {"name": "x", "type": "double"}, {"name": "b", "type": "string"}]}
+    assert resolve_record({"x": 1.5, "b": b"hi"}, w, r) == {"x": 1.5, "b": "hi"}
+    # reader-only field without default and not nullable: error
+    r2 = {"type": "record", "name": "R", "fields": [
+        {"name": "x", "type": "double"}, {"name": "zz", "type": "long"}]}
+    with pytest.raises(ValueError, match="no default"):
+        resolve_record({"x": 1.0, "b": b""}, w, r2)

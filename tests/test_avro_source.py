@@ -166,3 +166,38 @@ def test_stream_reader_exactly_once(avro_spark, tmp_path):
     rows = spark.read.parquet(out)
     assert rows.count() == 130  # 30 new rows, nothing re-read
     assert rows.select("id").distinct().count() == 130
+
+
+def test_mixed_schema_directory_resolves(avro_spark, tmp_path):
+    """A directory whose files span schema versions reads as ONE relation
+    under an explicit reader schema (files written before a column existed
+    surface it as null / default; int columns widen to long)."""
+    import json
+
+    from etl_expenses_spark.operators.avrocodec import write_avro
+
+    spark = avro_spark
+    landing = tmp_path / "mixed"
+    landing.mkdir()
+    v1 = {"type": "record", "name": "row", "fields": [
+        {"name": "id", "type": "int"},
+        {"name": "name", "type": ["null", "string"]}]}
+    v2 = {"type": "record", "name": "row", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": ["null", "string"]},
+        {"name": "score", "type": ["null", "double"]}]}
+    (landing / "a_v1.avro").write_bytes(
+        write_avro([{"id": 1, "name": "one"}, {"id": 2, "name": None}], v1)
+    )
+    (landing / "b_v2.avro").write_bytes(
+        write_avro([{"id": 3, "name": "three", "score": 0.5}], v2)
+    )
+    back = (
+        spark.read.format("etl_avro")
+        .option("avroSchema", json.dumps(v2))
+        .load(str(landing))
+    )
+    assert back.dtypes == [("id", "bigint"), ("name", "string"),
+                           ("score", "double")]
+    rows = {tuple(r) for r in back.collect()}
+    assert rows == {(1, "one", None), (2, None, None), (3, "three", 0.5)}
