@@ -78,3 +78,54 @@ def test_candidates_cover_heavies_under_many_partitions(spark):
     t = sum(r.n for r in exact)
     heavies = {r.user_id for r in exact if r.n * 256 > t}
     assert heavies <= cands
+
+
+def test_streaming_mg_state_equals_batch(spark, tmp_path):
+    """Stream the events in micro-batches, fold MG state per batch, then
+    recount: output must equal the batch two-pass query. Also pins replay
+    idempotency (re-running from a fresh checkpoint with the ledger intact
+    must not double-fold)."""
+    import json
+    import os
+
+    from etl_expenses_spark.streaming.heavyhitters import (
+        heavy_hitters_from_state,
+        mg_state_sink,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", "event_id"
+    )
+    bronze = str(tmp_path / "bronze")
+    # several files -> several micro-batches under maxFilesPerTrigger
+    ev.repartition(6).write.parquet(bronze)
+    stream = (
+        spark.readStream.schema("user_id long, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bronze)
+    )
+    state = str(tmp_path / "state")
+    q = mg_state_sink(stream, state, str(tmp_path / "ckpt"), cap=512)
+    q.awaitTermination()
+
+    with open(os.path.join(state, "_meta.json")) as f:
+        meta = json.load(f)
+    assert meta["total"] == ev.count()
+
+    got = {
+        (r.user_id, r.n)
+        for r in heavy_hitters_from_state(spark, state, ev).collect()
+    }
+    expected = {
+        (r.user_id, r.n)
+        for r in REGISTRY["heavy_hitters_two_pass"].build(spark, SF_DIR).collect()
+    }
+    assert got == expected and got
+
+    # replay: restart from a FRESH checkpoint (batch ids restart at 0);
+    # the epoch ledger must refuse to re-fold epochs it has seen
+    q2 = mg_state_sink(stream, state, str(tmp_path / "ckpt2"), cap=512)
+    q2.awaitTermination()
+    with open(os.path.join(state, "_meta.json")) as f:
+        meta2 = json.load(f)
+    assert meta2["total"] == meta["total"]  # nothing double-counted
