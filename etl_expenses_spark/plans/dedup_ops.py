@@ -863,6 +863,55 @@ def dedup_containment_pairs(spark, sf_dir):
     )
 
 
+def _winnowing_pairs(spark, sf_dir):
+    """Shared implementation: winnowing fingerprint pairs (doc_a < doc_b,
+    shared_fps >= 3, common fingerprints seen in > 64 docs dropped)."""
+    d = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", tokens(F.lower(F.col("text"))).alias("toks"))
+        .filter(F.size("toks") >= 6)
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("toks", i),
+            F.element_at("toks", i + 1),
+            F.element_at("toks", i + 2),
+        ),
+    )
+    hashes = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    )
+    h = d.select("doc_id", hashes.alias("hs"))
+    # windows of 4 consecutive hashes: i = 1..n-3 (DuckDB's hs[i:i+3]
+    # slice is INCLUSIVE on both ends = the same 4 elements)
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("hs") - 3),
+            lambda i: F.array_min(F.slice("hs", i, 4)),
+        )
+    )
+    f = h.select("doc_id", F.explode(fps).alias("fp"))
+    rare = (
+        f.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") <= 64)
+        .select("fp")
+    )
+    fr = f.join(rare, "fp")
+    return (
+        fr.alias("a")
+        .join(fr.alias("b"), "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 3)
+    )
+
+
 @query(
     "winnowing_shared_fingerprints",
     oracle=r"""
@@ -910,48 +959,67 @@ def winnowing_shared_fingerprints(spark, sf_dir):
     keyed self-join AFTER dropping fingerprints seen in > 64 documents —
     MOSS's own common-code filter — which bounds every join bucket at
     64 x 64. One shuffle keyed by the 60-bit fingerprint."""
-    d = (
-        T(spark, sf_dir, "documents")
-        .select("doc_id", tokens(F.lower(F.col("text"))).alias("toks"))
-        .filter(F.size("toks") >= 6)
-    )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size("toks") - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at("toks", i),
-            F.element_at("toks", i + 1),
-            F.element_at("toks", i + 2),
+    return _winnowing_pairs(spark, sf_dir)
+
+
+@query(
+    "winnowing_template_clusters",
+    oracle=r"""
+        WITH RECURSIVE
+        t AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                               x -> x <> '') AS toks
+            FROM documents),
+        h AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(toks) - 1),
+                       i -> CAST(concat('0x', substr(md5(
+                                toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                            ), 1, 15)) AS BIGINT)) AS hs
+            FROM t WHERE len(toks) >= 6),
+        f AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(range(1, len(hs) - 2),
+                       i -> list_min(hs[i:i+3])))) AS fp
+            FROM h),
+        rare AS (
+            SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= 64),
+        e AS (
+            SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM f a JOIN rare USING (fp) JOIN f b USING (fp)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 3),
+        sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        reach(id, r) AS (
+            SELECT DISTINCT src, src FROM sym
+            UNION
+            SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src
         ),
+        cc AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+        SELECT doc_id, cluster_id,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM cc
+    """,
+    tags=("dedup", "fingerprint", "winnowing", "clustering", "iterative"),
+)
+def winnowing_template_clusters(spark, sf_dir):
+    """Template/boilerplate FAMILIES: winnowing shared-fingerprint pairs
+    (the local-overlap evidence) become edges, and connected components
+    group documents built from the same template even when no single pair
+    spans the whole family (A overlaps B, B overlaps C → one cluster).
+    The curation action is per-cluster: keep one exemplar, or strip the
+    shared region. Same BSP min-label CC as the MinHash clustering path —
+    at 100 TB the edge set comes from the identical winnowing pair join,
+    so this composition adds only the log-diameter label rounds."""
+    pairs = _winnowing_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    hashes = F.transform(
-        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    cc = connected_components(pairs)
+    w = W.partitionBy("cluster_id")
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
     )
-    h = d.select("doc_id", hashes.alias("hs"))
-    # windows of 4 consecutive hashes: i = 1..n-3 (DuckDB's hs[i:i+3]
-    # slice is INCLUSIVE on both ends = the same 4 elements)
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size("hs") - 3),
-            lambda i: F.array_min(F.slice("hs", i, 4)),
-        )
-    )
-    f = h.select("doc_id", F.explode(fps).alias("fp"))
-    rare = (
-        f.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") <= 64)
-        .select("fp")
-    )
-    fr = f.join(rare, "fp")
-    pairs = (
-        fr.alias("a")
-        .join(fr.alias("b"), "fp")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("shared_fps"))
-        .filter(F.col("shared_fps") >= 3)
-    )
-    return pairs
