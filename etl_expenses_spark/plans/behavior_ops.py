@@ -1501,3 +1501,49 @@ def weighted_median_spend(spark, sf_dir):
         )
         .select("o_custkey", F.col("cents").alias("median_cents"))
     )
+
+
+@query(
+    "event_trigram_paths",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, event_type, ts, event_id,
+                   LEAD(event_type, 1) OVER w AS e2,
+                   LEAD(event_type, 2) OVER w AS e3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path,
+               COUNT(*) AS n
+        FROM s WHERE e3 IS NOT NULL
+        GROUP BY 1
+        ORDER BY n DESC, path
+        LIMIT 25
+    """,
+    tags=("behavior", "sequence", "window", "topk"),
+)
+def event_trigram_paths(spark, sf_dir):
+    """Top event-path trigrams: the three-step behavioral sequences users
+    actually walk (view > click > purchase vs view > error > view), the
+    path-mining complement of the first-order transition matrix (which
+    only sees consecutive PAIRS and cannot distinguish those two stories
+    past step one). Per-user LEAD window on (ts, event_id) — a total
+    order, so both engines form identical trigrams — then a global count
+    + TopK. At 100 TB the window shuffles once on user_id; path
+    cardinality is |event_types|^3, so the count relation is tiny."""
+    from pyspark.sql.window import Window as W
+
+    e = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        s.groupBy(
+            F.concat_ws(" > ", "event_type", "e2", "e3").alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(25)
+    )

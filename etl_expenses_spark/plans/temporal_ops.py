@@ -1291,3 +1291,61 @@ def trend_slope_by_segment(spark, sf_dir):
         slope.alias("slope_cents_per_day"),
         intercept.alias("intercept_cents"),
     )
+
+
+@query(
+    "dow_seasonality_profile",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS cents
+            FROM orders),
+        per AS (
+            SELECT dow, COUNT(*) AS n_orders,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM d GROUP BY dow),
+        tot AS (
+            SELECT CAST(SUM(sum_cents) AS BIGINT) AS t,
+                   CAST(SUM(n_orders) AS BIGINT) AS n
+            FROM per)
+        SELECT dow, n_orders, sum_cents,
+               CAST(sum_cents AS DOUBLE) / n_orders AS avg_cents,
+               (CAST(sum_cents AS DOUBLE) / n_orders)
+                   / (CAST(t AS DOUBLE) / n) AS seasonality_index
+        FROM per, tot
+    """,
+    tags=("temporal", "seasonality", "agg"),
+)
+def dow_seasonality_profile(spark, sf_dir):
+    """Day-of-week seasonality: average order value per weekday indexed
+    against the overall average (index > 1 = that weekday runs hot) — the
+    profile that calibrates the seasonal-naive forecast and flags
+    weekday-skewed load. Integer cent sums; the two divisions and their
+    ratio are the identical IEEE expression tree on identical operands in
+    both engines. One hash aggregate to 7 rows + a 1-row broadcast —
+    constant cost at any history length. Spark dayofweek == DuckDB
+    dayofweek + 1 (Sun=1 vs Sun=0), aligned by using extract semantics:
+    both here return 1..7 with Sunday=1 via the chosen functions."""
+    o = T(spark, sf_dir, "orders")
+    d = o.select(
+        F.dayofweek("o_orderdate").cast("bigint").alias("dow"),
+        (dec("o_totalprice", 2, 18) * 100).cast("bigint").alias("cents"),
+    )
+    per = d.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+    tot = per.agg(
+        F.sum("sum_cents").cast("bigint").alias("t"),
+        F.sum("n_orders").cast("bigint").alias("n"),
+    )
+    avg = F.col("sum_cents").cast("double") / F.col("n_orders")
+    overall = F.col("t").cast("double") / F.col("n")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "n_orders",
+        "sum_cents",
+        avg.alias("avg_cents"),
+        (avg / overall).alias("seasonality_index"),
+    )

@@ -1191,3 +1191,67 @@ def quality_percentile_gate_by_lang(spark, sf_dir):
         F.col("rn").cast("bigint").alias("rn"),
         F.col("n_lang").cast("bigint").alias("n_lang"),
     )
+
+
+@query(
+    "vocab_drift_topk",
+    oracle=f"""
+        WITH toks AS (
+            SELECT CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+                        THEN 'a' ELSE 'b' END AS half,
+                   unnest({_D_TOKENS.replace("text", "lower(text)")}) AS term
+            FROM documents),
+        c AS (
+            SELECT term,
+                   SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS n_a,
+                   SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS n_b
+            FROM toks GROUP BY term),
+        tot AS (
+            SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+                   CAST(SUM(n_b) AS BIGINT) AS tb FROM c)
+        SELECT term, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CAST(ABS(n_a * tb - n_b * ta) AS BIGINT) AS scaled_drift
+        FROM c, tot
+        ORDER BY scaled_drift DESC, term
+        LIMIT 20
+    """,
+    tags=("text", "drift", "training", "topk"),
+)
+def vocab_drift_topk(spark, sf_dir):
+    """Vocabulary drift between two corpus halves (even- vs odd-numbered
+    sources): the terms whose relative frequency differs most — the
+    domain-shift detector run before mixing a new crawl into the training
+    set. Drift is the cross-multiplied integer |n_a*T_b - n_b*T_a|
+    (proportional to the difference of relative frequencies scaled by
+    T_a*T_b), so ranking needs no division and no floats anywhere —
+    bit-exact ordering across engines, with the term as tiebreaker. One
+    explode -> one hash aggregate keyed by term -> 1-row total broadcast
+    -> TopK."""
+    half = F.when(
+        F.substring("source", 4, 10).cast("bigint") % 2 == 0, "a"
+    ).otherwise("b")
+    toks = (
+        T(spark, sf_dir, "documents")
+        .select(half.alias("half"), F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+    )
+    c = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("half") == "a", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("half") == "b", 1).otherwise(0)).alias("n_b"),
+    )
+    tot = c.agg(
+        F.sum("n_a").cast("bigint").alias("ta"),
+        F.sum("n_b").cast("bigint").alias("tb"),
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.abs(F.col("n_a") * F.col("tb") - F.col("n_b") * F.col("ta"))
+            .cast("bigint")
+            .alias("scaled_drift"),
+        )
+        .orderBy(F.desc("scaled_drift"), F.asc("term"))
+        .limit(20)
+    )
