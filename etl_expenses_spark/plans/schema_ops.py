@@ -1256,3 +1256,66 @@ def avro_source_roundtrip(spark, sf_dir):
     )
     src.write.format("etl_avro").mode("overwrite").save(d)
     return spark.read.format("etl_avro").load(d)
+
+
+@query(
+    "format_consistency_audit",
+    oracle="""
+        WITH h AS (
+            SELECT CAST(concat('0x',
+                       substr(md5(concat_ws('|',
+                           CAST(o_orderkey AS VARCHAR),
+                           CAST(o_custkey AS VARCHAR),
+                           o_orderstatus,
+                           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                           strftime(o_orderdate, '%Y-%m-%d'))), 1, 15))
+                   AS BIGINT) AS rh
+            FROM orders),
+        agg AS (
+            SELECT COUNT(*) AS n_rows, bit_xor(rh) AS xor_hash FROM h)
+        SELECT fmt.format, agg.n_rows, agg.xor_hash
+        FROM agg, (SELECT 'parquet' AS format UNION ALL
+                   SELECT 'avro' UNION ALL SELECT 'orc') fmt
+    """,
+    tags=("quality", "checksum", "format", "multimodal"),
+)
+def format_consistency_audit(spark, sf_dir):
+    """Cross-format value-integrity audit: the SAME orders slice flows
+    through three physical representations — the parquet scan, the
+    pure-Python Avro container roundtrip, and the pyarrow ORC roundtrip —
+    and each path reduces to (row count, order-insensitive XOR of
+    canonical row hashes). The three rows MUST agree; any codec that
+    shifts a timestamp epoch, re-rounds a price, or drops a row produces
+    a different xor_hash, and the oracle (which derives all three rows
+    from parquet alone) catches it. This is the periodic lake-health
+    check you run after introducing a new format into the pipeline.
+    Shuffle-free: each path is scan -> project -> 1-row hash aggregate."""
+    from etl_expenses_spark.plans.registry import REGISTRY
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate"]
+
+    def checksum(df, fmt: str):
+        canon = F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            dec("o_totalprice").cast("string"),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+        )
+        rh = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+        return df.select(rh.alias("rh")).agg(
+            F.lit(fmt).alias("format"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(rh)").alias("xor_hash"),
+        )
+
+    parquet = T(spark, sf_dir, "orders").select(*cols)
+    avro = REGISTRY["avro_roundtrip_orders"].build(spark, sf_dir)
+    orc = REGISTRY["orc_roundtrip_orders"].build(spark, sf_dir)
+    return (
+        checksum(parquet, "parquet")
+        .unionByName(checksum(avro, "avro"))
+        .unionByName(checksum(orc, "orc"))
+    )
