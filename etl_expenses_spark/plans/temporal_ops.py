@@ -1349,3 +1349,70 @@ def dow_seasonality_profile(spark, sf_dir):
         avg.alias("avg_cents"),
         (avg / overall).alias("seasonality_index"),
     )
+
+
+@query(
+    "anomalous_revenue_days",
+    oracle="""
+        WITH d AS (
+            SELECT c.c_mktsegment AS segment, o.o_orderdate AS day,
+                   CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2),
+        m AS (
+            SELECT segment, median(cents) AS med FROM d GROUP BY segment),
+        a AS (
+            SELECT d.segment, d.day, d.cents, m.med,
+                   ABS(d.cents - m.med) AS adev
+            FROM d JOIN m ON d.segment = m.segment),
+        s AS (
+            SELECT segment, median(adev) AS mad FROM a GROUP BY segment)
+        SELECT a.segment, a.day, a.cents, a.med, s.mad,
+               (a.cents - a.med) / s.mad AS mad_z
+        FROM a JOIN s ON a.segment = s.segment
+        WHERE ABS(a.cents - a.med) > 6 * s.mad
+    """,
+    tags=("temporal", "anomaly", "robust"),
+)
+def anomalous_revenue_days(spark, sf_dir):
+    """Robust daily-revenue anomaly screen: days whose revenue sits more
+    than 6 MADs from their segment's median — the outlier detector that,
+    with ewma_daily_revenue (smoothing) and cusum_changepoint_screen
+    (level shifts), completes the SPC monitor trio. Median/MAD instead of
+    mean/stddev so the anomalies themselves cannot drag the threshold.
+    Determinism: cents are integers; the exact median of integers is an
+    integer or a .5 half-integer — identical doubles in both engines —
+    and the 6-MAD gate compares products of identical values. Aggregate
+    first; medians run over the tiny segment×day grain."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    d = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.sum((dec("o_totalprice", 2, 18) * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    m = d.groupBy("segment").agg(F.median("cents").alias("med"))
+    a = d.join(m, "segment").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med"))
+    )
+    s = a.groupBy("segment").agg(F.median("adev").alias("mad"))
+    return (
+        a.join(s, "segment")
+        .filter(F.abs(F.col("cents") - F.col("med")) > 6 * F.col("mad"))
+        .select(
+            "segment",
+            "day",
+            "cents",
+            "med",
+            "mad",
+            ((F.col("cents") - F.col("med")) / F.col("mad")).alias("mad_z"),
+        )
+    )
