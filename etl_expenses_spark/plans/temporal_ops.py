@@ -1416,3 +1416,49 @@ def anomalous_revenue_days(spark, sf_dir):
             ((F.col("cents") - F.col("med")) / F.col("mad")).alias("mad_z"),
         )
     )
+
+
+@query(
+    "shipping_delay_profile",
+    oracle="""
+        WITH d AS (
+            SELECT o.o_orderpriority AS priority,
+                   datediff('day', o.o_orderdate, l.l_shipdate) AS delay
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        SELECT priority,
+               CASE WHEN delay <= 30 THEN '0-30'
+                    WHEN delay <= 60 THEN '31-60'
+                    WHEN delay <= 90 THEN '61-90'
+                    ELSE '90+' END AS bucket,
+               COUNT(*) AS n,
+               CAST(MIN(delay) AS BIGINT) AS min_delay,
+               CAST(MAX(delay) AS BIGINT) AS max_delay
+        FROM d GROUP BY 1, 2
+    """,
+    tags=("temporal", "sla", "join", "agg"),
+)
+def shipping_delay_profile(spark, sf_dir):
+    """Order-to-ship latency distribution by priority — the SLA profile
+    behind every fulfillment dashboard (does 1-URGENT actually ship
+    faster?). Integer day arithmetic and fixed buckets: bit-exact. One
+    fact-to-fact equi join on the order key (co-partitioned shuffle; at
+    100 TB this is the bucketed-join candidate — see
+    colocated_join_spend_by_segment for the zero-Exchange layout) and one
+    hash aggregate to priority×bucket grain."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    d = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("l_shipdate", "o_orderdate").alias("delay"),
+    )
+    bucket = (
+        F.when(F.col("delay") <= 30, "0-30")
+        .when(F.col("delay") <= 60, "31-60")
+        .when(F.col("delay") <= 90, "61-90")
+        .otherwise("90+")
+    )
+    return d.groupBy("priority", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("delay").cast("bigint").alias("min_delay"),
+        F.max("delay").cast("bigint").alias("max_delay"),
+    )
