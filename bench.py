@@ -1,8 +1,11 @@
 """Benchmark harness — the driver runs this per round and records BENCH_r{N}.json.
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
-on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+on local[$SPARK_GRAFT_CPUS] and prints ONE compact JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+The full per-query record (4-decimal timings + per-query ext_cores +
+retries) is written to BENCH_DETAIL.json next to this file — that file is
+what tools/bench_compare.py should be pointed at for cross-round deltas.
 
 Methodology: all tables are warmed once (footer + page cache), then each
 query executes to the noop sink (full computation, no driver-side row
@@ -133,17 +136,22 @@ def measure_query(q, spark, sf_dir: str, max_ext: float,
     Returns (median_sec, ext_cores, retries). Each attempt brackets its
     3-run window with the external-CPU probe; if co-tenant processes burned
     more than `max_ext` cores on average during the window, the timing is a
-    load artifact — back off briefly and re-measure. The attempt with the
-    LOWEST external load wins (its median is the least contaminated
-    estimate we managed to take)."""
+    load artifact — back off briefly and re-measure. The FASTEST clean
+    attempt wins (a clean window's median is a valid measurement, and the
+    fastest of several is the least residually-disturbed one — VERDICT r6
+    #3); if no attempt came in clean, the one with the lowest external
+    load is the least contaminated estimate we managed to take."""
     from tools.cpuprobe import ContentionWindow
 
-    best: tuple[float, float] | None = None  # (ext_cores, median)
+    best: tuple[float, float] | None = None  # (ext_cores, median), never clean
+    best_clean: tuple[float, float] | None = None  # (median, ext), clean
     for attempt in range(attempts):
         win = ContentionWindow()
         t0 = time.perf_counter()
         runs = sorted(run_once(q, spark, sf_dir) for _ in range(3))
         ext = win.external_cores(time.perf_counter() - t0)
+        if ext <= max_ext and (best_clean is None or runs[1] < best_clean[0]):
+            best_clean = (runs[1], ext)
         if best is None or ext < best[0]:
             best = (ext, runs[1])
         if ext <= max_ext:
@@ -156,7 +164,10 @@ def measure_query(q, spark, sf_dir: str, max_ext: float,
                 file=sys.stderr,
             )
             time.sleep(5.0)
-    ext, med = best
+    if best_clean is not None:
+        med, ext = best_clean
+    else:
+        ext, med = best
     return med, ext, attempt
 
 
@@ -220,33 +231,67 @@ def main() -> None:
         if retries:
             retried[name] = retries
 
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # host contention markers. `loadavg_start` is captured
-                # BEFORE warm-up (post idle-gate); loadavg_1m at finish
-                # mostly measures the bench itself. The authoritative
-                # in-run signal is `ext_cores` (per query) and
-                # `ext_cores_max`: average CPU cores burned by processes
-                # OUTSIDE our tree during each query's measurement window
-                # (tools/cpuprobe.py). Deltas are comparable only between
-                # runs whose ext_cores_max stayed below ~1.5.
-                "loadavg_start": round(load_start, 2),
-                "loadavg_1m": round(os.getloadavg()[0], 2),
-                "ext_cores": ext_cores,
-                "ext_cores_max": round(max(ext_cores.values()), 2)
-                if ext_cores
-                else 0.0,
-                "retried": retried,
-            }
-        )
+    # Two outputs (VERDICT r6 #2 — the r6 line grew past the driver's
+    # 2000-char stdout-tail capture once per-query ext_cores joined it, and
+    # the committed perf record was an unparseable fragment):
+    #   1. BENCH_DETAIL.json, committed to the repo: the FULL record —
+    #      per-query timings, per-query ext_cores, retries, contention
+    #      markers. tools/bench_compare.py reads this file directly.
+    #   2. ONE compact stdout line (the driver's contract): metric, value,
+    #      the per-query timing map (3 decimals, compact separators — the
+    #      driver grades the 48-query map, so it stays), sf, and the
+    #      summary contention markers only. ~1.7 KB at 48 queries; the
+    #      length guard below drops to 2 decimals before ever exceeding
+    #      the capture window.
+    line, detail = format_outputs(
+        timings, ext_cores, retried, sf, load_start, os.getloadavg()[0]
     )
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+        f.write("\n")
+    sys.stdout.flush()
+    print(line, flush=True)
+
+
+def format_outputs(timings, ext_cores, retried, sf, load_start, load_now):
+    """(compact stdout line, full detail dict) for a finished run."""
+    total = round(sum(timings.values()), 4)
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if str(sf).replace(".", "").isdigit() else sf,
+        # `loadavg_start` is captured BEFORE warm-up (post idle-gate);
+        # loadavg_1m at finish mostly measures the bench itself. The
+        # authoritative in-run signal is per-query `ext_cores` and
+        # `ext_cores_max`: average USER-space cores burned by processes
+        # outside our tree during each query's window (tools/cpuprobe.py).
+        # Deltas are comparable only when ext_cores_max stayed below ~1.5.
+        "loadavg_start": round(load_start, 2),
+        "loadavg_1m": round(load_now, 2),
+        "ext_cores": ext_cores,
+        "ext_cores_max": round(max(ext_cores.values()), 2) if ext_cores else 0.0,
+        "retried": retried,
+    }
+    line_obj = {
+        "metric": detail["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": detail["sf"],
+        "loadavg_start": detail["loadavg_start"],
+        "ext_cores_max": detail["ext_cores_max"],
+        "retries": sum(retried.values()),
+    }
+    line = json.dumps(line_obj, separators=(",", ":"))
+    if len(line) > 1900:  # stdout-tail capture is ~2000 chars
+        line_obj["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(line_obj, separators=(",", ":"))
+    return line, detail
 
 
 if __name__ == "__main__":

@@ -65,6 +65,86 @@ def test_cpuprobe_counts_own_subtree_as_self():
     assert ext < 0.9
 
 
+def test_cpuprobe_ignores_own_kernel_side_work():
+    # VERDICT r6 #3: kernel-side CPU (kworker/softirq/our own stime) must
+    # not read as co-tenant load. A syscall-heavy child burns mostly system
+    # time; with user-vs-user attribution the window stays clean. (This
+    # pins the arithmetic's consistency: if the total side ever counts
+    # system jiffies again while the subtree side counts only utime, this
+    # child's stime becomes "external" and the assertion fails.)
+    import subprocess
+    import time as _t
+
+    from tools.cpuprobe import ContentionWindow
+
+    win = ContentionWindow()
+    t0 = _t.perf_counter()
+    subprocess.run(
+        ["python", "-c",
+         "import os,time\nt0=time.perf_counter()\n"
+         "while time.perf_counter()-t0<0.5: os.urandom(1<<16)"],
+        check=True,
+    )
+    ext = win.external_cores(_t.perf_counter() - t0)
+    assert ext < 0.9
+
+
+def test_format_outputs_line_fits_capture_and_detail_is_complete():
+    import json as _json
+
+    import bench
+
+    names = bench.HEADLINE  # the real 48-query set is the real guarantee
+    timings = {n: 1.2345 + i / 97 for i, n in enumerate(names)}
+    ext = {n: 0.11 for n in names}
+    line, detail = bench.format_outputs(
+        timings, ext, {names[0]: 2}, "0.1", 0.42, 6.3
+    )
+    names = list(names)
+    # stdout line: parses, carries the full query map, fits the driver's
+    # ~2000-char tail capture with headroom for trailing shutdown output
+    parsed = _json.loads(line)
+    assert set(parsed["queries"]) == set(names)
+    assert parsed["value"] == round(sum(timings.values()), 4)
+    assert parsed["ext_cores_max"] == 0.11 and parsed["retries"] == 2
+    assert len(line) <= 1900
+    assert "ext_cores\":{" not in line  # per-query probe map stays off-line
+    # detail: full-precision timings + the per-query ext_cores map
+    assert detail["queries"] == timings and detail["ext_cores"] == ext
+    assert detail["retried"] == {names[0]: 2}
+
+
+def test_format_outputs_degrades_precision_rather_than_overflowing():
+    import json as _json
+
+    import bench
+
+    # adversarially long names: the guard must drop to 2 decimals, and the
+    # result must still parse with every query present
+    names = ["q" * 60 + str(i) for i in range(40)]
+    timings = {n: 12.3456 for n in names}
+    line, _ = bench.format_outputs(timings, {n: 0.0 for n in names}, {}, 0.1,
+                                   0.3, 1.0)
+    parsed = _json.loads(line)
+    assert parsed["queries"][names[0]] == 12.35
+
+
+def test_bench_compare_reads_detail_file(tmp_path):
+    import json as _json
+    import sys as _sys
+
+    _sys.path.insert(0, "tools")
+    import bench_compare
+
+    detail = {"metric": "headline_queries_total", "value": 3.0,
+              "unit": "sec", "queries": {"a": 1.0, "b": 2.0},
+              "ext_cores": {"a": 0.0, "b": 0.1}, "ext_cores_max": 0.1,
+              "loadavg_start": 0.2, "loadavg_1m": 5.0, "retried": {}}
+    p = tmp_path / "BENCH_DETAIL.json"
+    p.write_text(_json.dumps(detail, indent=1))
+    assert bench_compare.load(str(p))["queries"] == {"a": 1.0, "b": 2.0}
+
+
 def test_measure_query_retries_under_contention(monkeypatch):
     import bench
 

@@ -11,17 +11,30 @@ This probe measures the thing that actually contaminates a timing window:
 CPU time consumed by processes OUTSIDE our own process tree during the
 window. Two counters from /proc, sampled before and after each query:
 
-- total busy jiffies across all CPUs (/proc/stat `cpu` line:
-  user+nice+system+irq+softirq+steal — idle/iowait excluded);
-- busy jiffies of OUR subtree: every /proc/<pid> whose parent chain leads
-  to this process (the Python driver, the Spark JVM it launched, any
-  Arrow/Pandas UDF workers), plus our own reaped-children counters.
+- USER-space jiffies across all CPUs (/proc/stat `cpu` line: user+nice+
+  steal — system/irq/softirq/iowait excluded ON PURPOSE, see below);
+- user jiffies (utime) of OUR subtree: every /proc/<pid> whose parent
+  chain leads to this process (the Python driver, the Spark JVM it
+  launched, any Arrow/Pandas UDF workers), plus our own reaped-children
+  utime.
 
-external_cores = (Δtotal - Δsubtree) / ticks_per_sec / wall_seconds — the
-average number of cores other tenants burned during the window. 0.0 on an
-idle host regardless of how hard the bench itself runs; a query whose
-window shows > ~1.5 external cores was measured under contention and its
-timing is not comparable across rounds.
+external_cores = (Δtotal_user - Δsubtree_user) / ticks / wall_seconds —
+the average number of cores other tenants burned during the window.
+
+Why user-space only (VERDICT r6 #3): the first version compared TOTAL busy
+jiffies against the subtree's utime+stime. Kernel-side work our own
+shuffle/IO generates — kworker writeback, softirq net/block handling — is
+charged to kernel threads OUTSIDE our process tree, so Δtotal − Δsubtree
+read our own kernel load as co-tenant contention: an idle-host run tripped
+the 1.5-core gate on five shuffle-heavy queries and self-flagged at 2.06
+"external" cores. The container's cgroup is the v1 root here, so cgroup
+cpu.stat cannot attribute either. Comparing user-space to user-space makes
+the probe exact for the contamination that matters (a co-tenant's compute
+burst is ~all utime) and blind only to co-tenant *kernel* time — the rare
+case, and strictly better than misreading ourselves. 0.0 on an idle host
+regardless of how hard the bench itself runs; a query whose window shows
+> ~1.5 external cores was measured under contention and its timing is not
+comparable across rounds.
 """
 
 from __future__ import annotations
@@ -32,17 +45,19 @@ _TICKS = os.sysconf("SC_CLK_TCK")
 
 
 def total_busy_jiffies() -> int:
-    """System-wide busy jiffies summed over all CPUs (idle+iowait excluded)."""
+    """System-wide USER-space jiffies summed over all CPUs (user+nice+steal;
+    system/irq/softirq/idle/iowait excluded — kernel time is unattributable
+    to a process tree, see module docstring)."""
     with open("/proc/stat") as f:
         parts = f.readline().split()
     # cpu user nice system idle iowait irq softirq steal [guest guest_nice]
     vals = [int(x) for x in parts[1:11]]
-    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
-    return sum(vals[:8]) - idle
+    steal = vals[7] if len(vals) > 7 else 0
+    return vals[0] + vals[1] + steal
 
 
 def _read_stat(pid: str) -> tuple[int, int] | None:
-    """(ppid, utime+stime) for a pid, or None if it vanished mid-read.
+    """(ppid, utime) for a pid, or None if it vanished mid-read.
     comm may contain spaces/parens, so parse from the LAST ')'."""
     try:
         with open(f"/proc/{pid}/stat", "rb") as f:
@@ -56,14 +71,15 @@ def _read_stat(pid: str) -> tuple[int, int] | None:
     if len(rest) < 13:
         return None
     # after comm: state ppid pgrp session tty tpgid flags minflt cminflt
-    # majflt cmajflt utime stime  -> indices 1, 11, 12
-    return int(rest[1]), int(rest[11]) + int(rest[12])
+    # majflt cmajflt utime stime  -> indices 1, 11 (utime only: the total
+    # side counts only user jiffies, so stime must not be subtracted)
+    return int(rest[1]), int(rest[11])
 
 
 def subtree_busy_jiffies(root_pid: int | None = None) -> int:
-    """Busy jiffies of root_pid's process subtree (default: this process),
-    plus the root's reaped-children counters (cutime+cstime) so short-lived
-    helpers that already exited still count as OURS, not as contention."""
+    """User jiffies of root_pid's process subtree (default: this process),
+    plus the root's reaped-children cutime so short-lived helpers that
+    already exited still count as OURS, not as contention."""
     root = root_pid if root_pid is not None else os.getpid()
     stats: dict[int, tuple[int, int]] = {}
     for pid in os.listdir("/proc"):
@@ -91,7 +107,7 @@ def subtree_busy_jiffies(root_pid: int | None = None) -> int:
         with open(f"/proc/{root}/stat", "rb") as f:
             raw = f.read()
         rest = raw[raw.rfind(b")") + 2 :].split()
-        total += int(rest[13]) + int(rest[14])  # cutime, cstime
+        total += int(rest[13])  # cutime (user only, matching the total side)
     except (OSError, IndexError, ValueError):
         pass
     return total
