@@ -31,16 +31,16 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # registered after the window and is verified by tools/check_oracle.py
 # (the local replica of the same gate) across all scale factors.
 _PRIORITY = [
-    # Round-6 window: 20 kept green §2-family anchors + 30 first-time rows
-    # (driver rows for the last round-5 operator families — WARC census,
-    # sliding HLL, curation funnel, PNG codec — plus six TPC-H shapes and a
-    # spread of never-checked family reps). Rotation rationale + history:
+    # Round-7 window: 16 kept green §2-family anchors + the hardened
+    # fx_convert retry (r6's one red row, now BIGINT-cents/DATE output) +
+    # 33 first-time rows (the 16 COVERAGE.md round-7 candidates, the two
+    # new k-core tiers, and a never-checked spread over TPC-H / SQL-dialect
+    # / format / screen families). Rotation rationale + history:
     # COVERAGE.md. Every slot is lint-checked harness-safe
     # (tools/check_oracle.py --lint-window).
     # -- kept green anchors (one per §2 family) --
     "flagship_spend_by_category",   # agg / flagship
     "derived_columns",              # projection
-    "conditional_mapping",          # CASE
     "join_dims_agg",                # joins
     "multimodal_codec_roundtrip",   # multimodal
     "temporal_scalar_functions",    # date/time functions
@@ -55,44 +55,45 @@ _PRIORITY = [
     "webhook_source_ingest",        # REST source
     "pdf_ticket_pipeline",          # PDF source + UDTF
     "xlsx_report_pipeline",         # XLSX source
-    "tpch_q8_market_share",         # TPC-H
-    "k_anonymity_report",           # privacy
-    "cohort_retention_monthly",     # behavior
-    # -- first-time: round-5 operator families without a driver row --
-    "warc_record_census",
-    "archive_member_census",
-    "hll_sliding_7d_users",
-    "corpus_curation_funnel",
-    "multimodal_png_roundtrip",
-    # -- first-time: TPC-H spread --
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_revenue",
-    # -- first-time: dedup / similarity / text / quality tiers --
-    "dedup_simhash",
-    "similarity_cosine_topk_lsh",
-    "text_redact_pii",
-    "quality_filter_rules",
-    "dataset_split_assign",
-    "feature_hashing_tokens",
-    # -- first-time: temporal / behavior / relational spread --
-    "rolling_7d_active_users",
+    # -- retry: r6's red row, output re-typed hash-robust (VERDICT r6 #1) --
     "fx_convert_order_totals",
-    "installment_schedule_expansion",
-    "pivot_qty_by_status",
-    "null_safe_join",
-    "not_in_null_semantics",
-    "gapfill_daily_user_values",
-    "event_transition_matrix",
-    "agg_exact_percentiles",
-    # -- first-time: monitoring / privacy / sketch twins --
-    "data_drift_monitor",
-    "benford_first_digit_screen",
-    "pseudonymize_stable_ids",
-    "theta_weekly_rollup_from_daily",
+    # -- first-time: the 16 named round-7 candidates (COVERAGE.md) --
+    "ewma_daily_revenue",
+    "cusum_changepoint_screen",
+    "trend_slope_by_segment",
+    "gopher_dup_ngram_chars",
+    "winnowing_shared_fingerprints",
+    "winnowing_template_clusters",
+    "heavy_hitters_two_pass",
+    "avro_roundtrip_orders",
+    "avro_source_roundtrip",
+    "avro_payload_census",
+    "arrow_grouped_weighted_median",
+    "quality_percentile_gate_by_lang",
+    "dow_seasonality_profile",
+    "vocab_drift_topk",
+    "event_trigram_paths",
+    "format_consistency_audit",
+    # -- first-time: round-6/7 operators without driver rows --
+    "kcore_copurchase",
+    "kcore_copurchase_capped",
+    "allpairs_cosine_prefix_join",
+    "dedup_containment_pairs",
+    "image_dhash_neardup",
+    "bloom_semijoin_reduction",
+    "mojibake_screen_and_fix",
+    "shipping_delay_profile",
+    "anomalous_revenue_days",
+    # -- first-time: TPC-H spread --
+    "tpch_q4_order_priority_check",
+    "tpch_q7_nation_trade_volume",
+    "tpch_q9_nation_profit",
+    "tpch_q13_customer_distribution",
+    # -- first-time: SQL dialect + format surfaces --
+    "sql_pipe_syntax_agg",
+    "sql_group_by_all",
+    "orc_roundtrip_orders",
+    "xml_roundtrip",
 ]
 
 

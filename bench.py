@@ -113,6 +113,10 @@ HEADLINE = [
     "bloom_semijoin_reduction",
     "image_dhash_neardup",
     "kcore_copurchase",
+    # round-7 addition: the degree-capped k-core tier (mutual-capped
+    # adjacency bounds per-node state and round count — the shape you run
+    # on hub-heavy graphs; uncapped stays as its oracle, like linkpred)
+    "kcore_copurchase_capped",
     # round-6 additions (late): local fingerprint self-join with MOSS's
     # common-fingerprint bucket cap, the two-pass Misra-Gries exact heavy
     # hitters (no key-space shuffle), and the pure-Python Avro container
@@ -120,6 +124,11 @@ HEADLINE = [
     "winnowing_shared_fingerprints",
     "heavy_hitters_two_pass",
     "avro_roundtrip_orders",
+    # round-7 additions: exact mergeable-bitmap distinct rollup (the new
+    # agg-state archetype) and the LEFT OUTER bucketed range join (outer
+    # interval semantics — NULL restoration via left_anti)
+    "bitmap_weekly_distinct_rollup",
+    "range_left_join_unmatched_clicks",
 ]
 
 

@@ -47,10 +47,11 @@ term that *could* push it over the threshold:
   materialize only for docs that actually share a shingle inside a
   blocking group.
 
-Reference scope: the reference engine's dedup surface is whole-row
-(`/root/reference/etl_whatsapp_gasto_grupal/lambda_function.py:61` —
-drop_duplicates on the message frame); threshold similarity joins are part
-of this repo's training-data-pipeline extension, not a reference port.
+Reference scope: the reference engine's dedup surface is key-based
+(`/root/reference/extract_data_bank_pay/lambda_function.py:138` — a
+SELECT DISTINCT id probe that skips already-loaded rows); threshold
+similarity joins are part of this repo's training-data-pipeline extension,
+not a reference port.
 """
 
 from __future__ import annotations

@@ -25,8 +25,8 @@ uncompressed data, per spec.
 Why hand-rolled: the container ships no avro/fastavro package and pyarrow
 has no Avro module, while Avro remains a first-class interchange format for
 event pipelines (the reference's webhook/event surface at
-/root/reference/etl_gmail/main.py ships JSON; Avro is the schema'd
-equivalent at scale). The reader/writer run INSIDE tasks via mapInPandas —
+/root/reference/webhook_mp_report/lambda_function.py:15 ships JSON bodies;
+Avro is the schema'd equivalent at scale). The reader/writer run INSIDE tasks via mapInPandas —
 no driver-side bytes. Like the WARC/ZIP walks in containers.py, the probe
 is header+block-skips only: O(#blocks), independent of payload bytes.
 """

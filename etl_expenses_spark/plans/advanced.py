@@ -1594,3 +1594,56 @@ def avro_payload_census(spark, sf_dir):
         F.count(F.lit(1)).alias("n_files"),
         F.sum("n_records").cast("bigint").alias("sum_records"),
     )
+
+
+@query(
+    "heavy_hitters_stream_fold",
+    oracle="""
+        WITH counts AS (
+            SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts)
+        SELECT user_id, n, CAST(n AS DOUBLE) / t AS share
+        FROM counts, tot
+        WHERE n * 256 > t
+    """,
+    tags=("streaming", "agg", "sketch", "heavy_hitters"),
+)
+def heavy_hitters_stream_fold(spark, sf_dir):
+    """The streaming MG machinery's driver-checked row (VERDICT r6 #8):
+    the events table is replayed through `streaming/heavyhitters.py`'s
+    foreachBatch sink as four real micro-batches (file stream,
+    maxFilesPerTrigger=1, availableNow), each batch folded into the
+    bounded Misra-Gries state via the per-partition mapInPandas summaries,
+    then `heavy_hitters_from_state` recounts the surviving candidates —
+    and the result must equal the one-shot exact heavy-hitter SQL the
+    oracle runs. What this pins at the driver: epoch-ledger commit
+    protocol, per-partition fold bound, cross-batch superset guarantee,
+    and the recount's exactness, none of which depend on how the rows were
+    micro-batched (the MG summary content does; the recounted output does
+    not — that independence IS the two-pass contract).
+
+    Scale shape: identical to heavy_hitters_two_pass per batch (key space
+    never shuffled; ≤ (cap+1)×partitions summary rows per epoch), state
+    ≤ cap rows forever."""
+    import os
+    import tempfile
+
+    from etl_expenses_spark.streaming.heavyhitters import (
+        heavy_hitters_from_state,
+        mg_state_sink,
+    )
+
+    ev = T(spark, sf_dir, "events").select("user_id")
+    work = tempfile.mkdtemp(prefix="mg_stream_fold_")
+    bronze = os.path.join(work, "bronze")
+    ev.repartition(4).write.parquet(bronze)  # 4 files -> 4 micro-batches
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bronze)
+    )
+    state = os.path.join(work, "state")
+    mg_state_sink(
+        stream, state, os.path.join(work, "ckpt"), cap=512
+    ).awaitTermination()
+    return heavy_hitters_from_state(spark, state, ev, denom=256)

@@ -498,3 +498,84 @@ def kcore_copurchase(spark, sf_dir):
         )
         .orderBy("core")
     )
+
+
+@query(
+    "kcore_copurchase_capped",
+    tags=("graph", "kcore", "skew"),
+)
+def kcore_copurchase_capped(spark, sf_dir):
+    """Degree-capped tier of `kcore_copurchase` — the shape you run at
+    100 TB, where one adversarially hot part would otherwise put an O(deg)
+    collect_list behind a single node and let the round count grow with the
+    hub's degree (SCALING r6 measured the uncapped loop at 18.3× on 10×
+    data). Every neighbor list is hash-sampled to ≤ _LINKPRED_DEGREE_CAP
+    entries and the graph mutual-capped (operators/graph.py
+    kcore_decomposition(max_degree=...)), bounding per-node state, the
+    initial estimates, and the rounds at the cap. Core numbers lower-bound
+    the exact ones and equal them when the cap clears the max degree
+    (pinned in tests/test_graph_links.py). Rows-only + golden-pinned, like
+    the uncapped query."""
+    from etl_expenses_spark.operators.graph import kcore_decomposition
+
+    edges = _copurchase_edges(spark, sf_dir)
+    cores = kcore_decomposition(
+        edges, "pa", "pb", max_degree=_LINKPRED_DEGREE_CAP
+    )
+    return (
+        cores.groupBy("core")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("core")
+    )
+
+
+@query(
+    "bitmap_weekly_distinct_rollup",
+    oracle="""
+        SELECT CAST(DATE_TRUNC('week', ts) AS DATE) AS week,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("sketch", "bitmap", "agg", "rollup"),
+)
+def bitmap_weekly_distinct_rollup(spark, sf_dir):
+    """EXACT distinct-user weekly rollup from mergeable per-day bitmap
+    state — the precise-count sibling of `theta_weekly_rollup_from_daily`
+    (sketches trade exactness for fixed size; RLE-free bitmaps stay exact
+    at ~1 bit per possible id). Spark 3.5+/4 bitmap surface:
+
+      daily  groupBy(day, bitmap_bucket_number(user_id))
+             → bitmap_construct_agg(bitmap_bit_position(user_id))
+             — one 4 KB bitmap per (day, 32768-id bucket), the
+             incremental state a nightly job maintains;
+      weekly groupBy(week, bucket) → bitmap_or_agg — rollup WITHOUT
+             touching raw events again (COUNT(DISTINCT) can't do this:
+             distinct counts don't add, bitmaps OR);
+      count  sum of bitmap_count over buckets = exact weekly distincts.
+
+    The oracle recomputes from raw rows; equality IS the claim that
+    bucketed bitmap state composes losslessly. 100 TB shape: state size
+    follows the live id range (buckets are sparse — absent id blocks cost
+    nothing), re-aggregation cost follows days×buckets, never event
+    volume."""
+    ev = T(spark, sf_dir, "events").select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+    )
+    daily = ev.groupBy(
+        "week",
+        "day",
+        F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+    weekly = daily.groupBy("week", "bucket").agg(
+        F.expr("bitmap_or_agg(bm)").alias("bm")
+    )
+    return weekly.groupBy("week").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("distinct_users")
+    )

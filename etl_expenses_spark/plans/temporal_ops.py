@@ -1462,3 +1462,56 @@ def shipping_delay_profile(spark, sf_dir):
         F.min("delay").cast("bigint").alias("min_delay"),
         F.max("delay").cast("bigint").alias("max_delay"),
     )
+
+
+@query(
+    "range_left_join_unmatched_clicks",
+    oracle="""
+        WITH c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+                   FROM events WHERE event_type = 'click'),
+             p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+                   FROM events WHERE event_type = 'purchase')
+        SELECT c.c_id, p.p_id
+        FROM c LEFT JOIN p
+          ON p.p_user = c.c_user
+         AND p.p_ts >= c.c_ts
+         AND p.p_ts < c.c_ts + INTERVAL 5 MINUTE
+    """,
+    tags=("join", "range", "temporal", "outer"),
+)
+def range_left_join_unmatched_clicks(spark, sf_dir):
+    """LEFT OUTER bounded-interval join — the abandoned-cart scan: every
+    click pairs with the same user's purchases in the NEXT 5 minutes, and
+    clicks with none survive as (c_id, NULL). DuckDB runs the inequality
+    left join directly (IEJoin); Spark would nested-loop it, so matches
+    come from the bucketed equi rewrite (operators/rangejoin.py — forward
+    window expressed as the purchase-anchored backward window, the two
+    bounds being identical inequalities) and the NULL rows are restored by
+    one left_anti against the matched click ids. Same shuffle cost as a
+    plain equi join at any scale. Batch twin of
+    streaming/pipeline.py:stream_interval_left_outer_clicks (stream ==
+    batch incl. NULL rows pinned in tests/test_streaming.py)."""
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    # purchase-anchored backward window (c_ts ∈ (p_ts-300, p_ts]) ⇔ the
+    # forward window p_ts ∈ [c_ts, c_ts+300) — one operator serves both
+    pairs = bucketed_interval_pairs(
+        purch, clicks,
+        left_key="p_user", right_key="c_user",
+        left_ts="p_ts", right_ts="c_ts",
+        window_s=300,
+    )
+    matched = pairs.select("c_id", "p_id")
+    unmatched = clicks.join(
+        matched.select("c_id").distinct(), "c_id", "left_anti"
+    ).select("c_id", F.lit(None).cast("bigint").alias("p_id"))
+    return matched.unionByName(unmatched)

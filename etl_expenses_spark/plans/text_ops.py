@@ -1255,3 +1255,215 @@ def vocab_drift_topk(spark, sf_dir):
         .orderBy(F.desc("scaled_drift"), F.asc("term"))
         .limit(20)
     )
+
+
+@query(
+    "url_canonicalize_dedup",
+    oracle="""
+        WITH raw AS (
+            SELECT doc_id,
+                   CASE doc_id % 6
+                     WHEN 0 THEN 'http://example' || (doc_id % 7) || '.com/p/'
+                                 || (doc_id % 50) || '?a=1&b=2'
+                     WHEN 1 THEN 'HTTP://EXAMPLE' || (doc_id % 7) || '.COM:80/p/'
+                                 || (doc_id % 50) || '?a=1&b=2'
+                     WHEN 2 THEN 'http://example' || (doc_id % 7) || '.com/p/'
+                                 || (doc_id % 50) || '?utm_source=news&a=1&b=2'
+                     WHEN 3 THEN 'http://example' || (doc_id % 7) || '.com/p/'
+                                 || (doc_id % 50) || '?b=2&a=1&fbclid=xyz'
+                     WHEN 4 THEN 'http://example' || (doc_id % 7) || '.com/p/'
+                                 || (doc_id % 50) || '?a=1&b=2#section-3'
+                     ELSE 'https://example' || (doc_id % 7) || '.com:443/p/'
+                          || (doc_id % 50) || '/?a=1&b=2'
+                   END AS url
+            FROM documents),
+        parts AS (
+            SELECT doc_id,
+                   regexp_replace(url, '#.*$', '', 's') AS nofrag
+            FROM raw),
+        split_ AS (
+            SELECT doc_id,
+                   lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) AS scheme,
+                   regexp_replace(
+                       lower(regexp_extract(nofrag, '^[A-Za-z]+://([^/?]+)', 1)),
+                       ':(80|443)$', '') AS host,
+                   regexp_extract(regexp_replace(nofrag, '^[A-Za-z]+://[^/?]*', ''),
+                                  '^([^?]*)', 1) AS path,
+                   CASE WHEN nofrag LIKE '%?%'
+                        THEN regexp_replace(nofrag, '^[^?]*\\?', '')
+                        ELSE '' END AS qs
+            FROM parts),
+        canon AS (
+            SELECT doc_id,
+                   scheme || '://' || host
+                   || CASE WHEN regexp_replace(path, '/+$', '') = ''
+                           THEN '/' ELSE regexp_replace(path, '/+$', '') END
+                   || CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS canon_url
+            FROM (
+                SELECT doc_id, scheme, host, path,
+                       array_to_string(
+                           list_sort(list_filter(string_split(qs, '&'),
+                                     p -> p NOT LIKE 'utm_%'
+                                          AND p NOT LIKE 'fbclid=%'
+                                          AND p <> '')),
+                           '&') AS q2
+                FROM split_))
+        SELECT canon_url,
+               CAST(COUNT(*) AS BIGINT) AS n_urls,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS first_doc
+        FROM canon
+        GROUP BY canon_url
+    """,
+    tags=("text", "curation", "url", "dedup"),
+)
+def url_canonicalize_dedup(spark, sf_dir):
+    """URL canonicalization + exact URL-level dedup — the first pass of
+    every web-crawl curation pipeline (C4/CommonCrawl lineage): the same
+    page arrives under scheme/host case variants, default ports, tracking
+    parameters (utm_*, fbclid), shuffled query order, fragments, and
+    trailing slashes; canonicalizing BEFORE content dedup collapses these
+    for free, without shingling a single byte. Six messy variants are
+    derived deterministically per doc_id (so the oracle reproduces them);
+    the canonicalizer is a pure scan-fused JVM expression chain — regexes
+    for scheme/host/port/fragment, array algebra (split → filter lambda →
+    sort_array → array_join) for the query string — with byte-identical
+    semantics declared on both engines. Zero shuffles before the final
+    canonical-key aggregate; at 100 TB the only shuffled relation is
+    (canon_url, doc_id), and the aggregate is map-side combined."""
+    raw = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            """
+            CASE doc_id % 6
+              WHEN 0 THEN concat('http://example', doc_id % 7, '.com/p/',
+                                 doc_id % 50, '?a=1&b=2')
+              WHEN 1 THEN concat('HTTP://EXAMPLE', doc_id % 7, '.COM:80/p/',
+                                 doc_id % 50, '?a=1&b=2')
+              WHEN 2 THEN concat('http://example', doc_id % 7, '.com/p/',
+                                 doc_id % 50, '?utm_source=news&a=1&b=2')
+              WHEN 3 THEN concat('http://example', doc_id % 7, '.com/p/',
+                                 doc_id % 50, '?b=2&a=1&fbclid=xyz')
+              WHEN 4 THEN concat('http://example', doc_id % 7, '.com/p/',
+                                 doc_id % 50, '?a=1&b=2#section-3')
+              ELSE concat('https://example', doc_id % 7, '.com:443/p/',
+                          doc_id % 50, '/?a=1&b=2')
+            END
+            """
+        ).alias("url"),
+    )
+    nofrag = F.regexp_replace("url", "#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, "^([A-Za-z]+)://", 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(nofrag, "^[A-Za-z]+://([^/?]+)", 1)),
+        ":(80|443)$",
+        "",
+    )
+    pathq = F.regexp_replace(nofrag, "^[A-Za-z]+://[^/?]*", "")
+    path = F.regexp_extract(pathq, "^([^?]*)", 1)
+    path_norm = F.when(
+        F.regexp_replace(path, "/+$", "") == "", F.lit("/")
+    ).otherwise(F.regexp_replace(path, "/+$", ""))
+    qstr = F.when(
+        nofrag.contains("?"), F.regexp_replace(nofrag, r"^[^?]*\?", "")
+    ).otherwise(F.lit(""))
+    q2 = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(qstr, "&"),
+                lambda p: (~p.startswith("utm_"))
+                & (~p.startswith("fbclid="))
+                & (p != ""),
+            )
+        ),
+        "&",
+    )
+    canon = raw.select(
+        "doc_id",
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path_norm,
+            F.when(q2 == "", F.lit("")).otherwise(F.concat(F.lit("?"), q2)),
+        ).alias("canon_url"),
+    )
+    return canon.groupBy("canon_url").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@query(
+    "text_nfc_normalize",
+    oracle="""
+        WITH raw AS (
+            SELECT doc_id,
+                   substr(text, 1, 24)
+                   || CASE doc_id % 4
+                        WHEN 0 THEN ' cafe' || chr(769) || ' ole' || chr(769)
+                        WHEN 1 THEN ' man' || chr(771) || 'ana'
+                        WHEN 2 THEN ' u' || chr(776) || 'ber'
+                        ELSE ''
+                      END AS s
+            FROM documents),
+        norm AS (
+            SELECT doc_id, s, nfc_normalize(s) AS ns FROM raw)
+        SELECT doc_id,
+               CAST(length(s) AS BIGINT) AS cp_before,
+               CAST(length(ns) AS BIGINT) AS cp_after,
+               (s <> ns) AS changed,
+               right(ns, 10) AS tail10
+        FROM norm
+    """,
+    tags=("text", "unicode", "normalize"),
+)
+def text_nfc_normalize(spark, sf_dir):
+    """Unicode NFC normalization — the canonicalization every multilingual
+    corpus needs BEFORE hashing/dedup/joins: 'é' arrives both precomposed
+    (U+00E9) and decomposed (e + U+0301), and a byte-level exact dedup or
+    group-by key treats them as different documents. Spark ships no NFC
+    builtin, so this is the legitimate Python-stage case: Arrow-batched
+    mapInPandas over `unicodedata.normalize` (C-implemented, vectorized
+    per batch), with DuckDB's native `nfc_normalize` as the independent
+    oracle — two unrelated Unicode implementations agreeing on code-point
+    counts and normalized bytes IS the check. Decomposed suffixes are
+    planted deterministically per doc_id (the synthetic corpus is ASCII,
+    which NFC fixes as a no-op — the planted rows prove the non-trivial
+    path). Scale shape: one scan-fused Python stage, zero shuffles; cost
+    is O(bytes), pipeline-parallel with the scan."""
+    import pandas as pd
+    import unicodedata
+
+    raw = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 24),
+            # decomposed forms (base + combining mark), matching the
+            # oracle's chr() concatenations -- NFC recomposes both
+            F.when(F.col("doc_id") % 4 == 0, F.lit(" cafe\u0301 ole\u0301"))
+            .when(F.col("doc_id") % 4 == 1, F.lit(" man\u0303ana"))
+            .when(F.col("doc_id") % 4 == 2, F.lit(" u\u0308ber"))
+            .otherwise(F.lit("")),
+        ).alias("s"),
+    )
+
+    def norm(batches):
+        for b in batches:
+            ns = b["s"].map(lambda x: unicodedata.normalize("NFC", x))
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "cp_before": b["s"].str.len().astype("int64"),
+                    "cp_after": ns.str.len().astype("int64"),
+                    "changed": (b["s"] != ns),
+                    "tail10": ns.str.slice(-10),
+                }
+            )
+
+    return raw.mapInPandas(
+        norm,
+        schema="doc_id bigint, cp_before bigint, cp_after bigint, "
+        "changed boolean, tail10 string",
+    )

@@ -284,10 +284,18 @@ class AvroWriter(DataSourceWriter):
             recs.append(rec)
         pid = TaskContext.get().partitionId()
         os.makedirs(self.path, exist_ok=True)
-        out = os.path.join(self.path, f"part-{self.job_id}-{pid:05d}.avro")
+        # temp-file + rename commit (r6 ADVICE): a concurrent reader listing
+        # the directory mid-write (or a speculative duplicate task attempt)
+        # must never observe a torn container. The dot-prefixed temp name is
+        # already excluded by _files; os.rename is atomic on POSIX and
+        # idempotent for retried task attempts (same final name, same bytes).
+        final = f"part-{self.job_id}-{pid:05d}.avro"
+        out = os.path.join(self.path, final)
+        tmp = os.path.join(self.path, f".{final}.tmp")
         data = write_avro(recs, schema, codec=self.codec)
-        with open(out, "wb") as f:
+        with open(tmp, "wb") as f:
             f.write(data)
+        os.rename(tmp, out)
         return _WroteFile(out, len(recs))
 
     def commit(self, messages):

@@ -103,6 +103,49 @@ def stream_interval_join_clicks_before_errors(
     )
 
 
+def stream_interval_left_outer_clicks(
+    clicks: DataFrame, purchases: DataFrame, window_s: int = 300,
+    watermark_s: int = 3600,
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click pairs with the
+    same user's purchases in the FOLLOWING ``window_s`` seconds — and a
+    click with no such purchase is still emitted (purchase columns NULL)
+    once the purchase-side watermark proves none can arrive. That
+    "unmatched after timeout" row is the semantics the inner interval join
+    cannot express: abandoned-cart / un-attributed-click detection under
+    ingest, without a batch sweep.
+
+    Why this is watermark-dependent in a way inner joins are not: an inner
+    join can emit matches immediately; the NULL row exists only when the
+    engine can PROVE no match is coming, i.e. when the purchase watermark
+    passes ``click_ts + window_s``. Spark therefore (a) delays unmatched
+    output by the watermark delay and (b) uses the same bound to evict
+    buffered click state — correctness and bounded state come from the
+    same clock. Both sides watermarked; both join-time bounds present, so
+    click state is dropped once no future purchase can pair with it.
+
+    Batch twin with identical semantics: a plain left join with the same
+    interval predicate (`tests/test_streaming.py` pins stream == batch
+    including the NULL rows)."""
+    c = clicks.select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", f"{int(watermark_s)} seconds")
+    p = purchases.select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", f"{int(watermark_s)} seconds")
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr(f"INTERVAL {int(window_s)} SECONDS")),
+        "leftOuter",
+    )
+
+
 def run_events_stream_once(
     spark: SparkSession,
     bronze_dir: str,

@@ -60,6 +60,11 @@ def test_one_file_per_partition_and_overwrite(avro_spark, tmp_path):
     files = sorted(f for f in os.listdir(target) if f.endswith(".avro"))
     assert len(files) == 1
     assert spark.read.format("etl_avro").load(target).count() == 10
+    # temp-file + rename commit (r6 ADVICE): no torn/staging files remain,
+    # and a stale crash-leftover temp is invisible to readers
+    assert not [f for f in os.listdir(target) if f.startswith(".")]
+    (tmp_path / "t" / ".part-dead-00000.avro.tmp").write_bytes(b"torn")
+    assert spark.read.format("etl_avro").load(target).count() == 10
 
 
 def test_schema_inference_matches_first_header(avro_spark, tmp_path):

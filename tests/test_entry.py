@@ -32,15 +32,18 @@ def test_correctness_window_priority():
         "multimodal_codec_roundtrip",  # real-codec decode, driver-verified
         "pdf_ticket_pipeline",  # S4+: real binary PDF ingestion end-to-end
         "xlsx_report_pipeline",  # S2+: real XLSX ingestion end-to-end
-        "tpch_q8_market_share",
         "bm25_topk_per_query",
-        # round-6 rotation: the round-5 operator families that still lacked
-        # driver rows (VERDICT r5 "What's missing" #1 / "Next round" #7)
-        "warc_record_census",
-        "archive_member_census",
-        "hll_sliding_7d_users",
-        "corpus_curation_funnel",
-        "multimodal_png_roundtrip",
+        # round-7 rotation: the r6 red row's hardened retry plus the
+        # operator families that still lacked driver rows (VERDICT r6
+        # "What's missing" #1 / "Next round" #2-#3)
+        "fx_convert_order_totals",
+        "heavy_hitters_two_pass",
+        "avro_roundtrip_orders",
+        "winnowing_shared_fingerprints",
+        "kcore_copurchase",
+        "kcore_copurchase_capped",
+        "allpairs_cosine_prefix_join",
+        "arrow_grouped_weighted_median",
     }
     assert must <= set(window), must - set(window)
     # nothing silently dropped: priority reordering preserves the registry

@@ -158,3 +158,88 @@ def test_kcore_matches_peeling_random_graphs(spark):
         df = spark.createDataFrame(edges, "pa long, pb long")
         got = {r.node: r.core for r in kcore_decomposition(df).collect()}
         assert got == _peel_cores(edges), f"trial {trial}"
+
+
+def test_kcore_capped_equals_exact_when_cap_clears_max_degree(spark):
+    """max_degree ≥ the graph's max degree ⇒ the capped lists are the full
+    lists, mutual-capping keeps every edge, and core numbers are exact."""
+    import random
+
+    from etl_expenses_spark.operators.graph import kcore_decomposition
+
+    rng = random.Random(7)
+    edges = sorted(
+        {
+            (a, b)
+            for a, b in (sorted(rng.sample(range(30), 2)) for _ in range(120))
+        }
+    )
+    df = spark.createDataFrame(edges, "pa long, pb long")
+    exact = {r.node: r.core for r in kcore_decomposition(df).collect()}
+    capped = {
+        r.node: r.core
+        for r in kcore_decomposition(df, max_degree=64).collect()
+    }
+    assert capped == exact
+
+
+def test_kcore_capped_lower_bounds_exact(spark):
+    """A small cap removes edges (mutual-capped subgraph), so every capped
+    core number is ≤ the exact one — never an over-estimate."""
+    import random
+
+    from etl_expenses_spark.operators.graph import kcore_decomposition
+
+    rng = random.Random(13)
+    edges = sorted(
+        {
+            (a, b)
+            for a, b in (sorted(rng.sample(range(25), 2)) for _ in range(180))
+        }
+    )
+    df = spark.createDataFrame(edges, "pa long, pb long")
+    exact = {r.node: r.core for r in kcore_decomposition(df).collect()}
+    capped = {
+        r.node: r.core
+        for r in kcore_decomposition(df, max_degree=3).collect()
+    }
+    assert capped  # cap=3 keeps a non-trivial graph here
+    for node, c in capped.items():
+        assert c <= exact[node], (node, c, exact[node])
+
+
+def test_kcore_capped_degrees_bounded_on_planted_hub(spark):
+    """A 200-spoke hub's adjacency must enter the loop with ≤ cap
+    neighbors: the mutual-capped symmetric adjacency bounds every degree
+    (the O(deg) collect_list state) at max_degree."""
+    from etl_expenses_spark.operators.graph import capped_adjacency
+
+    from pyspark.sql import functions as F
+
+    hub = [(0, i) for i in range(1, 201)]
+    df = spark.createDataFrame(hub, "pa long, pb long")
+    kept = capped_adjacency(df, 8)
+    rev = kept.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
+    mutual = kept.join(rev, ["node", "nbr"], "left_semi")
+    degs = {
+        r.node: r.d
+        for r in mutual.groupBy("node").agg(F.count("*").alias("d")).collect()
+    }
+    assert max(degs.values()) <= 8
+
+
+def test_kcore_raises_when_rounds_exhausted_while_changing(spark):
+    """r6 ADVICE: exhausting max_rounds mid-descent must raise, not return
+    silent over-estimates."""
+    import pytest
+
+    from etl_expenses_spark.operators.graph import kcore_decomposition
+
+    # a long path: h-index descent needs several rounds to settle
+    edges = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(edges, "pa long, pb long")
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        kcore_decomposition(df, max_rounds=1)
+    # and with enough rounds the same graph converges exactly
+    got = {r.node: r.core for r in kcore_decomposition(df).collect()}
+    assert set(got.values()) == {1}

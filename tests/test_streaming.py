@@ -1385,3 +1385,90 @@ def test_stream_restart_with_evolved_schema(spark, dirs):
     assert (
         read_evolved(spark, g).filter(SF.col("source").isNull()).count() == 2
     )
+
+
+def test_stream_interval_left_outer_matches_batch(spark, dirs):
+    """LEFT OUTER stream-stream interval join: clicks with a purchase in
+    the next 300 s pair up; clicks with none are STILL emitted (NULL
+    purchase columns) once the watermark proves no match can arrive —
+    the abandoned-cart semantics an inner join cannot express. Output
+    (across a watermark-flushing restart) must equal the batch left join
+    with the identical interval predicate, NULL rows included."""
+    import datetime
+
+    from etl_expenses_spark.streaming.pipeline import (
+        stream_interval_left_outer_clicks,
+    )
+
+    bronze, gold, ckpt, _ = dirs
+    _write_bronze(spark, bronze)
+
+    def run_once_():
+        stream = read_event_stream(spark, str(bronze))
+        clicks = stream.filter(F.col("event_type") == "click")
+        purch = stream.filter(F.col("event_type") == "purchase")
+        j = stream_interval_left_outer_clicks(
+            clicks, purch, window_s=300, watermark_s=600
+        )
+        (
+            j.writeStream.format("parquet")
+            .option("path", str(gold))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_once_()
+    # Unmatched clicks near the stream's end are still buffered: outer
+    # results only emit when the watermark PROVES no purchase can arrive.
+    # Advance both sides' watermarks (min-policy) with two far-future
+    # sentinel events on a user that matches nothing, then run one more
+    # micro-batch off the same checkpoint.
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("event_id") < 1000)
+    far = ev.agg(F.max("ts")).collect()[0][0] + datetime.timedelta(hours=6)
+    sent = spark.createDataFrame(
+        [
+            (1_000_000_001, far, -1, "click", 0.0, "{}"),
+            (1_000_000_002, far, -2, "purchase", 0.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sent.write.mode("append").parquet(str(bronze))
+    run_once_()
+
+    got = {
+        (r.c_id, r.p_id)
+        for r in spark.read.parquet(str(gold))
+        .filter(F.col("c_id") < 1_000_000_000)
+        .select("c_id", "p_id")
+        .collect()
+    }
+
+    b_clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    b_pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    want = {
+        (r.c_id, r.p_id)
+        for r in b_clk.join(
+            b_pur,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 300 SECONDS")),
+            "left_outer",
+        )
+        .select("c_id", "p_id")
+        .collect()
+    }
+    assert got == want
+    assert any(p is None for _, p in want)  # NULL rows are present...
+    assert any(p is not None for _, p in want)  # ...and so are matches

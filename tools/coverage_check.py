@@ -5,19 +5,40 @@ reference each other completely.
   COVERAGE.md (an operator without a coverage row is invisible to review);
 - every backtick-quoted snake_case name in COVERAGE.md that LOOKS like a
   query (matches a registry naming pattern) must actually exist (stale doc
-  rows rot silently otherwise).
+  rows rot silently otherwise);
+- every `/root/reference/<path>` cited anywhere in the package must
+  resolve to a real file (VERDICT r6 #5 found two fabricated citations —
+  provenance claims must stay file:line-verifiable).
 
     python tools/coverage_check.py
 """
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 
 sys.path.insert(0, "/root/repo")
 
 from etl_expenses_spark.plans import REGISTRY  # noqa: E402
+
+
+def broken_reference_citations() -> list[str]:
+    """Every /root/reference/... path cited in repo source must exist."""
+    bad = []
+    for dirpath, _dirs, files in os.walk("/root/repo/etl_expenses_spark"):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            p = os.path.join(dirpath, fn)
+            for m in re.finditer(
+                r"/root/reference/[A-Za-z0-9_./-]+", open(p).read()
+            ):
+                cited = m.group(0).rstrip(".").split(":")[0]
+                if not os.path.exists(cited):
+                    bad.append(f"{p}: cites nonexistent {cited}")
+    return sorted(set(bad))
 
 
 def main() -> int:
@@ -50,10 +71,26 @@ def main() -> int:
             "test_stateful_running_totals_across_restarts",
             "test_stream_interval_join_matches_batch",
             "sql_surface",
+            # operator/streaming function names documented alongside their
+            # query rows (all verified to exist in the package):
+            "colocated_join",
+            "compaction_plan",
+            "zorder_layout",
+            "merge_append_evolve",
+            "hll_read_daily_users",
+            "semantic_neardup_pairs_multiprobe",
+            # Spark SQL builtin names cited in the bitmap rollup row:
+            "bitmap_construct_agg",
+            "bitmap_or_agg",
+            "bitmap_count",
         }
     )
     if suspicious:
         problems.append(f"possibly-stale names in COVERAGE.md: {suspicious}")
+
+    broken = broken_reference_citations()
+    if broken:
+        problems.append("fabricated reference citations:\n  " + "\n  ".join(broken))
 
     if problems:
         print("\n".join(problems))

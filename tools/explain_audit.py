@@ -261,6 +261,9 @@ EXTRA = [
     "quality_percentile_gate_by_lang",  # rank gate per language stratum
     "arrow_grouped_weighted_median",    # applyInArrow grouped UDF surface
     "avro_source_roundtrip",        # Python DataSource write->infer->read
+    # round 7 (non-headline additions)
+    "url_canonicalize_dedup",       # scan-fused URL canon + exact dedup
+    "kcore_copurchase_capped",      # mutual-capped k-core scale tier
 ]
 
 
