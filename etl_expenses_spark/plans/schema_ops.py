@@ -1319,3 +1319,83 @@ def format_consistency_audit(spark, sf_dir):
         .unionByName(checksum(avro, "avro"))
         .unionByName(checksum(orc, "orc"))
     )
+
+
+@query(
+    "sql_scripting_threshold_search",
+    oracle="""
+        WITH t(p) AS (VALUES (1), (10), (100), (1000), (10000), (100000),
+                             (1000000)),
+        eligible AS (
+            SELECT p FROM t
+            WHERE (SELECT COUNT(*) FROM orders WHERE o_totalprice >= p) < 100)
+        SELECT CAST(MIN(p) AS BIGINT) AS threshold,
+               CAST((SELECT COUNT(*) FROM orders
+                     WHERE o_totalprice >= (SELECT MIN(p) FROM eligible))
+                    AS BIGINT) AS n_above
+        FROM eligible
+    """,
+    tags=("sql", "scripting", "control_flow"),
+)
+def sql_scripting_threshold_search(spark, sf_dir):
+    """SQL scripting (Spark 4.0 `BEGIN … END` with DECLARE / WHILE / SET —
+    the procedural surface warehouse users migrate stored-procedure logic
+    onto): an iterative threshold search, "smallest power-of-ten price
+    cutoff that keeps fewer than 100 orders", runs as ONE multi-statement
+    script — each WHILE probe is a full Catalyst-planned query, the loop
+    state lives in a session variable, and the final SELECT is the
+    script's result relation. The oracle derives the same fixpoint
+    declaratively (the candidate ladder + correlated counts), proving the
+    procedural and declarative answers coincide. 100 TB shape: each probe
+    is one filter-aggregate scan (min/max-pruned by the o_totalprice
+    predicate); the script adds zero driver-side row movement."""
+    register_views(spark, sf_dir)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr BIGINT DEFAULT 1;
+          WHILE (SELECT COUNT(*) FROM orders WHERE o_totalprice >= thr) >= 100
+          DO
+            SET thr = thr * 10;
+          END WHILE;
+          SELECT thr AS threshold,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                  WHERE o_totalprice >= thr) AS n_above;
+        END
+        """
+    )
+
+
+@query(
+    "approx_top_k_event_types",
+    oracle="""
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY n DESC, event_type
+    """,
+    tags=("sketch", "topk", "agg"),
+)
+def approx_top_k_event_types(spark, sf_dir):
+    """`approx_top_k` (Spark 4.1 SQL) — the sketch-backed frequent-items
+    aggregate: one pass builds a bounded items-tracked summary instead of
+    a full GROUP BY, the right shape when the key universe dwarfs memory
+    but only the head matters. Here k and maxItemsTracked both clear the
+    column's true cardinality, so the sketch is provably exact and the
+    plain COUNT oracle pins it; the struct-array result is exploded to
+    rows and re-sorted deterministically (count desc, item asc) because
+    the sketch's own tie order is not a contract. Compare
+    heavy_hitters_two_pass (exact two-pass MG) and countmin_user_frequency
+    (mergeable grid) — this is the built-in third tier."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT entry.item AS event_type, entry.count AS n
+        FROM (
+          SELECT explode(approx_top_k(event_type, 10, 10000)) AS entry
+          FROM events
+        )
+        ORDER BY n DESC, event_type
+        """
+    )

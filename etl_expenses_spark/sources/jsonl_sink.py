@@ -30,6 +30,7 @@ from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -109,6 +110,65 @@ class JsonlWriter(DataSourceWriter):
             os.rmdir(staging)
 
 
+class JsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of JsonlWriter (Spark 4 DataSourceStreamWriter):
+    every micro-batch stages exactly like the batch sink, and ``commit``
+    publishes under an EPOCH LEDGER — ``_batches.json`` records the
+    committed batch ids, so a replayed epoch (foreachBatch-style replay
+    after a crash, or a restart that re-delivers the last in-flight batch)
+    drops its staged files instead of renaming a second copy in. Files are
+    named ``part-<batch>-<i>.jsonl``; the ledger is replaced atomically
+    (temp + os.replace), so a crash mid-commit is re-driven by the replay
+    and never yields a half-published epoch the ledger claims is done."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl sink requires .option('path', ...)")
+
+    def write(self, iterator: Iterator) -> JsonlCommit:
+        return JsonlWriter({"path": self.path}, overwrite=False).write(iterator)
+
+    def _ledger(self) -> dict:
+        p = os.path.join(self.path, "_batches.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"committed": [], "rows": 0}
+
+    def commit(self, messages, batchId: int) -> None:
+        led = self._ledger()
+        staging = os.path.join(self.path, "_staging")
+        if int(batchId) in led["committed"]:
+            # replayed epoch: the publish already happened — drop the
+            # re-staged copies, never double-publish
+            self.abort(messages, batchId)
+            return
+        total = 0
+        for i, m in enumerate(messages):
+            final = os.path.join(
+                self.path, f"part-{int(batchId):05d}-{i:05d}.jsonl"
+            )
+            os.replace(m.staged, final)
+            total += m.rows
+        if os.path.isdir(staging) and not os.listdir(staging):
+            os.rmdir(staging)
+        led["committed"].append(int(batchId))
+        led["rows"] += total
+        tmp = os.path.join(self.path, "._batches.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(led, f)
+        os.replace(tmp, os.path.join(self.path, "_batches.json"))
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
+        staging = os.path.join(self.path, "_staging")
+        if os.path.isdir(staging) and not os.listdir(staging):
+            os.rmdir(staging)
+
+
 class JsonlSinkDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -119,6 +179,9 @@ class JsonlSinkDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> JsonlWriter:
         return JsonlWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> JsonlStreamWriter:
+        return JsonlStreamWriter(self.options)
 
 
 def register(spark) -> None:

@@ -230,3 +230,71 @@ def test_parquet_corrupt_file_quarantine_via_ignore_corrupt(spark, tmp):
         .parquet(str(d))
     )
     assert good.count() == 100
+
+
+def test_jsonl_stream_sink_exactly_once(spark, tmp_path):
+    """Spark-4 Python DataSourceStreamWriter: each micro-batch publishes
+    under the _batches.json epoch ledger — rows land exactly once across
+    incremental delivery, a same-checkpoint restart, and a replayed
+    commit for an already-committed epoch."""
+    import json as _json
+    import os
+
+    from etl_expenses_spark.sources.jsonl_sink import (
+        JsonlCommit,
+        JsonlStreamWriter,
+        register,
+    )
+
+    register(spark)
+    bronze = str(tmp_path / "bronze")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(out)
+    df = spark.range(300).selectExpr("id", "CAST(id AS STRING) AS s")
+    df.repartition(3).write.parquet(bronze)
+
+    def run():
+        (
+            spark.readStream.schema("id long, s string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(bronze)
+            .writeStream.format("jsonl_sink")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run()
+
+    def read_rows():
+        rows = []
+        for f in sorted(os.listdir(out)):
+            if f.startswith("part-") and f.endswith(".jsonl"):
+                with open(os.path.join(out, f)) as fh:
+                    rows += [_json.loads(line) for line in fh]
+        return rows
+
+    rows = read_rows()
+    assert len(rows) == 300
+    assert {r["id"] for r in rows} == set(range(300))
+    with open(os.path.join(out, "_batches.json")) as f:
+        led = _json.load(f)
+    assert led["rows"] == 300 and len(led["committed"]) >= 3
+
+    # same-checkpoint restart: no new files -> nothing published twice
+    run()
+    assert len(read_rows()) == 300
+
+    # replayed commit for an ALREADY-COMMITTED epoch: the ledger drops the
+    # staged duplicate instead of publishing a second copy
+    w = JsonlStreamWriter({"path": out})
+    staged = os.path.join(out, "_staging", "replay.jsonl")
+    os.makedirs(os.path.dirname(staged), exist_ok=True)
+    with open(staged, "w") as f:
+        f.write('{"id": 999999}\n')
+    w.commit([JsonlCommit(staged=staged, rows=1)], batchId=led["committed"][0])
+    assert len(read_rows()) == 300  # unchanged
+    assert not os.path.exists(staged)  # staged duplicate swept

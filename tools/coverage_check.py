@@ -83,6 +83,7 @@ def main() -> int:
             "bitmap_construct_agg",
             "bitmap_or_agg",
             "bitmap_count",
+            "approx_top_k",
         }
     )
     if suspicious:
