@@ -100,3 +100,33 @@ def write_sized(
     n_files = max(1, math.ceil(est_total / (target_mb * 1024 * 1024)))
     df.repartition(n_files).write.mode(mode).parquet(path)
     return n_files
+
+
+def write_bloomed(
+    df: DataFrame,
+    path: str,
+    bloom_cols: Sequence[str],
+    expected_ndv: int = 100_000,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet write with per-column BLOOM FILTERS — the file-skipping
+    lever for point lookups on HIGH-cardinality columns where min/max
+    stats are useless (a uniformly distributed id spans every row group's
+    min..max, so stat pruning keeps everything; a bloom filter answers
+    "definitely not in this row group" probabilistically with no false
+    negatives). Complements zorder (clusters value ranges) and the stats
+    pruning pins in tests/test_pruning.py: zorder makes min/max work for
+    a couple of correlated dims, blooms make equality work for the rest.
+
+    At 100 TB: blooms cost O(ndv) bits per row group per column at write
+    time and turn needle-in-haystack id lookups from full scans into a
+    handful of row groups — parquet-mr's reader (which Spark's scans use)
+    consults them during row-group filtering. Size `expected_ndv` to the
+    per-row-group distinct count, not the global one."""
+    w = df.write.mode(mode)
+    for c in bloom_cols:
+        w = (
+            w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+            .option(f"parquet.bloom.filter.expected.ndv#{c}", str(int(expected_ndv)))
+        )
+    w.parquet(path)

@@ -579,3 +579,59 @@ def bitmap_weekly_distinct_rollup(spark, sf_dir):
     return weekly.groupBy("week").agg(
         F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("distinct_users")
     )
+
+
+@query(
+    "bitmap_sliding_7d_users",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT CAST(DATE_TRUNC('day', ts) AS DATE) AS day, user_id
+            FROM events
+        ),
+        days AS (SELECT DISTINCT day FROM du),
+        contrib AS (
+            SELECT d.day AS report_day, u.user_id
+            FROM days d JOIN du u
+              ON u.day <= d.day AND u.day > d.day - INTERVAL 7 DAY
+        )
+        SELECT report_day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_7d
+        FROM contrib GROUP BY report_day
+    """,
+    tags=("sketch", "bitmap", "window", "rollup"),
+)
+def bitmap_sliding_7d_users(spark, sf_dir):
+    """EXACT trailing-7-day distinct actives from mergeable per-day bitmap
+    state — the third implementation of the inexpressible
+    COUNT(DISTINCT) OVER RANGE, completing the tier ladder: the sequence
+    fan-out (`rolling_7d_active_users`, re-shuffles day-grain rows 7×),
+    the HLL union (`hll_sliding_7d_users`, fixed-size state, ±2% error),
+    and THIS — bitmaps OR like sketches but count exactly. Events are
+    scanned ONCE into (day, bucket, bitmap) state; each report day then
+    ORs ≤ 7 days' bucket bitmaps (a days×7 spine join over KB-rows, cost
+    independent of event volume) and sums exact bitmap_count over
+    buckets. Same mergeable-state algebra a nightly incremental job
+    maintains — the window recomputes from state, never from raw
+    events."""
+    ev = T(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    daily = ev.groupBy(
+        "day", F.expr("bitmap_bucket_number(user_id)").alias("bucket")
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+    days = daily.select("day").distinct().select(F.col("day").alias("report_day"))
+    # days×7 offset spine: report_day collects the bitmaps of the ≤7
+    # trailing days present in the state
+    window = days.join(
+        daily,
+        (F.col("day") <= F.col("report_day"))
+        & (F.col("day") > F.date_sub(F.col("report_day"), 7)),
+    )
+    return (
+        window.groupBy("report_day", "bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .groupBy("report_day")
+        .agg(
+            F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("active_7d")
+        )
+    )

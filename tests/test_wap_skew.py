@@ -367,3 +367,39 @@ def test_concurrent_version_claims_never_collide(tmp_path):
         t.join()
     assert len(got) == 8
     assert len(set(got)) == 8  # all distinct — no clobbered version dirs
+
+
+def test_write_bloomed_embeds_filters_and_reads_back(spark, tmp_path):
+    """write_bloomed: the bloom bitsets are genuinely IN the files (size
+    delta vs the identical bloom-less write — pyarrow does not expose the
+    offsets) and point-lookup reads stay correct."""
+    import os
+
+    from etl_expenses_spark.operators.layout import write_bloomed
+
+    df = spark.range(200_000).selectExpr(
+        "id", "CAST(hash(id) AS STRING) AS lookup_key"
+    )
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloomed")
+    df.coalesce(2).write.parquet(plain)
+    write_bloomed(df.coalesce(2), bloomed, ["lookup_key"], expected_ndv=100_000)
+
+    def total(p):
+        return sum(
+            os.path.getsize(os.path.join(p, f))
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+
+    # a 100k-ndv bloom bitset is ~100+ KB per file — far above codec noise
+    assert total(bloomed) > total(plain) + 50_000
+
+    key = df.filter("id = 123456").collect()[0]["lookup_key"]
+    got = (
+        spark.read.parquet(bloomed)
+        .filter(F.col("lookup_key") == key)
+        .collect()
+    )
+    assert {r["id"] for r in got} == {
+        r["id"] for r in df.filter(F.col("lookup_key") == key).collect()
+    }
