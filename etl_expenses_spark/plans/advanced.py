@@ -1647,3 +1647,60 @@ def heavy_hitters_stream_fold(spark, sf_dir):
         stream, state, os.path.join(work, "ckpt"), cap=512
     ).awaitTermination()
     return heavy_hitters_from_state(spark, state, ev, denom=256)
+
+
+@query(
+    "avro_stream_ingest_census",
+    oracle="""
+        WITH src AS (SELECT doc_id AS id FROM documents WHERE doc_id % 5 = 1)
+        SELECT CAST(id % 7 AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(id) AS BIGINT) AS sum_id
+        FROM src GROUP BY 1
+    """,
+    tags=("streaming", "avro", "source", "census"),
+)
+def avro_stream_ingest_census(spark, sf_dir):
+    """The Avro STREAM reader's driver-checked row (it was pytest-only —
+    VERDICT r6 #8's remaining streaming surface): real Avro container
+    files are landed by the custom Spark-4 Python DataSource's batch
+    writer, then consumed back through its STREAMING reader (seen-file-set
+    offsets, availableNow) into a checkpointed parquet sink, and the
+    aggregate over what the stream delivered must equal the oracle's
+    arithmetic derivation — wrong offsets (skipped or re-read files),
+    torn containers, or codec faults all break the exact counts/sums.
+    Scale shape: the stream reader plans one partition per unseen file
+    per batch; the final aggregate is an ordinary map-side-combined
+    groupBy."""
+    import os
+    import tempfile
+
+    from etl_expenses_spark.sources.avro_source import register
+
+    register(spark)
+    work = tempfile.mkdtemp(prefix="avro_stream_census_")
+    landing = os.path.join(work, "landing")
+    out = os.path.join(work, "out")
+
+    src = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 1)
+        .select(F.col("doc_id").alias("id"))
+    )
+    src.repartition(3).write.format("etl_avro").mode("append").save(landing)  # 3 real files
+
+    (
+        spark.readStream.format("etl_avro")
+        .load(landing)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    delivered = spark.read.parquet(out)
+    return delivered.groupBy((F.col("id") % 7).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("id").cast("bigint").alias("sum_id"),
+    )
