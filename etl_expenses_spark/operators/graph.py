@@ -291,3 +291,88 @@ def kcore_decomposition(
             "the graph's coreness diameter)."
         )
     return est.select("node", F.col("c").alias("core"))
+
+
+def lpa_communities(
+    edges: DataFrame,
+    src: str = "pa",
+    dst: str = "pb",
+    max_cycles: int = 8,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Community detection by label propagation (Raghavan/Albert/Kumara
+    2007) → ``(node, community)`` — the classic near-linear community
+    assigner for co-occurrence graphs. Each sweep every node adopts its
+    neighborhood's most frequent label; ties break to the SMALLEST label
+    and updates run on a two-phase PARITY schedule (even node ids on even
+    half-sweeps, odd on odd), the standard fix for the synchronous form's
+    two-cycles on bipartite-ish structures — and, with the deterministic
+    tie-break, it makes the whole evolution (and so the output)
+    reproducible across runs, partitionings, and engines. Runs until a
+    full even+odd cycle changes nothing or `max_cycles` cycles elapse;
+    LPA is fixed-budget by nature (labels are schedule-dependent in any
+    implementation), so a budget cap is the honest contract — unlike
+    k-core there is no exact answer being approximated.
+
+    Plan per half-sweep: ONE edge-scale shuffle (neighbor-label join +
+    (node, label) count) and a per-node argmax window whose partition
+    holds ≤ deg(node) rows. Hub-heavy graphs pass `max_degree` for the
+    same mutual-capped adjacency tier as kcore_decomposition."""
+    directed = edges.select(F.col(src).alias("pa"), F.col(dst).alias("pb"))
+    if max_degree is None:
+        sym = (
+            directed.select(F.col("pa").alias("node"), F.col("pb").alias("nbr"))
+            .union(
+                directed.select(F.col("pb").alias("node"), F.col("pa").alias("nbr"))
+            )
+            .distinct()
+        )
+    else:
+        kept = capped_adjacency(directed.distinct(), max_degree)
+        rev = kept.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
+        sym = kept.join(rev, ["node", "nbr"], "left_semi").repartition("nbr")
+    sym = sym.localCheckpoint()
+    labels = (
+        sym.select("node").distinct().select("node", F.col("node").alias("lab"))
+    ).localCheckpoint()
+    stable_halves = 0
+    for half in range(2 * max_cycles):
+        parity = half % 2
+        nbrlab = sym.join(
+            labels.select(F.col("node").alias("nbr"), F.col("lab").alias("nlab")),
+            "nbr",
+        )
+        counts = nbrlab.groupBy("node", "nlab").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        w = W.partitionBy("node").orderBy(F.col("c").desc(), F.col("nlab").asc())
+        best = (
+            counts.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("node", F.col("nlab").alias("best"))
+        )
+        new = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.when(
+                    (F.col("node") % 2 == parity) & F.col("best").isNotNull(),
+                    F.col("best"),
+                )
+                .otherwise(F.col("lab"))
+                .alias("lab_new"),
+                F.col("lab").alias("lab_old"),
+            )
+            .select(
+                "node",
+                F.col("lab_new").alias("lab"),
+                (F.col("lab_new") != F.col("lab_old")).alias("changed"),
+            )
+            .localCheckpoint()
+        )
+        n_changed = new.filter("changed").limit(1).count()
+        labels = new.drop("changed")
+        stable_halves = stable_halves + 1 if n_changed == 0 else 0
+        if stable_halves >= 2:  # one full even+odd cycle without movement
+            break
+    return labels.select("node", F.col("lab").alias("community"))

@@ -1769,3 +1769,74 @@ def arrow_grouped_weighted_median(spark, sf_dir):
     return t.groupBy("flag").applyInArrow(
         wmedian, schema="flag string, total_weight bigint, wmedian_cents bigint"
     )
+
+
+@query(
+    "cogroup_user_orders_events",
+    oracle="""
+        WITH o AS (
+            SELECT o_custkey AS uid, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        ) AS BIGINT) AS spend_cents
+            FROM orders GROUP BY o_custkey),
+        e AS (
+            SELECT user_id AS uid, COUNT(*) AS n_events,
+                   CAST(MIN(event_id) AS BIGINT) AS first_event
+            FROM events GROUP BY user_id)
+        SELECT COALESCE(o.uid, e.uid) AS uid,
+               CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+               CAST(COALESCE(o.spend_cents, 0) AS BIGINT) AS spend_cents,
+               CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+               CAST(COALESCE(e.first_event, -1) AS BIGINT) AS first_event
+        FROM o FULL OUTER JOIN e ON e.uid = o.uid
+    """,
+    tags=("udf", "cogroup", "pandas", "join"),
+)
+def cogroup_user_orders_events(spark, sf_dir):
+    """`cogroup().applyInPandas` — the last uncovered Python-execution
+    surface (§2.11 family: row UDF, pandas UDF, mapInPandas UDTF,
+    applyInPandasWithState, applyInArrow, and now the two-relation
+    cogroup): orders and events are co-partitioned on the user key and
+    each key's TWO pandas frames arrive in one function call — the shape
+    for per-entity reconciliation logic that genuinely needs both sides
+    in memory at once (here: order spend vs event activity per user,
+    with integer-cent exactness). The oracle is the declarative twin —
+    a FULL OUTER join of the two aggregates — so the claim checked is
+    that the cogrouped imperative path and the relational path agree
+    row-for-row. At 100 TB each side shuffles once on the key; per-task
+    memory is one user's rows from each side (user-grain groups — no
+    hub risk on this key)."""
+    import pandas as pd
+
+    orders = T(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("uid"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    events = T(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"), "event_id"
+    )
+
+    def summarize(key, odf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "uid": [int(key[0])],
+                "n_orders": [len(odf)],
+                "spend_cents": [int(odf["cents"].sum()) if len(odf) else 0],
+                "n_events": [len(edf)],
+                "first_event": [
+                    int(edf["event_id"].min()) if len(edf) else -1
+                ],
+            }
+        )
+
+    return (
+        orders.groupBy("uid")
+        .cogroup(events.groupBy("uid"))
+        .applyInPandas(
+            summarize,
+            schema="uid bigint, n_orders bigint, spend_cents bigint, "
+            "n_events bigint, first_event bigint",
+        )
+    )

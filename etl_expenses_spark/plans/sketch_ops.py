@@ -635,3 +635,32 @@ def bitmap_sliding_7d_users(spark, sf_dir):
             F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("active_7d")
         )
     )
+
+
+@query(
+    "lpa_communities_copurchase",
+    tags=("graph", "communities", "lpa"),
+)
+def lpa_communities_copurchase(spark, sf_dir):
+    """Communities of the co-purchase graph by label propagation
+    (operators/graph.py lpa_communities — parity-scheduled, min-tie-break,
+    budget-capped; deterministic across runs/partitionings/engines),
+    aggregated to (community, n_nodes, min_node, max_node). Rows-only +
+    golden-pinned like the other iterative graph queries: LPA has no
+    relational oracle (its output is defined by the schedule), so the
+    semantics are pinned by tests/test_graph_links.py (cliques keep their
+    own label, bridges don't merge them, partitioning-invariance) and the
+    golden pins the concrete assignment."""
+    from etl_expenses_spark.operators.graph import lpa_communities
+
+    edges = _copurchase_edges(spark, sf_dir)
+    labels = lpa_communities(edges, "pa", "pb", max_cycles=8)
+    return (
+        labels.groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("community")
+    )

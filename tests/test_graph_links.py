@@ -243,3 +243,54 @@ def test_kcore_raises_when_rounds_exhausted_while_changing(spark):
     # and with enough rounds the same graph converges exactly
     got = {r.node: r.core for r in kcore_decomposition(df).collect()}
     assert set(got.values()) == {1}
+
+
+def test_lpa_two_cliques_with_bridge_stay_separate(spark):
+    """Two K5 cliques joined by one bridge edge: LPA assigns each clique
+    one community and the bridge does not merge them."""
+    from etl_expenses_spark.operators.graph import lpa_communities
+
+    k5a = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    k5b = [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+    edges = k5a + k5b + [(4, 10)]  # bridge
+    df = spark.createDataFrame(edges, "pa long, pb long")
+    got = {r.node: r.community for r in lpa_communities(df).collect()}
+    a_labels = {got[n] for n in range(5)}
+    b_labels = {got[n] for n in range(10, 15)}
+    assert len(a_labels) == 1 and len(b_labels) == 1
+    assert a_labels != b_labels
+
+
+def test_lpa_deterministic_across_partitionings(spark):
+    import random
+
+    from etl_expenses_spark.operators.graph import lpa_communities
+
+    rng = random.Random(99)
+    edges = sorted(
+        {
+            (a, b)
+            for a, b in (sorted(rng.sample(range(40), 2)) for _ in range(120))
+        }
+    )
+    df1 = spark.createDataFrame(edges, "pa long, pb long")
+    df2 = spark.createDataFrame(edges, "pa long, pb long").repartition(17)
+    r1 = {(r.node, r.community) for r in lpa_communities(df1).collect()}
+    r2 = {(r.node, r.community) for r in lpa_communities(df2).collect()}
+    assert r1 == r2
+
+
+def test_lpa_bipartite_does_not_oscillate(spark):
+    """K3,3 — the synchronous-LPA worst case (labels swap sides forever).
+    The parity schedule must reach a stable assignment."""
+    from etl_expenses_spark.operators.graph import lpa_communities
+
+    edges = [(a, b) for a in (0, 1, 2) for b in (10, 11, 12)]
+    df = spark.createDataFrame(edges, "pa long, pb long")
+    got = {r.node: r.community for r in lpa_communities(df, max_cycles=8).collect()}
+    # stability check: run again with a larger budget — same fixed point
+    got2 = {
+        r.node: r.community
+        for r in lpa_communities(df, max_cycles=16).collect()
+    }
+    assert got == got2 and len(got) == 6
