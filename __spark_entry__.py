@@ -31,14 +31,13 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # registered after the window and is verified by tools/check_oracle.py
 # (the local replica of the same gate) across all scale factors.
 _PRIORITY = [
-    # Round-7 window: 16 kept green §2-family anchors + the hardened
-    # fx_convert retry (r6's one red row, now BIGINT-cents/DATE output) +
-    # 33 first-time rows (the 16 COVERAGE.md round-7 candidates, the two
-    # new k-core tiers, and a never-checked spread over TPC-H / SQL-dialect
-    # / format / screen families). Rotation rationale + history:
-    # COVERAGE.md. Every slot is lint-checked harness-safe
-    # (tools/check_oracle.py --lint-window).
-    # -- kept green anchors (one per §2 family) --
+    # Round-8 window: 9 kept green §2-family anchors + 41 first-time rows —
+    # the full COVERAGE.md round-8 candidate list (round-7 additions without
+    # driver rows, the embedding/ANN tier spread, the remaining seven TPC-H
+    # shapes, text/curation, lakehouse/SQL, finance/statistics). Rotation
+    # rationale + history: COVERAGE.md. Every slot is lint-checked
+    # harness-safe (tools/check_oracle.py --lint-window).
+    # -- kept green anchors (driver-green in r7, one per §2 family) --
     "flagship_spend_by_category",   # agg / flagship
     "derived_columns",              # projection
     "join_dims_agg",                # joins
@@ -47,53 +46,54 @@ _PRIORITY = [
     "text_features",                # text analysis
     "dedup_cluster_components",     # dedup + CC
     "similarity_cosine_topk",       # similarity
-    "bm25_topk_per_query",          # retrieval
     "incremental_merge_new_orders", # merge / K3
-    "window_tumbling_daily",        # streaming batch twin §2.10e
-    "schema_inference_cascade",     # schema coercion
-    "sql_surface_agent_query",      # NL->SQL exec surface
-    "webhook_source_ingest",        # REST source
-    "pdf_ticket_pipeline",          # PDF source + UDTF
-    "xlsx_report_pipeline",         # XLSX source
-    # -- retry: r6's red row, output re-typed hash-robust (VERDICT r6 #1) --
-    "fx_convert_order_totals",
-    # -- first-time: the 16 named round-7 candidates (COVERAGE.md) --
-    "ewma_daily_revenue",
-    "cusum_changepoint_screen",
-    "trend_slope_by_segment",
-    "gopher_dup_ngram_chars",
-    "winnowing_shared_fingerprints",
-    "winnowing_template_clusters",
-    "heavy_hitters_two_pass",
-    "avro_roundtrip_orders",
-    "avro_source_roundtrip",
-    "avro_payload_census",
-    "arrow_grouped_weighted_median",
-    "quality_percentile_gate_by_lang",
-    "dow_seasonality_profile",
-    "vocab_drift_topk",
-    "event_trigram_paths",
-    "format_consistency_audit",
-    # -- first-time: round-6/7 operators without driver rows --
-    "kcore_copurchase",
-    "kcore_copurchase_capped",
-    "allpairs_cosine_prefix_join",
-    "dedup_containment_pairs",
-    "image_dhash_neardup",
-    "bloom_semijoin_reduction",
-    "mojibake_screen_and_fix",
-    "shipping_delay_profile",
-    "anomalous_revenue_days",
-    # -- first-time: TPC-H spread --
-    "tpch_q4_order_priority_check",
-    "tpch_q7_nation_trade_volume",
-    "tpch_q9_nation_profit",
-    "tpch_q13_customer_distribution",
-    # -- first-time: SQL dialect + format surfaces --
-    "sql_pipe_syntax_agg",
-    "sql_group_by_all",
-    "orc_roundtrip_orders",
-    "xml_roundtrip",
+    # -- first-time: round-7 additions without driver rows --
+    "heavy_hitters_stream_fold",
+    "avro_stream_ingest_census",
+    "bitmap_weekly_distinct_rollup",
+    "bitmap_sliding_7d_users",
+    "url_canonicalize_dedup",
+    "range_left_join_unmatched_clicks",
+    "text_nfc_normalize",
+    "sql_scripting_threshold_search",
+    "approx_top_k_event_types",
+    # -- first-time: embedding / ANN tier spread --
+    "embedding_quantize_int8",
+    "embedding_pq_codes",
+    "similarity_cosine_topk_pq",
+    "similarity_batch_topk",
+    "kmeans_lloyd_refine",
+    "embedding_class_separation",
+    "embedding_norms",
+    # -- first-time: remaining TPC-H shapes --
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q20_excess_stock_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    # -- first-time: text / curation spread --
+    "text_normalize_spanish",
+    "doc_chunk_sliding",
+    "text_repetition_ratio",
+    "boilerplate_bigram_strip",
+    "corpus_pack_sequences",
+    "corpus_mixture_rebalance",
+    # -- first-time: lakehouse / SQL surfaces --
+    "zorder_layout_key",
+    "sql_hinted_broadcast_join",
+    "agg_listagg_ordered",
+    "table_profile_orders",
+    "dq_constraint_checks",
+    "table_checksum_orders",
+    # -- first-time: finance / statistics --
+    "trend_daily_spend_slope",
+    "correlation_r2_qty_price",
+    "pareto_revenue_concentration",
+    "gini_spend_inequality",
+    "mad_spend_by_segment",
+    "winsorized_spend_by_segment",
 ]
 
 

@@ -129,6 +129,11 @@ HEADLINE = [
     # interval semantics — NULL restoration via left_anti)
     "bitmap_weekly_distinct_rollup",
     "range_left_join_unmatched_clicks",
+    # round-8 additions: the grid-cell spatial equi-join (3×3 replicated
+    # small side — the never-cross-join distance archetype) and delta-join
+    # view maintenance (CDC z-set fold; the O(|Δ|) maintenance archetype)
+    "geo_cell_join_nearby_pairs",
+    "ivm_join_view_cdc",
 ]
 
 

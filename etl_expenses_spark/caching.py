@@ -33,3 +33,35 @@ def track(df: DataFrame) -> DataFrame:
 def clear_tracked_caches() -> None:
     while _TRACKED_CACHES:
         _TRACKED_CACHES.pop().unpersist()
+
+
+def bsp_checkpoint(df: DataFrame) -> DataFrame:
+    """localCheckpoint for BSP-loop state that does NOT inherit the origin
+    plan's cost statistics.
+
+    ``Dataset.localCheckpoint`` copies the origin plan's stats estimate
+    onto the new LogicalRDD leaf. In an iterative loop whose per-round
+    plan joins the state against something derived from the state, the
+    size-only stats visitor MULTIPLIES the two sides, so the estimate's
+    bit length roughly DOUBLES per checkpointed round (measured on the LPA
+    loop: b_{n+1} = 2·b_n + 63). By round ~20 Catalyst is multiplying
+    multi-megabit BigIntegers on every planning pass, and at bit length
+    2³¹ stats estimation throws ``BigInteger would overflow supported
+    range`` — the loop dies planning, not executing.
+
+    Fix: after the eager checkpoint, rebuild the leaf from the
+    checkpointed JVM row RDD (``createDataFrame(javaRDD, schema)``) —
+    same materialized blocks, same lazy scan, but a fresh leaf whose
+    default stats don't compound. Stays entirely JVM-side (no Python
+    round-trip, no disk). Join strategy is unaffected: checkpointed
+    leaves already carried conservative huge estimates, so static
+    broadcast was never chosen off them — AQE's runtime sizes decide, as
+    before.
+    """
+    ck = df.localCheckpoint()
+    spark = ck.sparkSession
+    jdf = ck._jdf
+    return DataFrame(
+        spark._jsparkSession.createDataFrame(jdf.javaRDD(), jdf.schema()),
+        spark,
+    )

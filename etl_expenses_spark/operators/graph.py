@@ -32,6 +32,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from etl_expenses_spark.caching import bsp_checkpoint
 from pyspark.sql.window import Window as W
 
 # Knuth multiplicative hash constants, int64-safe given the pre-modulus.
@@ -147,7 +149,10 @@ def kcore_decomposition(
     join neighbor estimates onto the symmetric adjacency, groupBy node,
     h-index of the collected neighbor values as a JVM array expression
     (sort desc, count positions where a[i] ≥ i+1 — prefix-monotone, so a
-    plain size(filter(...))). Labels are localCheckpoint-ed per round so
+    plain size(filter(...))). Labels are checkpointed per round via
+    caching.bsp_checkpoint (stats-safe localCheckpoint — plain
+    localCheckpoint inherits origin stats that double in bit length every
+    round and kill planning around round 25) so
     the plan stays one round deep (the CC loop's discipline); the changed
     flag is materialized with the labels so the convergence probe is a
     metadata count, not a re-join.
@@ -179,7 +184,14 @@ def kcore_decomposition(
         "size(filter(transform(sort_array(cs, false), (x, i) -> "
         "case when x >= i + 1 then 1 end), y -> y is not null))"
     )
-    directed = edges.select(F.col(src).alias("pa"), F.col(dst).alias("pb"))
+    directed = edges.select(
+        F.col(src).alias("pa"), F.col(dst).alias("pb")
+    ).filter(
+        # simple-graph contract: self-loops are dropped (k-core/LPA are
+        # defined on simple graphs; a loop would also re-duplicate through
+        # capped_adjacency's two-direction symmetrization)
+        F.col("pa") != F.col("pb")
+    )
     if max_degree is None:
         sym = (
             directed.select(F.col("pa").alias("node"), F.col("pb").alias("nbr"))
@@ -189,7 +201,17 @@ def kcore_decomposition(
             .distinct()
         )
     else:
-        kept = capped_adjacency(directed.distinct(), max_degree)
+        # Canonicalize BEFORE capping (ADVICE r7): an input listing both
+        # (a,b) and (b,a) would otherwise survive capped_adjacency's
+        # unionAll as duplicate (node,nbr) rows — duplicates eat cap slots
+        # AND double-count neighbors in the h-index collect_list, turning
+        # the documented lower bound into an over-estimate. least/greatest
+        # + distinct collapses both directions in the same single shuffle
+        # the old plain distinct spent.
+        canon = directed.select(
+            F.least("pa", "pb").alias("pa"), F.greatest("pa", "pb").alias("pb")
+        ).distinct()
+        kept = capped_adjacency(canon, max_degree)
         # mutual cap: keep (node, nbr) only when the reverse direction was
         # kept too — degrees stay ≤ max_degree and the graph stays a
         # symmetric subgraph of the original (the lower-bound guarantee)
@@ -204,11 +226,11 @@ def kcore_decomposition(
         # parks an entire hub in one task (measured: the ×10 tier went
         # from ~62 s to a stuck single-threaded hour-class run).
         sym = sym.repartition("nbr")
-    sym = sym.localCheckpoint()
+    sym = bsp_checkpoint(sym)
     est = (
         sym.groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint()
+        .transform(bsp_checkpoint)
     )
     # One edge-scale shuffle per H-step (the groupBy): the join picks up
     # sym's pre-made nbr partitioning, the node-sized estimate shuffles
@@ -249,7 +271,7 @@ def kcore_decomposition(
                     (F.least("h", "c") != F.col("c")).alias("changed"),
                 )
                 .select(F.col("node"), F.col("c_new").alias("c"), "changed")
-                .localCheckpoint()
+                .transform(bsp_checkpoint)
             )
         else:
             # two H-steps per materialization round: halves the driver
@@ -277,7 +299,7 @@ def kcore_decomposition(
                 .select(
                     "node", "c", (F.col("c") != F.col("c_prev")).alias("changed")
                 )
-                .localCheckpoint()
+                .transform(bsp_checkpoint)
             )
         n_changed = new.filter("changed").limit(1).count()
         est = new.drop("changed")
@@ -318,7 +340,14 @@ def lpa_communities(
     (node, label) count) and a per-node argmax window whose partition
     holds ≤ deg(node) rows. Hub-heavy graphs pass `max_degree` for the
     same mutual-capped adjacency tier as kcore_decomposition."""
-    directed = edges.select(F.col(src).alias("pa"), F.col(dst).alias("pb"))
+    directed = edges.select(
+        F.col(src).alias("pa"), F.col(dst).alias("pb")
+    ).filter(
+        # simple-graph contract: self-loops are dropped (k-core/LPA are
+        # defined on simple graphs; a loop would also re-duplicate through
+        # capped_adjacency's two-direction symmetrization)
+        F.col("pa") != F.col("pb")
+    )
     if max_degree is None:
         sym = (
             directed.select(F.col("pa").alias("node"), F.col("pb").alias("nbr"))
@@ -328,13 +357,18 @@ def lpa_communities(
             .distinct()
         )
     else:
-        kept = capped_adjacency(directed.distinct(), max_degree)
+        # same both-directions canonicalization as kcore's capped path
+        # (ADVICE r7): duplicates would double LPA votes
+        canon = directed.select(
+            F.least("pa", "pb").alias("pa"), F.greatest("pa", "pb").alias("pb")
+        ).distinct()
+        kept = capped_adjacency(canon, max_degree)
         rev = kept.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
         sym = kept.join(rev, ["node", "nbr"], "left_semi").repartition("nbr")
-    sym = sym.localCheckpoint()
+    sym = bsp_checkpoint(sym)
     labels = (
         sym.select("node").distinct().select("node", F.col("node").alias("lab"))
-    ).localCheckpoint()
+    ).transform(bsp_checkpoint)
     stable_halves = 0
     for half in range(2 * max_cycles):
         parity = half % 2
@@ -356,7 +390,11 @@ def lpa_communities(
             .select(
                 "node",
                 F.when(
-                    (F.col("node") % 2 == parity) & F.col("best").isNotNull(),
+                    # pmod, not %: Spark's % keeps the dividend's sign, so a
+                    # negative odd id yields -1 and would never match parity
+                    # 1 — frozen at its initial label forever (ADVICE r7)
+                    (F.pmod(F.col("node"), F.lit(2)) == parity)
+                    & F.col("best").isNotNull(),
                     F.col("best"),
                 )
                 .otherwise(F.col("lab"))
@@ -368,7 +406,7 @@ def lpa_communities(
                 F.col("lab_new").alias("lab"),
                 (F.col("lab_new") != F.col("lab_old")).alias("changed"),
             )
-            .localCheckpoint()
+            .transform(bsp_checkpoint)
         )
         n_changed = new.filter("changed").limit(1).count()
         labels = new.drop("changed")

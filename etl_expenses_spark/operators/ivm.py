@@ -1,0 +1,90 @@
+"""Incremental view maintenance (IVM) over signed-delta CDC feeds.
+
+Reference parity: the reference's load path is row-at-a-time INSERT into
+the warehouse tables (/root/reference/load_data/lambda_function.py:19,78)
+and every report re-queries the full table; at 100 TB a materialized
+aggregate must be MAINTAINED, not recomputed. This
+module implements the classic z-set / delta-relation formulation (Blakeley
+et al. SIGMOD'86 view maintenance; the same algebra DBSP/Materialize build
+on): every change is a SIGNED multiset row (+1 insert, -1 delete, update =
+delete+insert), aggregates fold deltas with plain SUMs, and joins
+distribute over deltas bilinearly:
+
+    Δ(A ⋈ B) = ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+so maintaining a view costs O(|Δ| · view arity), never O(|base|).
+
+Scale contract: the maintenance path touches (a) the delta relation and
+(b) the stored view rows for the TOUCHED KEYS only — the base fact table
+is never rescanned. SUM/COUNT fold exactly (they form a group under
+signed addition); MIN/MAX do not (a deleted minimum needs a rescan of its
+group — the standard IVM caveat) and are deliberately not offered here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def zset_from_cdc(
+    cdc: DataFrame,
+    key_old: str,
+    amt_old: str,
+    key_new: str,
+    amt_new: str,
+    op: str = "op",
+) -> DataFrame:
+    """Normalize a CDC feed with before/after images into signed delta rows
+    ``(key, dn, damt)``: insert → +new, delete → −old, update → both (so a
+    key-changing update moves its contribution between groups). The op
+    column uses the Debezium-style codes 'I'/'U'/'D'.
+
+    One narrow projection + explode — no shuffle; the feed stays
+    partition-local until the maintenance aggregate."""
+    pair = F.array(
+        F.when(
+            F.col(op).isin("D", "U"),
+            F.struct(
+                F.col(key_old).alias("key"),
+                F.lit(-1).cast("long").alias("dn"),
+                (-F.col(amt_old)).alias("damt"),
+            ),
+        ),
+        F.when(
+            F.col(op).isin("I", "U"),
+            F.struct(
+                F.col(key_new).alias("key"),
+                F.lit(1).cast("long").alias("dn"),
+                F.col(amt_new).alias("damt"),
+            ),
+        ),
+    )
+    return (
+        cdc.select(F.explode(pair).alias("d"))
+        .filter(F.col("d").isNotNull())
+        .select("d.key", "d.dn", "d.damt")
+    )
+
+
+def maintain_grouped_totals(
+    view: DataFrame, deltas: DataFrame, key: str = "key"
+) -> DataFrame:
+    """Fold signed deltas ``(key, dn, damt)`` into a stored COUNT/SUM view
+    ``(key, n, total)``; groups whose maintained count reaches 0 vanish
+    (their row would otherwise linger as a (k, 0, 0.00) tombstone).
+
+    Plan: pre-aggregate the delta feed (map-side combine on O(|Δ|) rows),
+    then ONE union + re-aggregate against the stored view rows. At 100 TB
+    the view relation is keyed storage and this union-agg touches only
+    delta keys' partitions; the base facts are never read."""
+    dagg = deltas.groupBy(F.col("key").alias(key)).agg(
+        F.sum("dn").alias("n"), F.sum("damt").alias("total")
+    )
+    return (
+        view.select(key, "n", "total")
+        .unionByName(dagg)
+        .groupBy(key)
+        .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+        .filter(F.col("n") > 0)
+    )

@@ -18,6 +18,8 @@ from etl_expenses_spark.plans import lakehouse_ops  # noqa: F401,E402
 from etl_expenses_spark.plans import sketch_ops  # noqa: F401,E402
 from etl_expenses_spark.plans import privacy_ops  # noqa: F401,E402
 from etl_expenses_spark.plans import retrieval_ops  # noqa: F401,E402
+from etl_expenses_spark.plans import geo_ops  # noqa: F401,E402
+from etl_expenses_spark.plans import ivm_ops  # noqa: F401,E402
 
 # Golden-literal oracles (tools/gen_goldens.py): VALUES-table SQL pinning
 # the deterministic output of queries whose semantics DuckDB cannot

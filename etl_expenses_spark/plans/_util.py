@@ -40,3 +40,27 @@ def dec(col: Column | str, scale: int = 2, precision: int = 18) -> Column:
 def dsum(col: Column | str, scale: int = 2, precision: int = 18) -> Column:
     """Exact decimal sum of a *clean* column, surfaced as double."""
     return F.sum(dec(col, scale, precision)).cast("double")
+
+
+def work_dir(name: str, sf_dir: str) -> str:
+    """Deterministic per-(query, sf) scratch directory, wiped on entry.
+
+    Queries that stage data on local disk (stream replays, codec landings)
+    must NOT mkdtemp a fresh directory per invocation: the returned
+    DataFrame reads those files lazily, so the dir can't be deleted before
+    the caller materializes it — and an un-deleted random dir leaks a full
+    table copy on every bench/correctness run (ADVICE r7). A deterministic
+    path keyed by (query, sf tier) is overwritten in place instead: disk
+    usage stays bounded at one copy per query×tier no matter how many times
+    the round's harnesses re-run it.
+    """
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    slug = re.sub(r"[^A-Za-z0-9_.-]+", "_", sf_dir.strip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"etl_spark_work_{name}_{slug}")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path

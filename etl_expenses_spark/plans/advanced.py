@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from etl_expenses_spark.plans._util import T, dec, dsum
+from etl_expenses_spark.plans._util import T, dec, dsum, work_dir
 from etl_expenses_spark.plans.registry import query
 
 
@@ -1626,7 +1626,6 @@ def heavy_hitters_stream_fold(spark, sf_dir):
     never shuffled; ≤ (cap+1)×partitions summary rows per epoch), state
     ≤ cap rows forever."""
     import os
-    import tempfile
 
     from etl_expenses_spark.streaming.heavyhitters import (
         heavy_hitters_from_state,
@@ -1634,7 +1633,7 @@ def heavy_hitters_stream_fold(spark, sf_dir):
     )
 
     ev = T(spark, sf_dir, "events").select("user_id")
-    work = tempfile.mkdtemp(prefix="mg_stream_fold_")
+    work = work_dir("mg_stream_fold", sf_dir)
     bronze = os.path.join(work, "bronze")
     ev.repartition(4).write.parquet(bronze)  # 4 files -> 4 micro-batches
     stream = (
@@ -1673,12 +1672,11 @@ def avro_stream_ingest_census(spark, sf_dir):
     per batch; the final aggregate is an ordinary map-side-combined
     groupBy."""
     import os
-    import tempfile
 
     from etl_expenses_spark.sources.avro_source import register
 
     register(spark)
-    work = tempfile.mkdtemp(prefix="avro_stream_census_")
+    work = work_dir("avro_stream_census", sf_dir)
     landing = os.path.join(work, "landing")
     out = os.path.join(work, "out")
 

@@ -1,0 +1,251 @@
+"""Incremental view maintenance queries (operators/ivm.py).
+
+Both queries synthesize a deterministic CDC day from the orders table —
+o_orderkey % 10 routes each row: 0 → arrives as an INSERT (excluded from
+the stored base), 1 → receives an UPDATE (+25.00 on the total), 2 → is
+DELETEd — so the DuckDB oracle can reconstruct the FINAL table state
+declaratively and aggregate it, while the Spark side must reach the same
+numbers by FOLDING THE DELTAS into the stored view without ever rescanning
+the base facts. A green row therefore pins the maintenance algebra itself
+(signed counts, delete+insert updates, tombstone elimination), not just
+the aggregate arithmetic.
+
+Money stays in DECIMAL(18,2) end to end (exact, associative, engine-
+portable) and surfaces as double only in the final projection — the
+registry's determinism rule #1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_expenses_spark.plans._util import T, dec, work_dir
+from etl_expenses_spark.plans.registry import query
+
+# CDC routing predicates, shared by both engines
+_INS = "o_orderkey % 10 = 0"
+_UPD = "o_orderkey % 10 = 1"
+_DEL = "o_orderkey % 10 = 2"
+
+
+def _base_and_cdc(spark, sf_dir):
+    """(stored base, CDC feed) split of orders. The base is yesterday's
+    table (inserts haven't arrived); the CDC feed carries I/U/D rows with
+    before/after images, Debezium-style."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        dec("o_totalprice").alias("amt"),
+    )
+    base = o.filter(f"NOT ({_INS})")
+    ins = o.filter(_INS).select(
+        F.lit("I").alias("op"),
+        F.lit(None).cast("long").alias("key_old"),
+        F.lit(None).cast("decimal(18,2)").alias("amt_old"),
+        F.col("o_custkey").alias("key_new"),
+        F.col("amt").alias("amt_new"),
+    )
+    upd = o.filter(_UPD).select(
+        F.lit("U").alias("op"),
+        F.col("o_custkey").alias("key_old"),
+        F.col("amt").alias("amt_old"),
+        F.col("o_custkey").alias("key_new"),
+        # re-cast: decimal(18,2)+decimal(18,2) promotes to (19,2), which
+        # parquet stores as FLBA and would break the stream twin's
+        # fixed (18,2) read schema; the +25 never overflows 18 digits
+        (F.col("amt") + F.lit(25).cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("amt_new"),
+    )
+    dele = o.filter(_DEL).select(
+        F.lit("D").alias("op"),
+        F.col("o_custkey").alias("key_old"),
+        F.col("amt").alias("amt_old"),
+        F.lit(None).cast("long").alias("key_new"),
+        F.lit(None).cast("decimal(18,2)").alias("amt_new"),
+    )
+    return base, ins.unionByName(upd).unionByName(dele)
+
+
+@query(
+    "ivm_group_totals_cdc",
+    oracle=f"""
+        WITH final AS (
+            SELECT o_custkey % 97 AS seg,
+                   CAST(o_totalprice AS DECIMAL(18,2))
+                   + CASE WHEN {_UPD} THEN CAST(25 AS DECIMAL(18,2))
+                          ELSE CAST(0 AS DECIMAL(18,2)) END AS amt
+            FROM orders
+            WHERE NOT ({_DEL}))
+        SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(amt) AS DOUBLE) AS total_spend
+        FROM final GROUP BY seg
+    """,
+    tags=("ivm", "cdc", "agg", "merge"),
+)
+def ivm_group_totals_cdc(spark, sf_dir):
+    """Maintain a per-segment COUNT/SUM view under one CDC day — the
+    z-set fold (operators/ivm.py): insert → +1/+amt, delete → −1/−amt,
+    update → delete+insert — against the stored view, NEVER rescanning the
+    base facts. The oracle recomputes from the reconstructed final table,
+    so agreement pins the maintenance algebra (signed counts, two-row
+    updates, count-0 tombstone elimination).
+
+    100 TB shape: the maintenance cost is O(|Δ|) — the delta feed
+    pre-aggregates map-side to one row per touched segment, and the
+    union-agg against the stored view touches only those keys. Recompute
+    would rescan the full fact table for a day of changes; this never
+    does."""
+    from etl_expenses_spark.operators.ivm import (
+        maintain_grouped_totals,
+        zset_from_cdc,
+    )
+
+    base, cdc = _base_and_cdc(spark, sf_dir)
+    stored_view = (
+        base.groupBy((F.col("o_custkey") % 97).alias("seg"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amt").alias("total"))
+    )
+    deltas = zset_from_cdc(
+        cdc.select("op", (F.col("key_old") % 97).alias("key_old"),
+                   "amt_old", (F.col("key_new") % 97).alias("key_new"),
+                   "amt_new"),
+        "key_old", "amt_old", "key_new", "amt_new",
+    )
+    return maintain_grouped_totals(stored_view, deltas, key="seg").select(
+        "seg",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.col("total").cast("double").alias("total_spend"),
+    )
+
+
+@query(
+    "ivm_join_view_cdc",
+    oracle=f"""
+        WITH final AS (
+            SELECT o_custkey,
+                   CAST(o_totalprice AS DECIMAL(18,2))
+                   + CASE WHEN {_UPD} THEN CAST(25 AS DECIMAL(18,2))
+                          ELSE CAST(0 AS DECIMAL(18,2)) END AS amt
+            FROM orders
+            WHERE NOT ({_DEL}))
+        SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(f.amt) AS DOUBLE) AS revenue
+        FROM final f JOIN customer c ON f.o_custkey = c.c_custkey
+        GROUP BY 1
+    """,
+    tags=("ivm", "cdc", "join", "agg"),
+)
+def ivm_join_view_cdc(spark, sf_dir):
+    """Maintain a JOIN view (revenue per customer nation) under a CDC day
+    on the FACT side: Δ(O ⋈ C) = ΔO ⋈ C when only O changes (the bilinear
+    delta-join rule, operators/ivm.py module doc) — so the maintenance
+    plan joins the DELTA feed against the dimension and folds signed
+    partials into the stored view; the base fact table is never rejoined
+    or rescanned. The oracle recomputes the view from the reconstructed
+    final join, pinning both the delta-join rewrite and the fold.
+
+    100 TB shape: |ΔO| ⋈ C is a broadcast/bucket join on a day's deltas
+    instead of the full fact history; the fold touches only the ≤25
+    nation rows the deltas hit. A dimension-side delta would add the
+    symmetric A ⋈ ΔB and ΔA ⋈ ΔB terms — same algebra, same plan shape."""
+    from etl_expenses_spark.operators.ivm import (
+        maintain_grouped_totals,
+        zset_from_cdc,
+    )
+
+    base, cdc = _base_and_cdc(spark, sf_dir)
+    cust = T(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").cast("bigint").alias("nationkey")
+    )
+    stored_view = (
+        base.join(cust, base.o_custkey == cust.c_custkey)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amt").alias("total"))
+    )
+    # Δ(O ⋈ C) = ΔO ⋈ C — rekey the signed deltas through the dimension
+    deltas = zset_from_cdc(
+        cdc, "key_old", "amt_old", "key_new", "amt_new"
+    ).join(cust, F.col("key") == cust.c_custkey).select(
+        cust.nationkey.alias("key"), "dn", "damt"
+    )
+    return maintain_grouped_totals(stored_view, deltas, key="nationkey").select(
+        "nationkey",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.col("total").cast("double").alias("revenue"),
+    )
+
+
+@query(
+    "ivm_stream_fold",
+    oracle=f"""
+        WITH final AS (
+            SELECT o_custkey % 97 AS seg,
+                   CAST(o_totalprice AS DECIMAL(18,2))
+                   + CASE WHEN {_UPD} THEN CAST(25 AS DECIMAL(18,2))
+                          ELSE CAST(0 AS DECIMAL(18,2)) END AS amt
+            FROM orders
+            WHERE NOT ({_DEL}))
+        SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(amt) AS DOUBLE) AS total_spend
+        FROM final GROUP BY seg
+    """,
+    tags=("ivm", "cdc", "streaming", "agg"),
+)
+def ivm_stream_fold(spark, sf_dir):
+    """The streaming IVM machinery's driver-checked row: the CDC day is
+    replayed through streaming/ivm_sink.py as four REAL micro-batches
+    (file stream, maxFilesPerTrigger=1, availableNow) folding into the
+    stored per-segment view under the epoch-ledger commit protocol, and
+    the final view must equal the oracle's declarative recompute — AND, by
+    construction, `ivm_group_totals_cdc`'s one-shot fold (micro-batching
+    must not change a maintained view: the z-set fold is associative,
+    pinned in tests/test_ivm.py). Wrong offsets, double-folded replays, or
+    a non-atomic commit all break the exact counts/sums.
+
+    Scale shape: per epoch one map-side-combined O(|Δ|) aggregate + a
+    bounded-group view rewrite; the base facts are scanned exactly once,
+    at seed time."""
+    import os
+
+    from etl_expenses_spark.streaming.ivm_sink import (
+        init_view_state,
+        ivm_state_sink,
+        read_view,
+    )
+
+    base, cdc = _base_and_cdc(spark, sf_dir)
+    work = work_dir("ivm_stream_fold", sf_dir)
+    feed = os.path.join(work, "cdc")
+    cdc_seg = cdc.select(
+        "op",
+        (F.col("key_old") % 97).alias("key_old"),
+        "amt_old",
+        (F.col("key_new") % 97).alias("key_new"),
+        "amt_new",
+    )
+    cdc_seg.repartition(4).write.parquet(feed)  # 4 files -> 4 micro-batches
+    init_view_state(
+        base.groupBy((F.col("o_custkey") % 97).alias("seg")).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("amt").alias("total")
+        ),
+        os.path.join(work, "state"),
+    )
+    stream = (
+        spark.readStream.schema(
+            "op string, key_old bigint, amt_old decimal(18,2), "
+            "key_new bigint, amt_new decimal(18,2)"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    ivm_state_sink(
+        stream, os.path.join(work, "state"), os.path.join(work, "ckpt"),
+        key="seg",
+    ).awaitTermination()
+    return read_view(spark, os.path.join(work, "state")).select(
+        "seg",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.col("total").cast("double").alias("total_spend"),
+    )

@@ -300,7 +300,10 @@ def embedding_pq_codes(spark, sf_dir):
     out = pq_encode(e, books)
     return out.select(
         "vec_id",
-        "codes",
+        # dash-joined code string: the driver harness canonicalizes rows by
+        # sorting values, which rejects array cells — the stringified code
+        # word carries the identical information and sorts fine
+        F.concat_ws("-", F.col("codes")).alias("codes"),
         F.round(F.col("recon_err"), 6).alias("recon_err"),
     )
 

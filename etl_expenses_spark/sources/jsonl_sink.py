@@ -144,6 +144,16 @@ class JsonlStreamWriter(DataSourceStreamWriter):
             # re-staged copies, never double-publish
             self.abort(messages, batchId)
             return
+        # uncommitted epoch: a prior attempt may have crashed mid-rename,
+        # leaving some part-<batchId>-*.jsonl already published. If this
+        # replay produces FEWER files than the torn attempt renamed in, the
+        # higher-index orphans would stay visible while the ledger's row
+        # count excludes them (ADVICE r7) — so the replay first removes
+        # every part file of the uncommitted epoch and fully replaces it.
+        prefix = f"part-{int(batchId):05d}-"
+        for f in os.listdir(self.path):
+            if f.startswith(prefix) and f.endswith(".jsonl"):
+                os.remove(os.path.join(self.path, f))
         total = 0
         for i, m in enumerate(messages):
             final = os.path.join(

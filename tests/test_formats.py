@@ -298,3 +298,58 @@ def test_jsonl_stream_sink_exactly_once(spark, tmp_path):
     w.commit([JsonlCommit(staged=staged, rows=1)], batchId=led["committed"][0])
     assert len(read_rows()) == 300  # unchanged
     assert not os.path.exists(staged)  # staged duplicate swept
+
+
+def test_jsonl_stream_sink_torn_commit_replay_replaces_orphans(spark, tmp_path):
+    """ADVICE r7: a crash mid-rename can publish SOME part-<batch>-*.jsonl
+    files of an uncommitted epoch; if the replayed batch produces fewer
+    commit messages, the higher-index orphans of the torn attempt must not
+    stay visible (rows the ledger never counted). The replay removes every
+    part file of the uncommitted epoch before publishing."""
+    import json as _json
+    import os
+
+    from etl_expenses_spark.sources.jsonl_sink import JsonlCommit, JsonlStreamWriter
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    w = JsonlStreamWriter({"path": out})
+
+    # batch 0 commits normally
+    def stage(name, payload):
+        p = os.path.join(out, "_staging", name)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            f.write(payload)
+        return p
+
+    s0 = stage("b0.jsonl", '{"id": 1}\n')
+    w.commit([JsonlCommit(staged=s0, rows=1)], batchId=0)
+
+    # torn attempt for batch 1: three files already renamed in, then crash
+    # (ledger never updated — batch 1 is NOT committed)
+    for i in range(3):
+        with open(os.path.join(out, f"part-00001-{i:05d}.jsonl"), "w") as f:
+            f.write(f'{{"id": {100 + i}}}\n')
+
+    # replay of batch 1 produces only ONE message
+    s1 = stage("b1.jsonl", '{"id": 200}\n')
+    w.commit([JsonlCommit(staged=s1, rows=1)], batchId=1)
+
+    part1 = sorted(
+        f for f in os.listdir(out)
+        if f.startswith("part-00001-") and f.endswith(".jsonl")
+    )
+    assert part1 == ["part-00001-00000.jsonl"]  # orphans fully replaced
+    with open(os.path.join(out, "part-00001-00000.jsonl")) as f:
+        assert _json.loads(f.read()) == {"id": 200}
+    with open(os.path.join(out, "_batches.json")) as f:
+        led = _json.load(f)
+    # ledger row count == rows actually visible
+    visible = sum(
+        1
+        for f in os.listdir(out)
+        if f.startswith("part-") and f.endswith(".jsonl")
+        for _ in open(os.path.join(out, f))
+    )
+    assert led["rows"] == visible == 2

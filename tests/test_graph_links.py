@@ -294,3 +294,75 @@ def test_lpa_bipartite_does_not_oscillate(spark):
         for r in lpa_communities(df, max_cycles=16).collect()
     }
     assert got == got2 and len(got) == 6
+
+
+def test_kcore_capped_dedups_both_direction_input(spark):
+    """ADVICE r7: an edge list carrying BOTH (a,b) and (b,a) must produce
+    the same capped core numbers as its canonical pa<pb form — duplicate
+    (node,nbr) rows previously survived the mutual-cap semi join and
+    double-counted neighbors in the h-index, over-estimating cores and
+    breaking the documented lower-bound guarantee."""
+    import random
+
+    from etl_expenses_spark.operators.graph import kcore_decomposition
+
+    rng = random.Random(99)
+    canon = sorted(
+        {
+            (a, b)
+            for a, b in (sorted(rng.sample(range(25), 2)) for _ in range(160))
+        }
+    )
+    both = canon + [(b, a) for a, b in canon]
+    df_canon = spark.createDataFrame(canon, "pa long, pb long")
+    df_both = spark.createDataFrame(both, "pa long, pb long")
+    for cap in (3, 64):
+        want = {
+            r.node: r.core
+            for r in kcore_decomposition(df_canon, max_degree=cap).collect()
+        }
+        got = {
+            r.node: r.core
+            for r in kcore_decomposition(df_both, max_degree=cap).collect()
+        }
+        assert got == want, f"cap={cap}"
+    # and the capped duplicates still lower-bound the exact cores
+    exact = _peel_cores(canon)
+    got3 = {
+        r.node: r.core
+        for r in kcore_decomposition(df_both, max_degree=3).collect()
+    }
+    assert all(got3[v] <= exact[v] for v in got3)
+
+
+def test_kcore_ignores_self_loops(spark):
+    from etl_expenses_spark.operators.graph import kcore_decomposition
+
+    edges = [(1, 2), (2, 3), (1, 3), (2, 2)]  # K3 + a self-loop
+    df = spark.createDataFrame(edges, "pa long, pb long")
+    got = {r.node: r.core for r in kcore_decomposition(df).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    got_capped = {
+        r.node: r.core
+        for r in kcore_decomposition(df, max_degree=8).collect()
+    }
+    assert got_capped == got
+
+
+def test_lpa_negative_ids_are_not_frozen(spark):
+    """ADVICE r7: Spark's % keeps the dividend's sign, so negative odd ids
+    evaluated to -1 under the old `node % 2 == parity` schedule and never
+    matched either half-sweep — frozen at their initial label forever. With
+    pmod they update, so a clique containing negative ids converges to ONE
+    community like its positive-shifted twin."""
+    from etl_expenses_spark.operators.graph import lpa_communities
+
+    neg_clique = [(-5, -3), (-5, -1), (-3, -1), (-1, 2), (-5, 2), (-3, 2)]
+    far_clique = [(100, 101), (100, 102), (101, 102)]
+    df = spark.createDataFrame(
+        neg_clique + far_clique, "pa long, pb long"
+    )
+    got = {r.node: r.community for r in lpa_communities(df).collect()}
+    assert len({got[v] for v in (-5, -3, -1, 2)}) == 1
+    assert len({got[v] for v in (100, 101, 102)}) == 1
+    assert got[-5] != got[100]

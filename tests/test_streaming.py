@@ -1472,3 +1472,31 @@ def test_stream_interval_left_outer_matches_batch(spark, dirs):
     assert got == want
     assert any(p is None for _, p in want)  # NULL rows are present...
     assert any(p is not None for _, p in want)  # ...and so are matches
+
+
+def test_work_dir_is_deterministic_and_wiped():
+    """ADVICE r7: stream-replay queries must not mkdtemp a fresh dir per
+    invocation (each leaks a full table copy). work_dir() is keyed by
+    (query, sf tier): same args -> same path, wiped on entry."""
+    import os
+
+    from etl_expenses_spark.plans._util import work_dir
+
+    p1 = work_dir("unit_test_q", "/root/testdata/sf0.001")
+    with open(os.path.join(p1, "stale.txt"), "w") as f:
+        f.write("x")
+    p2 = work_dir("unit_test_q", "/root/testdata/sf0.001")
+    assert p1 == p2
+    assert os.listdir(p2) == []  # stale copy wiped, not accumulated
+    p3 = work_dir("unit_test_q", "/root/testdata/sf0.01")
+    assert p3 != p1  # tiers don't collide
+
+
+def test_stream_replay_queries_use_deterministic_workdirs():
+    import inspect
+
+    from etl_expenses_spark.plans import advanced
+
+    for fn in ("heavy_hitters_stream_fold", "avro_stream_ingest_census"):
+        src = inspect.getsource(getattr(advanced, fn))
+        assert "work_dir(" in src and "mkdtemp" not in src, fn
