@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from etl_expenses_spark.caching import track
+from etl_expenses_spark.caching import bsp_checkpoint, track
 from etl_expenses_spark.functions.text import tokens
 
 
@@ -303,8 +303,9 @@ def connected_components(
 
     The convergence probe (`limit(1).count()` per round) is one tiny driver
     action per round, not a data collect; every heavy structure stays
-    distributed and persisted. Each round's labels are ``localCheckpoint``ed
-    (eager) so the logical plan stays ONE round deep — without it the plan
+    distributed and persisted. Each round's labels are checkpointed via
+    caching.bsp_checkpoint (stats-safe eager localCheckpoint) so the
+    logical plan stays ONE round deep — without it the plan
     doubles every iteration and Catalyst analysis time dominates the
     actual shuffles by round ~6. The changed-flag is computed INSIDE the
     update join and checkpointed with the labels, so the probe reads the
@@ -315,7 +316,7 @@ def connected_components(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint()
+        .transform(bsp_checkpoint)
     )
     # fused round 1: with identity labels, each node's neighbor-min is just
     # min(neighbor ids) — one groupBy over sym, no join needed yet
@@ -323,7 +324,7 @@ def connected_components(
         sym.groupBy("u")
         .agg(F.min("v").alias("mv"))
         .select(F.col("u").alias("id"), F.least("u", "mv").alias("lbl"))
-    ).localCheckpoint()
+    ).transform(bsp_checkpoint)
     for _ in range(max_iters - 1):
         nbr_min = (
             sym.join(labels, sym["v"] == labels["id"])
@@ -340,7 +341,7 @@ def connected_components(
                 new_lbl.alias("lbl"),
                 (new_lbl < labels["lbl"]).alias("chg"),
             )
-            .localCheckpoint()
+            .transform(bsp_checkpoint)
         )
         changed = new_labels.filter("chg").limit(1).count()
         labels = new_labels.drop("chg")
@@ -379,9 +380,9 @@ def connected_components_star(
         raw.select(F.col("u").alias("id"))
         .union(raw.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint()
+        .transform(bsp_checkpoint)
     )
-    e = raw.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    e = raw.filter(F.col("u") != F.col("v")).distinct().transform(bsp_checkpoint)
 
     def large_star(cur: DataFrame) -> DataFrame:
         sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -411,7 +412,7 @@ def connected_components_star(
         )
 
     for _ in range(max_iters):
-        nxt = small_star(large_star(e)).localCheckpoint()
+        nxt = small_star(large_star(e)).transform(bsp_checkpoint)
         changed = (
             nxt.exceptAll(e).limit(1).count() + e.exceptAll(nxt).limit(1).count()
         )

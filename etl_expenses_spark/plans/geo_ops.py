@@ -204,3 +204,60 @@ def geo_cell_density_topk(spark, sf_dir):
     # total order -> TakeOrderedAndProject (per-partition top-20 heaps,
     # only 20 rows per partition reach the driver-side merge)
     return cells.orderBy(F.col("n_points").desc(), "cx", "cy").limit(20)
+
+
+# 3° proximity gate: the synthetic coordinates are a LATTICE (linear hash
+# of the key), whose minimum same-table pair distance is ~2.76e6 µdeg — a
+# smaller radius would make the query vacuously empty. 3° admits 505 pairs
+# at sf0.01, a real non-trivial driver check.
+_DUP_RADIUS = 3_000_000
+
+
+@query(
+    "geo_neardup_points_selfjoin",
+    oracle=f"""
+        WITH c AS (
+            SELECT c_custkey,
+                   {_LAT.format(k="c_custkey", salt=1)} AS lat,
+                   {_LON.format(k="c_custkey", salt=2)} AS lon
+            FROM customer),
+        pairs AS (
+            SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+                   (a.lat - b.lat) * (a.lat - b.lat)
+                 + (a.lon - b.lon) * (a.lon - b.lon) AS dist2
+            FROM c a CROSS JOIN c b
+            WHERE a.c_custkey < b.c_custkey)
+        SELECT key_a, key_b, CAST(dist2 AS BIGINT) AS dist2
+        FROM pairs
+        WHERE dist2 <= {_DUP_RADIUS}::BIGINT * {_DUP_RADIUS}
+    """,
+    tags=("geo", "dedup", "spatial", "selfjoin"),
+)
+def geo_neardup_points_selfjoin(spark, sf_dir):
+    """Spatial SELF-join near-duplicate candidates: customer points within
+    3° of each other, as (key_a < key_b) canonical pairs — the venue-
+    conflation / duplicate-listing first pass (two records this close are
+    record-linkage candidates regardless of their text).
+
+    The self-join case matters separately from the two-relation join: both
+    sides are the SAME big relation, so the replicate-the-small-side trick
+    has no small side. The grid join still works — one side replicated 9×,
+    and the a<b filter both canonicalizes the symmetric output and halves
+    the refine work. At 100 TB density decides the cost (Σ|cell|²), which
+    is exactly what geo_cell_density_topk audits first; the oracle is the
+    brute-force n² self-join, proving completeness again."""
+    from etl_expenses_spark.operators.geo import pairs_within_radius
+
+    cust_a = _points(T(spark, sf_dir, "customer"), "c_custkey", 1, 2, "a_key")
+    cust_b = cust_a.select(
+        F.col("a_key").alias("b_key"), "lat", "lon"
+    )
+    return (
+        pairs_within_radius(cust_a, cust_b, _DUP_RADIUS)
+        .filter(F.col("a_key") < F.col("b_key"))
+        .select(
+            F.col("a_key").alias("key_a"),
+            F.col("b_key").alias("key_b"),
+            F.col("dist2"),
+        )
+    )
