@@ -31,22 +31,25 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # registered after the window and is verified by tools/check_oracle.py
 # (the local replica of the same gate) across all scale factors.
 _PRIORITY = [
-    # Round-8 window: 9 kept green §2-family anchors + 41 first-time rows —
+    # Round-8 window: 4 kept green §2-family anchors + 46 first-time rows —
     # the full COVERAGE.md round-8 candidate list (round-7 additions without
     # driver rows, the embedding/ANN tier spread, the remaining seven TPC-H
-    # shapes, text/curation, lakehouse/SQL, finance/statistics). Rotation
-    # rationale + history: COVERAGE.md. Every slot is lint-checked
+    # shapes, text/curation, lakehouse/SQL, finance/statistics) plus five of
+    # THIS round's new operators (geo grid joins, IVM folds, WAP time
+    # travel) so the round's surface ships with hard driver evidence.
+    # Rotation rationale + history: COVERAGE.md. Every slot is lint-checked
     # harness-safe (tools/check_oracle.py --lint-window).
-    # -- kept green anchors (driver-green in r7, one per §2 family) --
+    # -- kept green anchors (driver-green r1–r7) --
     "flagship_spend_by_category",   # agg / flagship
     "derived_columns",              # projection
-    "join_dims_agg",                # joins
     "multimodal_codec_roundtrip",   # multimodal
-    "temporal_scalar_functions",    # date/time functions
-    "text_features",                # text analysis
     "dedup_cluster_components",     # dedup + CC
-    "similarity_cosine_topk",       # similarity
-    "incremental_merge_new_orders", # merge / K3
+    # -- first-time: round-8 new surface --
+    "geo_cell_join_nearby_pairs",
+    "geo_neardup_points_selfjoin",
+    "ivm_group_totals_cdc",
+    "ivm_stream_fold",
+    "wap_time_travel_read",
     # -- first-time: round-7 additions without driver rows --
     "heavy_hitters_stream_fold",
     "avro_stream_ingest_census",

@@ -31,6 +31,7 @@ AuditFn = Callable[[DataFrame], str | None]  # error message or None = pass
 
 _CURRENT = "_CURRENT"
 _STAGING = "_staging"
+_HISTORY = "_HISTORY"
 
 
 def _committed_versions(table_root: str) -> list[int]:
@@ -97,6 +98,7 @@ def publish_append(
         with open(tmp, "w") as f:
             f.write(",".join(str(v) for v in committed + [version]))
         os.replace(tmp, os.path.join(table_root, _CURRENT))
+        _append_history(table_root, version, committed + [version])
     finally:
         if os.path.exists(marker):
             os.remove(marker)
@@ -245,6 +247,7 @@ def compact_published(
         with open(tmp, "w") as f:
             f.write(str(version))  # manifest now names ONLY the compacted version
         os.replace(tmp, os.path.join(table_root, _CURRENT))
+        _append_history(table_root, version, [version])
     finally:
         if os.path.exists(marker):
             os.remove(marker)
@@ -318,3 +321,61 @@ def read_version(spark: SparkSession, table_root: str, version: int) -> DataFram
     if not os.path.isdir(path):
         raise FileNotFoundError(f"version {version} not on disk under {table_root}")
     return spark.read.parquet(path)
+
+
+def _append_history(table_root: str, commit: int, manifest: list[int]) -> None:
+    """Append one snapshot line ``commit:v0,v1,...`` to the manifest LOG.
+
+    The _CURRENT manifest holds only the latest state; the log keeps every
+    state ever committed, which is what gives the table Iceberg-style
+    snapshot time travel (read_as_of) across appends AND compactions.
+    Appended after the atomic manifest swap: a crash in between loses only
+    the newest snapshot's history line (read_as_of falls back to the
+    manifest-prefix rule for it), never corrupts prior lines."""
+    with open(os.path.join(table_root, _HISTORY), "a") as f:
+        f.write(f"{commit}:{','.join(str(v) for v in manifest)}\n")
+
+
+def snapshots(table_root: str) -> dict[int, list[int]]:
+    """commit id -> the manifest (version list) as of that commit."""
+    path = os.path.join(table_root, _HISTORY)
+    out: dict[int, list[int]] = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                commit, vs = line.split(":", 1)
+                out[int(commit)] = [int(v) for v in vs.split(",") if v]
+    return out
+
+
+def read_as_of(spark: SparkSession, table_root: str, commit: int) -> DataFrame:
+    """TIME TRAVEL: the table exactly as it stood after ``commit`` was
+    published — the union of the versions that commit's manifest named,
+    replayed from the snapshot log. Works across compaction (a pre-compact
+    commit resolves to the original small versions, which stay on disk
+    until ``vacuum``); after vacuum, snapshots older than the retained
+    files raise FileNotFoundError — the standard retention contract.
+
+    Falls back to the manifest-prefix rule (committed versions ≤ commit)
+    when the snapshot log predates this feature or lost its newest line to
+    a crash."""
+    snaps = snapshots(table_root)
+    manifest = snaps.get(int(commit))
+    if manifest is None:
+        prefix = [v for v in _committed_versions(table_root) if v <= int(commit)]
+        if not prefix or int(commit) not in prefix:
+            raise FileNotFoundError(
+                f"no snapshot for commit {commit} under {table_root}"
+            )
+        manifest = prefix
+    paths = [os.path.join(table_root, f"v{v}") for v in manifest]
+    for p in paths:
+        if not os.path.isdir(p):
+            raise FileNotFoundError(
+                f"snapshot {commit} references vacuumed version dir {p}; "
+                "older-than-retention time travel is gone by design"
+            )
+    return spark.read.parquet(*paths)

@@ -1,6 +1,7 @@
 """Incremental view maintenance queries (operators/ivm.py).
 
-Both queries synthesize a deterministic CDC day from the orders table —
+The fact-side queries synthesize a deterministic CDC day from the orders
+table —
 o_orderkey % 10 routes each row: 0 → arrives as an INSERT (excluded from
 the stored base), 1 → receives an UPDATE (+25.00 on the total), 2 → is
 DELETEd — so the DuckDB oracle can reconstruct the FINAL table state
@@ -248,4 +249,91 @@ def ivm_stream_fold(spark, sf_dir):
         "seg",
         F.col("n").cast("bigint").alias("n_orders"),
         F.col("total").cast("double").alias("total_spend"),
+    )
+
+
+@query(
+    "ivm_dim_change_two_level",
+    oracle="""
+        WITH moved AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 11 = 3
+                        THEN (c_nationkey + 1) % 25
+                        ELSE c_nationkey END AS nationkey
+            FROM customer)
+        SELECT CAST(m.nationkey AS BIGINT) AS nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders o JOIN moved m ON o.o_custkey = m.c_custkey
+        GROUP BY 1
+    """,
+    tags=("ivm", "cdc", "join", "agg", "dimension"),
+)
+def ivm_dim_change_two_level(spark, sf_dir):
+    """DIMENSION-side view maintenance via a stored auxiliary view — the
+    higher-order IVM pattern (DBToaster-style): a customer changing nation
+    re-attributes ALL their orders, so naive Δ(O ⋈ C) = O ⋈ ΔC would
+    rescan the full fact table for a handful of dimension rows. Instead
+    the pipeline stores per-customer partials P = γ_custkey(O) alongside
+    the nation view V = γ_nation(P ⋈ C); a dimension delta then folds as
+
+        V += Σ P[moved custkey] × (−old nation, +new nation)
+
+    touching only the MOVED keys' partial rows — the fact table is never
+    read during maintenance (here it's scanned once to build P, the
+    pipeline's stored state). The oracle recomputes the final view from
+    the reconstructed dimension, pinning the two-level fold end to end.
+
+    Scale shape: |Δ| dimension rows → semi-join against keyed partials →
+    2|Δ| signed partial rows → fold into ≤50 touched view rows. Cost is
+    O(|Δ|), independent of |orders|."""
+    from etl_expenses_spark.operators.ivm import maintain_grouped_totals
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey", dec("o_totalprice").alias("amt")
+    )
+    cust = T(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").cast("bigint").alias("nationkey")
+    )
+    # stored state: per-customer partials + the current nation view
+    partials = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("amt").alias("ptotal")
+    )
+    stored_view = (
+        partials.join(cust, partials.o_custkey == cust.c_custkey)
+        .groupBy("nationkey")
+        .agg(F.sum("pn").alias("n"), F.sum("ptotal").alias("total"))
+    )
+    # dimension delta: the moved customers, with old and new nation
+    moved = cust.filter(F.col("c_custkey") % 11 == 3).select(
+        "c_custkey",
+        F.col("nationkey").alias("old_nation"),
+        ((F.col("nationkey") + 1) % 25).alias("new_nation"),
+    )
+    # fold: each moved customer's partial leaves its old nation and joins
+    # its new one — 2|Δ| signed rows, never a fact-table scan
+    moved_partials = partials.join(
+        moved, partials.o_custkey == moved.c_custkey
+    )
+    deltas = moved_partials.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("old_nation").alias("key"),
+                    (-F.col("pn")).alias("dn"),
+                    (-F.col("ptotal")).alias("damt"),
+                ),
+                F.struct(
+                    F.col("new_nation").alias("key"),
+                    F.col("pn").alias("dn"),
+                    F.col("ptotal").alias("damt"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.key", "d.dn", "d.damt")
+    return maintain_grouped_totals(stored_view, deltas, key="nationkey").select(
+        "nationkey",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.col("total").cast("double").alias("revenue"),
     )

@@ -244,3 +244,59 @@ def sample_deterministic_per_key(spark, sf_dir):
             F.col("h").alias("sample_hash"),
         )
     )
+
+
+@query(
+    "wap_time_travel_read",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_spend
+        FROM orders
+        WHERE o_orderkey % 3 IN (0, 1)
+        GROUP BY o_orderstatus
+    """,
+    tags=("lakehouse", "wap", "time_travel", "agg"),
+)
+def wap_time_travel_read(spark, sf_dir):
+    """The WAP table's TIME-TRAVEL driver row (operators/wap.py): three
+    audited publishes land orders slices as versions, a compaction swaps
+    the manifest to one coalesced version, a fourth slice publishes on top
+    — and the query reads the table AS OF the second publish via the
+    snapshot log (read_as_of), which must still resolve to the original
+    two version dirs even though the current manifest no longer names
+    them. The oracle recomputes that historical state declaratively, so a
+    green row pins the whole snapshot chain: claim/stage/audit/publish
+    atomicity, the manifest log, and compaction not rewriting history.
+
+    Scale shape: time travel is metadata — the read plans exactly the
+    snapshot's version dirs (two parquet scans here), never a log replay
+    of the data; history cost is one manifest line per commit."""
+    import os
+
+    from etl_expenses_spark.operators.wap import (
+        audit_min_rows,
+        compact_published,
+        publish_append,
+        read_as_of,
+    )
+    from etl_expenses_spark.plans._util import work_dir
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", dec("o_totalprice").alias("amt")
+    )
+    root = os.path.join(work_dir("wap_time_travel", sf_dir), "table")
+    audits = [audit_min_rows(1)]
+    publish_append(spark, o.filter("o_orderkey % 3 = 0"), root, audits)
+    c1 = publish_append(spark, o.filter("o_orderkey % 3 = 1"), root, audits)
+    compact_published(spark, root)
+    publish_append(spark, o.filter("o_orderkey % 3 = 2"), root, audits)
+    return (
+        read_as_of(spark, root, c1)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("amt").cast("double").alias("total_spend"),
+        )
+    )

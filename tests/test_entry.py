@@ -21,20 +21,20 @@ def test_correctness_window_priority():
     window = qs[:50]
     assert all(n in os_ for n in window), [n for n in window if n not in os_]
     must = {
-        # round-8 rotation: the 9 kept per-family green anchors (every
-        # other slot is a first-time row from the COVERAGE.md round-8
-        # candidate list — 41 of them; cumulative driver coverage is the
-        # goal, so the anchor set shrinks each round as families prove out)
+        # round-8 rotation: 4 kept per-family green anchors (every other
+        # slot is a first-time row — the COVERAGE.md round-8 candidate
+        # list plus this round's new operators; cumulative driver coverage
+        # is the goal, so the anchor set shrinks as families prove out)
         "flagship_spend_by_category",
         "derived_columns",
-        "join_dims_agg",
         "multimodal_codec_roundtrip",
-        "temporal_scalar_functions",
-        "text_features",
         "dedup_cluster_components",
-        "similarity_cosine_topk",
-        "incremental_merge_new_orders",
-        # round-8 first-time slots the round's new machinery depends on
+        # round-8 new surface shipping with driver evidence
+        "geo_cell_join_nearby_pairs",
+        "ivm_group_totals_cdc",
+        "ivm_stream_fold",
+        "wap_time_travel_read",
+        # round-8 first-time slots the round's machinery depends on
         "heavy_hitters_stream_fold",
         "avro_stream_ingest_census",
         "bitmap_weekly_distinct_rollup",

@@ -403,3 +403,42 @@ def test_write_bloomed_embeds_filters_and_reads_back(spark, tmp_path):
     assert {r["id"] for r in got} == {
         r["id"] for r in df.filter(F.col("lookup_key") == key).collect()
     }
+
+
+def test_wap_read_as_of_snapshots(spark, tmp_path):
+    """Snapshot-log time travel: read_as_of(c) reproduces the table as of
+    each commit, survives compaction (pre-compact snapshots resolve to the
+    original version dirs), and raises once vacuum removes what an old
+    snapshot references."""
+    import pytest
+
+    from etl_expenses_spark.operators.wap import (
+        compact_published,
+        publish_append,
+        read_as_of,
+        snapshots,
+        vacuum,
+    )
+
+    root = str(tmp_path / "t")
+    d = lambda lo, hi: spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+    c0 = publish_append(spark, d(0, 10), root)
+    c1 = publish_append(spark, d(10, 30), root)
+    c2 = compact_published(spark, root)
+    c3 = publish_append(spark, d(30, 40), root)
+
+    assert {r.id for r in read_as_of(spark, root, c0).collect()} == set(range(10))
+    # pre-compaction snapshot still resolves after the manifest swap
+    assert {r.id for r in read_as_of(spark, root, c1).collect()} == set(range(30))
+    assert {r.id for r in read_as_of(spark, root, c2).collect()} == set(range(30))
+    assert {r.id for r in read_as_of(spark, root, c3).collect()} == set(range(40))
+    assert set(snapshots(root)) == {c0, c1, c2, c3}
+    with pytest.raises(FileNotFoundError):
+        read_as_of(spark, root, 999)
+
+    # vacuum drops the superseded pre-compaction dirs -> old snapshots are
+    # gone by design, the current state still reads
+    vacuum(root)
+    with pytest.raises(FileNotFoundError):
+        read_as_of(spark, root, c0)
+    assert {r.id for r in read_as_of(spark, root, c3).collect()} == set(range(40))
