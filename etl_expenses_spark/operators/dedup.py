@@ -316,7 +316,8 @@ def connected_components(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .transform(bsp_checkpoint)
+        # plain: checkpointed once, stats cannot compound (see graph.py)
+        .localCheckpoint()
     )
     # fused round 1: with identity labels, each node's neighbor-min is just
     # min(neighbor ids) — one groupBy over sym, no join needed yet
@@ -380,9 +381,10 @@ def connected_components_star(
         raw.select(F.col("u").alias("id"))
         .union(raw.select(F.col("v").alias("id")))
         .distinct()
-        .transform(bsp_checkpoint)
+        # plain: checkpointed once, stats cannot compound (see graph.py)
+        .localCheckpoint()
     )
-    e = raw.filter(F.col("u") != F.col("v")).distinct().transform(bsp_checkpoint)
+    e = raw.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
 
     def large_star(cur: DataFrame) -> DataFrame:
         sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -412,7 +414,12 @@ def connected_components_star(
         )
 
     for _ in range(max_iters):
-        nxt = small_star(large_star(e)).transform(bsp_checkpoint)
+        # plain checkpoint: star-CC converges in O(log d) rounds, so the
+        # copied-stats doubling tops out around 2^16 bits — harmless; the
+        # stats-reset leaf would instead tax every round's EDGE-scale scan
+        # with a Row conversion. bsp_checkpoint is for unbounded-round,
+        # node-scale state chains (k-core, LPA, BSP-CC labels).
+        nxt = small_star(large_star(e)).localCheckpoint()
         changed = (
             nxt.exceptAll(e).limit(1).count() + e.exceptAll(nxt).limit(1).count()
         )

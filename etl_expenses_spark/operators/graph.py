@@ -32,9 +32,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from etl_expenses_spark.caching import bsp_checkpoint
-from pyspark.sql.window import Window as W
 
 # Knuth multiplicative hash constants, int64-safe given the pre-modulus.
 _H_MOD = 1000003
@@ -226,6 +226,13 @@ def kcore_decomposition(
         # parks an entire hub in one task (measured: the ×10 tier went
         # from ~62 s to a stuck single-threaded hour-class run).
         sym = sym.repartition("nbr")
+    # stats-reset checkpoint for sym too: although sym is checkpointed
+    # once (its stats cannot compound), the reset leaf measured ~1.6×
+    # FASTER at the ×10 synth tier twice in a row (40.7 s vs ~65 s on the
+    # uncapped co-purchase kcore) — the conservative huge-leaf estimate
+    # keeps the per-round join from planning around sym's copied stats.
+    # Cost: one Row-conversion pass per round's sym scan, ~+0.8 s at
+    # sf0.1 — the right trade for the tier this loop is built for.
     sym = bsp_checkpoint(sym)
     est = (
         sym.groupBy("node")
@@ -365,6 +372,13 @@ def lpa_communities(
         kept = capped_adjacency(canon, max_degree)
         rev = kept.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
         sym = kept.join(rev, ["node", "nbr"], "left_semi").repartition("nbr")
+    # stats-reset checkpoint for sym too: although sym is checkpointed
+    # once (its stats cannot compound), the reset leaf measured ~1.6×
+    # FASTER at the ×10 synth tier twice in a row (40.7 s vs ~65 s on the
+    # uncapped co-purchase kcore) — the conservative huge-leaf estimate
+    # keeps the per-round join from planning around sym's copied stats.
+    # Cost: one Row-conversion pass per round's sym scan, ~+0.8 s at
+    # sf0.1 — the right trade for the tier this loop is built for.
     sym = bsp_checkpoint(sym)
     labels = (
         sym.select("node").distinct().select("node", F.col("node").alias("lab"))

@@ -1500,3 +1500,79 @@ def test_stream_replay_queries_use_deterministic_workdirs():
     for fn in ("heavy_hitters_stream_fold", "avro_stream_ingest_census"):
         src = inspect.getsource(getattr(advanced, fn))
         assert "work_dir(" in src and "mkdtemp" not in src, fn
+
+
+def test_stream_sessionized_matches_batch(spark, tmp_path):
+    """stream_sessionized_values == the batch F.session_window over the
+    same rows. Sessions only EMIT (append mode) once the watermark proves
+    they are closed, so each user gets a far-future sentinel event that
+    flushes the watermark past every real session; sentinel sessions are
+    dropped from both sides before comparing."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from etl_expenses_spark.streaming.pipeline import (
+        read_event_stream,
+        stream_sessionized_values,
+    )
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def ev(i, user, minutes):
+        return (
+            i, base + dt.timedelta(minutes=minutes), user, "click", 1.0, "{}"
+        )
+
+    rows = [
+        # user 1: two sessions (gap 30m): [0,10,25] and [90,95]
+        ev(1, 1, 0), ev(2, 1, 10), ev(3, 1, 25), ev(4, 1, 90), ev(5, 1, 95),
+        # user 2: one session
+        ev(6, 2, 5), ev(7, 2, 20),
+        # out-of-order arrival inside the watermark
+        ev(8, 1, 12),
+    ]
+    sentinel_ts = base + dt.timedelta(days=10)
+    sentinels = [
+        (900 + u, sentinel_ts, u, "sentinel", 0.0, "{}") for u in (1, 2)
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    bronze = str(tmp_path / "bronze")
+    spark.createDataFrame(rows, schema).repartition(2).write.mode(
+        "append"
+    ).parquet(bronze)
+    spark.createDataFrame(sentinels, schema).write.mode("append").parquet(
+        bronze
+    )
+
+    out = str(tmp_path / "out")
+    (
+        stream_sessionized_values(read_event_stream(spark, bronze))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in spark.read.parquet(out)
+        .filter(F.col("session_start") < F.lit(sentinel_ts))
+        .collect()
+    }
+    batch = spark.createDataFrame(rows, schema)
+    want = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in batch.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+        .collect()
+    }
+    assert got == want
+    assert len(want) == 3  # two sessions for user 1, one for user 2
