@@ -1023,3 +1023,109 @@ def winnowing_template_clusters(spark, sf_dir):
         "cluster_id",
         F.count(F.lit(1)).over(w).alias("cluster_size"),
     )
+
+
+_SPAN_L = 60  # minimum duplicated-run length (chars), Lee et al.'s ~50
+
+
+@query(
+    "dedup_exact_duplicated_spans",
+    oracle=f"""
+        WITH pos AS (
+          SELECT doc_id, gs.g AS p, substr(text, gs.g, {_SPAN_L}) AS gram
+          FROM documents,
+               LATERAL (SELECT unnest(generate_series(
+                   1, GREATEST(LENGTH(text) - {_SPAN_L} + 1, 0))) AS g) gs),
+        dup AS (SELECT gram FROM pos GROUP BY gram HAVING COUNT(*) > 1),
+        duppos AS (
+          SELECT DISTINCT p.doc_id, p.p FROM pos p JOIN dup USING (gram)),
+        isl AS (
+          SELECT doc_id, p,
+                 CASE WHEN p - LAG(p) OVER (
+                          PARTITION BY doc_id ORDER BY p) <= {_SPAN_L}
+                      THEN 0 ELSE 1 END AS new_island
+          FROM duppos),
+        grp AS (
+          SELECT doc_id, p,
+                 SUM(new_island) OVER (PARTITION BY doc_id ORDER BY p
+                     ROWS UNBOUNDED PRECEDING) AS gid
+          FROM isl)
+        SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+               CAST(MAX(p) + {_SPAN_L} - 1 AS BIGINT) AS span_end,
+               CAST(MAX(p) + {_SPAN_L} - MIN(p) AS BIGINT) AS span_len
+        FROM grp GROUP BY doc_id, gid
+    """,
+    tags=("dedup", "substring", "spans", "training"),
+)
+def dedup_exact_duplicated_spans(spark, sf_dir):
+    """EXACT maximal duplicated character spans — the "Deduplicating
+    Training Data Makes Language Models Better" (Lee et al., ACL 2022)
+    ExactSubstr semantic: every maximal run of characters that appears
+    more than once in the corpus at length ≥ L, reported as per-doc
+    (span_start, span_end) intervals a curation pass would cut. Unlike
+    `dedup_substring_windows` (fixed sampled offsets — a candidate
+    generator), this is the full sliding-position form: EVERY position's
+    L-gram is counted globally, duplicated positions are merged
+    gaps-and-islands style into maximal spans.
+
+    Plan: one explode (O(total chars) rows), ONE shuffle to count each
+    gram's global multiplicity (window over gram — no second join back),
+    then a per-doc window merge. The paper's suffix-array machinery is a
+    single-machine construction; the distributed equivalent is exactly
+    this hash-group of sliding grams. At 100 TB you group on
+    xxhash64(gram) first and verify the rare collision bucket; grams are
+    grouped directly here so the driver row is exact by construction, not
+    modulo hash collisions.
+
+    Scale: explode amplification is L-independent (one row per char);
+    gram-multiplicity partitions are bounded by the corpus's duplication
+    factor; per-doc windows hold ≤ len(doc) rows."""
+    docs = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        # docs shorter than L have no position; Spark's sequence(1, 0)
+        # would COUNT DOWN ([1, 0]) instead of being empty like the
+        # oracle's generate_series, so gate the explode explicitly
+        .filter(F.length("text") >= _SPAN_L)
+    )
+    pos = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - F.lit(_SPAN_L - 1))
+        ).alias("p"),
+        "text",
+    ).select(
+        "doc_id",
+        F.col("p").cast("long").alias("p"),
+        F.expr(f"substring(text, p, {_SPAN_L})").alias("gram"),
+    )
+    dup_pos = (
+        pos.withColumn(
+            "n_global", F.count(F.lit(1)).over(W.partitionBy("gram"))
+        )
+        .filter(F.col("n_global") > 1)
+        .select("doc_id", "p")
+        .distinct()
+    )
+    isl = dup_pos.withColumn(
+        "new_island",
+        F.when(
+            F.col("p")
+            - F.lag("p").over(W.partitionBy("doc_id").orderBy("p"))
+            <= _SPAN_L,
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    grp = isl.withColumn(
+        "gid",
+        F.sum("new_island").over(
+            W.partitionBy("doc_id").orderBy("p").rowsBetween(
+                W.unboundedPreceding, 0
+            )
+        ),
+    )
+    return grp.groupBy("doc_id", "gid").agg(
+        F.min("p").alias("span_start"),
+        (F.max("p") + F.lit(_SPAN_L - 1)).cast("long").alias("span_end"),
+        (F.max("p") + F.lit(_SPAN_L) - F.min("p")).cast("long").alias("span_len"),
+    ).drop("gid")

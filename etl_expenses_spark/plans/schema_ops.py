@@ -1399,3 +1399,84 @@ def approx_top_k_event_types(spark, sf_dir):
         ORDER BY n DESC, event_type
         """
     )
+
+
+@query(
+    "csv_corrupt_quarantine",
+    oracle="""
+        WITH routed AS (
+            SELECT CASE WHEN o_orderkey % 13 = 5
+                        THEN 'quarantined' ELSE 'ok' END AS status,
+                   CASE WHEN o_orderkey % 13 = 5
+                        THEN CAST(0 AS DECIMAL(18,2))
+                        ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS amt
+            FROM orders)
+        SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(amt) AS DOUBLE) AS total_ok
+        FROM routed GROUP BY status
+    """,
+    tags=("csv", "quality", "quarantine", "badrecords"),
+)
+def csv_corrupt_quarantine(spark, sf_dir):
+    """PERMISSIVE CSV ingest with corrupt-record QUARANTINE — the ingest
+    hardening the reference's flows do by hand (unparseable amounts are
+    caught, logged, and nulled per row at
+    /root/reference/transform_data_bank_pay/lambda_function.py:16-20): a
+    deterministically-mangled CSV copy of orders
+    (rows with o_orderkey % 13 = 5 get a non-numeric price) is read back
+    with an explicit schema + ``columnNameOfCorruptRecord``, malformed
+    lines land in the corrupt column instead of killing the job or being
+    silently nulled, and the query routes them to a quarantine count while
+    the clean rows aggregate exactly.
+
+    Scale shape: schema-first PERMISSIVE parse is scan-fused (no second
+    pass); the corrupt column is populated per-row by the parser, so
+    routing is a projection, and the quarantine side costs nothing until
+    someone reads it. The cache() is the documented Spark requirement for
+    referencing the internal corrupt column.
+
+    Oracle: the mangling rule is keyed on o_orderkey, so DuckDB derives
+    the same routing declaratively from the clean table."""
+    import os
+
+    from etl_expenses_spark.caching import tracked_persist
+    from etl_expenses_spark.plans._util import work_dir
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", dec("o_totalprice").alias("amt")
+    )
+    # deterministic mangled CSV: bad rows get a non-numeric price token
+    lines = o.select(
+        F.concat_ws(
+            ";",
+            F.col("o_orderkey"),
+            F.col("o_custkey"),
+            F.when(
+                F.col("o_orderkey") % 13 == 5, F.lit("N0T_A_PRICE")
+            ).otherwise(F.col("amt").cast("string")),
+        ).alias("value")
+    )
+    feed = os.path.join(work_dir("csv_corrupt_quarantine", sf_dir), "feed")
+    lines.write.mode("overwrite").text(feed)
+
+    raw = (
+        spark.read.schema(
+            "o_orderkey long, o_custkey long, amt decimal(18,2), "
+            "_corrupt string"
+        )
+        .option("sep", ";")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(feed)
+    )
+    raw = tracked_persist(raw)  # Spark requires caching to read _corrupt
+    routed = raw.select(
+        F.when(F.col("_corrupt").isNotNull(), F.lit("quarantined"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+        F.coalesce(F.col("amt"), F.lit(0).cast("decimal(18,2)")).alias("amt"),
+    )
+    return routed.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("amt").cast("double").alias("total_ok"),
+    )

@@ -146,6 +146,44 @@ def stream_interval_left_outer_clicks(
     )
 
 
+def stream_interval_full_outer_clicks(
+    clicks: DataFrame, purchases: DataFrame, window_s: int = 300,
+    watermark_s: int = 3600,
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — the last outer shape:
+    clicks pair with the same user's purchases in the FOLLOWING
+    ``window_s`` seconds; a click with no purchase AND a purchase with no
+    preceding click both survive as NULL-padded rows (un-attributed click
+    + organic purchase, in one operator).
+
+    Each side's NULL row emits when the OTHER side's watermark proves no
+    match can arrive: an unmatched click waits for the purchase watermark
+    to pass ``c_ts + window_s``; an unmatched purchase waits for the click
+    watermark to pass ``p_ts`` (its join window looks backward). The same
+    two clocks bound both state stores — full-outer costs no more state
+    than left-outer, it just keeps the other side's tombstone path too.
+    Batch twin: a plain full_outer join with the identical predicate
+    (stream == batch incl. both NULL sides pinned in
+    tests/test_streaming.py)."""
+    c = clicks.select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", f"{int(watermark_s)} seconds")
+    p = purchases.select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", f"{int(watermark_s)} seconds")
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr(f"INTERVAL {int(window_s)} SECONDS")),
+        "fullOuter",
+    )
+
+
 def run_events_stream_once(
     spark: SparkSession,
     bronze_dir: str,

@@ -1576,3 +1576,88 @@ def test_stream_sessionized_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(want) == 3  # two sessions for user 1, one for user 2
+
+
+def test_stream_interval_full_outer_matches_batch(spark, dirs):
+    """FULL OUTER stream-stream interval join: matched pairs, unmatched
+    clicks (NULL purchase side), AND unmatched purchases (NULL click side)
+    — each NULL row emitted when the other side's watermark proves no
+    match can arrive. Output across a watermark-flushing restart must
+    equal the batch full_outer join with the identical predicate."""
+    import datetime
+
+    from etl_expenses_spark.streaming.pipeline import (
+        stream_interval_full_outer_clicks,
+    )
+
+    bronze, gold, ckpt, _ = dirs
+    _write_bronze(spark, bronze)
+
+    def run_once_():
+        stream = read_event_stream(spark, str(bronze))
+        clicks = stream.filter(F.col("event_type") == "click")
+        purch = stream.filter(F.col("event_type") == "purchase")
+        j = stream_interval_full_outer_clicks(
+            clicks, purch, window_s=300, watermark_s=600
+        )
+        (
+            j.writeStream.format("parquet")
+            .option("path", str(gold))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_once_()
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("event_id") < 1000)
+    far = ev.agg(F.max("ts")).collect()[0][0] + datetime.timedelta(hours=6)
+    sent = spark.createDataFrame(
+        [
+            (1_000_000_001, far, -1, "click", 0.0, "{}"),
+            (1_000_000_002, far, -2, "purchase", 0.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sent.write.mode("append").parquet(str(bronze))
+    run_once_()
+
+    got = {
+        (r.c_id, r.p_id)
+        for r in spark.read.parquet(str(gold))
+        .filter(
+            (F.col("c_id").isNull() | (F.col("c_id") < 1_000_000_000))
+            & (F.col("p_id").isNull() | (F.col("p_id") < 1_000_000_000))
+        )
+        .select("c_id", "p_id")
+        .collect()
+    }
+
+    b_clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    b_pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    want = {
+        (r.c_id, r.p_id)
+        for r in b_clk.join(
+            b_pur,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 300 SECONDS")),
+            "full_outer",
+        )
+        .select("c_id", "p_id")
+        .collect()
+    }
+    assert got == want
+    assert any(p is None for c, p in want if c is not None)  # unmatched click
+    assert any(c is None for c, p in want if p is not None)  # unmatched purchase
+    assert any(c is not None and p is not None for c, p in want)  # matches
