@@ -1028,6 +1028,61 @@ def winnowing_template_clusters(spark, sf_dir):
 _SPAN_L = 60  # minimum duplicated-run length (chars), Lee et al.'s ~50
 
 
+def _duplicated_spans(spark, sf_dir):
+    """(doc_id, span_start, span_end, span_len) — shared by the span
+    REPORT query and the span CUT query; see dedup_exact_duplicated_spans
+    for the algorithm and scale notes."""
+    docs = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        # docs shorter than L have no position; Spark's sequence(1, 0)
+        # would COUNT DOWN ([1, 0]) instead of being empty like the
+        # oracle's generate_series, so gate the explode explicitly
+        .filter(F.length("text") >= _SPAN_L)
+    )
+    pos = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - F.lit(_SPAN_L - 1))
+        ).alias("p"),
+        "text",
+    ).select(
+        "doc_id",
+        F.col("p").cast("long").alias("p"),
+        F.expr(f"substring(text, p, {_SPAN_L})").alias("gram"),
+    )
+    dup_pos = (
+        pos.withColumn(
+            "n_global", F.count(F.lit(1)).over(W.partitionBy("gram"))
+        )
+        .filter(F.col("n_global") > 1)
+        .select("doc_id", "p")
+        .distinct()
+    )
+    isl = dup_pos.withColumn(
+        "new_island",
+        F.when(
+            F.col("p")
+            - F.lag("p").over(W.partitionBy("doc_id").orderBy("p"))
+            <= _SPAN_L,
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    grp = isl.withColumn(
+        "gid",
+        F.sum("new_island").over(
+            W.partitionBy("doc_id").orderBy("p").rowsBetween(
+                W.unboundedPreceding, 0
+            )
+        ),
+    )
+    return grp.groupBy("doc_id", "gid").agg(
+        F.min("p").alias("span_start"),
+        (F.max("p") + F.lit(_SPAN_L - 1)).cast("long").alias("span_end"),
+        (F.max("p") + F.lit(_SPAN_L) - F.min("p")).cast("long").alias("span_len"),
+    ).drop("gid")
+
+
 @query(
     "dedup_exact_duplicated_spans",
     oracle=f"""
@@ -1080,52 +1135,135 @@ def dedup_exact_duplicated_spans(spark, sf_dir):
     Scale: explode amplification is L-independent (one row per char);
     gram-multiplicity partitions are bounded by the corpus's duplication
     factor; per-doc windows hold ≤ len(doc) rows."""
-    docs = (
-        T(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        # docs shorter than L have no position; Spark's sequence(1, 0)
-        # would COUNT DOWN ([1, 0]) instead of being empty like the
-        # oracle's generate_series, so gate the explode explicitly
-        .filter(F.length("text") >= _SPAN_L)
+    return _duplicated_spans(spark, sf_dir)
+
+
+@query(
+    "dedup_cut_duplicated_spans",
+    oracle=f"""
+        WITH pos AS (
+          SELECT doc_id, gs.g AS p, substr(text, gs.g, {_SPAN_L}) AS gram
+          FROM documents,
+               LATERAL (SELECT unnest(generate_series(
+                   1, GREATEST(LENGTH(text) - {_SPAN_L} + 1, 0))) AS g) gs),
+        dup AS (SELECT gram FROM pos GROUP BY gram HAVING COUNT(*) > 1),
+        duppos AS (
+          SELECT DISTINCT p.doc_id, p.p FROM pos p JOIN dup USING (gram)),
+        isl AS (
+          SELECT doc_id, p,
+                 CASE WHEN p - LAG(p) OVER (
+                          PARTITION BY doc_id ORDER BY p) <= {_SPAN_L}
+                      THEN 0 ELSE 1 END AS new_island
+          FROM duppos),
+        grp AS (
+          SELECT doc_id, p,
+                 SUM(new_island) OVER (PARTITION BY doc_id ORDER BY p
+                     ROWS UNBOUNDED PRECEDING) AS gid
+          FROM isl),
+        spans AS (
+          SELECT doc_id, MIN(p) AS s, MAX(p) + {_SPAN_L} - 1 AS e
+          FROM grp GROUP BY doc_id, gid),
+        segs AS (
+          SELECT doc_id,
+                 COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
+                     + 1 AS ss,
+                 s - 1 AS se
+          FROM spans
+          UNION ALL
+          SELECT sp.doc_id, MAX(sp.e) + 1, LENGTH(d.text)
+          FROM spans sp JOIN documents d USING (doc_id)
+          GROUP BY sp.doc_id, LENGTH(d.text)),
+        cut AS (
+          SELECT d.doc_id,
+                 COALESCE(string_agg(substr(d.text, ss, se - ss + 1), ''
+                     ORDER BY ss) FILTER (WHERE se >= ss), '') AS ctext
+          FROM documents d JOIN segs USING (doc_id)
+          GROUP BY d.doc_id),
+        withspans AS (
+          SELECT c.doc_id, LENGTH(d.text) AS n_before,
+                 LENGTH(c.ctext) AS n_after, MD5(c.ctext) AS clean_md5
+          FROM cut c JOIN documents d USING (doc_id))
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(n_before AS BIGINT) AS n_before,
+               CAST(n_after AS BIGINT) AS n_after, clean_md5
+        FROM withspans
+        UNION ALL
+        SELECT CAST(d.doc_id AS BIGINT), CAST(LENGTH(d.text) AS BIGINT),
+               CAST(LENGTH(d.text) AS BIGINT), MD5(d.text)
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM spans)
+    """,
+    tags=("dedup", "substring", "spans", "training"),
+)
+def dedup_cut_duplicated_spans(spark, sf_dir):
+    """APPLY the ExactSubstr dedup: cut every maximal duplicated span
+    (dedup_exact_duplicated_spans) out of each document and report the
+    surgery — (doc_id, n_before, n_after, md5 of the cleaned text). The
+    md5 pins the cut BYTE-EXACTLY against the oracle's independent string
+    surgery, so the pair of queries covers detect AND apply, the full
+    curation pass from the dedup-training-data playbook. (This aggressive
+    variant cuts every occurrence; keep-one-copy is a policy layer on the
+    same spans.)
+
+    Plan: the span relation (tiny — one row per duplicated run) windows
+    into kept segments (LAG over span ends + one tail segment), segments
+    join the doc text once for substring extraction, and the cleaned text
+    reassembles with an order-pinned array_join — no Python, no UDFs.
+    Docs without spans pass through via one left_anti."""
+    spans = _duplicated_spans(spark, sf_dir).select(
+        "doc_id", F.col("span_start").alias("s"), F.col("span_end").alias("e")
     )
-    pos = docs.select(
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    w = W.partitionBy("doc_id").orderBy("s")
+    seg_before = spans.select(
         "doc_id",
-        F.explode(
-            F.sequence(F.lit(1), F.length("text") - F.lit(_SPAN_L - 1))
-        ).alias("p"),
-        "text",
-    ).select(
-        "doc_id",
-        F.col("p").cast("long").alias("p"),
-        F.expr(f"substring(text, p, {_SPAN_L})").alias("gram"),
+        (F.coalesce(F.lag("e").over(w), F.lit(0)) + 1).alias("ss"),
+        (F.col("s") - 1).alias("se"),
     )
-    dup_pos = (
-        pos.withColumn(
-            "n_global", F.count(F.lit(1)).over(W.partitionBy("gram"))
+    seg_tail = (
+        spans.groupBy("doc_id")
+        .agg(F.max("e").alias("last_e"))
+        .join(docs, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("last_e") + 1).alias("ss"),
+            F.length("text").cast("long").alias("se"),
         )
-        .filter(F.col("n_global") > 1)
-        .select("doc_id", "p")
-        .distinct()
     )
-    isl = dup_pos.withColumn(
-        "new_island",
-        F.when(
-            F.col("p")
-            - F.lag("p").over(W.partitionBy("doc_id").orderBy("p"))
-            <= _SPAN_L,
-            F.lit(0),
-        ).otherwise(F.lit(1)),
+    segs = seg_before.unionByName(seg_tail).filter(F.col("se") >= F.col("ss"))
+    pieces = segs.join(docs, "doc_id").select(
+        "doc_id",
+        "ss",
+        F.expr("substring(text, ss, se - ss + 1)").alias("piece"),
     )
-    grp = isl.withColumn(
-        "gid",
-        F.sum("new_island").over(
-            W.partitionBy("doc_id").orderBy("p").rowsBetween(
-                W.unboundedPreceding, 0
-            )
-        ),
+    cut = pieces.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("ss"), F.col("piece")))
+                ),
+                lambda x: x.piece,
+            ),
+            "",
+        ).alias("ctext")
     )
-    return grp.groupBy("doc_id", "gid").agg(
-        F.min("p").alias("span_start"),
-        (F.max("p") + F.lit(_SPAN_L - 1)).cast("long").alias("span_end"),
-        (F.max("p") + F.lit(_SPAN_L) - F.min("p")).cast("long").alias("span_len"),
-    ).drop("gid")
+    span_docs = spans.select("doc_id").distinct()
+    with_spans = (
+        span_docs.join(docs, "doc_id")
+        .join(cut, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_before"),
+            F.length(F.coalesce("ctext", F.lit(""))).cast("long").alias(
+                "n_after"
+            ),
+            F.md5(F.coalesce("ctext", F.lit(""))).alias("clean_md5"),
+        )
+    )
+    untouched = docs.join(span_docs, "doc_id", "left_anti").select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_before"),
+        F.length("text").cast("long").alias("n_after"),
+        F.md5("text").alias("clean_md5"),
+    )
+    return with_spans.unionByName(untouched)
