@@ -105,6 +105,42 @@ def publish_append(
     return version
 
 
+def publish_replace(
+    spark: SparkSession,
+    df: DataFrame,
+    table_root: str,
+    audits: list[AuditFn] | None = None,
+) -> int:
+    """Stage ``df``, audit it, publish it as the table's NEW CURRENT STATE
+    (manifest names only this version — the write path a MERGE/UPSERT or
+    full rewrite uses, vs ``publish_append``'s union semantics). The prior
+    state's version dirs stay on disk and remain reachable via the
+    snapshot log (read_as_of) until vacuum — exactly the table-format
+    contract: a merge creates a new snapshot, it never rewrites history.
+    """
+    version, marker = _claim_version(table_root)
+    staged = os.path.join(table_root, _STAGING, f"v{version}")
+    final = os.path.join(table_root, f"v{version}")
+    try:
+        df.write.mode("overwrite").parquet(staged)
+        staged_df = spark.read.parquet(staged)
+        for audit in audits or []:
+            err = audit(staged_df)
+            if err is not None:
+                shutil.rmtree(staged, ignore_errors=True)
+                raise ValueError(f"audit rejected staged v{version}: {err}")
+        os.replace(staged, final)
+        tmp = os.path.join(table_root, f"{_CURRENT}.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, os.path.join(table_root, _CURRENT))
+        _append_history(table_root, version, [version])
+    finally:
+        if os.path.exists(marker):
+            os.remove(marker)
+    return version
+
+
 def read_published(spark: SparkSession, table_root: str) -> DataFrame:
     """Scan exactly the committed versions (union of their parquet dirs)."""
     versions = _committed_versions(table_root)

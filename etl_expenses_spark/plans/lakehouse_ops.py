@@ -300,3 +300,76 @@ def wap_time_travel_read(spark, sf_dir):
             F.sum("amt").cast("double").alias("total_spend"),
         )
     )
+
+
+@query(
+    "wap_merge_upsert_version",
+    oracle="""
+        WITH merged AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 5 = 0
+                        THEN CAST(o_totalprice AS DECIMAL(18,2))
+                             + CAST(10 AS DECIMAL(18,2))
+                        ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS amt
+            FROM orders)
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(amt) AS DOUBLE) AS total_spend
+        FROM merged GROUP BY o_orderstatus
+    """,
+    tags=("lakehouse", "wap", "merge", "upsert", "agg"),
+)
+def wap_merge_upsert_version(spark, sf_dir):
+    """MERGE INTO a WAP table as a new SNAPSHOT (operators/wap.py
+    publish_replace + operators/merge.py upsert): the full orders table is
+    published, a re-pricing batch (+10.00 on every fifth order) upserts by
+    key, and the merged state publishes as the new current version — while
+    the PRE-merge state stays readable via the snapshot log (asserted
+    in-query: read_as_of on the first commit must still total the original
+    sum, or this raises). That is the table-format contract: a merge makes
+    a snapshot, never rewrites history. The oracle recomputes the merged
+    state declaratively.
+
+    Scale shape: upsert = one anti-join where the daily batch's KEY SET
+    broadcasts against the gold table; the publish rewrites only what the
+    merge produced (at 100 TB: pre-filter to touched partitions, same
+    algebra). Time travel stays metadata."""
+    import os
+
+    from etl_expenses_spark.operators.merge import upsert
+    from etl_expenses_spark.operators.wap import (
+        publish_append,
+        publish_replace,
+        read_as_of,
+        read_published,
+    )
+    from etl_expenses_spark.plans._util import work_dir
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", dec("o_totalprice").alias("amt")
+    )
+    root = os.path.join(work_dir("wap_merge_upsert", sf_dir), "table")
+    c0 = publish_append(spark, o, root)
+    updates = o.filter("o_orderkey % 5 = 0").withColumn(
+        "amt",
+        (F.col("amt") + F.lit(10).cast("decimal(18,2)")).cast("decimal(18,2)"),
+    )
+    merged = upsert(updates, read_published(spark, root), keys=["o_orderkey"])
+    publish_replace(spark, merged, root)
+    # history invariant: the pre-merge snapshot still reads and still
+    # totals the ORIGINAL sum — a merge must never rewrite history
+    before = read_as_of(spark, root, c0).agg(F.sum("amt")).collect()[0][0]
+    want = o.agg(F.sum("amt")).collect()[0][0]
+    if before != want:
+        raise RuntimeError(
+            "pre-merge snapshot changed after publish_replace: "
+            f"{before} != {want}"
+        )
+    return (
+        read_published(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("amt").cast("double").alias("total_spend"),
+        )
+    )

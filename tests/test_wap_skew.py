@@ -442,3 +442,30 @@ def test_wap_read_as_of_snapshots(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_as_of(spark, root, c0)
     assert {r.id for r in read_as_of(spark, root, c3).collect()} == set(range(40))
+
+
+def test_wap_publish_replace_snapshots(spark, tmp_path):
+    """publish_replace swaps the CURRENT manifest to the new version only,
+    while the snapshot log keeps every prior state readable — merge makes
+    a snapshot, never rewrites history."""
+    from etl_expenses_spark.operators.wap import (
+        publish_append,
+        publish_replace,
+        read_as_of,
+        read_published,
+    )
+
+    root = str(tmp_path / "t")
+    c0 = publish_append(spark, spark.range(0, 10), root)
+    c1 = publish_append(spark, spark.range(10, 20), root)
+    merged = read_published(spark, root).selectExpr("id + 100 AS id")
+    c2 = publish_replace(spark, merged, root)
+
+    assert {r.id for r in read_published(spark, root).collect()} == set(
+        range(100, 120)
+    )
+    assert {r.id for r in read_as_of(spark, root, c1).collect()} == set(range(20))
+    assert {r.id for r in read_as_of(spark, root, c0).collect()} == set(range(10))
+    assert {r.id for r in read_as_of(spark, root, c2).collect()} == set(
+        range(100, 120)
+    )
