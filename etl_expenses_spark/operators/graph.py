@@ -428,3 +428,87 @@ def lpa_communities(
         if stable_halves >= 2:  # one full even+odd cycle without movement
             break
     return labels.select("node", F.col("lab").alias("community"))
+
+
+def ktruss_edges(
+    edges: DataFrame,
+    k: int,
+    src: str = "pa",
+    dst: str = "pb",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """The k-TRUSS subgraph's edge set → ``(pa, pb)``, pa < pb: the maximal
+    subgraph in which EVERY edge participates in ≥ k−2 triangles (Cohen,
+    "Trusses: Cohesive Subgraphs for Social Network Analysis", 2008).
+    Edge-level cohesion — stricter than k-core (every k-truss is inside a
+    (k−1)-core) and the standard community-core primitive.
+
+    Algorithm: support peeling to a fixpoint. Each round:
+    1. orient edges low→high and enumerate triangles by the standard
+       oriented wedge join — wedges expand JVM-side from per-node sorted
+       neighbor arrays (Σ deg² bounded, no edge self-join), then one
+       left_semi against the edge set closes them;
+    2. per-edge support = its triangle count (each triangle credits its
+       three edges);
+    3. drop edges with support < k−2; repeat until no edge drops (the
+       fixpoint IS the k-truss: peeling order never changes the result).
+
+    Rounds are data-dependent (≤ edges in the worst chain); state is the
+    edge relation itself, re-checkpointed per round via bsp_checkpoint —
+    the stats-safe form, since e_{t+1} derives from e_t through joins
+    (plain localCheckpoint's copied stats would compound). Convergence
+    raises on budget exhaustion rather than returning a superset.
+
+    `edges` must be deduplicated undirected (pa < pb) long pairs —
+    _copurchase_edges' contract. Exactness vs literal sequential peeling
+    is pinned in tests/test_graph_links.py."""
+    e = (
+        edges.select(
+            F.least(src, dst).alias("lo"), F.greatest(src, dst).alias("hi")
+        )
+        .filter(F.col("lo") < F.col("hi"))
+        .distinct()
+        .localCheckpoint()  # input leaf: checkpointed once, stats constant
+    )
+    min_support = k - 2
+    for _ in range(max_rounds):
+        # oriented adjacency: per-lo sorted arrays of higher neighbors
+        nbrs = e.groupBy("lo").agg(F.sort_array(F.collect_set("hi")).alias("ns"))
+        wedges = nbrs.select(
+            F.col("lo").alias("a"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(ns, (x, i) -> transform("
+                    "slice(ns, i + 2, size(ns)), y -> struct(x AS b, y AS c))))"
+                )
+            ).alias("w"),
+        ).select("a", "w.b", "w.c")
+        # close the wedge: (b, c) must itself be an edge (b < c by sort)
+        tri = wedges.join(
+            e.select(F.col("lo").alias("b"), F.col("hi").alias("c")),
+            ["b", "c"],
+            "left_semi",
+        )
+        # every triangle credits its three edges
+        support = (
+            tri.select(F.col("a").alias("lo"), F.col("b").alias("hi"))
+            .unionAll(tri.select(F.col("a").alias("lo"), F.col("c").alias("hi")))
+            .unionAll(tri.select(F.col("b").alias("lo"), F.col("c").alias("hi")))
+            .groupBy("lo", "hi")
+            .agg(F.count(F.lit(1)).alias("sup"))
+        )
+        survivors = (
+            e.join(support, ["lo", "hi"], "left")
+            .filter(F.coalesce(F.col("sup"), F.lit(0)) >= min_support)
+            .select("lo", "hi")
+        )
+        survivors = bsp_checkpoint(survivors)
+        n_dropped = e.join(survivors, ["lo", "hi"], "left_anti").limit(1).count()
+        e = survivors
+        if n_dropped == 0:
+            return e.select(F.col("lo").alias("pa"), F.col("hi").alias("pb"))
+    raise RuntimeError(
+        f"ktruss_edges: still peeling after {max_rounds} rounds — the "
+        "current edge set is a SUPERSET of the k-truss, not the k-truss. "
+        "Raise max_rounds."
+    )

@@ -664,3 +664,35 @@ def lpa_communities_copurchase(spark, sf_dir):
         )
         .orderBy("community")
     )
+
+
+@query(
+    "ktruss_copurchase",
+    tags=("graph", "ktruss"),
+)
+def ktruss_copurchase(spark, sf_dir):
+    """3-truss of the co-purchase graph (operators/graph.py ktruss_edges —
+    support peeling to fixpoint; every surviving edge sits in ≥ 1
+    triangle INSIDE the surviving subgraph — k=3 because the sparser
+    sf0.01 co-purchase graph has an EMPTY 4-truss, and an empty driver row
+    pins nothing), summarized as one row
+    (n_edges, n_nodes, min/max node) so the driver row is stable.
+    Edge-level cohesion, stricter than k-core: the truss keeps only
+    triangle-reinforced ties, the standard community-core primitive.
+    Rows-only + golden-pinned like the other iterative graph queries
+    (peeling is outside ANSI SQL); semantic correctness vs literal
+    sequential peeling is pinned in tests/test_graph_links.py."""
+    from etl_expenses_spark.operators.graph import ktruss_edges
+
+    edges = _copurchase_edges(spark, sf_dir)
+    t = ktruss_edges(edges, k=3)
+    nodes = t.select(F.col("pa").alias("n")).union(
+        t.select(F.col("pb").alias("n"))
+    )
+    return t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.min("pa").alias("min_node"),
+        F.max("pb").alias("max_node"),
+    ).crossJoin(
+        nodes.agg(F.count_distinct("n").cast("bigint").alias("n_nodes"))
+    )

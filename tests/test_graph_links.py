@@ -366,3 +366,73 @@ def test_lpa_negative_ids_are_not_frozen(spark):
     assert len({got[v] for v in (-5, -3, -1, 2)}) == 1
     assert len({got[v] for v in (100, 101, 102)}) == 1
     assert got[-5] != got[100]
+
+
+def _peel_ktruss(edge_list, k):
+    """Literal sequential k-truss peeling (textbook reference)."""
+    edges = {tuple(sorted(e)) for e in edge_list if e[0] != e[1]}
+    changed = True
+    while changed:
+        changed = False
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        drop = set()
+        for a, b in edges:
+            if len(adj[a] & adj[b]) < k - 2:
+                drop.add((a, b))
+        if drop:
+            edges -= drop
+            changed = True
+    return edges
+
+
+def test_ktruss_matches_sequential_peeling(spark):
+    import random
+
+    from etl_expenses_spark.operators.graph import ktruss_edges
+
+    rng = random.Random(21)
+    edges = sorted(
+        {
+            (a, b)
+            for a, b in (sorted(rng.sample(range(24), 2)) for _ in range(140))
+        }
+    )
+    df = spark.createDataFrame(edges, "pa long, pb long")
+    for k in (3, 4, 5):
+        got = {
+            (r.pa, r.pb) for r in ktruss_edges(df, k).collect()
+        }
+        assert got == _peel_ktruss(edges, k), f"k={k}"
+
+
+def test_ktruss_known_graph(spark):
+    from etl_expenses_spark.operators.graph import ktruss_edges
+
+    # K5 (every edge in 3 triangles) + a pendant triangle + a chain
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    extra = [(4, 10), (10, 11), (4, 11), (11, 20), (20, 21)]
+    df = spark.createDataFrame(k5 + extra, "pa long, pb long")
+    t4 = {(r.pa, r.pb) for r in ktruss_edges(df, 4).collect()}
+    assert t4 == set(k5)  # only K5 survives k=4 (support >= 2 in-subgraph)
+    t3 = {(r.pa, r.pb) for r in ktruss_edges(df, 3).collect()}
+    assert t3 == set(k5) | {(4, 10), (10, 11), (4, 11)}  # triangles survive k=3
+    t6 = {(r.pa, r.pb) for r in ktruss_edges(df, 6).collect()}
+    assert t6 == set()  # K5 has max truss 5
+
+
+def test_ktruss_raises_when_budget_exhausted(spark):
+    import pytest
+
+    from etl_expenses_spark.operators.graph import ktruss_edges
+
+    # a long chain of triangles peels one per round from each end
+    edges = []
+    for i in range(6):
+        a = 2 * i
+        edges += [(a, a + 1), (a, a + 2), (a + 1, a + 2)]
+    df = spark.createDataFrame(sorted(set(edges)), "pa long, pb long")
+    with pytest.raises(RuntimeError, match="still peeling"):
+        ktruss_edges(df, 4, max_rounds=1)

@@ -58,6 +58,7 @@ GOLDEN_TARGETS = [
     "corpus_curation_funnel",
     "hll_sliding_7d_users",
     "kcore_copurchase",
+    "ktruss_copurchase",
     "kcore_copurchase_capped",
 ]
 
