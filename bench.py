@@ -134,6 +134,14 @@ HEADLINE = [
     # view maintenance (CDC z-set fold; the O(|Δ|) maintenance archetype)
     "geo_cell_join_nearby_pairs",
     "ivm_join_view_cdc",
+    # round-8 additions (late): the spatial SELF-join (both sides the same
+    # big relation), the exact sliding-gram duplicated-span detector (one
+    # window-over-gram shuffle, the ExactSubstr archetype), and k-truss
+    # support peeling (per-round triangle enumeration — the iterative
+    # edge-state archetype)
+    "geo_neardup_points_selfjoin",
+    "dedup_exact_duplicated_spans",
+    "ktruss_copurchase",
 ]
 
 
@@ -304,6 +312,13 @@ def format_outputs(timings, ext_cores, retried, sf, load_start, load_now):
     line = json.dumps(line_obj, separators=(",", ":"))
     if len(line) > 1900:  # stdout-tail capture is ~2000 chars
         line_obj["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(line_obj, separators=(",", ":"))
+    if len(line) > 1900:
+        # final stage: the per-query map itself no longer fits (the
+        # headline set keeps growing) — keep the parseable core and point
+        # at the committed detail file instead of shipping a truncated
+        # fragment (the r6 failure mode)
+        line_obj["queries"] = "see BENCH_DETAIL.json"
         line = json.dumps(line_obj, separators=(",", ":"))
     return line, detail
 

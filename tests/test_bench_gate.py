@@ -119,14 +119,17 @@ def test_format_outputs_degrades_precision_rather_than_overflowing():
 
     import bench
 
-    # adversarially long names: the guard must drop to 2 decimals, and the
-    # result must still parse with every query present
-    names = ["q" * 60 + str(i) for i in range(40)]
-    timings = {n: 12.3456 for n in names}
+    # the REAL headline set is the in-band case: 3-decimal timings push the
+    # line just past the 1900 budget and 2-decimal rounding brings it back
+    # under with the full per-query map intact
+    names = bench.HEADLINE
+    timings = {n: 1.2345 for n in names}
     line, _ = bench.format_outputs(timings, {n: 0.0 for n in names}, {}, 0.1,
                                    0.3, 1.0)
+    assert len(line) <= 1900
     parsed = _json.loads(line)
-    assert parsed["queries"][names[0]] == 12.35
+    assert parsed["queries"][names[0]] == 1.23
+    assert set(parsed["queries"]) == set(names)
 
 
 def test_bench_compare_reads_detail_file(tmp_path):
@@ -222,3 +225,22 @@ def test_bench_compare_refuses_contaminated_and_rejects_garbage(tmp_path, capsys
         assert "g.txt" in str(e.code) or "g.txt" in str(e)
     else:
         raise AssertionError("garbage file must SystemExit with a message")
+
+
+def test_format_outputs_drops_query_map_before_overflowing():
+    """Final degradation stage: when even 2-decimal timings overflow the
+    stdout-tail budget, the line keeps its parseable core and points at
+    BENCH_DETAIL.json instead of shipping a truncated fragment."""
+    import json as _json
+
+    import bench
+
+    names = [f"extremely_long_headline_query_name_number_{i:04d}" for i in range(80)]
+    timings = {k: 123.456 for k in names}
+    ext = {k: 0.0 for k in names}
+    line, detail = bench.format_outputs(timings, ext, {}, "0.1", 0.3, 0.5)
+    assert len(line) <= 1900
+    parsed = _json.loads(line)
+    assert parsed["queries"] == "see BENCH_DETAIL.json"
+    assert parsed["value"] == round(sum(timings.values()), 4)
+    assert detail["queries"] == timings  # full map still in the detail file
