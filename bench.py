@@ -142,6 +142,9 @@ HEADLINE = [
     "geo_neardup_points_selfjoin",
     "dedup_exact_duplicated_spans",
     "ktruss_copurchase",
+    # its hub-capped scale tier (mutual-capped adjacency, lower-bound
+    # contract — the shape you run on hub-heavy graphs)
+    "ktruss_copurchase_capped",
 ]
 
 
@@ -312,6 +315,12 @@ def format_outputs(timings, ext_cores, retried, sf, load_start, load_now):
     line = json.dumps(line_obj, separators=(",", ":"))
     if len(line) > 1900:  # stdout-tail capture is ~2000 chars
         line_obj["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(line_obj, separators=(",", ":"))
+    if len(line) > 1900:
+        # 1-decimal stage: keeps the full per-query map on the line (the
+        # driver's parsed record) — BENCH_DETAIL.json holds 4-decimal
+        # precision for cross-round deltas
+        line_obj["queries"] = {k: round(v, 1) for k, v in timings.items()}
         line = json.dumps(line_obj, separators=(",", ":"))
     if len(line) > 1900:
         # final stage: the per-query map itself no longer fits (the

@@ -436,6 +436,7 @@ def ktruss_edges(
     src: str = "pa",
     dst: str = "pb",
     max_rounds: int = 30,
+    max_degree: int | None = None,
 ) -> DataFrame:
     """The k-TRUSS subgraph's edge set → ``(pa, pb)``, pa < pb: the maximal
     subgraph in which EVERY edge participates in ≥ k−2 triangles (Cohen,
@@ -462,14 +463,33 @@ def ktruss_edges(
     `edges` must be deduplicated undirected (pa < pb) long pairs —
     _copurchase_edges' contract. Exactness vs literal sequential peeling
     is pinned in tests/test_graph_links.py."""
-    e = (
+    canon = (
         edges.select(
             F.least(src, dst).alias("lo"), F.greatest(src, dst).alias("hi")
         )
         .filter(F.col("lo") < F.col("hi"))
         .distinct()
-        .localCheckpoint()  # input leaf: checkpointed once, stats constant
     )
+    if max_degree is not None:
+        # hot-node scale tier, the k-core playbook: mutual-capped adjacency
+        # (both endpoints must keep the edge) bounds every neighbor array
+        # the wedge expansion sees at <= max_degree. k-truss is monotone
+        # under edge removal (the k-truss of a subgraph is contained in the
+        # k-truss of the graph), so the capped truss LOWER-BOUNDS the exact
+        # edge set and EQUALS it whenever the cap clears the max degree —
+        # pinned in tests/test_graph_links.py.
+        kept = capped_adjacency(
+            canon.select(F.col("lo").alias("pa"), F.col("hi").alias("pb")),
+            max_degree,
+        )
+        rev = kept.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
+        mutual = kept.join(rev, ["node", "nbr"], "left_semi")
+        canon = (
+            mutual.filter(F.col("node") < F.col("nbr"))
+            .select(F.col("node").alias("lo"), F.col("nbr").alias("hi"))
+            .distinct()
+        )
+    e = canon.localCheckpoint()  # input leaf: checkpointed once
     min_support = k - 2
     for _ in range(max_rounds):
         # oriented adjacency: per-lo sorted arrays of higher neighbors

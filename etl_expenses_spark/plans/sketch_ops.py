@@ -696,3 +696,32 @@ def ktruss_copurchase(spark, sf_dir):
     ).crossJoin(
         nodes.agg(F.count_distinct("n").cast("bigint").alias("n_nodes"))
     )
+
+
+@query(
+    "ktruss_copurchase_capped",
+    tags=("graph", "ktruss", "skew"),
+)
+def ktruss_copurchase_capped(spark, sf_dir):
+    """Degree-capped tier of `ktruss_copurchase` — the shape for hub-heavy
+    graphs at 100 TB, where one hot node would otherwise put O(deg²)
+    wedges behind every peeling round (SCALING measured the uncapped loop
+    at 11.7× on ×10 data, the same class as uncapped k-core). The mutual-
+    capped adjacency bounds every wedge fan-out at the cap; k-truss is
+    monotone under edge removal, so the capped truss LOWER-BOUNDS the
+    exact edge set and equals it when the cap clears the max degree
+    (pinned in tests/test_graph_links.py). Rows-only + golden-pinned."""
+    from etl_expenses_spark.operators.graph import ktruss_edges
+
+    edges = _copurchase_edges(spark, sf_dir)
+    t = ktruss_edges(edges, k=3, max_degree=_LINKPRED_DEGREE_CAP)
+    nodes = t.select(F.col("pa").alias("n")).union(
+        t.select(F.col("pb").alias("n"))
+    )
+    return t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.min("pa").alias("min_node"),
+        F.max("pb").alias("max_node"),
+    ).crossJoin(
+        nodes.agg(F.count_distinct("n").cast("bigint").alias("n_nodes"))
+    )

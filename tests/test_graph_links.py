@@ -436,3 +436,45 @@ def test_ktruss_raises_when_budget_exhausted(spark):
     df = spark.createDataFrame(sorted(set(edges)), "pa long, pb long")
     with pytest.raises(RuntimeError, match="still peeling"):
         ktruss_edges(df, 4, max_rounds=1)
+
+
+def test_ktruss_capped_equals_exact_when_cap_clears_max_degree(spark):
+    import random
+
+    from etl_expenses_spark.operators.graph import ktruss_edges
+
+    rng = random.Random(33)
+    edges = sorted(
+        {
+            (a, b)
+            for a, b in (sorted(rng.sample(range(22), 2)) for _ in range(120))
+        }
+    )
+    df = spark.createDataFrame(edges, "pa long, pb long")
+    exact = {(r.pa, r.pb) for r in ktruss_edges(df, 4).collect()}
+    capped = {
+        (r.pa, r.pb) for r in ktruss_edges(df, 4, max_degree=64).collect()
+    }
+    assert capped == exact and exact
+
+
+def test_ktruss_capped_lower_bounds_exact(spark):
+    """k-truss is monotone under edge removal, so a small cap yields a
+    SUBSET of the exact truss edges — never extra edges."""
+    import random
+
+    from etl_expenses_spark.operators.graph import ktruss_edges
+
+    rng = random.Random(77)
+    edges = sorted(
+        {
+            (a, b)
+            for a, b in (sorted(rng.sample(range(18), 2)) for _ in range(110))
+        }
+    )
+    df = spark.createDataFrame(edges, "pa long, pb long")
+    exact = {(r.pa, r.pb) for r in ktruss_edges(df, 3).collect()}
+    capped = {
+        (r.pa, r.pb) for r in ktruss_edges(df, 3, max_degree=4).collect()
+    }
+    assert capped <= exact

@@ -59,6 +59,7 @@ GOLDEN_TARGETS = [
     "hll_sliding_7d_users",
     "kcore_copurchase",
     "ktruss_copurchase",
+    "ktruss_copurchase_capped",
     "kcore_copurchase_capped",
 ]
 
