@@ -60,6 +60,18 @@ def bsp_checkpoint(df: DataFrame) -> DataFrame:
     """
     ck = df.localCheckpoint()
     spark = ck.sparkSession
+    # Classic-Spark internals (_jdf / _jsparkSession / the
+    # createDataFrame(JavaRDD, StructType) overload) — absent under Spark
+    # Connect and not a stable API. Guard with a self-diagnosing error
+    # (ADVICE r8) instead of an opaque Py4J failure far from the call site.
+    if not hasattr(ck, "_jdf") or not hasattr(spark, "_jsparkSession"):
+        raise RuntimeError(
+            "bsp_checkpoint requires classic (JVM-local) PySpark: it "
+            "rebuilds the checkpointed leaf via Dataset._jdf.javaRDD() to "
+            "shed compounding stats estimates. Under Spark Connect these "
+            "internals do not exist — fall back to df.localCheckpoint() "
+            "and bound the loop's round count, or run on a classic session."
+        )
     jdf = ck._jdf
     return DataFrame(
         spark._jsparkSession.createDataFrame(jdf.javaRDD(), jdf.schema()),

@@ -80,20 +80,31 @@ def pairs_within_radius(
     b: DataFrame,
     radius: int,
     cell: int | None = None,
+    a_key: str = "a_key",
+    b_key: str = "b_key",
 ) -> DataFrame:
     """All (a, b) point pairs with planar distance ≤ radius (µdeg), via the
     grid-cell equi-join — NEVER a cross join.
 
-    `a` and `b` carry (key, lat, lon); `b` should be the SMALLER relation —
-    it is the side replicated into its 3×3 cell neighborhood (9×|b| rows),
-    after which the cell join is an ordinary equi-join AQE broadcasts when
-    the replicated side fits. Output: (a_key, b_key, dist2) with
-    dist2 = dx²+dy² ≤ radius² exact in int64.
+    `a` carries (`a_key`, lat, lon) and `b` carries (`b_key`, lat, lon);
+    `b` should be the SMALLER relation — it is the side replicated into its
+    3×3 cell neighborhood (9×|b| rows), after which the cell join is an
+    ordinary equi-join AQE broadcasts when the replicated side fits.
+    Output: (a_key, b_key, dist2) with dist2 = dx²+dy² ≤ radius² exact in
+    int64.
 
     `cell` defaults to `radius` — the smallest side for which the 3×3
     neighborhood is a correctness guarantee (two points ≤ r apart differ by
-    ≤ 1 in each floor(coord/cell) when cell ≥ r)."""
-    cell = cell or radius
+    ≤ 1 in each floor(coord/cell) when cell ≥ r). An explicit cell=0 is
+    rejected (ADVICE r8), not silently treated as unset."""
+    for df, key, side in ((a, a_key, "a"), (b, b_key, "b")):
+        missing = {key, "lat", "lon"} - set(df.columns)
+        if missing:
+            raise ValueError(
+                f"pairs_within_radius: side '{side}' lacks column(s) "
+                f"{sorted(missing)} (expected ({key}, lat, lon))"
+            )
+    cell = radius if cell is None else cell
     if cell < radius:
         raise ValueError("cell side must be >= radius for 3x3 completeness")
     an = with_cell(a, cell)
@@ -104,7 +115,7 @@ def pairs_within_radius(
         "struct(i div 3 - 1 AS ox, i % 3 - 1 AS oy)))"
     ).alias("o")
     bx = bn.select("*", off).select(
-        F.col("b_key"),
+        F.col(b_key),
         F.col("lat").alias("b_lat"),
         F.col("lon").alias("b_lon"),
         (F.col("cx") + F.col("o.ox")).alias("cx"),
@@ -119,5 +130,5 @@ def pairs_within_radius(
         # threshold precomputed in Python: radius² exceeds int32, and an
         # int32 lit*lit would overflow under ANSI constant folding
         .filter(F.col("dist2") <= F.lit(int(radius) * int(radius)))
-        .select("a_key", "b_key", "dist2")
+        .select(a_key, b_key, "dist2")
     )

@@ -437,6 +437,7 @@ def ktruss_edges(
     dst: str = "pb",
     max_rounds: int = 30,
     max_degree: int | None = None,
+    degree_guard: int = 20_000,
 ) -> DataFrame:
     """The k-TRUSS subgraph's edge set → ``(pa, pb)``, pa < pb: the maximal
     subgraph in which EVERY edge participates in ≥ k−2 triangles (Cohen,
@@ -462,7 +463,16 @@ def ktruss_edges(
 
     `edges` must be deduplicated undirected (pa < pb) long pairs —
     _copurchase_edges' contract. Exactness vs literal sequential peeling
-    is pinned in tests/test_graph_links.py."""
+    is pinned in tests/test_graph_links.py.
+
+    UNCAPPED DEGREE BOUND (ADVICE r8): the wedge expansion flattens all
+    C(deg, 2) higher-neighbor pairs of a node into ONE array value before
+    exploding, so a hub of degree d materializes a ~d²/2-element array in a
+    single row — a 100k-degree hub is ~5·10⁹ structs, an executor OOM, not
+    a slow query. When `max_degree` is None a one-pass pre-check fails fast
+    with a pointer to the capped tier instead; `degree_guard` sets the
+    threshold (the default's C(d,2) structs ≈ tens of MB in one row — the
+    conservative edge of safe)."""
     canon = (
         edges.select(
             F.least(src, dst).alias("lo"), F.greatest(src, dst).alias("hi")
@@ -489,6 +499,24 @@ def ktruss_edges(
             .select(F.col("node").alias("lo"), F.col("nbr").alias("hi"))
             .distinct()
         )
+    if max_degree is None:
+        # fail fast on hubs the uncapped wedge expansion can't hold in one
+        # row (see docstring); one cheap agg vs an executor OOM mid-loop.
+        deg = (
+            canon.select(F.col("lo").alias("n"))
+            .unionAll(canon.select(F.col("hi").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .agg(F.max("d").alias("m"))
+            .first()
+        )
+        if deg is not None and deg["m"] is not None and deg["m"] > degree_guard:
+            raise ValueError(
+                f"ktruss_edges: max degree {deg['m']} exceeds the uncapped "
+                f"wedge-expansion guard ({degree_guard}); a hub's C(deg,2) "
+                "higher-neighbor pairs land in ONE array row. Pass "
+                "max_degree=<cap> for the mutual-capped lower-bound tier."
+            )
     e = canon.localCheckpoint()  # input leaf: checkpointed once
     min_support = k - 2
     for _ in range(max_rounds):

@@ -41,7 +41,26 @@ def zset_from_cdc(
     column uses the Debezium-style codes 'I'/'U'/'D'.
 
     One narrow projection + explode — no shuffle; the feed stays
-    partition-local until the maintenance aggregate."""
+    partition-local until the maintenance aggregate.
+
+    Unknown op codes FAIL FAST (ADVICE r8): a row whose op is not exactly
+    'I'/'U'/'D' (e.g. lowercase Debezium codes, snapshot 'r' rows) would
+    otherwise null both branches and vanish, quietly corrupting the
+    maintained view — matching ivm_sink's fail-fast philosophy, the raise
+    happens inline in the executor, no extra pass over the feed."""
+    guarded = F.when(
+        F.col(op).isin("I", "U", "D"), F.col(op)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("zset_from_cdc: unknown CDC op code "),
+                F.coalesce(F.col(op), F.lit("NULL")),
+                F.lit(" (expected 'I'/'U'/'D'; map snapshot/lowercase "
+                      "codes before folding)"),
+            )
+        )
+    )
+    cdc = cdc.withColumn(op, guarded)
     pair = F.array(
         F.when(
             F.col(op).isin("D", "U"),

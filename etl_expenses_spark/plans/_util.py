@@ -53,14 +53,30 @@ def work_dir(name: str, sf_dir: str) -> str:
     path keyed by (query, sf tier) is overwritten in place instead: disk
     usage stays bounded at one copy per query×tier no matter how many times
     the round's harnesses re-run it.
+
+    The path is scoped per-user (ADVICE r8): on a shared machine another
+    user's leftover dir would make rmtree/makedirs fail, and two users
+    running the same query/tier concurrently would clobber each other
+    mid-read. Within one user the wipe-on-entry contract still assumes
+    single-run exclusivity per (query, sf tier) — the harnesses serialize
+    query execution, and concurrent self-runs of the SAME query are out of
+    contract (deliberately: a per-PID component would defeat the bounded
+    disk-usage guarantee this helper exists for).
     """
+    import getpass
     import os
     import re
     import shutil
     import tempfile
 
     slug = re.sub(r"[^A-Za-z0-9_.-]+", "_", sf_dir.strip("/"))
-    path = os.path.join(tempfile.gettempdir(), f"etl_spark_work_{name}_{slug}")
+    try:
+        user = re.sub(r"[^A-Za-z0-9_.-]+", "_", getpass.getuser())
+    except Exception:  # no passwd entry (containers) — fall back to uid
+        user = f"uid{os.getuid()}"
+    path = os.path.join(
+        tempfile.gettempdir(), f"etl_spark_work_{user}_{name}_{slug}"
+    )
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     return path

@@ -102,3 +102,25 @@ def test_synth_coords_in_range_and_deterministic(spark):
     assert all(-85_000_000 <= r.lat <= 85_000_000 for r in rows)
     assert all(-180_000_000 <= r.lon <= 180_000_000 for r in rows)
     assert rows == df.collect()  # deterministic
+
+
+def test_explicit_cell_zero_rejected(spark):
+    """ADVICE r8: cell=0 must hit the ValueError, not be treated as unset."""
+    import pytest
+
+    df = _df(spark, [(1, 0, 0)], "a_key")
+    with pytest.raises(ValueError):
+        pairs_within_radius(df, _df(spark, [(2, 0, 0)], "b_key"), 1000, cell=0)
+
+
+def test_missing_key_columns_rejected_up_front(spark):
+    """ADVICE r8: the expected (key, lat, lon) columns are validated before
+    any plan is built, with the side and the missing names in the error."""
+    import pytest
+
+    good = _df(spark, [(1, 0, 0)], "a_key")
+    bad = _df(spark, [(2, 0, 0)], "wrong_key")
+    with pytest.raises(ValueError, match="side 'b'.*b_key"):
+        pairs_within_radius(good, bad, 1000)
+    with pytest.raises(ValueError, match="side 'a'.*a_key"):
+        pairs_within_radius(bad, good, 1000, a_key="a_key", b_key="wrong_key")

@@ -478,3 +478,22 @@ def test_ktruss_capped_lower_bounds_exact(spark):
         (r.pa, r.pb) for r in ktruss_edges(df, 3, max_degree=4).collect()
     }
     assert capped <= exact
+
+
+def test_ktruss_uncapped_hub_guard(spark):
+    """ADVICE r8: an uncapped run on a hub graph fails fast with a pointer
+    to the capped tier instead of materializing C(deg,2) wedge structs in
+    one executor row; the capped tier on the same graph runs fine."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from etl_expenses_spark.operators.graph import ktruss_edges
+
+    hub = spark.range(1, 8).select(
+        F.lit(0).alias("pa"), F.col("id").alias("pb")
+    )
+    with pytest.raises(ValueError, match="max_degree"):
+        ktruss_edges(hub, 3, degree_guard=5)
+    got = ktruss_edges(hub, 3, degree_guard=5, max_degree=5).collect()
+    assert got == []  # a star has no triangles at any cap

@@ -168,3 +168,20 @@ def test_ivm_stream_fold_matches_one_shot(spark, tmp_path):
     shutil.rmtree(ckpt)
     with pytest.raises(Exception, match="checkpoint was lost or reset"):
         run()
+
+
+def test_unknown_cdc_op_fails_fast(spark):
+    """ADVICE r8: a row whose op is not 'I'/'U'/'D' (lowercase Debezium,
+    snapshot 'r') must raise, not silently vanish from the fold."""
+    import pytest
+
+    cdc_rows = [
+        ("I", None, None, 1, Decimal("5.00")),
+        ("r", None, None, 2, Decimal("7.00")),  # snapshot-read code
+    ]
+    deltas = zset_from_cdc(
+        spark.createDataFrame(cdc_rows, _CDC_SCHEMA),
+        "key_old", "amt_old", "key_new", "amt_new",
+    )
+    with pytest.raises(Exception, match="unknown CDC op code"):
+        deltas.collect()
