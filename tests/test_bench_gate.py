@@ -167,8 +167,9 @@ def test_measure_query_retries_under_contention(monkeypatch):
     times = iter([1.0, 1.1, 1.2, 2.0, 2.1, 2.2, 0.5, 0.55, 0.6])
     monkeypatch.setattr(bench, "run_once", lambda q, s, d: next(times))
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
-    med, ext, retries = bench.measure_query(_FakeQuery(), None, "/x", 1.5)
+    med, ext, retries, discarded = bench.measure_query(_FakeQuery(), None, "/x", 1.5)
     assert (med, ext, retries) == (0.55, 0.2, 2)  # cleanest attempt wins
+    assert discarded == []  # tight windows: variance guard never tripped
 
 
 def test_measure_query_keeps_least_contaminated_when_never_clean(monkeypatch):
@@ -190,9 +191,67 @@ def test_measure_query_keeps_least_contaminated_when_never_clean(monkeypatch):
     times = iter([3.0, 3.1, 3.2, 1.0, 1.1, 1.2, 2.0, 2.1, 2.2])
     monkeypatch.setattr(bench, "run_once", lambda q, s, d: next(times))
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
-    med, ext, retries = bench.measure_query(_FakeQuery(), None, "/x", 1.5)
+    med, ext, retries, discarded = bench.measure_query(_FakeQuery(), None, "/x", 1.5)
     assert (med, ext) == (1.1, 2.0)  # attempt with the lowest ext wins
     assert retries == 2
+    assert discarded == []
+
+
+def test_measure_query_variance_guard_extends_bimodal_window(monkeypatch):
+    """VERDICT r8 #1: a clean-but-bimodal 3-run window (10 s / 24.5 s modes
+    on identical code) must not let median-of-3 sample a mode by lottery —
+    the guard extends to 5 runs, reports the tight-cluster median, and
+    surfaces the discarded slow-mode runs for BENCH_DETAIL.json."""
+    import bench
+
+    class _Win:
+        def external_cores(self, wall):
+            return 0.1  # clean window: contention retry must NOT trigger
+
+    fake_mod = type("M", (), {"ContentionWindow": _Win})
+    import sys as _sys
+
+    monkeypatch.setitem(_sys.modules, "tools.cpuprobe", fake_mod)
+    # exactly 5 values: guard takes 2 extra runs, then stops (a 6th
+    # next() would raise StopIteration and fail the test)
+    times = iter([10.0, 24.5, 10.2, 23.9, 10.1])
+    monkeypatch.setattr(bench, "run_once", lambda q, s, d: next(times))
+    med, ext, retries, discarded = bench.measure_query(_FakeQuery(), None, "/x", 1.5)
+    assert med == 10.1  # median of the tight cluster [10.0, 10.1, 10.2]
+    assert discarded == [23.9, 24.5]
+    assert retries == 0  # clean window: no contention retry consumed
+
+
+def test_measure_query_tight_window_takes_exactly_three_runs(monkeypatch):
+    import bench
+
+    class _Win:
+        def external_cores(self, wall):
+            return 0.1
+
+    fake_mod = type("M", (), {"ContentionWindow": _Win})
+    import sys as _sys
+
+    monkeypatch.setitem(_sys.modules, "tools.cpuprobe", fake_mod)
+    times = iter([1.0, 1.3, 1.9])  # spread 1.9x < 2x: no extension
+    monkeypatch.setattr(bench, "run_once", lambda q, s, d: next(times))
+    med, ext, retries, discarded = bench.measure_query(_FakeQuery(), None, "/x", 1.5)
+    assert (med, discarded) == (1.3, [])
+
+
+def test_format_outputs_records_variance_outliers_in_detail_only():
+    import json as _json
+
+    import bench
+
+    names = bench.HEADLINE
+    timings = {n: 1.0 for n in names}
+    line, detail = bench.format_outputs(
+        timings, {n: 0.0 for n in names}, {}, "0.1", 0.3, 1.0,
+        variance_outliers={names[0]: [24.53]},
+    )
+    assert detail["variance_outliers"] == {names[0]: [24.53]}
+    assert "variance_outliers" not in _json.loads(line)  # stays off-line
 
 
 def test_bench_compare_refuses_contaminated_and_rejects_garbage(tmp_path, capsys):
