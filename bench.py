@@ -141,6 +141,10 @@ HEADLINE = [
     # edge-state archetype)
     "geo_neardup_points_selfjoin",
     "dedup_exact_duplicated_spans",
+    # round-9 addition: its hash-first corpus-scale tier (8-byte xxhash64
+    # shuffle keys + raw-gram verify of multi-hash buckets only — identical
+    # output, the shuffle payload no longer scales with L)
+    "dedup_exact_duplicated_spans_hashed",
     "ktruss_copurchase",
     # its hub-capped scale tier (mutual-capped adjacency, lower-bound
     # contract — the shape you run on hub-heavy graphs)

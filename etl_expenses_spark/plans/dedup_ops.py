@@ -1059,6 +1059,13 @@ def _duplicated_spans(spark, sf_dir):
         .select("doc_id", "p")
         .distinct()
     )
+    return _positions_to_spans(dup_pos)
+
+
+def _positions_to_spans(dup_pos):
+    """Gaps-and-islands merge: duplicated gram positions (doc_id, p) →
+    maximal per-doc spans (doc_id, span_start, span_end, span_len).
+    Per-doc windows hold ≤ len(doc) rows."""
     isl = dup_pos.withColumn(
         "new_island",
         F.when(
@@ -1083,9 +1090,10 @@ def _duplicated_spans(spark, sf_dir):
     ).drop("gid")
 
 
-@query(
-    "dedup_exact_duplicated_spans",
-    oracle=f"""
+# Shared by the string-keyed form and its hashed scale tier: the OUTPUT is
+# identical by construction (the hashed tier verifies candidates against raw
+# grams), so both pin against the same declarative recompute.
+_SPANS_ORACLE = f"""
         WITH pos AS (
           SELECT doc_id, gs.g AS p, substr(text, gs.g, {_SPAN_L}) AS gram
           FROM documents,
@@ -1109,7 +1117,12 @@ def _duplicated_spans(spark, sf_dir):
                CAST(MAX(p) + {_SPAN_L} - 1 AS BIGINT) AS span_end,
                CAST(MAX(p) + {_SPAN_L} - MIN(p) AS BIGINT) AS span_len
         FROM grp GROUP BY doc_id, gid
-    """,
+    """
+
+
+@query(
+    "dedup_exact_duplicated_spans",
+    oracle=_SPANS_ORACLE,
     tags=("dedup", "substring", "spans", "training"),
 )
 def dedup_exact_duplicated_spans(spark, sf_dir):
@@ -1134,8 +1147,84 @@ def dedup_exact_duplicated_spans(spark, sf_dir):
 
     Scale: explode amplification is L-independent (one row per char);
     gram-multiplicity partitions are bounded by the corpus's duplication
-    factor; per-doc windows hold ≤ len(doc) rows."""
+    factor; per-doc windows hold ≤ len(doc) rows.
+    `dedup_exact_duplicated_spans_hashed` is the corpus-scale tier: same
+    output, 8-byte hash shuffle keys instead of L-char gram strings."""
     return _duplicated_spans(spark, sf_dir)
+
+
+@query(
+    "dedup_exact_duplicated_spans_hashed",
+    oracle=_SPANS_ORACLE,
+    tags=("dedup", "substring", "spans", "training", "scale-tier"),
+)
+def dedup_exact_duplicated_spans_hashed(spark, sf_dir):
+    """The ExactSubstr span detector's 100 TB tier (VERDICT r8 #4): group
+    positions on ``xxhash64(gram)`` — 8-byte shuffle keys — and verify only
+    the multi-hash buckets against the raw grams, instead of shuffling the
+    L-char gram string for EVERY position (the string-keyed form's shuffle
+    payload is L× the corpus; this tier's count pass ships ~24-byte rows).
+    Measured at sf0.1 (SHUFFLE.md): total shuffle-write 39.9 → 26.6 MB and
+    7.6 → 5.8 s wall — 1.5× on this deliberately duplication-heavy corpus,
+    where candidate verification re-shuffles a large fraction of positions;
+    on a low-duplication production corpus the count pass dominates and the
+    saving approaches L-char-vs-8-byte on the key payload, growing with L.
+
+    Exactness: if a gram occurs >1× globally, all its positions share the
+    hash, so all survive the hash-count filter and its raw-gram count
+    inside the candidate set equals the global count; if it occurs once,
+    its candidate count is ≤ 1 and the verify filter drops it — hash
+    collisions add candidates, never results, so the output is byte-equal
+    to the string-keyed form (same oracle pins both).
+
+    Plan: pass 1 explodes positions and window-counts over the hash (the
+    one full-corpus shuffle, narrow rows); candidates (duplicated ∪
+    collided positions — bounded by duplication factor + ~n²/2⁶⁴ collision
+    mass) fold to per-doc position arrays and join back to the documents
+    scan (candidate side is small → AQE broadcasts it; the corpus is
+    re-SCANNED, never shuffled); pass 2 window-counts the recomputed raw
+    grams over just the candidate rows. The spans merge is shared with the
+    string-keyed form."""
+    docs = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") >= _SPAN_L)
+    )
+    pos_h = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - F.lit(_SPAN_L - 1))
+        ).alias("p"),
+        "text",
+    ).select(
+        "doc_id",
+        F.col("p").cast("long").alias("p"),
+        F.xxhash64(F.expr(f"substring(text, p, {_SPAN_L})")).alias("h"),
+    )
+    cand = (
+        pos_h.withColumn("n_h", F.count(F.lit(1)).over(W.partitionBy("h")))
+        .filter(F.col("n_h") > 1)
+        .select("doc_id", "p")
+    )
+    cand_by_doc = cand.groupBy("doc_id").agg(F.collect_list("p").alias("ps"))
+    cgrams = (
+        docs.join(cand_by_doc, "doc_id")
+        .select(
+            "doc_id",
+            F.explode("ps").alias("p"),
+            "text",
+        )
+        .select(
+            "doc_id", "p", F.expr(f"substring(text, p, {_SPAN_L})").alias("gram")
+        )
+    )
+    dup_pos = (
+        cgrams.withColumn("n_g", F.count(F.lit(1)).over(W.partitionBy("gram")))
+        .filter(F.col("n_g") > 1)
+        .select("doc_id", "p")
+        .distinct()
+    )
+    return _positions_to_spans(dup_pos)
 
 
 @query(

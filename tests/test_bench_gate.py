@@ -120,15 +120,17 @@ def test_format_outputs_degrades_precision_rather_than_overflowing():
     import bench
 
     # the REAL headline set is the in-band case: 3-decimal timings push the
-    # line just past the 1900 budget and 2-decimal rounding brings it back
-    # under with the full per-query map intact
+    # line past the 1900 budget and precision degradation (2 then 1
+    # decimals) brings it back under with the full per-query map intact —
+    # the guarantee is the intact map, not a particular decimal stage
+    # (which shifts as the headline set grows)
     names = bench.HEADLINE
     timings = {n: 1.2345 for n in names}
     line, _ = bench.format_outputs(timings, {n: 0.0 for n in names}, {}, 0.1,
                                    0.3, 1.0)
     assert len(line) <= 1900
     parsed = _json.loads(line)
-    assert parsed["queries"][names[0]] == 1.23
+    assert parsed["queries"][names[0]] in (1.23, 1.2)  # degraded, not 3-dec
     assert set(parsed["queries"]) == set(names)
 
 
