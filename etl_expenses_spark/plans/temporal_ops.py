@@ -14,7 +14,7 @@ from etl_expenses_spark.operators.asof import asof_join_backward
 from etl_expenses_spark.operators.rangejoin import bucketed_interval_pairs
 from etl_expenses_spark.operators.merge import new_rows
 from etl_expenses_spark.operators.prefixsum import single_defined_partition
-from etl_expenses_spark.plans._util import T, dec
+from etl_expenses_spark.plans._util import T, dec, work_dir
 from etl_expenses_spark.plans.registry import query
 
 
@@ -1515,3 +1515,94 @@ def range_left_join_unmatched_clicks(spark, sf_dir):
         matched.select("c_id").distinct(), "c_id", "left_anti"
     ).select("c_id", F.lit(None).cast("bigint").alias("p_id"))
     return matched.unionByName(unmatched)
+
+
+@query(
+    "stream_full_outer_interval_join",
+    oracle="""
+        WITH c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+                   FROM events WHERE event_type = 'click'),
+             p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+                   FROM events WHERE event_type = 'purchase')
+        SELECT c.c_id, p.p_id
+        FROM c FULL JOIN p
+          ON p.p_user = c.c_user
+         AND p.p_ts >= c.c_ts
+         AND p.p_ts < c.c_ts + INTERVAL 5 MINUTE
+    """,
+    tags=("streaming", "join", "range", "temporal", "outer"),
+)
+def stream_full_outer_interval_join(spark, sf_dir):
+    """The stream-stream FULL OUTER interval join
+    (streaming/pipeline.py:stream_interval_full_outer_clicks), driver-checked
+    by replay through REAL micro-batches: the events table lands as a file
+    stream, clicks full-outer-join purchases on (same user, purchase within
+    the following 5 min), and the result must equal the oracle's batch
+    full_outer with the identical predicate — matched pairs, un-attributed
+    clicks (NULL purchase), and organic purchases (NULL click) all present.
+
+    Replay mechanics: run 1 processes the corpus (matches emit; each side's
+    NULL rows wait on the OTHER side's watermark); appending a far-future
+    sentinel pair and re-running on the same checkpoint pushes both
+    watermarks past every real row, so append mode provably flushes every
+    unmatched row — the same watermark-flushing-restart shape pinned
+    stream==batch in tests/test_streaming.py. Sentinel rows (ids ≥ 1e9,
+    users < 0) match nothing and are filtered from the result.
+
+    Scale: the same two clocks bound both state stores — full-outer holds
+    no more state than left-outer; per micro-batch cost is the interval
+    join of the batch's rows against watermark-bounded state."""
+    import datetime
+    import os
+
+    from etl_expenses_spark.streaming.pipeline import (
+        stream_interval_full_outer_clicks,
+    )
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    ).filter(F.col("event_type").isin("click", "purchase"))
+    work = work_dir("stream_full_outer_interval_join", sf_dir)
+    bronze = os.path.join(work, "bronze")
+    gold = os.path.join(work, "gold")
+    ckpt = os.path.join(work, "ckpt")
+    # one time-coherent file: a single-batch run 1 sees every row before the
+    # watermark first advances, so nothing is ever late-dropped (multi-file
+    # replay ordering is exercised by tests/test_streaming.py)
+    ev.coalesce(1).write.mode("append").parquet(bronze)
+
+    def run_once_():
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string"
+            ).parquet(bronze)
+        )
+        j = stream_interval_full_outer_clicks(
+            stream.filter(F.col("event_type") == "click"),
+            stream.filter(F.col("event_type") == "purchase"),
+            window_s=300,
+            watermark_s=600,
+        )
+        (
+            j.writeStream.format("parquet")
+            .option("path", gold)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_once_()
+    far = ev.agg(F.max("ts")).collect()[0][0] + datetime.timedelta(hours=6)
+    spark.createDataFrame(
+        [(1_000_000_001, far, -1, "click"),
+         (1_000_000_002, far, -2, "purchase")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    ).write.mode("append").parquet(bronze)
+    run_once_()
+    out = spark.read.parquet(gold)
+    return out.filter(
+        (F.col("c_id").isNull() | (F.col("c_id") < 1_000_000_000))
+        & (F.col("p_id").isNull() | (F.col("p_id") < 1_000_000_000))
+    ).select("c_id", "p_id")
