@@ -31,72 +31,75 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # registered after the window and is verified by tools/check_oracle.py
 # (the local replica of the same gate) across all scale factors.
 _PRIORITY = [
-    # Round-8 window: 4 kept green §2-family anchors + 46 first-time rows —
-    # the full COVERAGE.md round-8 candidate list (round-7 additions without
-    # driver rows, the embedding/ANN tier spread, the remaining seven TPC-H
-    # shapes, text/curation, lakehouse/SQL, finance/statistics) plus five of
-    # THIS round's new operators (geo grid joins, IVM folds, WAP time
-    # travel) so the round's surface ships with hard driver evidence.
-    # Rotation rationale + history: COVERAGE.md. Every slot is lint-checked
+    # Round-9 window: FULL-REGISTRY CLOSURE — these 50 slots are exactly the
+    # 50 registered queries without a green driver row after eight rounds
+    # (47 never-window'd per COVERAGE.md's round-9 candidate list, plus
+    # approx_count_distinct_parts whose only driver row ever was the r1
+    # `err: no_oracle` — it has an oracle and passes the sweep — plus this
+    # round's two new queries). A green round makes cumulative driver
+    # coverage 303/303: every registered query driver-proven. No kept
+    # anchors this round (the flagship stays smoke-checked via entry(), and
+    # the previously-green 253 are re-verified by the local sweep); rotation
+    # rationale + history: COVERAGE.md. Every slot is lint-checked
     # harness-safe (tools/check_oracle.py --lint-window).
-    # -- kept green anchors (driver-green r1–r7) --
-    "flagship_spend_by_category",   # agg / flagship
-    "derived_columns",              # projection
-    "multimodal_codec_roundtrip",   # multimodal
-    "dedup_cluster_components",     # dedup + CC
-    # -- first-time: round-8 new surface --
-    "geo_cell_join_nearby_pairs",
-    "geo_neardup_points_selfjoin",
-    "ivm_group_totals_cdc",
-    "ivm_stream_fold",
-    "wap_time_travel_read",
-    # -- first-time: round-7 additions without driver rows --
-    "heavy_hitters_stream_fold",
-    "avro_stream_ingest_census",
-    "bitmap_weekly_distinct_rollup",
-    "bitmap_sliding_7d_users",
-    "url_canonicalize_dedup",
-    "range_left_join_unmatched_clicks",
-    "text_nfc_normalize",
-    "sql_scripting_threshold_search",
-    "approx_top_k_event_types",
-    # -- first-time: embedding / ANN tier spread --
-    "embedding_quantize_int8",
-    "embedding_pq_codes",
-    "similarity_cosine_topk_pq",
-    "similarity_batch_topk",
-    "kmeans_lloyd_refine",
-    "embedding_class_separation",
-    "embedding_norms",
-    # -- first-time: remaining TPC-H shapes --
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q20_excess_stock_suppliers",
-    "tpch_q22_global_sales_opportunity",
-    # -- first-time: text / curation spread --
-    "text_normalize_spanish",
-    "doc_chunk_sliding",
-    "text_repetition_ratio",
-    "boilerplate_bigram_strip",
-    "corpus_pack_sequences",
-    "corpus_mixture_rebalance",
-    # -- first-time: lakehouse / SQL surfaces --
-    "zorder_layout_key",
-    "sql_hinted_broadcast_join",
-    "agg_listagg_ordered",
-    "table_profile_orders",
-    "dq_constraint_checks",
-    "table_checksum_orders",
-    # -- first-time: finance / statistics --
-    "trend_daily_spend_slope",
-    "correlation_r2_qty_price",
-    "pareto_revenue_concentration",
-    "gini_spend_inequality",
-    "mad_spend_by_segment",
-    "winsorized_spend_by_segment",
+    # -- aggregates / window / relational spread --
+    "monthly_spend",
+    "having_large_orders",
+    "histogram_order_totals",
+    "agg_collect_priorities",
+    "agg_dispersion_stats",
+    "agg_partial_remerge_monthly",
+    "agg_percentiles",
+    "approx_count_distinct_parts",
+    "incremental_agg_state_merge",
+    "intersect_all_heavy_quantities",
+    "orders_above_customer_avg",
+    "top3_orders_per_segment",
+    "window_distribution_ranks",
+    "keyset_pagination_orders",
+    "unpivot_lineitem_charges",
+    # -- array / map / struct function surfaces --
+    "array_functions",
+    "map_functions",
+    "map_transform_functions",
+    "struct_field_surgery",
+    "base64_roundtrip",
+    "sql_udf_money_parse",
+    # -- joins / temporal --
+    "attribution_first_purchase_after_click",
+    "latest_event_per_user_asof_style",
+    "top_user_journeys",
+    "ab_experiment_lift",
+    "fuzzy_match_part_names",
+    # -- dedup / sampling / curation --
+    "dedup_cut_duplicated_spans",
+    "dedup_exact_duplicated_spans",
+    "dedup_exact_duplicated_spans_hashed",
+    "dedup_embedding_lsh_pairs",
+    "dedup_keep_best_quality",
+    "corpus_shuffle_deterministic",
+    "sample_deterministic_per_key",
+    "sample_n_per_group",
+    "sample_stratified_by_lang",
+    # -- text / tokenization / multimodal --
+    "bpe_trained_segmentation",
+    "text_collapse_token_runs",
+    "token_bigram_counts",
+    "multimodal_doc_features",
+    # -- graph --
+    "ktruss_copurchase",
+    "ktruss_copurchase_capped",
+    "lpa_communities_copurchase",  # rows-only by design (iterative LPA)
+    # -- geo --
+    "geo_cell_density_topk",
+    "geo_knn_nearest_suppliers",
+    # -- IVM / lakehouse / sources / streaming --
+    "ivm_join_view_cdc",
+    "ivm_dim_change_two_level",
+    "wap_merge_upsert_version",
+    "csv_corrupt_quarantine",
+    "cogroup_user_orders_events",
+    "stream_full_outer_interval_join",
 ]
 
 

@@ -108,7 +108,10 @@ def multimodal_doc_features(spark, sf_dir):
     """The multimodal feature stage driven end-to-end on real testdata:
     documents.text re-encoded as a binary payload column → Arrow-batched
     mapInPandas featurization (operators/multimodal.py). Rows-only: the
-    'decoder' is the documented deterministic stub."""
+    'decoder' is the documented deterministic stub. The feature vector is
+    surfaced as (n_dims, rounded L2²) scalars — driver-window contract: no
+    array/struct/map output columns — while downstream pipeline stages keep
+    consuming the full array from decode_and_featurize directly."""
     from etl_expenses_spark.operators.multimodal import decode_and_featurize
 
     media = T(spark, sf_dir, "documents").select(
@@ -116,7 +119,21 @@ def multimodal_doc_features(spark, sf_dir):
         F.lit("text").alias("kind"),
         F.encode("text", "UTF-8").alias("payload"),
     )
-    return decode_and_featurize(media)
+    feats = decode_and_featurize(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.size("feature").alias("n_dims"),
+        F.round(
+            F.aggregate(
+                "feature",
+                F.lit(0.0),
+                lambda a, x: a + x.cast("double") * x.cast("double"),
+            ),
+            3,
+        ).alias("feature_l2sq"),
+    )
 
 
 @query(

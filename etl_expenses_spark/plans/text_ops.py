@@ -789,12 +789,16 @@ def bpe_trained_segmentation(spark, sf_dir):
     per-doc word/subword-piece counts, the fertility table a tokenizer
     report is built from. Rows-only (the merge loop is not
     SQL-expressible); the trainer's algebra is pinned by hand-computable
-    fixtures in tests/test_bpe.py."""
+    fixtures in tests/test_bpe.py. The piece list is surfaced space-joined
+    (driver-window contract: no array/struct/map output columns — the
+    harness canonicalizes by sorting cell values)."""
     from etl_expenses_spark.operators.bpe import bpe_segment, train_bpe
 
     d = T(spark, sf_dir, "documents")
     merges = train_bpe(d, n_merges=40)
-    return bpe_segment(d, merges)
+    return bpe_segment(d, merges).withColumn(
+        "first_word_pieces", F.array_join("first_word_pieces", " ")
+    )
 
 
 @query(
