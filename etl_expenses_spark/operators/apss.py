@@ -86,7 +86,7 @@ def term_frequencies(docs: DataFrame, text_col: str = "text",
 
 
 def _allpairs_cosine_dense(
-    tf: DataFrame, terms: list, threshold: float
+    tf: DataFrame, d: int, threshold: float
 ) -> DataFrame:
     """Dense GEMM tier: exact ≥-threshold cosine pairs when the vocabulary
     is small enough that each doc is a d-dim integer vector (see module
@@ -99,15 +99,27 @@ def _allpairs_cosine_dense(
     per pair) → one Arrow-batched ``applyInPandas`` per block pair runs
     ``A @ B.T``. Shuffle volume is n·n_blocks vector rows — the minimum any
     exact all-pairs scheme moves — and no |block|² rows ever cross the
-    shuffle."""
+    shuffle.
+
+    Python-boundary discipline (the r8 bimodality root cause, VERDICT r8
+    #2): everything except the GEMM itself stays JVM-side, and the GEMM's
+    parallelism is pinned. Concretely: (a) the term→index map is a
+    ``row_number`` over the ≤ d distinct terms — NOT a driver-built Python
+    list RDD, whose broadcast made 32 JVM tasks block on a cold Python
+    worker; (b) the block-pair rows are explicitly hash-repartitioned on
+    the group key to ~one partition per block pair BEFORE the groupBy, so
+    ``applyInPandas`` inherits that partitioning (EnsureRequirements adds
+    no new exchange) and AQE cannot coalesce the byte-small but CPU-heavy
+    GEMM groups onto a single Python worker — bytes-based coalescing is
+    exactly wrong for compute-bound Arrow stages."""
     import numpy as np
     import pandas as pd
 
-    spark = tf.sparkSession
-    d = len(terms)
     id_dtype = dict(tf.dtypes)["id"]
-    tix = spark.createDataFrame(
-        [(t, i) for i, t in enumerate(terms)], "term string, tix int"
+    # d ≤ DENSE_VOCAB_MAX rows: the single-partition window sort is trivial
+    # and stays in the JVM (no Python RDD, no driver round-trip).
+    tix = tf.select("term").distinct().withColumn(
+        "tix", (F.row_number().over(W.orderBy("term")) - 1).cast("int")
     )
     cells = tracked_persist(
         tf.join(F.broadcast(tix), "term")
@@ -120,7 +132,16 @@ def _allpairs_cosine_dense(
         )
     )
     n = cells.count()
-    n_blocks = max(1, -(-n // _DENSE_BLOCK_ROWS))
+    # Two lower bounds on the block count: the memory bound (no task holds
+    # more than a _DENSE_BLOCK_ROWS² Gram matrix) and the parallelism bound
+    # (enough block-pair groups to occupy every core: b(b+1)/2 ≥ P ⇒
+    # b ≈ (√(8P+1)−1)/2). Extra blocks cost n·Δb shuffled vector rows —
+    # linear and tiny — while too few serialize the quadratic GEMM work
+    # onto a handful of Python workers (the r8 bimodality's steady-state
+    # half, VERDICT r8 #2).
+    par = tf.sparkSession.sparkContext.defaultParallelism
+    min_blocks = int(-(-((8 * par + 1) ** 0.5 - 1) // 2))
+    n_blocks = max(1, min(n, max(-(-n // _DENSE_BLOCK_ROWS), min_blocks)))
     rep = (
         cells.withColumn(
             "blk", F.pmod(F.hash("id"), F.lit(n_blocks)).cast("int")
@@ -172,7 +193,14 @@ def _allpairs_cosine_dense(
         hi = np.where(swap, id_a, id_b)
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_raw": cos})
 
-    out = rep.groupBy("ba", "bb").applyInPandas(
+    # One partition per block-pair group (capped at the session's cores):
+    # the explicit count pins the exchange (user REPARTITION_BY_NUM — AQE
+    # never coalesces it), and hash-partitioning on the exact group key
+    # lets applyInPandas reuse it instead of inserting its own exchange.
+    n_groups = n_blocks * (n_blocks + 1) // 2
+    n_parts = max(1, min(n_groups,
+                         tf.sparkSession.sparkContext.defaultParallelism))
+    out = rep.repartition(n_parts, "ba", "bb").groupBy("ba", "bb").applyInPandas(
         gram, schema=f"id_a {id_dtype}, id_b {id_dtype}, cos_raw double"
     )
     return out.select(
@@ -221,12 +249,13 @@ def allpairs_cosine_prefix(
 
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if dense_vocab_max > 0:
-        vocab = [
-            r["term"]
-            for r in df_tbl.select("term").limit(dense_vocab_max + 1).collect()
-        ]
-        if len(vocab) <= dense_vocab_max:
-            return _allpairs_cosine_dense(tf, sorted(vocab), threshold)
+        # Exact, parallel vocabulary probe (map-side partial agg over the
+        # persisted TF). The previous limit(max+1).collect() probe ran the
+        # whole TF aggregation in the limit's single-partition first
+        # attempt — 2 s single-threaded at sf0.1 (VERDICT r8 #2).
+        d = tf.select(F.countDistinct("term").alias("d")).first()["d"]
+        if d <= dense_vocab_max:
+            return _allpairs_cosine_dense(tf, int(d), threshold)
     w = W.partitionBy("id").orderBy("df", "term").rowsBetween(
         W.unboundedPreceding, -1
     )
