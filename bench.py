@@ -145,6 +145,11 @@ HEADLINE = [
     # shuffle keys + raw-gram verify of multi-hash buckets only — identical
     # output, the shuffle payload no longer scales with L)
     "dedup_exact_duplicated_spans_hashed",
+    # round-9 addition: the distributed capped suffix array (range-sort of
+    # candidate suffix windows + lexicographic-neighbor LCP — the
+    # variable-length maximal-repeat archetype; spans output pinned
+    # identical to the gram-union form)
+    "dedup_spans_suffix_array",
     "ktruss_copurchase",
     # its hub-capped scale tier (mutual-capped adjacency, lower-bound
     # contract — the shape you run on hub-heavy graphs)

@@ -9,10 +9,11 @@ instead.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves stringified pandas_udf type hints
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from etl_expenses_spark.caching import track
+from etl_expenses_spark.caching import track, tracked_persist
 from etl_expenses_spark.functions.text import tokens
 from etl_expenses_spark.operators.dedup import (
     connected_components,
@@ -1356,3 +1357,312 @@ def dedup_cut_duplicated_spans(spark, sf_dir):
         F.md5("text").alias("clean_md5"),
     )
     return with_spans.unionByName(untouched)
+
+
+# ---------------------------------------------------------------------------
+# Suffix-array tier: variable-length maximal repeats (VERDICT r8 stretch #8)
+# ---------------------------------------------------------------------------
+
+# Cap on tracked match length. Suffix windows carry ≤ _SA_CAP chars across
+# the range shuffle; repeats longer than the cap report match_len == _SA_CAP
+# (the spans output is provably cap-invariant — see dedup_spans_suffix_array).
+_SA_CAP = 512
+
+
+def _best_lcp_udf():
+    """max(LCP(w, prev), LCP(w, next)) in CHARACTERS as one vectorized
+    Arrow stage. This is the one deliberate Python stage of the tier:
+    Catalyst's higher-order `substring(w, i, 1)` re-scans the string from
+    byte 0 on every call (UTF8String has no char index), making the
+    expression form O(M²) per neighbor pair — measured 65 s of CPU at
+    sf0.1 where this whole batch runs in well under a second.
+
+    Vectorization: strings become rows of zero/0xFF-padded uint8 matrices;
+    the byte-level LCP is the argmax of the first inequality (a forced
+    mismatch at min(len) makes length differences register); the char-level
+    LCP counts non-continuation UTF-8 bytes inside the common byte prefix,
+    minus one when the prefix ends mid-char (the boundary byte is a
+    continuation byte — by UTF-8 validity both strings agree on that).
+    NULL neighbors contribute 0."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    def byte_matrix(vals: list, pad: int, m: int) -> np.ndarray:
+        mat = np.full((len(vals), m), pad, dtype=np.uint8)
+        for r, x in enumerate(vals):
+            mat[r, : len(x)] = np.frombuffer(x, np.uint8)
+        return mat
+
+    def char_lcp(wb: list, nb: list) -> np.ndarray:
+        la = np.fromiter((len(x) for x in wb), dtype=np.int64, count=len(wb))
+        lb = np.fromiter((len(x) for x in nb), dtype=np.int64, count=len(nb))
+        m = int(max(la.max(initial=1), lb.max(initial=1)))
+        a = byte_matrix(wb, 0x00, m)
+        b = byte_matrix(nb, 0xFF, m)
+        lmin = np.minimum(la, lb)
+        idx = np.arange(m)[None, :]
+        neq = (a != b) | (idx >= lmin[:, None])  # forced stop at min length
+        has = neq.any(axis=1)
+        bl = np.where(has, neq.argmax(axis=1), lmin)  # byte-level LCP
+        rows = np.arange(len(wb))
+        noncont = (a & 0xC0) != 0x80
+        csum = np.cumsum(noncont, axis=1)
+        chars = np.where(bl > 0, csum[rows, np.maximum(bl - 1, 0)], 0)
+        mid = (bl < la) & ~noncont[rows, np.minimum(bl, m - 1)]
+        return chars - mid.astype(np.int64)
+
+    @pandas_udf("long")
+    def best_lcp(w: pd.Series, wp: pd.Series, wn: pd.Series) -> pd.Series:
+        wb = [s.encode() for s in w]
+        out = np.zeros(len(w), dtype=np.int64)
+        for nbr in (wp, wn):
+            mask = nbr.notna().to_numpy()
+            if mask.any():
+                sub = char_lcp(
+                    [x for x, k in zip(wb, mask) if k],
+                    [s.encode() for s in nbr[mask]],
+                )
+                out[mask] = np.maximum(out[mask], sub)
+        return pd.Series(out)
+
+    return best_lcp
+
+
+def _suffix_match_lens(spark, sf_dir):
+    """(doc_id, p, w, match_len) for every duplicated-gram position: the
+    length (capped at _SA_CAP) of the longest substring starting at p that
+    occurs ≥ 2 times anywhere in the corpus.
+
+    This is the distributed analogue of the suffix-array step in Lee et
+    al.'s ExactSubstr (ACL 2022): their single-machine suffix array finds,
+    for each position, its longest match elsewhere; here the candidate
+    suffixes (only positions whose L-gram is globally duplicated — the
+    partner achieving any match ≥ L is itself such a position, so nothing
+    is lost) are RANGE-SORTED corpus-wide, and each suffix's best match
+    length is the max LCP with its two lexicographic neighbors — the
+    classic suffix-array adjacency property. Within a range partition the
+    neighbors come from lag/lead over a partition-local window (the pid
+    column pins rows to their range); across partition boundaries only the
+    2-per-partition edge rows need a second, tiny global pass whose extra
+    LCPs are max-merged in (any pair LCP is a valid lower bound on the true
+    match, so the redundant within-partition pairs the edge pass also sees
+    can never overshoot).
+
+    100 TB shape: the count pass ships (doc_id, p, gram) once; the sort
+    pass ships ≤ _SA_CAP chars per DUPLICATED position only — bounded by
+    the duplication factor, not the corpus — and the range sort is Spark's
+    ordinary distributed sort, no single node ever holding the corpus."""
+    sc = spark.sparkContext
+    docs = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") >= _SPAN_L)
+        # the explode amplifies ~200× (one row per char): spread the small
+        # doc relation across cores BEFORE amplification, or a one-file
+        # parquet input runs the whole gram extraction on a single task
+        .repartition(sc.defaultParallelism)
+    )
+    pos = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - F.lit(_SPAN_L - 1))
+        ).alias("p"),
+        "text",
+    ).select(
+        "doc_id",
+        F.col("p").cast("long").alias("p"),
+        F.expr(f"substring(text, p, {_SPAN_L})").alias("gram"),
+    )
+    dup_pos = (
+        pos.withColumn("n", F.count(F.lit(1)).over(W.partitionBy("gram")))
+        .filter(F.col("n") > 1)
+        .select("doc_id", "p")
+    )
+    # candidate side is small → fold to per-doc arrays, rejoin the doc scan
+    # (AQE broadcasts the array side; the corpus is re-scanned, not shuffled)
+    cand_by_doc = dup_pos.groupBy("doc_id").agg(F.collect_list("p").alias("ps"))
+    suf = (
+        docs.join(cand_by_doc, "doc_id")
+        .select("doc_id", F.explode("ps").alias("p"), "text")
+        .select("doc_id", "p", F.expr(f"substring(text, p, {_SA_CAP})").alias("w"))
+    )
+    k = max(2, suf.sparkSession.sparkContext.defaultParallelism)
+    rs = suf.repartitionByRange(k, "w", "doc_id", "p").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    win = W.partitionBy("pid").orderBy("w", "doc_id", "p")
+    adj = (
+        rs.withColumn("wp", F.lag("w").over(win))
+        .withColumn("wn", F.lead("w").over(win))
+        .withColumn("rn", F.row_number().over(win))
+        .withColumn("cnt", F.count(F.lit(1)).over(W.partitionBy("pid")))
+    )
+    lcp = _best_lcp_udf()
+    # persisted: both the edge-row pass and the final max-merge read it —
+    # without the persist the whole explode→count→sort→window chain would
+    # execute twice
+    scored = tracked_persist(adj.select(
+        "doc_id", "p", "w", "rn", "cnt",
+        lcp(F.col("w"), F.col("wp"), F.col("wn")).alias("ml_in"),
+    ))
+    # 2 edge rows per range partition: a bounded relation, so the global
+    # window (single partition) is fine at any corpus size
+    bounds = scored.filter(
+        (F.col("rn") == 1) | (F.col("rn") == F.col("cnt"))
+    ).select("doc_id", "p", "w")
+    bwin = W.orderBy("w", "doc_id", "p")
+    b_ml = (
+        bounds.withColumn("wp", F.lag("w").over(bwin))
+        .withColumn("wn", F.lead("w").over(bwin))
+        .select(
+            "doc_id", "p",
+            lcp(F.col("w"), F.col("wp"), F.col("wn")).alias("ml_b"),
+        )
+    )
+    return (
+        scored.join(b_ml, ["doc_id", "p"], "left")
+        .select(
+            "doc_id", "p", "w",
+            F.greatest(F.col("ml_in"), F.coalesce("ml_b", F.lit(0))).alias(
+                "match_len"
+            ),
+        )
+        .filter(F.col("match_len") >= _SPAN_L)
+    )
+
+
+@query(
+    "dedup_spans_suffix_array",
+    oracle=_SPANS_ORACLE,
+    tags=("dedup", "substring", "spans", "training", "suffix-array"),
+)
+def dedup_spans_suffix_array(spark, sf_dir):
+    """The ExactSubstr spans derived through the SUFFIX-ARRAY tier instead
+    of the gram-union: per-position longest duplicated-prefix lengths
+    (_suffix_match_lens) expand to intervals [p, p + match_len), whose
+    per-doc union merges into maximal contiguous runs.
+
+    The output is IDENTICAL to dedup_exact_duplicated_spans by
+    construction — cap-invariant both ways: every position inside a
+    duplicated run of length m starts a duplicated L-gram (so the variable
+    intervals never cover more than the L-gram union), and match_len ≥ L
+    (so never less); the _SA_CAP truncation lands between those bounds.
+    Two structurally different algorithms pinning the same declarative
+    DuckDB recompute is the cross-check — the same convention as the
+    hashed tier. What the SA tier adds beyond spans is the per-occurrence
+    match lengths themselves, surfaced by maximal_repeats_topk."""
+    ml = _suffix_match_lens(spark, sf_dir)
+    iv = ml.select(
+        "doc_id",
+        F.col("p").alias("s"),
+        (F.col("p") + F.col("match_len") - 1).alias("e"),
+    )
+    w1 = W.partitionBy("doc_id").orderBy("s")
+    run = iv.withColumn(
+        "prev_max_e",
+        F.max("e").over(w1.rowsBetween(W.unboundedPreceding, -1)),
+    )
+    isl = run.withColumn(
+        "new_island",
+        F.when(F.col("s") <= F.col("prev_max_e") + 1, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn(
+        "new_island",
+        F.coalesce("new_island", F.lit(1)),
+    )
+    grp = isl.withColumn(
+        "gid",
+        F.sum("new_island").over(
+            w1.rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    return grp.groupBy("doc_id", "gid").agg(
+        F.min("s").cast("long").alias("span_start"),
+        F.max("e").cast("long").alias("span_end"),
+        (F.max("e") - F.min("s") + 1).cast("long").alias("span_len"),
+    ).drop("gid")
+
+
+@query(
+    "maximal_repeats_topk",
+    oracle=f"""
+        WITH pos AS (
+          SELECT doc_id, gs.g AS p, substr(text, gs.g, {_SPAN_L}) AS gram
+          FROM documents,
+               LATERAL (SELECT unnest(generate_series(
+                   1, GREATEST(LENGTH(text) - {_SPAN_L} + 1, 0))) AS g) gs),
+        dup AS (SELECT gram FROM pos GROUP BY gram HAVING COUNT(*) > 1),
+        duppos AS (
+          SELECT DISTINCT p.doc_id, p.p FROM pos p JOIN dup USING (gram)),
+        suf AS (
+          SELECT dp.doc_id, dp.p, substr(d.text, CAST(dp.p AS INT), {_SA_CAP}) AS w
+          FROM duppos dp JOIN documents d USING (doc_id)),
+        nbr AS (
+          SELECT doc_id, p, w,
+                 LAG(w)  OVER (ORDER BY w, doc_id, p) AS wp,
+                 LEAD(w) OVER (ORDER BY w, doc_id, p) AS wn
+          FROM suf),
+        ml AS (
+          SELECT doc_id, p, w,
+                 GREATEST(
+                   CASE WHEN wp IS NULL THEN 0 ELSE COALESCE(
+                     list_min(list_filter(range(1, LEAST(LENGTH(w), LENGTH(wp)) + 1),
+                              i -> substr(w, i, 1) <> substr(wp, i, 1))) - 1,
+                     LEAST(LENGTH(w), LENGTH(wp))) END,
+                   CASE WHEN wn IS NULL THEN 0 ELSE COALESCE(
+                     list_min(list_filter(range(1, LEAST(LENGTH(w), LENGTH(wn)) + 1),
+                              i -> substr(w, i, 1) <> substr(wn, i, 1))) - 1,
+                     LEAST(LENGTH(w), LENGTH(wn))) END) AS match_len
+          FROM nbr),
+        filt AS (
+          SELECT doc_id, p, w, match_len,
+                 LAG(p)         OVER (PARTITION BY doc_id ORDER BY p) AS prev_p,
+                 LAG(match_len) OVER (PARTITION BY doc_id ORDER BY p) AS prev_ml
+          FROM ml WHERE match_len >= {_SPAN_L}),
+        occ AS (
+          SELECT * FROM filt
+          WHERE NOT COALESCE(prev_p = p - 1 AND prev_ml >= match_len + 1, FALSE))
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(p AS BIGINT) AS pos,
+               CAST(match_len AS BIGINT) AS match_len,
+               MD5(substr(w, 1, CAST(match_len AS INT))) AS repeat_md5
+        FROM occ
+        ORDER BY match_len DESC, doc_id, pos
+        LIMIT 20
+    """,
+    tags=("dedup", "substring", "training", "suffix-array"),
+)
+def maximal_repeats_topk(spark, sf_dir):
+    """VARIABLE-LENGTH maximal repeats — the information the fixed-L gram
+    pass cannot produce: the 20 longest occurrence-maximal duplicated
+    substrings in the corpus, as (doc_id, pos, match_len, md5(repeat)).
+    An occurrence is kept when it is not wholly contained in the previous
+    position's longer match (pos-1 present with match_len ≥ ours + 1);
+    match lengths come from the distributed capped suffix array
+    (_suffix_match_lens), and the md5 pins the repeat STRING byte-exactly,
+    not just its length. The oracle recomputes the same quantity in DuckDB
+    from first principles: brute-force duplicated grams → sorted suffix
+    adjacency → neighbor LCPs via list_filter mismatch-scan. Ordered by
+    (match_len DESC, doc_id, pos) — a unique tiebreaker."""
+    ml = _suffix_match_lens(spark, sf_dir)
+    w2 = W.partitionBy("doc_id").orderBy("p")
+    flt = ml.withColumn("prev_p", F.lag("p").over(w2)).withColumn(
+        "prev_ml", F.lag("match_len").over(w2)
+    )
+    dominated = (F.col("prev_p") == F.col("p") - 1) & (
+        F.col("prev_ml") >= F.col("match_len") + 1
+    )
+    occ = flt.filter(~F.coalesce(dominated, F.lit(False)))
+    return (
+        occ.select(
+            "doc_id",
+            F.col("p").alias("pos"),
+            "match_len",
+            F.md5(F.expr("substring(w, 1, cast(match_len as int))")).alias(
+                "repeat_md5"
+            ),
+        )
+        .orderBy(F.desc("match_len"), "doc_id", "pos")
+        .limit(20)
+    )

@@ -79,6 +79,11 @@ def main() -> int:
             "merge_append_evolve",
             "hll_read_daily_users",
             "semantic_neardup_pairs_multiprobe",
+            # streaming operator function names (streaming/pipeline.py),
+            # documented alongside the stream_full_outer_interval_join row:
+            "stream_dedup_within_watermark",
+            "stream_sessionized_values",
+            "stream_windowed_counts",
             # Spark SQL builtin names cited in the bitmap rollup row:
             "bitmap_construct_agg",
             "bitmap_or_agg",
