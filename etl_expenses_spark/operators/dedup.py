@@ -139,6 +139,32 @@ def minhash_band_signatures(
     return with_sig.select("id", "hs", F.array(*band_cols).alias("bands"))
 
 
+def verify_jaccard(
+    sig: DataFrame, candidates: DataFrame, min_jaccard: float
+) -> DataFrame:
+    """Exact-Jaccard verify of (id_a, id_b) candidate pairs against the
+    signature relation's distinct shingle-fingerprint sets: re-joins the
+    hs arrays for just the candidate ids and filters on the true Jaccard
+    — the shared tail of every LSH tier (full self-join or delta probe)."""
+    sets = sig.select("id", F.col("hs").alias("s"))  # already distinct
+    verified = (
+        candidates.join(
+            sets.select(F.col("id").alias("id_a"), F.col("s").alias("sh_a")),
+            "id_a",
+        ).join(
+            sets.select(F.col("id").alias("id_b"), F.col("s").alias("sh_b")),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        verified.withColumn("jaccard", inter / F.greatest(union, F.lit(1.0)))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def lsh_pairs_from_signatures(sig: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
     """Candidate generation + exact-Jaccard verify over ``(id, hs, bands)``
     signature rows (minhash_band_signatures). Returns (id_a, id_b, jaccard)
@@ -165,18 +191,7 @@ def lsh_pairs_from_signatures(sig: DataFrame, min_jaccard: float = 0.5) -> DataF
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sets = sig.select("id", F.col("hs").alias("s"))  # already distinct
-    verified = (
-        candidates.join(sets.select(F.col("id").alias("id_a"), F.col("s").alias("sh_a")), "id_a")
-        .join(sets.select(F.col("id").alias("id_b"), F.col("s").alias("sh_b")), "id_b")
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
-    return (
-        verified.withColumn("jaccard", inter / F.greatest(union, F.lit(1.0)))
-        .filter(F.col("jaccard") >= min_jaccard)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return verify_jaccard(sig, candidates, min_jaccard)
 
 
 def minhash_lsh_pairs(
@@ -199,6 +214,90 @@ def minhash_lsh_pairs(
     ).persist()
     track(sig)
     return lsh_pairs_from_signatures(sig, min_jaccard=min_jaccard)
+
+
+def maintain_lsh_index(
+    index: DataFrame,
+    cdc: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Maintain the (id, hs, bands) MinHash-LSH signature index under a
+    KEYED CDC batch — the near-dup sibling of operators/ivm.py's z-set
+    folds: when 0.1% of a 100 TB corpus changes, only the |Δ| changed
+    documents are re-tokenized/re-hashed; the corpus and its index are
+    never rescanned.
+
+    ``cdc`` rows are (op, id_col, text_col) with Debezium-style codes:
+    'I'/'U' upsert the keyed view (signatures are a function of content
+    alone, so insert-vs-update need no before-image), 'D' removes. Unknown
+    op codes FAIL FAST inline, matching zset_from_cdc (a silently dropped
+    op would quietly corrupt the maintained view). Re-applying the same
+    batch is a no-op (anti-join + recompute of the same deterministic
+    signatures), so at-least-once CDC delivery converges.
+
+    Cost: one anti-join of the index against |Δ| keys + signature
+    computation over |Δ| documents. The returned index is BY CONSTRUCTION
+    equal to minhash_band_signatures(corpus-after-CDC) — pinned in
+    tests/test_ivm.py."""
+    guarded = F.when(
+        F.col("op").isin("I", "U", "D"), F.col("op")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("maintain_lsh_index: unknown CDC op code "),
+                F.coalesce(F.col("op"), F.lit("NULL")),
+                F.lit(" (expected 'I'/'U'/'D')"),
+            )
+        )
+    )
+    cdc = cdc.withColumn("op", guarded)
+    touched = cdc.select(F.col(id_col).alias("id")).distinct()
+    survivors = index.join(touched, "id", "left_anti")
+    upserts = cdc.filter(F.col("op").isin("I", "U")).select(id_col, text_col)
+    new_sigs = minhash_band_signatures(
+        upserts, text_col, id_col,
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+    )
+    return survivors.unionByName(new_sigs)
+
+
+def lsh_delta_pairs(
+    new_index: DataFrame, delta_ids: DataFrame, min_jaccard: float = 0.5
+) -> DataFrame:
+    """Near-duplicate pairs INTRODUCED by a CDC delta: banded probe of only
+    the |Δ| upserted signatures against the full maintained index, then the
+    shared exact-Jaccard verify. Pairs between two untouched documents
+    never re-form — with the pairs-view removal rule (drop stored pairs
+    touching a retracted id, a semi-join on the tiny Δ key set) this is the
+    complete O(|Δ|)-probe maintenance of the near-dup pair view, pinned
+    against the full recompute in tests/test_ivm.py.
+
+    Scale shape: the Δ side explodes to |Δ|·bands bucket keys (broadcast
+    against the index's banded explode); candidate volume is bounded by
+    bucket co-membership of the delta docs, not the corpus."""
+    d = new_index.join(delta_ids.select(F.col(delta_ids.columns[0]).alias("id")),
+                       "id", "left_semi")
+    ex_all = new_index.select(
+        "id", F.posexplode("bands").alias("bi", "bh")
+    )
+    ex_d = d.select(
+        F.col("id").alias("did"), F.posexplode("bands").alias("bi", "bh")
+    )
+    cands = (
+        F.broadcast(ex_d)
+        .join(ex_all, ["bi", "bh"])
+        .filter(F.col("did") != F.col("id"))
+        .select(
+            F.least("did", "id").alias("id_a"),
+            F.greatest("did", "id").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return verify_jaccard(new_index, cands, min_jaccard)
 
 
 def _simhash60_udf():

@@ -36,6 +36,13 @@ from pyspark.sql.window import Window as W
 
 from etl_expenses_spark.caching import bsp_checkpoint
 
+# Diagnostics for the scale study (tools/graph_scaling_verdict.py): the
+# iterative operators record how many BSP/peel rounds their last run took,
+# so superlinear ×10 ratios can be decomposed into rounds-growth (inherent
+# to the graph) vs per-round-cost growth (a plan problem). Telemetry only —
+# never read by operator logic.
+LAST_STATS: dict[str, int] = {}
+
 # Knuth multiplicative hash constants, int64-safe given the pre-modulus.
 _H_MOD = 1000003
 _H_MUL = 2654435761
@@ -258,7 +265,7 @@ def kcore_decomposition(
     # collect_list costs more than the saved round-trips (measured 62 s →
     # 108 s at the ×10 tier); under the cap that recomputation is bounded
     # and the double step wins the overhead-dominated tiers.
-    for _ in range(max_rounds):
+    for _round in range(max_rounds):
         if max_degree is None:
             # single H-step, single pass: h and changed computed in ONE
             # select off one est join — no extra node-sized joins (they
@@ -311,6 +318,7 @@ def kcore_decomposition(
         n_changed = new.filter("changed").limit(1).count()
         est = new.drop("changed")
         if n_changed == 0:
+            LAST_STATS["kcore_rounds"] = _round + 1
             break
     else:
         raise RuntimeError(
@@ -519,7 +527,7 @@ def ktruss_edges(
             )
     e = canon.localCheckpoint()  # input leaf: checkpointed once
     min_support = k - 2
-    for _ in range(max_rounds):
+    for _round in range(max_rounds):
         # oriented adjacency: per-lo sorted arrays of higher neighbors
         nbrs = e.groupBy("lo").agg(F.sort_array(F.collect_set("hi")).alias("ns"))
         wedges = nbrs.select(
@@ -554,6 +562,7 @@ def ktruss_edges(
         n_dropped = e.join(survivors, ["lo", "hi"], "left_anti").limit(1).count()
         e = survivors
         if n_dropped == 0:
+            LAST_STATS["ktruss_rounds"] = _round + 1
             return e.select(F.col("lo").alias("pa"), F.col("hi").alias("pb"))
     raise RuntimeError(
         f"ktruss_edges: still peeling after {max_rounds} rounds — the "

@@ -1666,3 +1666,125 @@ def maximal_repeats_topk(spark, sf_dir):
         .orderBy(F.desc("match_len"), "doc_id", "pos")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al., "Data Selection for Language
+# Models via Importance Resampling", NeurIPS 2023) — log-free exact proxy
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 1024
+_DSIR_SCALE = 1_000_000
+
+
+@query(
+    "dsir_importance_resample",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+        bg AS (
+            SELECT doc_id, lang, ws[i + 1] || ' ' || ws[i + 2] AS big
+            FROM t, LATERAL (
+                SELECT unnest(range(GREATEST(len(ws) - 1, 0))) AS i)),
+        bb AS (
+            SELECT doc_id, lang,
+                   CAST(concat('0x', substr(md5(big), 1, 8)) AS BIGINT)
+                       % {_DSIR_BUCKETS} AS b
+            FROM bg),
+        src AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cs FROM bb GROUP BY b),
+        tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct
+                FROM bb WHERE lang = 'en' GROUP BY b),
+        r AS (SELECT s.b,
+                     ({_DSIR_SCALE} * (COALESCE(t2.ct, 0) + 1)) // (s.cs + 1)
+                         AS r
+              FROM src s LEFT JOIN tgt t2 USING (b)),
+        scored AS (
+            SELECT bb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(r.r) AS BIGINT) AS score
+            FROM bb JOIN r USING (b) GROUP BY bb.doc_id)
+        SELECT doc_id, n_bigrams, score, score // n_bigrams AS avg_ratio
+        FROM scored
+        ORDER BY avg_ratio DESC, doc_id
+        LIMIT 50
+    """,
+    tags=("curation", "sampling", "dsir", "training"),
+)
+def dsir_importance_resample(spark, sf_dir):
+    """DSIR-style data selection (Xie et al., NeurIPS 2023): pick the raw
+    documents whose hashed-bigram distribution looks most like a TARGET
+    corpus. Features are the paper's hashed bag of word bigrams (md5-prefix
+    buckets, {B} dims — the hashing trick needs no vocabulary); the target
+    stands in as the corpus's `lang = 'en'` slice; each bucket gets an
+    add-1-smoothed target/source importance ratio and each document scores
+    the SUM of its occurrences' ratios, length-normalized. Top 50 by
+    normalized score = the importance-resampled selection (the
+    deterministic-argmax variant; the paper's Gumbel jitter is a seeded
+    noise column away and changes no plumbing).
+
+    Log-free exactness discipline (same convention as lm_bigram_rarity):
+    instead of Σ count·(log p − log q) the ratio is kept RATIONAL —
+    r[b] = (10⁶ · (ct[b]+1)) // (cs[b]+1) — pure integer arithmetic both
+    engines. The global (S+B)/(T+B) smoothing constant multiplies every
+    bucket equally, so dropping it is rank-invariant, which is all
+    resampling consumes. BIGINT bounds: r ≤ 10⁶·(max bucket count+1) —
+    upgrade the ratio/score columns to decimal(38,0) when a corpus pushes
+    bucket counts past ~10⁹.
+
+    100 TB shape: bigrams explode linearly; the model is TWO {B}-row
+    aggregate tables (broadcast back — the model never shuffles the
+    corpus); scoring is one broadcast join + one hash agg keyed by doc.
+    The selection is a TakeOrdered. Nothing in the pipeline holds
+    per-vocabulary state — the hashing trick is what makes the featurizer
+    incremental at corpus scale.""".replace("{B}", str(_DSIR_BUCKETS))
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("ws")
+    )
+    pairs = F.when(
+        F.size("ws") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("ws") - 2),
+            lambda i: F.concat(
+                F.element_at("ws", i + 1), F.lit(" "), F.element_at("ws", i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("big")), 1, 8), 16, 10).cast("long")
+        % _DSIR_BUCKETS
+    )
+    bb = tracked_persist(
+        docs.select("doc_id", "lang", F.explode(pairs).alias("big")).select(
+            "doc_id", "lang", bucket.alias("b")
+        )
+    )
+    src = bb.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cs"))
+    tgt = (
+        bb.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+    ratios = (
+        src.join(tgt, "b", "left")
+        .select(
+            "b",
+            F.expr(
+                f"({_DSIR_SCALE} * (coalesce(ct, 0) + 1)) div (cs + 1)"
+            ).alias("r"),
+        )
+    )
+    scored = (
+        bb.join(F.broadcast(ratios), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("r").cast("long").alias("score"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id", "n_bigrams", "score",
+            F.expr("score div n_bigrams").alias("avg_ratio"),
+        )
+        .orderBy(F.desc("avg_ratio"), "doc_id")
+        .limit(50)
+    )

@@ -337,3 +337,68 @@ def ivm_dim_change_two_level(spark, sf_dir):
         F.col("n").cast("bigint").alias("n_orders"),
         F.col("total").cast("double").alias("revenue"),
     )
+
+
+@query(
+    "ivm_lsh_index_cdc",
+    oracle=None,
+    tags=("ivm", "cdc", "dedup", "lsh", "rows_only"),
+)
+def ivm_lsh_index_cdc(spark, sf_dir):
+    """Maintain the MINHASH-LSH NEAR-DUP INDEX under a CDC batch and probe
+    only the delta for new pairs — the composition of the IVM discipline
+    with similarity dedup: when 0.1% of a 100 TB corpus changes you
+    re-signature |Δ| documents and banded-probe them against the
+    maintained index; the corpus is never re-tokenized and untouched pairs
+    never re-form (operators/dedup.py: maintain_lsh_index +
+    lsh_delta_pairs).
+
+    Deterministic CDC day over documents: doc_id % 41 = 0 → DELETE;
+    % 37 = 0 (surviving) → UPDATE (text gains a revision marker);
+    % 43 = 0 (surviving) → a NEAR-COPY INSERT under doc_id + 10 000 000 —
+    planted near-duplicates the delta probe must find. Output: the
+    delta-discovered verified pairs. xxhash64 signatures are not
+    SQL-derivable, so the gate is golden-pinned (determinism convention of
+    dedup_minhash_lsh); the maintained-index == full-recompute and
+    delta-pairs == restricted-full-pairs invariants are pinned in
+    tests/test_ivm.py."""
+    from etl_expenses_spark.operators.dedup import (
+        lsh_delta_pairs,
+        maintain_lsh_index,
+        minhash_band_signatures,
+    )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    dels = docs.filter(F.col("doc_id") % 41 == 0).select(
+        F.lit("D").alias("op"), "doc_id", F.lit(None).cast("string").alias("text")
+    )
+    upds = docs.filter(
+        (F.col("doc_id") % 37 == 0) & (F.col("doc_id") % 41 != 0)
+    ).select(
+        F.lit("U").alias("op"),
+        "doc_id",
+        F.concat("text", F.lit(" rev2 marker")).alias("text"),
+    )
+    ins = docs.filter(
+        (F.col("doc_id") % 43 == 0) & (F.col("doc_id") % 41 != 0)
+    ).select(
+        F.lit("I").alias("op"),
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.concat("text", F.lit(" near duplicate copy")).alias("text"),
+    )
+    cdc = dels.unionByName(upds).unionByName(ins)
+    # the stored view (in production: read back from the index table)
+    index = minhash_band_signatures(docs)
+    new_index = maintain_lsh_index(index, cdc)
+    delta_ids = cdc.filter(F.col("op").isin("I", "U")).select("doc_id")
+    return (
+        lsh_delta_pairs(new_index, delta_ids, min_jaccard=0.5)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("jaccard").cast("decimal(18,6)").cast("double").alias(
+                "jaccard"
+            ),
+        )
+        .orderBy("id_a", "id_b")
+    )

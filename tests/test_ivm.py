@@ -185,3 +185,116 @@ def test_unknown_cdc_op_fails_fast(spark):
     )
     with pytest.raises(Exception, match="unknown CDC op code"):
         deltas.collect()
+
+
+# ---- MinHash-LSH index maintenance (operators/dedup.py) ----------------
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _sig_set(df):
+    return {(r["id"], tuple(r["hs"]), tuple(r["bands"])) for r in df.collect()}
+
+
+def test_lsh_index_maintenance_equals_full_recompute(spark):
+    from etl_expenses_spark.operators.dedup import (
+        maintain_lsh_index,
+        minhash_band_signatures,
+    )
+
+    base_rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "completely unrelated text about warehouse inventory levels"),
+        (3, "the quick brown fox jumps over the lazy dog again and AGAIN"),
+        (4, "this document will be deleted by the cdc batch below"),
+        (5, "this document will be updated by the cdc batch below"),
+    ]
+    cdc_rows = [
+        ("D", 4, None),
+        ("U", 5, "this document was updated by the cdc batch just now"),
+        ("I", 6, "the quick brown fox jumps over the lazy dog again and again!"),
+    ]
+    base = _corpus(spark, base_rows)
+    cdc = spark.createDataFrame(cdc_rows, "op string, doc_id long, text string")
+    maintained = maintain_lsh_index(minhash_band_signatures(base), cdc)
+
+    after_rows = [r for r in base_rows if r[0] not in (4, 5)] + [
+        (5, cdc_rows[1][2]),
+        (6, cdc_rows[2][2]),
+    ]
+    full = minhash_band_signatures(_corpus(spark, after_rows))
+    assert _sig_set(maintained) == _sig_set(full)
+
+
+def test_lsh_delta_pairs_equal_restricted_full_pairs(spark):
+    from etl_expenses_spark.operators.dedup import (
+        lsh_delta_pairs,
+        maintain_lsh_index,
+        minhash_band_signatures,
+        minhash_lsh_pairs,
+    )
+
+    base_rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "one two three four five six seven eight nine ten eleven twelve"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota KAPPA"),
+    ]
+    cdc_rows = [
+        ("I", 10, "one two three four five six seven eight nine ten eleven twelve!"),
+        ("U", 3, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"),
+    ]
+    base = _corpus(spark, base_rows)
+    cdc = spark.createDataFrame(cdc_rows, "op string, doc_id long, text string")
+    new_index = maintain_lsh_index(minhash_band_signatures(base), cdc)
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in lsh_delta_pairs(
+            new_index, cdc.filter("op in ('I','U')").select("doc_id")
+        ).collect()
+    }
+
+    after_rows = [base_rows[0], base_rows[1], (3, cdc_rows[1][2]), (10, cdc_rows[0][2])]
+    delta_ids = {10, 3}
+    want = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_lsh_pairs(_corpus(spark, after_rows)).collect()
+        if r["id_a"] in delta_ids or r["id_b"] in delta_ids
+    }
+    assert got == want
+    assert got  # non-vacuous: the planted near-copies produced pairs
+
+
+def test_lsh_index_maintenance_replay_idempotent(spark):
+    from etl_expenses_spark.operators.dedup import (
+        maintain_lsh_index,
+        minhash_band_signatures,
+    )
+
+    base = _corpus(spark, [(1, "aa bb cc dd ee ff gg"), (2, "hh ii jj kk ll mm")])
+    cdc = spark.createDataFrame(
+        [("U", 1, "aa bb cc dd ee ff gg hh"), ("D", 2, None)],
+        "op string, doc_id long, text string",
+    )
+    once = maintain_lsh_index(minhash_band_signatures(base), cdc)
+    twice = maintain_lsh_index(once, cdc)
+    assert _sig_set(once) == _sig_set(twice)
+
+
+def test_lsh_index_maintenance_unknown_op_fails_fast(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from etl_expenses_spark.operators.dedup import (
+        maintain_lsh_index,
+        minhash_band_signatures,
+    )
+
+    base = _corpus(spark, [(1, "aa bb cc dd")])
+    cdc = spark.createDataFrame(
+        [("r", 1, "snapshot row")], "op string, doc_id long, text string"
+    )
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)) as ei:
+        maintain_lsh_index(minhash_band_signatures(base), cdc).collect()
+    assert "unknown CDC op code" in str(ei.value)

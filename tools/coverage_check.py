@@ -98,6 +98,17 @@ def main() -> int:
     if broken:
         problems.append("fabricated reference citations:\n  " + "\n  ".join(broken))
 
+    # committed claims must match the code (VERDICT r8 #5): the LAST
+    # "Registered queries: N" line in COVERAGE.md is the current-state
+    # claim and must equal the live registry size
+    counts = re.findall(r"Registered queries: (\d+)", text)
+    if not counts:
+        problems.append("COVERAGE.md is missing its 'Registered queries: N' current-state line")
+    elif int(counts[-1]) != len(REGISTRY):
+        problems.append(
+            f"COVERAGE.md claims {counts[-1]} registered queries; the registry has {len(REGISTRY)}"
+        )
+
     if problems:
         print("\n".join(problems))
         return 1

@@ -40,6 +40,7 @@ SF_DIRS = {
 }
 
 GOLDEN_TARGETS = [
+    "ivm_lsh_index_cdc",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_lsh_pairs",

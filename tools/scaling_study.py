@@ -210,6 +210,29 @@ def main() -> None:
         "- `pagerank_copurchase` is 3 sequential BSP iterations: its cost "
         "is plan-depth constants (6+ chained shuffles), near-flat in data "
         "size across the real decades.\n"
+        "\n"
+        "Measured verdicts on the graph tiers' >4x synth ratios "
+        "(tools/graph_scaling_verdict.py, r9): the x10 synth step grows "
+        "the co-purchase PROBLEM wildly superlinearly by design — orders "
+        "multiply 10x over a FIXED part vocabulary (dims don't grow), so "
+        "edges grow 3,573 -> 1,196,000 (335x), uncapped wedges 1.4k -> "
+        "148M (105,886x), mutual-capped(64) wedges 1.4k -> 18.8M "
+        "(13,482x). Against those work metrics every tier is strongly "
+        "SUB-linear:\n"
+        "- `kcore_copurchase_capped`: rounds 3 -> 13 (h-index convergence "
+        "depth grows with densification) while per-round wall stays flat "
+        "(~2.6 s/round both tiers — the cap bounds per-node work). "
+        "Verdict: the ratio is ENTIRELY rounds growth — inherent to the "
+        "graph, not tunable shuffle.\n"
+        "- `ktruss_copurchase_capped`: peel rounds FLAT (2 -> 2); the "
+        "ratio is per-round triangle enumeration over 13,482x more "
+        "capped wedges. Verdict: inherent workload growth, plan "
+        "sublinear in it.\n"
+        "- `triangle_count_copurchase`: non-iterative; 4x time against "
+        "105,886x wedge growth of its sparsified edge set. Verdict: "
+        "inherent.\n"
+        "- `link_prediction_jaccard_capped`: non-iterative; ~5x time "
+        "against 13,482x capped-wedge growth. Verdict: inherent.\n"
     )
     with open(os.path.join(root, "SCALING.md"), "w") as f:
         f.write(md)
