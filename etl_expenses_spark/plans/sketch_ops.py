@@ -725,3 +725,104 @@ def ktruss_copurchase_capped(spark, sf_dir):
     ).crossJoin(
         nodes.agg(F.count_distinct("n").cast("bigint").alias("n_nodes"))
     )
+
+
+_QSK_K = 64
+
+
+@query(
+    "quantile_sketch_weekly_rollup",
+    oracle=f"""
+        WITH base AS (
+            SELECT CAST(DATE_TRUNC('week', o_orderdate) AS DATE) AS week,
+                   CAST(DATE_TRUNC('day', o_orderdate) AS DATE) AS day,
+                   substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 16) AS rk,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS cents
+            FROM orders),
+        daily AS (
+            SELECT week, day, rk, cents,
+                   ROW_NUMBER() OVER (PARTITION BY week, day ORDER BY rk)
+                       AS rn
+            FROM base),
+        daily_k AS (SELECT week, day, rk, cents FROM daily
+                    WHERE rn <= {_QSK_K}),
+        weekly AS (
+            SELECT week, rk, cents,
+                   ROW_NUMBER() OVER (PARTITION BY week ORDER BY rk) AS rn
+            FROM daily_k),
+        weekly_k AS (SELECT week, rk, cents FROM weekly
+                     WHERE rn <= {_QSK_K}),
+        ranked AS (
+            SELECT week, cents,
+                   ROW_NUMBER() OVER (PARTITION BY week ORDER BY cents, rk)
+                       AS vr,
+                   COUNT(*) OVER (PARTITION BY week) AS n
+            FROM weekly_k)
+        SELECT week,
+               CAST(MAX(n) AS BIGINT) AS n_in_sketch,
+               CAST(MAX(CASE WHEN vr = 1 + (n - 1) // 2 THEN cents END)
+                    AS BIGINT) AS p50_cents,
+               CAST(MAX(CASE WHEN vr = 1 + (9 * (n - 1)) // 10 THEN cents END)
+                    AS BIGINT) AS p90_cents
+        FROM ranked GROUP BY week
+    """,
+    tags=("sketch", "quantile", "rollup"),
+)
+def quantile_sketch_weekly_rollup(spark, sf_dir):
+    """Mergeable QUANTILE sketch rollup — the quantile sibling of
+    `theta_weekly_rollup_from_daily` (distinct) and
+    `bitmap_weekly_distinct_rollup` (exact distinct), completing the
+    re-aggregatable sketch suite: keep one day-grain sketch table and
+    answer any coarser grain's percentiles without rescanning raw facts
+    (percentile_approx does not re-aggregate from stored state; a sketch
+    does).
+
+    The sketch is a bottom-k (KMV-style) value sample keyed by a
+    DETERMINISTIC per-row hash rank (md5 of the unique order key): the k
+    smallest-ranked rows form a simple random sample that is
+    order-insensitive, partition-invariant, and mergeable — bottom-k of a
+    union is the bottom-k of the per-part bottom-k's, the same closure
+    theta sketches rely on. Quantile estimate = the sample's
+    nearest-rank element (index 1 + floor(p·(n−1)); rank error is
+    O(n/√k)). Every step is pure integer/string ordering, so the DuckDB
+    oracle re-derives the sketch EXACTLY — unlike KLL, whose
+    stream-order-dependent compactions cannot be pinned cross-engine.
+
+    100 TB shape: per (week, day) state is ≤ k structs (collect_list is
+    bounded BEFORE the weekly merge by the daily slice); the weekly merge
+    flattens ≤ 7k structs per group; nothing global, nothing rescanned.
+    Merge associativity, partition invariance, and the sampling-error
+    bound are pinned in tests/test_sketches.py."""
+    o = T(spark, sf_dir, "orders").select(
+        F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("week"),
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day"),
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 16).alias("rk"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    daily = o.groupBy("week", "day").agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("rk", "cents"))),
+            1,
+            _QSK_K,
+        ).alias("sk")
+    )
+    weekly = daily.groupBy("week").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("sk"))), 1, _QSK_K
+        ).alias("sk")
+    )
+    vals = F.array_sort(F.transform("sk", lambda s: s["cents"]))
+    n = F.size("sk")
+    return weekly.select(
+        "week",
+        n.cast("bigint").alias("n_in_sketch"),
+        F.element_at(vals, (F.lit(1) + F.floor((n - 1) / 2)).cast("int"))
+        .cast("bigint")
+        .alias("p50_cents"),
+        F.element_at(vals, (F.lit(1) + F.floor(9 * (n - 1) / 10)).cast("int"))
+        .cast("bigint")
+        .alias("p90_cents"),
+    )

@@ -85,3 +85,65 @@ def test_hll_sliding_window_union_error_bound(spark):
         assert abs(r.est_7d_users - r.exact_7d_users) <= max(
             3, 0.05 * r.exact_7d_users
         ), (r.day, r.est_7d_users, r.exact_7d_users)
+
+
+# ---- bottom-k quantile sketch (quantile_sketch_weekly_rollup) ----------
+
+def _bottomk(rows, k):
+    """(rank, value) bottom-k reference."""
+    return sorted(rows)[:k]
+
+
+def test_quantile_sketch_merge_associative_and_partition_invariant(spark):
+    """bottom-k(union of per-part bottom-k's) == bottom-k(all rows), for
+    any partitioning — the closure that makes the sketch a sketch."""
+    import hashlib
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(10_000)) for i in range(1, 1001)]
+    ranked = [
+        (hashlib.md5(str(i).encode()).hexdigest()[:16], v) for i, v in rows
+    ]
+    k = 64
+    want = _bottomk(ranked, k)
+
+    df = spark.createDataFrame(rows, "id long, v long").select(
+        F.substring(F.md5(F.col("id").cast("string")), 1, 16).alias("rk"), "v"
+    )
+    for parts in (1, 7, 32):
+        got = (
+            df.repartition(parts)
+            .groupBy(F.spark_partition_id().alias("p"))
+            .agg(
+                F.slice(
+                    F.array_sort(F.collect_list(F.struct("rk", "v"))), 1, k
+                ).alias("sk")
+            )
+            .agg(
+                F.slice(
+                    F.array_sort(F.flatten(F.collect_list("sk"))), 1, k
+                ).alias("sk")
+            )
+            .collect()[0]["sk"]
+        )
+        assert [(r["rk"], r["v"]) for r in got] == want
+
+
+def test_quantile_sketch_rank_error_bound(spark):
+    """The bottom-k hash sample is a uniform sample: its nearest-rank
+    median must land within a few n/sqrt(k) ranks of the true median."""
+    import hashlib
+
+    n, k = 20_000, 256
+    vals = list(range(n))  # value == true rank, so rank error is direct
+    ranked = sorted(
+        (hashlib.md5(str(i).encode()).hexdigest()[:16], v)
+        for i, v in enumerate(vals)
+    )[:k]
+    sample = sorted(v for _, v in ranked)
+    est = sample[(len(sample) - 1) // 2]
+    true = (n - 1) // 2
+    assert abs(est - true) < 5 * n / (k ** 0.5), (est, true)
