@@ -233,6 +233,14 @@ def main() -> None:
         "inherent.\n"
         "- `link_prediction_jaccard_capped`: non-iterative; ~5x time "
         "against 13,482x capped-wedge growth. Verdict: inherent.\n"
+        "- `dedup_spans_suffix_array` / `maximal_repeats_topk` (~9-11x at "
+        "the synth step): the x10 replication makes EVERY document a "
+        "10-way duplicate, so the candidate set (positions with a "
+        "duplicated gram) jumps from ~9% of positions to 100% — the "
+        "suffix windows shipped to the range sort grow ~110x while wall "
+        "grows ~10x. On a real corpus the candidate set tracks the "
+        "duplication factor, which is the operator's documented scale "
+        "contract.\n"
     )
     with open(os.path.join(root, "SCALING.md"), "w") as f:
         f.write(md)
