@@ -45,6 +45,9 @@ BNLJ_OK: set[str] = {
     "tfidf_top_terms_per_doc",
     "funnel_view_click_purchase",
     "corpus_curation_funnel",  # five 1-row x 1-row stage-count joins
+    # 1-row edge-summary x 1-row node-count crossJoins:
+    "ktruss_copurchase",
+    "ktruss_copurchase_capped",
     # scalar-average subquery: the broadcast side is the one-row avg_bal
     "tpch_q22_global_sales_opportunity",
     # one-row (total, part-count) broadcast for the HAVING threshold
