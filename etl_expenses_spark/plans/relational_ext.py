@@ -1840,3 +1840,83 @@ def cogroup_user_orders_events(spark, sf_dir):
             "n_events bigint, first_event bigint",
         )
     )
+
+
+def _skyline_2d_pass(pts, pid_col):
+    """One 2D skyline sweep within each ``pid_col`` group: keep a row iff
+    no row in the same group dominates it (price ≤ AND date ≥, one strict).
+    Two windows over one exchange: the strictly-cheaper frame (RANGE
+    excludes price ties) and the equal-price partition — a row is dominated
+    iff the cheaper frame reaches its date (tie on date still dominates:
+    price is strictly smaller) or an equal-price row strictly beats it."""
+    w_cheaper = (
+        W.partitionBy(pid_col)
+        .orderBy("cents")
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    w_same = W.partitionBy(pid_col, "cents")
+    return (
+        pts.withColumn("m1", F.max("odate").over(w_cheaper))
+        .withColumn("m2", F.max("odate").over(w_same))
+        .filter(
+            ~(
+                F.coalesce(F.col("m1") >= F.col("odate"), F.lit(False))
+                | (F.col("m2") > F.col("odate"))
+            )
+        )
+        .drop("m1", "m2")
+    )
+
+
+@query(
+    "skyline_orders_2d",
+    oracle="""
+        WITH pts AS (
+            SELECT o_orderkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS cents,
+                   o_orderdate AS odate
+            FROM orders)
+        SELECT p.o_orderkey, p.cents, p.odate
+        FROM pts p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pts q
+            WHERE q.cents <= p.cents AND q.odate >= p.odate
+              AND (q.cents < p.cents OR q.odate > p.odate))
+        ORDER BY p.cents, p.o_orderkey
+    """,
+    tags=("relational", "skyline", "dominance"),
+)
+def skyline_orders_2d(spark, sf_dir):
+    """SKYLINE (Pareto-dominance) operator — Börzsönyi et al. ICDE 2001's
+    "skyline of cheap AND recent": every order no other order beats on
+    both price (lower-or-equal) and order date (newer-or-equal) with at
+    least one strict improvement. The oracle is the literal NOT EXISTS
+    dominance definition; the Spark plan is the distributed two-phase
+    algorithm: a LOCAL 2D sweep per partition (sort by price, running-max
+    date — two windows over one exchange) discards everything locally
+    dominated, then the same sweep runs once over the union of local
+    skylines (dominance is transitive, so skyline(S) ⊆ ∪ local skylines —
+    the classic divide-and-merge proof).
+
+    100 TB shape: the full relation is touched once, partition-locally;
+    only local winners (for anti-correlated dims, O(per-partition skyline)
+    rows — typically ~log-size for independent dims) reach the final
+    merge, which is the same bounded-final-pass pattern as the suffix
+    array's edge rows. No all-pairs comparison ever happens."""
+    pts = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("o_orderdate").alias("odate"),
+    )
+    k = max(2, spark.sparkContext.defaultParallelism)
+    local = _skyline_2d_pass(
+        pts.repartition(k).withColumn("pid", F.spark_partition_id()), "pid"
+    ).drop("pid")
+    return (
+        _skyline_2d_pass(local.withColumn("pid", F.lit(0)), "pid")
+        .drop("pid")
+        .orderBy("cents", "o_orderkey")
+    )

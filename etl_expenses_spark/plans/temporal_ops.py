@@ -1606,3 +1606,81 @@ def stream_full_outer_interval_join(spark, sf_dir):
         (F.col("c_id").isNull() | (F.col("c_id") < 1_000_000_000))
         & (F.col("p_id").isNull() | (F.col("p_id") < 1_000_000_000))
     ).select("c_id", "p_id")
+
+
+@query(
+    "shipments_in_transit_daily",
+    oracle="""
+        WITH iv AS (
+            SELECT l_shipdate AS s,
+                   l_shipdate
+                   + CAST(((l_orderkey + l_linenumber) % 14 + 1) AS INT)
+                     * INTERVAL 1 DAY AS e
+            FROM lineitem),
+        deltas AS (
+            SELECT s AS day, CAST(COUNT(*) AS BIGINT) AS d FROM iv GROUP BY s
+            UNION ALL
+            SELECT e + INTERVAL 1 DAY, -CAST(COUNT(*) AS BIGINT)
+            FROM iv GROUP BY e),
+        byday AS (SELECT CAST(day AS DATE) AS day, SUM(d) AS d
+                  FROM deltas GROUP BY 1),
+        run AS (
+            SELECT day,
+                   CAST(SUM(d) OVER (ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS in_transit
+            FROM byday)
+        SELECT day, in_transit
+        FROM run
+        ORDER BY in_transit DESC, day
+        LIMIT 10
+    """,
+    tags=("temporal", "interval", "sweep_line"),
+)
+def shipments_in_transit_daily(spark, sf_dir):
+    """INTERVAL-SWEEP concurrency: the 10 days with the most shipments
+    simultaneously in transit, over [l_shipdate, l_shipdate + transit]
+    intervals (transit = 1–14 days derived deterministically from the
+    line's keys — the testdata carries no receiptdate; inclusive ends, so
+    the −1 lands the day AFTER delivery). The classic sweep-line reduced
+    to daily grain: every interval contributes +1 at its start day and −1
+    past its end day; the running sum over the per-day delta table IS the
+    concurrency curve.
+
+    100 TB shape: the only full-data pass is the two per-day delta
+    aggregates (map-side partial, keyed by date — ~thousands of groups);
+    the running sum then operates on the BOUNDED per-day relation (one row
+    per distinct day), where a single-partition window is the right plan
+    at any corpus size — same bounded-final-pass argument as the suffix
+    array's edge rows and the skyline merge. Never sorts, windows, or
+    self-joins the raw intervals."""
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").alias("s"),
+        F.date_add(
+            "l_shipdate",
+            ((F.col("l_orderkey") + F.col("l_linenumber")) % 14 + 1).cast(
+                "int"
+            ),
+        ).alias("e"),
+    )
+    starts = li.groupBy(F.col("s").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    ends = li.groupBy(F.date_add("e", 1).cast("date").alias("day")).agg(
+        (-F.count(F.lit(1))).cast("long").alias("d")
+    )
+    byday = (
+        starts.unionByName(ends)
+        .groupBy("day")
+        .agg(F.sum("d").alias("d"))
+    )
+    run = byday.withColumn(
+        "in_transit",
+        F.sum("d")
+        .over(W.orderBy("day").rowsBetween(W.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    return (
+        run.select("day", "in_transit")
+        .orderBy(F.desc("in_transit"), "day")
+        .limit(10)
+    )
