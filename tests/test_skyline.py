@@ -1,0 +1,58 @@
+"""Skyline two-phase correctness vs brute-force dominance on random points
+(ties included — the RANGE/equal-price window split is the part worth
+hammering)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from etl_expenses_spark.plans.relational_ext import _skyline_2d_pass
+
+
+def brute_skyline(pts):
+    out = []
+    for i, (k, c, d) in enumerate(pts):
+        dominated = any(
+            (c2 <= c and d2 >= d and (c2 < c or d2 > d))
+            for j, (k2, c2, d2) in enumerate(pts)
+            if j != i
+        )
+        if not dominated:
+            out.append((k, c, d))
+    return sorted(out)
+
+
+def test_two_phase_skyline_matches_bruteforce_with_ties(spark):
+    rng = random.Random(11)
+    # small value domains force price ties, date ties, and full duplicates
+    pts = [(k, rng.randrange(12), rng.randrange(12)) for k in range(300)]
+    df = spark.createDataFrame(pts, "o_orderkey long, cents long, odate long")
+    local = _skyline_2d_pass(
+        df.repartition(7).withColumn("pid", F.spark_partition_id()), "pid"
+    ).drop("pid")
+    got = sorted(
+        tuple(r)
+        for r in _skyline_2d_pass(local.withColumn("pid", F.lit(0)), "pid")
+        .drop("pid")
+        .collect()
+    )
+    assert got == brute_skyline(pts)
+    assert got  # non-vacuous
+
+
+def test_full_duplicates_all_survive(spark):
+    """Duplicate points do not dominate each other (no strict edge):
+    every copy belongs to the skyline."""
+    pts = [(1, 5, 5), (2, 5, 5), (3, 9, 9), (4, 9, 9)]
+    df = spark.createDataFrame(pts, "o_orderkey long, cents long, odate long")
+    got = sorted(
+        tuple(r)
+        for r in _skyline_2d_pass(df.withColumn("pid", F.lit(0)), "pid")
+        .drop("pid")
+        .collect()
+    )
+    # (9,9) dominates (5,5) is false: 9 > 5 on cents (worse). (5,5) vs
+    # (9,9): cents 5<=9 ok but odate 5>=9 fails — nobody dominates anybody
+    assert got == sorted(pts)
