@@ -59,3 +59,82 @@ def zorder_key_sql(x: str, y: str, bits: int = 16) -> str:
         terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
         terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
     return " | ".join(terms)
+
+
+def hilbert_key(x, y, bits: int = 16):
+    """Hilbert-curve index of two bucketed non-negative ints — the
+    locality-optimal sibling of ``zorder_key``: consecutive key values are
+    always GRID-ADJACENT cells (the curve is continuous), where the Morton
+    curve jumps across the space at every power-of-two boundary. For
+    range-partitioned file layout that means tighter per-file bounding
+    boxes on BOTH columns, i.e. strictly better min/max skipping at equal
+    sort cost. Standard iterative xy→d conversion (the public-domain
+    quadrant-rotation algorithm): per bit level s, the quadrant id
+    (3·rx)⊕ry advances d by s², then the frame flips/swaps for the next
+    level. Unrolled to ``bits`` pure integer steps — whole-stage codegen'd,
+    and bit-identical to the SQL twin ``hilbert_key_sql`` (the oracle runs
+    the same arithmetic)."""
+    from pyspark.sql import functions as F
+
+    hx = (F.col(x) if isinstance(x, str) else x).cast("long")
+    hy = (F.col(y) if isinstance(y, str) else y).cast("long")
+    # One constant-size `aggregate` loop over the bit levels, threading a
+    # (x, y, d) struct accumulator. An UNROLLED form is a trap here: each
+    # level reads x and y more than once, so column-expression chaining
+    # (or CollapseProject re-substitution) grows the tree ~3x per level —
+    # 16 levels OOM'd the analyzer. The lambda body is evaluated
+    # iteratively per row instead.
+    return F.aggregate(
+        F.sequence(F.lit(bits - 1), F.lit(0), F.lit(-1)),
+        F.struct(hx.alias("x"), hy.alias("y"), F.lit(0).cast("long").alias("d")),
+        _hilbert_step,
+        lambda a: a["d"],
+    )
+
+
+def _hilbert_step(a, i):
+    """One Hilbert bit-level: quadrant id advances d; frame flips/swaps.
+    The level width s = 2^i comes from pow() (exact in double for i ≤ 52)
+    because shiftleft/shiftright take only literal bit counts, and here i
+    is the aggregate lambda's loop column."""
+    from pyspark.sql import functions as F
+
+    s = F.pow(F.lit(2.0), i.cast("double")).cast("long")
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+    rx = F.when(a["x"].bitwiseAND(s) != 0, one).otherwise(zero)
+    ry = F.when(a["y"].bitwiseAND(s) != 0, one).otherwise(zero)
+    nx = F.when(ry == 0, F.when(rx == 1, s - 1 - a["y"]).otherwise(a["y"])) \
+        .otherwise(a["x"])
+    ny = F.when(ry == 0, F.when(rx == 1, s - 1 - a["x"]).otherwise(a["x"])) \
+        .otherwise(a["y"])
+    nd = a["d"] + s * s * (F.lit(3) * rx).bitwiseXOR(ry)
+    return F.struct(nx.alias("x"), ny.alias("y"), nd.alias("d"))
+
+
+def hilbert_key_sql(x: str, y: str, bits: int = 16) -> str:
+    """The identical Hilbert conversion as a SQL CTE chain (oracle twin).
+
+    Returns the text of chained CTEs ``h{bits-1} .. h0`` that thread
+    (hx, hy, hd) through the per-level rotations; splice after a base CTE
+    that provides columns ``hx``/``hy`` (already masked to ``bits`` bits)
+    plus whatever key columns the query carries, and read ``hd`` from
+    ``h0``. Uses only >>, &, *, +, -, CASE and xor() — engine-portable
+    integer arithmetic."""
+    prev = "hbase"
+    parts = []
+    for i in reversed(range(bits)):
+        s = 1 << i
+        parts.append(
+            f"h{i} AS (SELECT * REPLACE ("
+            f"hd + {s * s} * xor(3 * ((hx >> {i}) & 1), (hy >> {i}) & 1) AS hd, "
+            f"CASE WHEN ((hy >> {i}) & 1) = 0 THEN "
+            f"(CASE WHEN ((hx >> {i}) & 1) = 1 THEN {s - 1} - hy ELSE hy END) "
+            f"ELSE hx END AS hx, "
+            f"CASE WHEN ((hy >> {i}) & 1) = 0 THEN "
+            f"(CASE WHEN ((hx >> {i}) & 1) = 1 THEN {s - 1} - hx ELSE hx END) "
+            f"ELSE hy END AS hy) "
+            f"FROM {prev})"
+        )
+        prev = f"h{i}"
+    return ",\n".join(parts)

@@ -373,3 +373,52 @@ def wap_merge_upsert_version(spark, sf_dir):
             F.sum("amt").cast("double").alias("total_spend"),
         )
     )
+
+
+from etl_expenses_spark.functions.ids import hilbert_key, hilbert_key_sql  # noqa: E402
+
+
+@query(
+    "hilbert_curve_values",
+    oracle=(
+        "WITH hbase AS (SELECT l_orderkey, l_linenumber,\n"
+        "                      l_partkey & 65535 AS hx, l_suppkey & 65535 AS hy,\n"
+        "                      CAST(0 AS BIGINT) AS hd\n"
+        "               FROM lineitem),\n"
+        + hilbert_key_sql("hx", "hy", 16)
+        + """
+        SELECT l_orderkey, l_linenumber, hd AS hval
+        FROM h0
+        ORDER BY hval, l_orderkey, l_linenumber
+        LIMIT 100
+    """
+    ),
+    tags=("lakehouse", "hilbert", "layout"),
+)
+def hilbert_curve_values(spark, sf_dir):
+    """Hilbert-curve values over (l_partkey, l_suppkey) — the
+    locality-optimal upgrade of `zorder_curve_values`: the curve is
+    CONTINUOUS (consecutive indices are always grid-adjacent cells, pinned
+    in tests/test_lakehouse_hilbert.py), so a range-partitioned layout
+    keyed on it gives every file a tighter (a, b) bounding box than the
+    Morton key's power-of-two jumps — strictly better footer min/max
+    skipping at identical sort cost. Pure unrolled integer arithmetic
+    (functions/ids.hilbert_key); the oracle runs the IDENTICAL conversion
+    as a generated SQL CTE chain (hilbert_key_sql), so agreement pins the
+    bit math itself. Total-ordered output (unique tiebreak)."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    h = li.withColumn(
+        "hval",
+        hilbert_key(
+            F.col("l_partkey").bitwiseAND(F.lit(65535)),
+            F.col("l_suppkey").bitwiseAND(F.lit(65535)),
+            16,
+        ),
+    )
+    return (
+        h.orderBy("hval", "l_orderkey", "l_linenumber")
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "hval")
+    )

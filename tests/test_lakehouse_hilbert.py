@@ -1,0 +1,62 @@
+"""Hilbert curve key: bijection, continuity (the property Morton lacks),
+and agreement with the public-domain reference conversion."""
+
+from __future__ import annotations
+
+from etl_expenses_spark.functions.ids import hilbert_key, zorder_key
+
+
+def ref_xy2d(order, x, y):
+    d = 0
+    s = order // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_reference_and_is_bijective(spark):
+    bits = 5
+    n = 1 << bits
+    pts = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(pts, "x long, y long").withColumn(
+        "hd", hilbert_key("x", "y", bits)
+    )
+    got = {(r["x"], r["y"]): r["hd"] for r in df.collect()}
+    assert all(got[(x, y)] == ref_xy2d(n, x, y) for x, y in pts)
+    assert len(set(got.values())) == n * n  # bijection onto [0, n^2)
+    assert min(got.values()) == 0 and max(got.values()) == n * n - 1
+
+
+def test_hilbert_continuity_beats_morton_jumps(spark):
+    """Consecutive Hilbert indices are ALWAYS grid-adjacent (Manhattan
+    distance 1); the Morton curve jumps at every power-of-two boundary —
+    the locality claim the layout key rests on."""
+    bits = 4
+    n = 1 << bits
+    pts = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(pts, "x long, y long").select(
+        "x", "y",
+        hilbert_key("x", "y", bits).alias("hd"),
+        zorder_key("x", "y", bits).alias("zd"),
+    )
+    rows = df.collect()
+    by_h = {r["hd"]: (r["x"], r["y"]) for r in rows}
+    by_z = {r["zd"]: (r["x"], r["y"]) for r in rows}
+    h_steps = [
+        abs(by_h[d][0] - by_h[d + 1][0]) + abs(by_h[d][1] - by_h[d + 1][1])
+        for d in range(n * n - 1)
+    ]
+    z_steps = [
+        abs(by_z[d][0] - by_z[d + 1][0]) + abs(by_z[d][1] - by_z[d + 1][1])
+        for d in range(n * n - 1)
+    ]
+    assert all(s == 1 for s in h_steps)          # continuous curve
+    assert max(z_steps) > 1                      # Morton jumps
+    assert sum(h_steps) < sum(z_steps)           # strictly better locality
