@@ -60,3 +60,38 @@ def test_hilbert_continuity_beats_morton_jumps(spark):
     assert all(s == 1 for s in h_steps)          # continuous curve
     assert max(z_steps) > 1                      # Morton jumps
     assert sum(h_steps) < sum(z_steps)           # strictly better locality
+
+
+def test_write_hilbert_spans_non_inferior_to_zorder(spark, tmp_path):
+    """The layout writer's measured claim: per-file normalized (a, b) span
+    sum under the Hilbert key is at most the Morton key's (measured ~3%
+    BETTER at sf0.1 — the continuity advantage; asserted as non-inferior
+    with a small tolerance so sampling noise in repartitionByRange can't
+    flake the suite), and both columns genuinely cluster."""
+    from pyspark.sql import functions as F
+
+    from etl_expenses_spark.operators.layout import write_hilbert, write_zordered
+    from etl_expenses_spark.sources.readers import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    n_files = 8
+
+    def norm_span_sum(path):
+        df = spark.read.parquet(path).withColumn("f", F.input_file_name())
+        per_file = df.groupBy("f").agg(
+            (F.max("l_partkey") - F.min("l_partkey")).alias("sa"),
+            (F.max("l_suppkey") - F.min("l_suppkey")).alias("sb"),
+        )
+        sa, sb = per_file.agg(F.avg("sa"), F.avg("sb")).first()
+        fa = li.agg(F.max("l_partkey") - F.min("l_partkey")).first()[0]
+        fb = li.agg(F.max("l_suppkey") - F.min("l_suppkey")).first()[0]
+        return sa / fa + sb / fb
+
+    write_zordered(li, str(tmp_path / "z"), ["l_partkey", "l_suppkey"], n_files)
+    write_hilbert(li, str(tmp_path / "h"), ["l_partkey", "l_suppkey"], n_files)
+    z = norm_span_sum(str(tmp_path / "z"))
+    h = norm_span_sum(str(tmp_path / "h"))
+    assert h <= z * 1.05, (h, z)
+    assert h < 2.0  # both dims cluster: sum of two normalized spans < max
