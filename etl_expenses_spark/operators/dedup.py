@@ -266,7 +266,10 @@ def maintain_lsh_index(
 
 
 def lsh_delta_pairs(
-    new_index: DataFrame, delta_ids: DataFrame, min_jaccard: float = 0.5
+    new_index: DataFrame,
+    delta_ids: DataFrame,
+    min_jaccard: float = 0.5,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Near-duplicate pairs INTRODUCED by a CDC delta: banded probe of only
     the |Δ| upserted signatures against the full maintained index, then the
@@ -279,7 +282,12 @@ def lsh_delta_pairs(
     Scale shape: the Δ side explodes to |Δ|·bands bucket keys (broadcast
     against the index's banded explode); candidate volume is bounded by
     bucket co-membership of the delta docs, not the corpus."""
-    d = new_index.join(delta_ids.select(F.col(delta_ids.columns[0]).alias("id")),
+    if id_col not in delta_ids.columns:
+        raise ValueError(
+            f"lsh_delta_pairs: delta_ids must carry '{id_col}' "
+            f"(got {delta_ids.columns}); pass id_col= for a different name"
+        )
+    d = new_index.join(delta_ids.select(F.col(id_col).alias("id")),
                        "id", "left_semi")
     ex_all = new_index.select(
         "id", F.posexplode("bands").alias("bi", "bh")

@@ -23,6 +23,45 @@ from pyspark.sql import functions as F
 from etl_expenses_spark.functions.ids import zorder_key
 
 
+def _write_curve_keyed(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    n_files: int,
+    bits: int,
+    mode: str,
+    key_fn,
+) -> None:
+    """Shared body of the curve-keyed writers: bucket both dimensions into
+    2^bits space (strings by hash; ints modulo — bucket-space locality is
+    what the curve consumes), key with ``key_fn``, repartitionByRange for
+    range-disjoint size-balanced files, sort within files so row-group
+    stats tighten too."""
+    if len(cluster_cols) != 2:
+        raise ValueError("curve clustering here interleaves exactly 2 columns")
+    a, b = cluster_cols
+    mask = (1 << bits) - 1
+
+    def bucket(c):
+        return (
+            F.abs(
+                F.xxhash64(F.col(c))
+                if df.schema[c].dataType.simpleString() == "string"
+                else F.col(c).cast("long")
+            )
+            % (mask + 1)
+        ).cast("long")
+
+    keyed = df.withColumn("__ckey", key_fn(bucket(a), bucket(b), bits=bits))
+    (
+        keyed.repartitionByRange(n_files, "__ckey")
+        .sortWithinPartitions("__ckey")
+        .drop("__ckey")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -38,22 +77,7 @@ def write_zordered(
     range-disjoint, size-balanced files; the within-file sort tightens row-
     group stats too, so skipping works at row-group granularity as well.
     """
-    if len(cluster_cols) != 2:
-        raise ValueError("z-order clustering here interleaves exactly 2 columns")
-    a, b = cluster_cols
-    mask = (1 << bits) - 1
-    xa = (F.abs(F.xxhash64(F.col(a)) if df.schema[a].dataType.simpleString() == "string"
-                else F.col(a).cast("long")) % (mask + 1)).cast("long")
-    xb = (F.abs(F.xxhash64(F.col(b)) if df.schema[b].dataType.simpleString() == "string"
-                else F.col(b).cast("long")) % (mask + 1)).cast("long")
-    keyed = df.withColumn("__zkey", zorder_key(xa, xb, bits=bits))
-    (
-        keyed.repartitionByRange(n_files, "__zkey")
-        .sortWithinPartitions("__zkey")
-        .drop("__zkey")
-        .write.mode(mode)
-        .parquet(path)
-    )
+    _write_curve_keyed(df, path, cluster_cols, n_files, bits, mode, zorder_key)
 
 
 def write_hilbert(
@@ -71,22 +95,7 @@ def write_hilbert(
     (tests/test_lakehouse_hilbert.py)."""
     from etl_expenses_spark.functions.ids import hilbert_key
 
-    if len(cluster_cols) != 2:
-        raise ValueError("hilbert clustering here interleaves exactly 2 columns")
-    a, b = cluster_cols
-    mask = (1 << bits) - 1
-    xa = (F.abs(F.xxhash64(F.col(a)) if df.schema[a].dataType.simpleString() == "string"
-                else F.col(a).cast("long")) % (mask + 1)).cast("long")
-    xb = (F.abs(F.xxhash64(F.col(b)) if df.schema[b].dataType.simpleString() == "string"
-                else F.col(b).cast("long")) % (mask + 1)).cast("long")
-    keyed = df.withColumn("__hkey", hilbert_key(xa, xb, bits=bits))
-    (
-        keyed.repartitionByRange(n_files, "__hkey")
-        .sortWithinPartitions("__hkey")
-        .drop("__hkey")
-        .write.mode(mode)
-        .parquet(path)
-    )
+    _write_curve_keyed(df, path, cluster_cols, n_files, bits, mode, hilbert_key)
 
 
 def write_sized(

@@ -1842,26 +1842,32 @@ def cogroup_user_orders_events(spark, sf_dir):
     )
 
 
-def _skyline_2d_pass(pts, pid_col):
+def _skyline_2d_pass(pts, pid_col, min_col="cents", max_col="odate"):
     """One 2D skyline sweep within each ``pid_col`` group: keep a row iff
-    no row in the same group dominates it (price ≤ AND date ≥, one strict).
-    Two windows over one exchange: the strictly-cheaper frame (RANGE
-    excludes price ties) and the equal-price partition — a row is dominated
-    iff the cheaper frame reaches its date (tie on date still dominates:
-    price is strictly smaller) or an equal-price row strictly beats it."""
+    no row in the same group dominates it (``min_col`` ≤ AND ``max_col`` ≥,
+    one strict). Two windows over one exchange: the strictly-smaller frame
+    (RANGE excludes min_col ties) and the equal-min partition — a row is
+    dominated iff the smaller frame reaches its max_col (tie there still
+    dominates: min_col is strictly smaller) or an equal-min row strictly
+    beats it. Validates the columns up front (they are positional
+    semantics, not decoration)."""
+    missing = [c for c in (pid_col, min_col, max_col) if c not in pts.columns]
+    if missing:
+        raise ValueError(f"_skyline_2d_pass: missing columns {missing} "
+                         f"in {pts.columns}")
     w_cheaper = (
         W.partitionBy(pid_col)
-        .orderBy("cents")
+        .orderBy(min_col)
         .rangeBetween(W.unboundedPreceding, -1)
     )
-    w_same = W.partitionBy(pid_col, "cents")
+    w_same = W.partitionBy(pid_col, min_col)
     return (
-        pts.withColumn("m1", F.max("odate").over(w_cheaper))
-        .withColumn("m2", F.max("odate").over(w_same))
+        pts.withColumn("m1", F.max(max_col).over(w_cheaper))
+        .withColumn("m2", F.max(max_col).over(w_same))
         .filter(
             ~(
-                F.coalesce(F.col("m1") >= F.col("odate"), F.lit(False))
-                | (F.col("m2") > F.col("odate"))
+                F.coalesce(F.col("m1") >= F.col(max_col), F.lit(False))
+                | (F.col("m2") > F.col(max_col))
             )
         )
         .drop("m1", "m2")
