@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from etl_expenses_spark.plans._util import T, dec
+from etl_expenses_spark.plans._util import T, dec, work_dir
 from etl_expenses_spark.plans.registry import query
 
 
@@ -825,4 +825,73 @@ def quantile_sketch_weekly_rollup(spark, sf_dir):
         F.element_at(vals, (F.lit(1) + F.floor(9 * (n - 1) / 10)).cast("int"))
         .cast("bigint")
         .alias("p90_cents"),
+    )
+
+
+@query(
+    "quantile_sketch_stream_fold",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 16) AS rk,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS v
+            FROM orders),
+        topk AS (SELECT rk, v FROM ranked ORDER BY rk LIMIT {_QSK_K}),
+        vals AS (
+            SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS vr,
+                   COUNT(*) OVER () AS n
+            FROM topk)
+        SELECT CAST(MAX(n) AS BIGINT) AS n_in_sketch,
+               CAST(MAX(CASE WHEN vr = 1 + (n - 1) // 2 THEN v END)
+                    AS BIGINT) AS q50,
+               CAST(MAX(CASE WHEN vr = 1 + (9 * (n - 1)) // 10 THEN v END)
+                    AS BIGINT) AS q90
+        FROM vals
+    """,
+    tags=("streaming", "sketch", "quantile"),
+)
+def quantile_sketch_stream_fold(spark, sf_dir):
+    """The bottom-k quantile sketch's STREAMING exactly-once row: orders
+    replay through streaming/quantilesketch.py's foreachBatch sink as four
+    real micro-batches (file stream, maxFilesPerTrigger=1, availableNow),
+    each batch's own bottom-k folded into the k-row epoch-ledgered state,
+    then the quantiles read off the committed state. Because the bottom-k
+    sample is EXACTLY mergeable, the folded state is byte-identical to the
+    one-shot batch sketch no matter how the rows were micro-batched — so
+    unlike the MG stream fold (golden until recount) this streaming
+    operator pins against a fully DECLARATIVE oracle: DuckDB's bottom-k
+    over all orders. Wrong epoch handling (skipped or double-merged
+    batches) breaks the hash-rank sample exactly.
+
+    Scale shape: per batch one distributed TakeOrdered + a k-row union;
+    state is k rows forever; commit protocol identical to the audited MG
+    sink (epoch-versioned state, atomic meta swap, replay skip, reset
+    fail-fast)."""
+    import os
+
+    from etl_expenses_spark.streaming.quantilesketch import (
+        bottomk_state_sink,
+        quantiles_from_state,
+    )
+
+    o = T(spark, sf_dir, "orders").select(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 16).alias("rk"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("v"),
+    )
+    work = work_dir("qsk_stream_fold", sf_dir)
+    bronze = os.path.join(work, "bronze")
+    o.repartition(4).write.parquet(bronze)  # 4 files -> 4 micro-batches
+    stream = (
+        spark.readStream.schema("rk string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bronze)
+    )
+    bottomk_state_sink(
+        stream, os.path.join(work, "state"), os.path.join(work, "ckpt"),
+        k=_QSK_K,
+    ).awaitTermination()
+    return quantiles_from_state(
+        spark, os.path.join(work, "state"), ps=(0.5, 0.9)
     )

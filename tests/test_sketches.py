@@ -147,3 +147,88 @@ def test_quantile_sketch_rank_error_bound(spark):
     est = sample[(len(sample) - 1) // 2]
     true = (n - 1) // 2
     assert abs(est - true) < 5 * n / (k ** 0.5), (est, true)
+
+
+def test_bottomk_stream_state_equals_batch_sketch(spark, tmp_path):
+    """ANY micro-batching folds to the identical k-row state as the
+    one-shot batch bottom-k (exact mergeability), and a restart on the
+    same checkpoint re-commits nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_expenses_spark.streaming.quantilesketch import (
+        _read_meta,
+        bottomk_state_sink,
+        quantiles_from_state,
+    )
+
+    rows = spark.range(1, 1501).select(
+        F.substring(F.md5(F.col("id").cast("string")), 1, 16).alias("rk"),
+        (F.col("id") * 7 % 1000).cast("long").alias("v"),
+    )
+    bronze = str(tmp_path / "bronze")
+    rows.repartition(5).write.parquet(bronze)  # 5 files -> 5 micro-batches
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("rk string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bronze)
+    )
+    bottomk_state_sink(stream, state, ckpt, k=32).awaitTermination()
+
+    meta = _read_meta(state)
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(state, meta["state"])).collect()
+    )
+    want = sorted(
+        tuple(r) for r in rows.orderBy("rk").limit(32).collect()
+    )
+    assert got == want
+    assert meta["total"] == 1500
+
+    # restart on the SAME checkpoint: availableNow finds nothing new;
+    # state and meta must be unchanged (exactly-once across restarts)
+    stream2 = (
+        spark.readStream.schema("rk string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bronze)
+    )
+    bottomk_state_sink(stream2, state, ckpt, k=32).awaitTermination()
+    meta2 = _read_meta(state)
+    assert meta2 == meta
+    q = quantiles_from_state(spark, state, ps=(0.5,)).collect()[0]
+    assert q["n_in_sketch"] == 32
+
+
+def test_bottomk_stream_reset_checkpoint_fails_fast(spark, tmp_path):
+    """A FRESH checkpoint against committed state restarts epoch ids at 0
+    below last_epoch — the sink must refuse rather than silently drop."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from etl_expenses_spark.streaming.quantilesketch import bottomk_state_sink
+
+    rows = spark.range(1, 101).select(
+        F.substring(F.md5(F.col("id").cast("string")), 1, 16).alias("rk"),
+        F.col("id").cast("long").alias("v"),
+    )
+    bronze = str(tmp_path / "bronze")
+    rows.repartition(3).write.parquet(bronze)
+    state = str(tmp_path / "state")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("rk string, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(bronze)
+        )
+        bottomk_state_sink(stream, state, ckpt, k=16).awaitTermination()
+
+    run(str(tmp_path / "ckpt1"))
+    with pytest.raises(StreamingQueryException) as ei:
+        run(str(tmp_path / "ckpt2"))  # reset checkpoint: epochs restart at 0
+    assert "checkpoint was lost or reset" in str(ei.value)
