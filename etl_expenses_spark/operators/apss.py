@@ -373,3 +373,95 @@ def containment_pairs_inverted(
             ),
         )
     )
+
+
+def allpairs_jaccard_prefix(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact corpus-wide JACCARD threshold self-join over distinct
+    shingle-fingerprint sets — the set-overlap member of the APSS family
+    (Chaudhuri et al. ICDE 2006 / Bayardo WWW'07 prefix filtering), joining
+    `allpairs_cosine_prefix` (weighted cosine) and
+    `containment_pairs_inverted` (directional) so every exact-threshold
+    similarity measure has a no-blocking-key, no-recall-loss tier.
+
+    Prefix lemma for Jaccard: J(a,b) ≥ t ⟹ |a∩b| ≥ ⌈t·|a|⌉ (overlap is an
+    integer ≥ t·|a∪b| ≥ t·|a|), so if ALL shared elements sat in a's
+    df-ordered suffix of size ⌈t·|a|⌉ − 1 the overlap would be < ⌈t·|a|⌉ —
+    contradiction. Hence indexing each set's first |a| − ⌈t·|a|⌉ + 1
+    rarest elements and joining prefix postings against FULL postings
+    (same one-sided shape as the cosine tier) loses nothing; the exact
+    |a∩b| recount then removes false positives, so the output is exactly
+    the ≥ t pair set. Sets are 64-bit shingle fingerprints (the
+    dedup_ngram_jaccard_pairs convention: integer set ops, collision mass
+    ~n²·2⁻⁶⁴ — Jaccard equals the string-set value).
+
+    Scale shape: identical to the cosine tier — posting lists shortened
+    exactly where document frequency is high, Σ|posting|² near-linear on
+    Zipf corpora, verify join touches candidates only."""
+    from etl_expenses_spark.functions.text import tokens
+    from etl_expenses_spark.operators.dedup import shingles_of_tokens
+
+    sets = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform(
+                shingles_of_tokens(tokens(F.col(text_col)), shingle_k),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("s"),
+    )
+    post = tracked_persist(
+        sets.select("id", F.size("s").alias("n"), F.explode("s").alias("e"))
+    )
+    df_tbl = post.groupBy("e").agg(F.count(F.lit(1)).alias("df"))
+    w = W.partitionBy("id").orderBy("df", "e")
+    ranked = (
+        post.join(df_tbl, "e")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "prefix_len",
+            (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int"),
+        )
+    )
+    prefix = ranked.filter(F.col("rk") <= F.col("prefix_len")).select(
+        F.col("id").alias("pid"), "e"
+    )
+    cands = (
+        prefix.join(post.select(F.col("id").alias("qid"), "e"), "e")
+        .filter(F.col("pid") != F.col("qid"))
+        .select(
+            F.least("pid", "qid").alias("id_a"),
+            F.greatest("pid", "qid").alias("id_b"),
+        )
+        .distinct()
+    )
+    inter = (
+        cands.join(post.select(F.col("id").alias("id_a"), "e"), "id_a")
+        .join(post.select(F.col("id").alias("id_b"), "e"), ["id_b", "e"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    sizes = sets.select("id", F.size("s").alias("sz"))
+    jac = F.col("o").cast("double") / F.greatest(
+        (F.col("sz_a") + F.col("sz_b") - F.col("o")).cast("double"), F.lit(1.0)
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"),
+                                F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"),
+                           F.col("sz").alias("sz_b")), "id_b")
+        .withColumn("jac_raw", jac)
+        .filter(F.col("jac_raw") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("jac_raw").cast("decimal(18,6)").cast("double").alias(
+                "jaccard"
+            ),
+        )
+    )

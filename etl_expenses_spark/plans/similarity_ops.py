@@ -642,3 +642,49 @@ def allpairs_cosine_prefix_join(spark, sf_dir):
     from etl_expenses_spark.operators.apss import allpairs_cosine_prefix
 
     return allpairs_cosine_prefix(T(spark, sf_dir, "documents"), threshold=0.95)
+
+
+@query(
+    "allpairs_jaccard_prefix_join",
+    oracle=r"""
+        WITH sh AS (
+            SELECT doc_id,
+                   (WITH t AS (SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                                  x -> x <> '') AS toks)
+                    SELECT CASE WHEN len(toks) >= 3
+                                THEN list_transform(range(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                                ELSE [array_to_string(toks, ' ')] END
+                    FROM t) AS shingles
+            FROM documents),
+        dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(CAST(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / GREATEST(CAST(len(a.s) + len(b.s)
+                               - len(list_intersect(a.s, b.s)) AS DOUBLE), 1.0)
+                    AS DECIMAL(18,6)) AS DOUBLE) AS jaccard
+        FROM dsh a JOIN dsh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / GREATEST(CAST(len(a.s) + len(b.s)
+                         - len(list_intersect(a.s, b.s)) AS DOUBLE), 1.0)
+              >= 0.5
+    """,
+    tags=("similarity", "dedup", "apss", "jaccard"),
+)
+def allpairs_jaccard_prefix_join(spark, sf_dir):
+    """EXACT corpus-wide Jaccard threshold self-join (≥ 0.5 over distinct
+    3-token-shingle sets) via prefix filtering — completes the APSS family:
+    cosine (allpairs_cosine_prefix_join), directional containment
+    (dedup_containment_pairs), and now symmetric set overlap, each with no
+    blocking key and no LSH recall loss. Each set indexes only its
+    |s| − ⌈t·|s|⌉ + 1 rarest shingles (the prefix lemma: a pair sharing
+    only suffix elements cannot reach overlap ⌈t·|s|⌉); prefix postings
+    join FULL postings for candidates; the exact intersection recount
+    removes false positives. The oracle is the brute-force n² set join —
+    at sf0.01 it proves the filter lost nothing; at 100 TB only the
+    prefix-bounded inverted index ever exists. Unlike
+    dedup_ngram_jaccard_pairs (blocked brute force inside (lang, source)
+    groups), this tier finds CROSS-block near-duplicates."""
+    from etl_expenses_spark.operators.apss import allpairs_jaccard_prefix
+
+    return allpairs_jaccard_prefix(T(spark, sf_dir, "documents"), threshold=0.5)

@@ -149,3 +149,49 @@ def test_prefix_index_is_proper_subset(spark):
         .count()
     )
     assert prefix_n < full * 0.5, (prefix_n, full)
+
+
+def test_jaccard_prefix_join_equals_bruteforce(spark):
+    """Prefix filtering loses nothing: the corpus-wide exact Jaccard join
+    equals the all-pairs brute force on a corpus with planted near-dups,
+    cross-'block' duplicates, and sub-threshold pairs."""
+    from pyspark.sql import functions as F
+
+    from etl_expenses_spark.operators.apss import allpairs_jaccard_prefix
+
+    rep = "the quick brown fox jumps over the lazy dog again " * 3
+    rows = [
+        (1, rep + "tail one extra words here"),
+        (2, rep + "tail two extra words here"),          # near-dup of 1
+        (3, "completely different content about nothing at all " * 4),
+        (4, rep),                                         # subset-ish of 1/2
+        (5, "the quick brown fox stops here"),            # sub-threshold
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    t = 0.5
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in allpairs_jaccard_prefix(docs, threshold=t).collect()
+    }
+
+    # brute force over the same hashed shingle sets
+    from etl_expenses_spark.functions.text import tokens
+    from etl_expenses_spark.operators.dedup import shingles_of_tokens
+
+    sets = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(shingles_of_tokens(tokens(F.col("text")), 3),
+                        lambda s: F.xxhash64(s))
+        ).alias("s"),
+    ).collect()
+    want = set()
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = set(sets[i]["s"]), set(sets[j]["s"])
+            jac = len(a & b) / max(len(a | b), 1)
+            if jac >= t:
+                pair = tuple(sorted((sets[i]["doc_id"], sets[j]["doc_id"])))
+                want.add((pair[0], pair[1], round(float(f"{jac:.6f}"), 6)))
+    assert {(a, b) for a, b, _ in got} == {(a, b) for a, b, _ in want}
+    assert got  # non-vacuous: planted near-dups found
