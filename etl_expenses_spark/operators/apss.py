@@ -446,7 +446,9 @@ def allpairs_jaccard_prefix(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("o"))
     )
-    sizes = sets.select("id", F.size("s").alias("sz"))
+    # set sizes ride the persisted postings (one row per element carries n)
+    # — re-deriving them from `sets` would re-run the whole shingling pass
+    sizes = post.groupBy("id").agg(F.first("n").alias("sz"))
     jac = F.col("o").cast("double") / F.greatest(
         (F.col("sz_a") + F.col("sz_b") - F.col("o")).cast("double"), F.lit(1.0)
     )
