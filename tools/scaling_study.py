@@ -73,12 +73,29 @@ _EXTRA_SHAPES = [
     "countmin_user_frequency",      # CMS grid build + probe
     "incremental_agg_state_merge",  # state-merge MV invariant
     "link_prediction_jaccard_capped",  # hot-node degree-capped wedge tier
+    # round-9 non-headline operators — scale evidence without spending
+    # bench stdout budget:
+    "allpairs_jaccard_prefix_join",    # exact Jaccard prefix join
+    "quantile_sketch_weekly_rollup",   # mergeable bottom-k quantile sketch
+    "quantile_sketch_stream_fold",     # its streaming exactly-once fold
+    "skyline_orders_2d",               # two-phase Pareto dominance
+    "shipments_in_transit_daily",      # interval-sweep concurrency
+    "hilbert_curve_values",            # Hilbert layout key
+    "ivm_lsh_index_cdc",               # CDC-maintained LSH index + delta probe
 ]
 QUERIES_ALL_SCALES = list(dict.fromkeys(list(HEADLINE) + _EXTRA_SHAPES))
 # Iterative / candidate-generation shapes whose synthetic-×10 run costs
 # more wall time than the decade ratio teaches (their REAL-scale decades
 # are measured above; CC and LSH growth is already studied separately).
-SYNTH_EXCLUDE = {"dedup_minhash_lsh", "dedup_cluster_components"}
+SYNTH_EXCLUDE = {
+    "dedup_minhash_lsh",
+    "dedup_cluster_components",
+    # same replication artifact, quadratic in the OUTPUT: the x10 synth
+    # gives every document 10 exact copies, so the >= 0.5 Jaccard pair set
+    # itself explodes ~45x per original doc — the problem changes, not the
+    # scale (measured 339 s, all of it pair materialization)
+    "allpairs_jaccard_prefix_join",
+}
 
 
 def build_synth(spark) -> None:
@@ -233,6 +250,17 @@ def main() -> None:
         "inherent.\n"
         "- `link_prediction_jaccard_capped`: non-iterative; ~5x time "
         "against 13,482x capped-wedge growth. Verdict: inherent.\n"
+        "- `allpairs_jaccard_prefix_join` skips the synth tier for the "
+        "same reason as minhash (SYNTH_EXCLUDE): x10 replication gives "
+        "every doc 10 exact copies, so the >= 0.5 pair OUTPUT itself "
+        "explodes ~45x per original document — measured 339 s, all of it "
+        "pair materialization; the problem changes, not the scale.\n"
+        "- `hilbert_curve_values` pays ~4 s at sf0.1 for the 16-level "
+        "conversion because higher-order aggregate lambdas are "
+        "interpreted, not codegen'd (the loop form is mandatory — an "
+        "unrolled tree grows ~3x per level and OOMs the analyzer). "
+        "Near-linear across tiers, and a layout key is computed once per "
+        "table write, not per query.\n"
         "- `dedup_spans_suffix_array` / `maximal_repeats_topk` (~9-11x at "
         "the synth step): the x10 replication makes EVERY document a "
         "10-way duplicate, so the candidate set (positions with a "
