@@ -150,6 +150,12 @@ HEADLINE = [
     # variable-length maximal-repeat archetype; spans output pinned
     # identical to the gram-union form)
     "dedup_spans_suffix_array",
+    # NOT added despite being new archetypes: ivm_lsh_index_cdc and
+    # quantile_sketch_weekly_rollup would push the compact stdout line past
+    # the driver's 1900-byte capture even at the 1-decimal degradation
+    # stage (61 names no longer fit; the pointer fallback would strip the
+    # per-query map from the driver record). They are regression-tracked
+    # by tools/scaling_study.py instead (SCALING.json rows at all tiers).
     "ktruss_copurchase",
     # its hub-capped scale tier (mutual-capped adjacency, lower-bound
     # contract — the shape you run on hub-heavy graphs)
