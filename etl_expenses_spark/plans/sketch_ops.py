@@ -112,8 +112,9 @@ def countmin_user_frequency(spark, sf_dir):
     "incremental_agg_state_merge",
     oracle="""
         SELECT o_custkey,
-               COUNT(*) AS n_orders,
-               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_spend
         FROM orders
         GROUP BY o_custkey
     """,
@@ -128,7 +129,17 @@ def incremental_agg_state_merge(spark, sf_dir):
     full table: merge(state, delta) must equal recompute, the invariant
     that lets a 100 TB MV update from a 100 GB delta. Count and decimal
     sum are the mergeable-state pattern; avg derives as sum/count at read
-    time (never stored, it does not merge)."""
+    time (never stored, it does not merge).
+
+    Output types are pinned (bigint / double) on BOTH engine sides: the
+    internal merge state stays decimal-exact, but a raw decimal output
+    column can never be driver-hash-green — the driver canonicalizes via
+    pandas, where DuckDB decimals arrive as float64 while Spark decimals
+    arrive as decimal.Decimal objects, so identical values stringify
+    differently ('1234.50' vs '1234.5'). That asymmetry is what failed
+    this query's r9 hash (CORRECTNESS_r09: rows/schema green, hash red);
+    tools/check_oracle.py now reproduces the coercion so the local gate
+    fails the same way (tests/test_oracle_gate.py pins it)."""
     o = T(spark, sf_dir, "orders")
     cutoff = "2000-07-01"
 
@@ -144,8 +155,8 @@ def incremental_agg_state_merge(spark, sf_dir):
         prior.unionByName(delta)
         .groupBy("o_custkey")
         .agg(
-            F.sum("n_orders").alias("n_orders"),
-            F.sum("total_spend").alias("total_spend"),
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("total_spend").cast("double").alias("total_spend"),
         )
     )
 

@@ -117,6 +117,34 @@ def type_mismatches(spark_schema, arrow_schema):
     ]
 
 
+def coerce_oracle_decimals(tbl):
+    """Driver-faithful decimal handling (r9 hash-mismatch root cause).
+
+    The driver canonicalizes both result sets through pandas: DuckDB's
+    ``.df()`` renders decimal columns as float64, while Spark's collect /
+    toPandas keeps decimal.Decimal objects — so a decimal-typed output
+    column stringifies as '1234.5' on the oracle side and '1234.50' on the
+    Spark side and can NEVER hash-match, even when the values are equal
+    (CORRECTNESS_r09 `incremental_agg_state_merge`: rows/schema green,
+    hash red). This local gate previously compared str(Decimal) ==
+    str(Decimal) symmetrically and wrongly passed. Reproduce the driver:
+    cast every decimal column of the oracle's Arrow table to float64, so
+    any query whose Spark side still emits raw decimals fails locally
+    first (type check: decimal vs double). Pinned by
+    tests/test_oracle_gate.py."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cols, fields = [], []
+    for field, col in zip(tbl.schema, tbl.columns):
+        if pa.types.is_decimal(field.type):
+            col = pc.cast(col, pa.float64())
+            field = pa.field(field.name, pa.float64())
+        cols.append(col)
+        fields.append(field)
+    return pa.Table.from_arrays(cols, schema=pa.schema(fields))
+
+
 def canon(v):
     """Canonicalize a cell for cross-engine comparison."""
     if v is None:
@@ -237,7 +265,7 @@ def main() -> int:
             # one execution: rows AND schema come from the same Arrow result
             # (running the oracle twice doubled DuckDB time across the
             # registry — ADVICE r4)
-            tbl = con.execute(q.oracle).arrow()
+            tbl = coerce_oracle_decimals(con.execute(q.oracle).arrow())
             d_cols = list(tbl.column_names)
             d_arrow = tbl.schema
             cols_py = [c.to_pylist() for c in tbl.columns]
