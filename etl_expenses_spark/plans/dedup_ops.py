@@ -1448,10 +1448,13 @@ def _suffix_match_lens(spark, sf_dir):
     match, so the redundant within-partition pairs the edge pass also sees
     can never overshoot).
 
-    100 TB shape: the count pass ships (doc_id, p, gram) once; the sort
-    pass ships ≤ _SA_CAP chars per DUPLICATED position only — bounded by
-    the duplication factor, not the corpus — and the range sort is Spark's
-    ordinary distributed sort, no single node ever holding the corpus."""
+    100 TB shape: the count pass ships (doc_id, p, xxhash64(gram)) — ~24
+    bytes per position, L-independent (hash-first convention; collisions
+    are self-verifying here, see the candidate-pass comment below); the
+    sort pass ships ≤ _SA_CAP chars per DUPLICATED position only — bounded
+    by the duplication factor, not the corpus — and the range sort is
+    Spark's ordinary distributed sort, no single node ever holding the
+    corpus."""
     sc = spark.sparkContext
     docs = (
         T(spark, sf_dir, "documents")
@@ -1462,6 +1465,17 @@ def _suffix_match_lens(spark, sf_dir):
         # parquet input runs the whole gram extraction on a single task
         .repartition(sc.defaultParallelism)
     )
+    # Candidate pass keyed on xxhash64(gram) — 8-byte shuffle keys, the same
+    # hash-first convention as dedup_exact_duplicated_spans_hashed (r9's
+    # lesson applied to its own sibling: the raw-gram window here shipped the
+    # L-char string for EVERY position, an L× shuffle amplification at corpus
+    # scale). No verify-collisions step is needed in THIS tier: a hash
+    # collision only admits an extra candidate suffix into the range sort,
+    # and the LCP stage then computes its TRUE match length against real
+    # characters — any LCP between two suffixes is itself a genuine repeated
+    # substring, so false candidates score < L and the final
+    # `match_len >= L` filter removes them exactly; true candidates all
+    # survive the hash count because equal grams always share a hash.
     pos = docs.select(
         "doc_id",
         F.explode(
@@ -1471,10 +1485,10 @@ def _suffix_match_lens(spark, sf_dir):
     ).select(
         "doc_id",
         F.col("p").cast("long").alias("p"),
-        F.expr(f"substring(text, p, {_SPAN_L})").alias("gram"),
+        F.xxhash64(F.expr(f"substring(text, p, {_SPAN_L})")).alias("h"),
     )
     dup_pos = (
-        pos.withColumn("n", F.count(F.lit(1)).over(W.partitionBy("gram")))
+        pos.withColumn("n", F.count(F.lit(1)).over(W.partitionBy("h")))
         .filter(F.col("n") > 1)
         .select("doc_id", "p")
     )
