@@ -279,9 +279,13 @@ def lsh_delta_pairs(
     complete O(|Δ|)-probe maintenance of the near-dup pair view, pinned
     against the full recompute in tests/test_ivm.py.
 
-    Scale shape: the Δ side explodes to |Δ|·bands bucket keys (broadcast
-    against the index's banded explode); candidate volume is bounded by
-    bucket co-membership of the delta docs, not the corpus."""
+    Scale shape: the Δ side explodes to |Δ|·bands bucket keys; for the
+    typical small CDC batch AQE broadcasts it at runtime from its MEASURED
+    size (no explicit hint — a forced broadcast of a 0.1%-of-100TB delta
+    would exceed the broadcast/driver limit and fail the query instead of
+    degrading to the shuffled hash join AQE falls back to). Candidate
+    volume is bounded by bucket co-membership of the delta docs, not the
+    corpus."""
     if id_col not in delta_ids.columns:
         raise ValueError(
             f"lsh_delta_pairs: delta_ids must carry '{id_col}' "
@@ -296,7 +300,7 @@ def lsh_delta_pairs(
         F.col("id").alias("did"), F.posexplode("bands").alias("bi", "bh")
     )
     cands = (
-        F.broadcast(ex_d)
+        ex_d
         .join(ex_all, ["bi", "bh"])
         .filter(F.col("did") != F.col("id"))
         .select(

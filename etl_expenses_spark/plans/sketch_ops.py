@@ -800,11 +800,18 @@ def quantile_sketch_weekly_rollup(spark, sf_dir):
     oracle re-derives the sketch EXACTLY — unlike KLL, whose
     stream-order-dependent compactions cannot be pinned cross-engine.
 
-    100 TB shape: per (week, day) state is ≤ k structs (collect_list is
-    bounded BEFORE the weekly merge by the daily slice); the weekly merge
-    flattens ≤ 7k structs per group; nothing global, nothing rescanned.
-    Merge associativity, partition invariance, and the sampling-error
-    bound are pinned in tests/test_sketches.py."""
+    100 TB shape: the daily sketch is built in TWO bottom-k levels so no
+    aggregation buffer ever materializes a whole day's rows — first per
+    (week, day, input-partition) local bottom-k (buffer bounded by one
+    partition's slice of one day, i.e. by maxPartitionBytes), then the
+    per-day merge of those ≤ k-struct partials (buffer ≤ partitions·k
+    structs) — the merge-closure property makes the two-level result
+    identical to the one-shot collect_list by construction (ADVICE r9
+    corrected the earlier single-level plan, whose reduce-side list buffer
+    held the entire day before the slice). The weekly merge then flattens
+    ≤ 7k structs per group; nothing global, nothing rescanned. Merge
+    associativity, partition invariance, and the sampling-error bound are
+    pinned in tests/test_sketches.py."""
     o = T(spark, sf_dir, "orders").select(
         F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("week"),
         F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day"),
@@ -813,11 +820,18 @@ def quantile_sketch_weekly_rollup(spark, sf_dir):
         .cast("bigint")
         .alias("cents"),
     )
-    daily = o.groupBy("week", "day").agg(
+    local_k = o.withColumn("pid", F.spark_partition_id()).groupBy(
+        "week", "day", "pid"
+    ).agg(
         F.slice(
             F.array_sort(F.collect_list(F.struct("rk", "cents"))),
             1,
             _QSK_K,
+        ).alias("sk")
+    )
+    daily = local_k.groupBy("week", "day").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("sk"))), 1, _QSK_K
         ).alias("sk")
     )
     weekly = daily.groupBy("week").agg(

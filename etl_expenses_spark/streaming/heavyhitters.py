@@ -174,6 +174,12 @@ def mg_state_sink(events: DataFrame, state_dir: str, checkpoint_dir: str,
                 name.startswith("state-") or name == "state.parquet"
             ):
                 shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+            elif name.startswith("._meta"):
+                # sweep temp meta files leaked by a crash pre-os.replace
+                try:
+                    os.unlink(os.path.join(state_dir, name))
+                except OSError:
+                    pass
 
     os.makedirs(state_dir, exist_ok=True)
     return (

@@ -51,6 +51,12 @@ def _commit(spark: SparkSession, state_dir: str, view: DataFrame,
     for n in os.listdir(state_dir):
         if n != name and n.startswith("view-"):
             shutil.rmtree(os.path.join(state_dir, n), ignore_errors=True)
+        elif n.startswith("._meta"):
+            # sweep temp meta files leaked by a crash pre-os.replace
+            try:
+                os.unlink(os.path.join(state_dir, n))
+            except OSError:
+                pass
 
 
 def init_view_state(view: DataFrame, state_dir: str) -> None:

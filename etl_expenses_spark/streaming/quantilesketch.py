@@ -73,13 +73,17 @@ def bottomk_state_sink(
                 "fresh state_dir."
             )
         batch_n = batch_df.count()
+        # ties ordered by (rk, v) — the same total order as the batch
+        # sketch's array_sort over (rk, cents) structs, so which tied row
+        # survives the k-cut is deterministic and the byte-identical-state
+        # contract holds even for streams with colliding rank keys
         batch_k = batch_df.select(
             F.col(rank_col).alias("rk"), F.col(value_col).alias("v")
-        ).orderBy("rk").limit(k)
+        ).orderBy("rk", "v").limit(k)
         if meta["state"]:
             prev = spark.read.parquet(os.path.join(state_dir, meta["state"]))
             batch_k = batch_k.unionByName(prev)
-        new_state = batch_k.orderBy("rk").limit(k)
+        new_state = batch_k.orderBy("rk", "v").limit(k)
 
         state_name = f"state-{int(epoch_id)}.parquet"
         new_state.coalesce(1).write.mode("overwrite").parquet(
@@ -96,6 +100,14 @@ def bottomk_state_sink(
             if name != state_name and name.startswith("state-"):
                 shutil.rmtree(os.path.join(state_dir, name),
                               ignore_errors=True)
+            elif name.startswith("._meta"):
+                # a crash between mkstemp and os.replace leaks the temp
+                # meta file; it is dead the moment any later commit lands,
+                # so sweep leftovers here rather than forever
+                try:
+                    os.unlink(os.path.join(state_dir, name))
+                except OSError:
+                    pass
 
     os.makedirs(state_dir, exist_ok=True)
     return (
