@@ -688,3 +688,118 @@ def allpairs_jaccard_prefix_join(spark, sf_dir):
     from etl_expenses_spark.operators.apss import allpairs_jaccard_prefix
 
     return allpairs_jaccard_prefix(T(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@query(
+    "dedup_exact_jaccard_curation",
+    oracle=r"""
+        WITH RECURSIVE
+        sh AS (
+            SELECT doc_id,
+                   (WITH t AS (SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                                  x -> x <> '') AS toks)
+                    SELECT CASE WHEN len(toks) >= 3
+                                THEN list_transform(range(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                                ELSE [array_to_string(toks, ' ')] END
+                    FROM t) AS shingles
+            FROM documents),
+        dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+        e AS (
+            SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM dsh a JOIN dsh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / GREATEST(CAST(len(a.s) + len(b.s)
+                             - len(list_intersect(a.s, b.s)) AS DOUBLE), 1.0)
+                  >= 0.5),
+        sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        reach(id, r) AS (
+            SELECT DISTINCT src, src FROM sym
+            UNION
+            SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
+        cc AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        allcc AS (
+            SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id),
+        q AS (
+            SELECT doc_id,
+                   LEAST(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                              t -> t <> '')) AS DOUBLE) / 64.0, 1.0) * 0.4
+                   + (CASE WHEN CAST(GREATEST(LENGTH(text), 1) AS DOUBLE)
+                                / GREATEST(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                                                t -> t <> '')) AS DOUBLE),
+                                           CAST(1 AS DOUBLE))
+                                BETWEEN 3.0 AND 12.0
+                           THEN 1.0 ELSE 0.5 END) * 0.3
+                   + (1.0 - LEAST(CAST(len(regexp_extract_all(text, '[.,;:!?"''()\-]')) AS DOUBLE)
+                                  / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE) * 4.0, 1.0)) * 0.3
+                       AS quality
+            FROM documents),
+        ranked AS (
+            SELECT a.doc_id, a.cluster_id, q.quality,
+                   ROW_NUMBER() OVER (PARTITION BY a.cluster_id
+                                      ORDER BY q.quality DESC, a.doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY a.cluster_id) AS cluster_size
+            FROM allcc a JOIN q ON q.doc_id = a.doc_id)
+        SELECT doc_id, cluster_id,
+               CAST(cluster_size AS BIGINT) AS cluster_size, quality
+        FROM ranked WHERE rn = 1
+    """,
+    tags=("dedup", "apss", "jaccard", "clustering", "curation"),
+)
+def dedup_exact_jaccard_curation(spark, sf_dir):
+    """EXACT near-dup curation END-TO-END — the reference's signature
+    dedup-before-load semantic (`/root/reference/load_data/
+    lambda_function.py:39-73`, J1–J4) run with the exact-Jaccard tier
+    instead of a blocking key: prefix-filtered Jaccard pairs (≥ 0.5 over
+    distinct 3-shingle sets) become edges, connected components group the
+    near-dup sets (chaining included: A~B, B~C clusters A,C together even
+    when J(A,C) < t), and the keep-best-quality policy ships ONE survivor
+    per cluster (highest quality_score, doc_id tiebreak; singletons keep
+    themselves). Output = the surviving corpus roster with its cluster
+    evidence (cluster_id, cluster_size, quality).
+
+    This is the composition proof the pair enumeration alone doesn't give:
+    allpairs_jaccard_prefix (sweep-green at 3 SFs) feeding the same
+    CC + keep-policy machinery dedup_keep_best_quality pins — all three
+    stages under ONE declarative oracle (brute-force n² set join →
+    recursive closure → quality ROW_NUMBER).
+
+    Scale shape: pairs from the prefix-bounded inverted index (never n²);
+    CC is BSP min-label over near-dup-shallow components; the keep pass is
+    one window over the clustered subset. Nothing in the chain holds a
+    corpus-sized structure on one node."""
+    from pyspark.sql import Window as W
+
+    from etl_expenses_spark.functions.text import quality_score
+    from etl_expenses_spark.operators.apss import allpairs_jaccard_prefix
+    from etl_expenses_spark.operators.dedup import connected_components
+
+    docs = T(spark, sf_dir, "documents")
+    pairs = allpairs_jaccard_prefix(docs, threshold=0.5)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(edges).withColumnRenamed("id", "doc_id")
+    allcc = (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    q = docs.select("doc_id", quality_score("text").alias("quality"))
+    w = W.partitionBy("cluster_id")
+    ranked = (
+        allcc.join(q, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(w.orderBy(F.desc("quality"), F.asc("doc_id"))),
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "doc_id",
+        "cluster_id",
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        "quality",
+    )
