@@ -1802,3 +1802,169 @@ def dsir_importance_resample(spark, sf_dir):
         .orderBy(F.desc("avg_ratio"), "doc_id")
         .limit(50)
     )
+
+
+@query(
+    "dedup_sorted_neighborhood",
+    oracle=r"""
+        WITH sh AS (
+            SELECT doc_id,
+                   lower(substr(text, 1, 20)) AS k,
+                   (WITH t AS (SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                                  x -> x <> '') AS toks)
+                    SELECT CASE WHEN len(toks) >= 3
+                                THEN list_transform(range(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                                ELSE [array_to_string(toks, ' ')] END
+                    FROM t) AS shingles
+            FROM documents),
+        r AS (
+            SELECT doc_id, k, list_distinct(shingles) AS s,
+                   ROW_NUMBER() OVER (ORDER BY k, doc_id) AS gr
+            FROM sh),
+        pairs AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, a.s AS sa, b.s AS sb
+            FROM r a JOIN r b ON b.gr - a.gr BETWEEN 1 AND 3)
+        SELECT LEAST(da, db) AS id_a, GREATEST(da, db) AS id_b,
+               CAST(CAST(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                    / GREATEST(CAST(len(sa) + len(sb)
+                               - len(list_intersect(sa, sb)) AS DOUBLE), 1.0)
+                    AS DECIMAL(18,6)) AS DOUBLE) AS jaccard
+        FROM pairs
+        WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+              / GREATEST(CAST(len(sa) + len(sb)
+                         - len(list_intersect(sa, sb)) AS DOUBLE), 1.0)
+              >= 0.5
+    """,
+    tags=("dedup", "blocking", "sorted-neighborhood"),
+)
+def dedup_sorted_neighborhood(spark, sf_dir):
+    """SORTED-NEIGHBORHOOD near-dup blocking (Hernández & Stolfo SIGMOD
+    1995) — the third blocking family next to LSH banding (probabilistic
+    buckets) and prefix filtering (frequency-ordered postings): sort the
+    corpus ONCE by a fuzzy key (here the lowercased 20-char text prefix),
+    compare each record only against its w−1 = 3 successors in the global
+    order, verify candidates with the exact shingle Jaccard (≥ 0.5, same
+    measure as the APSS tier). Near-identical records sort adjacently, so
+    a single sorted pass surfaces them with n·(w−1) comparisons — the
+    cheapest candidate generator of the three, at the price of missing
+    pairs whose keys diverge (the classic multi-pass answer is re-running
+    with a second key; the APSS tier here is the lossless backstop).
+
+    Scale shape: the global order comes from operators/prefixsum.py's
+    distributed_rank (two-phase scan: bounded per-bucket windows + a
+    broadcast offset join), NEVER a single-partition ROW_NUMBER window;
+    neighbor pairs materialize as an equi-join on rank+j (j exploded from
+    1..w−1) — two hash shuffles of (rank, set) rows, no range join, no
+    quadratic stage. The verify step carries each candidate pair's two
+    shingle arrays through one join — bounded by w·n pairs, not n²."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.substring("text", 1, 20)).alias("k"),
+        F.array_distinct(shingles_of_tokens(tokens(F.col("text")), 3)).alias("s"),
+    )
+    from etl_expenses_spark.operators.prefixsum import distributed_rank
+
+    # bucket = first two bytes of the sort key: monotone in k (the
+    # distributed_cumsum contract); per-bucket window partitions stay
+    # bounded by the key-prefix histogram. ascii('') = 0 handles empties.
+    bucket = (
+        F.ascii(F.substring("k", 1, 1)) * 256 + F.ascii(F.substring("k", 2, 1))
+    ).cast("long")
+    ranked = tracked_persist(
+        distributed_rank(docs, ["k", "doc_id"], bucket, out_col="gr")
+    )
+    w_minus_1 = 3
+    probe = ranked.select(
+        F.col("doc_id").alias("da"),
+        F.col("s").alias("sa"),
+        F.explode(
+            F.array(*[F.col("gr") + F.lit(j) for j in range(1, w_minus_1 + 1)])
+        ).alias("gr"),
+    )
+    pairs = probe.join(
+        ranked.select(F.col("doc_id").alias("db"), F.col("s").alias("sb"), "gr"),
+        "gr",
+    )
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.greatest(
+        (F.size("sa") + F.size("sb")).cast("double") - inter, F.lit(1.0)
+    )
+    jac = inter / union
+    return pairs.filter(jac >= 0.5).select(
+        F.least("da", "db").alias("id_a"),
+        F.greatest("da", "db").alias("id_b"),
+        jac.cast("decimal(18,6)").cast("double").alias("jaccard"),
+    )
+
+
+@query(
+    "dedup_cluster_components_star",
+    oracle="""
+        WITH RECURSIVE
+        fp AS (
+            SELECT doc_id,
+                   array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ') AS pre,
+                   array_to_string(list_slice(string_split(text, ' '), -4, -1), ' ') AS suf
+            FROM documents
+        ),
+        e AS (
+            SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM fp a JOIN fp b ON a.pre = b.pre AND a.doc_id < b.doc_id
+            UNION
+            SELECT a.doc_id, b.doc_id
+            FROM fp a JOIN fp b ON a.suf = b.suf AND a.doc_id < b.doc_id
+        ),
+        sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        reach(id, r) AS (
+            SELECT DISTINCT src, src FROM sym
+            UNION
+            SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+        ),
+        cc AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+        SELECT doc_id, cluster_id,
+               doc_id = cluster_id AS is_canonical,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM cc
+    """,
+    tags=("dedup", "clustering", "iterative", "scale-tier"),
+)
+def dedup_cluster_components_star(spark, sf_dir):
+    """dedup_cluster_components computed through the LARGE-STAR/SMALL-STAR
+    contraction algorithm (Kiveris et al. SOCC 2014,
+    operators/dedup.py:connected_components_star) instead of min-label
+    BSP — the same fingerprint edge set, the same recursive-closure
+    oracle, a structurally different O(log² n)-round algorithm pinning the
+    identical output (the SA-vs-gram-union cross-check convention applied
+    to graph clustering). Star contraction is the 100 TB tier for DEEP
+    components: label propagation converges in O(diameter) rounds, star
+    contraction in O(log²) regardless of diameter — near-dup chains of
+    length 10⁴ (crawl mirror cascades) favor it decisively, while both
+    rounds cost the same one-join-one-groupBy shuffle."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    fp = tracked_persist(
+        d.select(
+            "doc_id",
+            F.array_join(F.slice(F.col("t"), 1, 4), " ").alias("pre"),
+            F.array_join(F.slice(F.col("t"), -4, 4), " ").alias("suf"),
+        )
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    pre_pairs = a.join(
+        b, (F.col("a.pre") == F.col("b.pre")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    suf_pairs = a.join(
+        b, (F.col("a.suf") == F.col("b.suf")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    from etl_expenses_spark.operators.dedup import connected_components_star
+
+    cc = connected_components_star(pre_pairs.union(suf_pairs).distinct())
+    w = W.partitionBy("cluster_id")
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )

@@ -656,12 +656,14 @@ def lpa_communities_copurchase(spark, sf_dir):
     """Communities of the co-purchase graph by label propagation
     (operators/graph.py lpa_communities — parity-scheduled, min-tie-break,
     budget-capped; deterministic across runs/partitionings/engines),
-    aggregated to (community, n_nodes, min_node, max_node). Rows-only +
-    golden-pinned like the other iterative graph queries: LPA has no
-    relational oracle (its output is defined by the schedule), so the
-    semantics are pinned by tests/test_graph_links.py (cliques keep their
-    own label, bridges don't merge them, partitioning-invariance) and the
-    golden pins the concrete assignment."""
+    aggregated to (community, n_nodes, min_node, max_node). Golden-pinned
+    like the other iterative graph queries (r10 — previously the
+    registry's one rows-only row, which could never be driver-hash-green;
+    VERDICT r9 #2): LPA has no relational oracle (its output is defined by
+    the schedule), so the semantics are pinned by
+    tests/test_graph_links.py (cliques keep their own label, bridges don't
+    merge them, partitioning-invariance) and the golden pins the concrete
+    assignment."""
     from etl_expenses_spark.operators.graph import lpa_communities
 
     edges = _copurchase_edges(spark, sf_dir)
@@ -920,3 +922,57 @@ def quantile_sketch_stream_fold(spark, sf_dir):
     return quantiles_from_state(
         spark, os.path.join(work, "state"), ps=(0.5, 0.9)
     )
+
+
+@query(
+    "link_prediction_adamic_adar",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        edges AS (
+            SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING COUNT(*) >= 2),
+        adj AS (
+            SELECT pa AS node, pb AS nbr FROM edges
+            UNION ALL
+            SELECT pb AS node, pa AS nbr FROM edges),
+        deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY node),
+        wedge AS (
+            SELECT a.node AS w, a.nbr AS u, b.nbr AS v
+            FROM adj a JOIN adj b ON a.node = b.node AND a.nbr < b.nbr),
+        terms AS (
+            SELECT wedge.u, wedge.v,
+                   CAST(1.0 / LN(CAST(deg.d AS DOUBLE)) AS DECIMAL(18,9)) AS t
+            FROM wedge JOIN deg ON deg.node = wedge.w),
+        agg AS (
+            SELECT u, v, COUNT(*) AS ic, SUM(t) AS s
+            FROM terms GROUP BY u, v),
+        cand AS (
+            SELECT u, v, ic, s FROM agg
+            WHERE NOT EXISTS (SELECT 1 FROM edges e
+                              WHERE e.pa = agg.u AND e.pb = agg.v))
+        SELECT u AS pa, v AS pb,
+               CAST(ic AS BIGINT) AS n_common_neighbors,
+               CAST(s AS DOUBLE) AS aa_score
+        FROM cand
+        WHERE ic >= 2
+    """,
+    tags=("graph", "link_prediction", "join"),
+)
+def link_prediction_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction over the co-purchase graph — the
+    hub-discounting sibling of link_prediction_jaccard: non-edge pairs
+    scored Σ 1/ln(deg(w)) over their >= 2 common neighbors, so a shared
+    rare part certifies similarity much harder than a shared bestseller.
+    Cross-engine determinism comes from quantizing each wedge term to
+    DECIMAL(18,9) before the sum (the dsum convention on a derived
+    weight); both engines then sum identical decimals exactly and the
+    score is one final cast. Same wedge-bound plan silhouette as the
+    Jaccard scorer (operators/graph.py adamic_adar_link_prediction) —
+    the structural delta is the wedge keeping its CENTER node, which is
+    what carries the 1/ln(degree) weight."""
+    from etl_expenses_spark.operators.graph import adamic_adar_link_prediction
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return adamic_adar_link_prediction(edges, max_degree=None, min_common=2)

