@@ -31,75 +31,78 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # registered after the window and is verified by tools/check_oracle.py
 # (the local replica of the same gate) across all scale factors.
 _PRIORITY = [
-    # Round-9 window: FULL-REGISTRY CLOSURE — these 50 slots are exactly the
-    # 50 registered queries without a green driver row after eight rounds
-    # (47 never-window'd per COVERAGE.md's round-9 candidate list, plus
-    # approx_count_distinct_parts whose only driver row ever was the r1
-    # `err: no_oracle` — it has an oracle and passes the sweep — plus this
-    # round's two new queries). A green round makes cumulative driver
-    # coverage 303/303: every registered query driver-proven. No kept
-    # anchors this round (the flagship stays smoke-checked via entry(), and
-    # the previously-green 253 are re-verified by the local sweep); rotation
-    # rationale + history: COVERAGE.md. Every slot is lint-checked
-    # harness-safe (tools/check_oracle.py --lint-window).
-    # -- aggregates / window / relational spread --
-    "monthly_spend",
-    "having_large_orders",
-    "histogram_order_totals",
-    "agg_collect_priorities",
-    "agg_dispersion_stats",
-    "agg_partial_remerge_monthly",
-    "agg_percentiles",
-    "approx_count_distinct_parts",
+    # Round-10 window (rotation rationale + history: COVERAGE.md; every
+    # slot lint-checked harness-safe via tools/check_oracle.py
+    # --lint-window). Two blocks:
+    #
+    # (1) The 17 queries with NO hash-green driver row yet: the 10
+    #     round-9 queries registered after that round's window, the
+    #     repaired `incremental_agg_state_merge` (r9's one red row — the
+    #     decimal-output hash defect, fixed in plans/sketch_ops.py and
+    #     pinned by tests/test_oracle_gate.py), `lpa_communities_copurchase`
+    #     (previously rows-only by construction; now GOLDEN-pinned, so
+    #     this slot can flip the registry's weakest row hash-green —
+    #     VERDICT r9 #2's ask), and the 5 round-10 additions (exact-
+    #     Jaccard end-to-end curation, sorted-neighborhood blocking,
+    #     star-contraction CC, 3D skyline, Adamic-Adar link prediction).
+    #     A green block makes cumulative driver coverage complete again.
+    #
+    # (2) FRESHNESS rotation: the 33 queries whose most recent hash-green
+    #     row is oldest (rounds 1–2) — regression-guarding re-proof of the
+    #     earliest surface, per the COVERAGE.md governance policy (oldest
+    #     evidence rotates in once closure is achieved).
+    # -- block 1: never-hash-green (17) --
     "incremental_agg_state_merge",
-    "intersect_all_heavy_quantities",
-    "orders_above_customer_avg",
-    "top3_orders_per_segment",
-    "window_distribution_ranks",
-    "keyset_pagination_orders",
-    "unpivot_lineitem_charges",
-    # -- array / map / struct function surfaces --
-    "array_functions",
-    "map_functions",
-    "map_transform_functions",
-    "struct_field_surgery",
-    "base64_roundtrip",
-    "sql_udf_money_parse",
-    # -- joins / temporal --
-    "attribution_first_purchase_after_click",
-    "latest_event_per_user_asof_style",
-    "top_user_journeys",
-    "ab_experiment_lift",
-    "fuzzy_match_part_names",
-    # -- dedup / sampling / curation --
-    "dedup_cut_duplicated_spans",
-    "dedup_exact_duplicated_spans",
-    "dedup_exact_duplicated_spans_hashed",
-    "dedup_embedding_lsh_pairs",
-    "dedup_keep_best_quality",
-    "corpus_shuffle_deterministic",
-    "sample_deterministic_per_key",
-    "sample_n_per_group",
-    "sample_stratified_by_lang",
-    # -- text / tokenization / multimodal --
-    "bpe_trained_segmentation",
-    "text_collapse_token_runs",
-    "token_bigram_counts",
-    "multimodal_doc_features",
-    # -- graph --
-    "ktruss_copurchase",
-    "ktruss_copurchase_capped",
-    "lpa_communities_copurchase",  # rows-only by design (iterative LPA)
-    # -- geo --
-    "geo_cell_density_topk",
-    "geo_knn_nearest_suppliers",
-    # -- IVM / lakehouse / sources / streaming --
-    "ivm_join_view_cdc",
-    "ivm_dim_change_two_level",
-    "wap_merge_upsert_version",
-    "csv_corrupt_quarantine",
-    "cogroup_user_orders_events",
-    "stream_full_outer_interval_join",
+    "dedup_spans_suffix_array",
+    "maximal_repeats_topk",
+    "dsir_importance_resample",
+    "ivm_lsh_index_cdc",
+    "quantile_sketch_weekly_rollup",
+    "quantile_sketch_stream_fold",
+    "skyline_orders_2d",
+    "shipments_in_transit_daily",
+    "hilbert_curve_values",
+    "allpairs_jaccard_prefix_join",
+    "lpa_communities_copurchase",  # golden-pinned in r10 (was rows-only)
+    "dedup_exact_jaccard_curation",
+    "dedup_sorted_neighborhood",
+    "dedup_cluster_components_star",
+    "skyline_orders_3d",
+    "link_prediction_adamic_adar",
+    # -- block 2: oldest-evidence freshness rotation (33) --
+    "agg_bitwise_flags",
+    "count_distinct_suppliers",
+    "cube_lineitem_status",
+    "date_functions",
+    "dedup_exact_groups",
+    "epoch_millis_roundtrip",
+    "explode_outer_rare_tokens",
+    "hash_identity",
+    "intersect_active_actors",
+    "join_full_outer_nation_activity",
+    "null_handling_functions",
+    "regex_functions",
+    "rollup_spend",
+    "string_functions",
+    "text_bpe_token_count",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_stats",
+    "time_padding",
+    "timezone_conversion",
+    "token_frequencies_top20",
+    "try_arithmetic_safety",
+    "union_ledger",
+    "window_rank_parts_by_price",
+    "agg_watermark_max_date",
+    "codec_hash_functions",
+    "dataset_split_leakage_safe",
+    "dedup_embedding_cosine_pairs",
+    "dedup_incremental_batch",
+    "dedup_keep_first",
+    "dedup_ngram_jaccard_pairs",
+    "distinct_segments",
+    "doc_fingerprint",
 ]
 
 

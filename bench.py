@@ -88,9 +88,12 @@ HEADLINE = [
     "bm25_topk_per_query",
     "pagerank_copurchase",
     "lm_bigram_rarity",
-    # round-4 addition: wedge-bound neighborhood scoring — the one new
-    # plan archetype of the round (graph family's non-iterative heavy join)
-    "link_prediction_jaccard",
+    # round-10 rotation (COVERAGE.md governance): the uncapped wedge scorer
+    # link_prediction_jaccard rotated OUT (its capped tier below carries the
+    # family's scale verdict; the uncapped form remains its oracle and is
+    # tracked by tools/scaling_study.py) for the two-phase 3D skyline —
+    # the partition-local SFS sweep + bounded broadcast merge archetype
+    "skyline_orders_3d",
     # round-5 additions: the hot-node degree-capped wedge tier (the shape
     # you actually run at 100 TB) and the pure-Python JPEG decode through
     # Arrow-batched mapInPandas (the round's new Python-stage archetype)
@@ -140,10 +143,17 @@ HEADLINE = [
     # support peeling (per-round triangle enumeration — the iterative
     # edge-state archetype)
     "geo_neardup_points_selfjoin",
-    "dedup_exact_duplicated_spans",
-    # round-9 addition: its hash-first corpus-scale tier (8-byte xxhash64
-    # shuffle keys + raw-gram verify of multi-hash buckets only — identical
-    # output, the shuffle payload no longer scales with L)
+    # round-10 rotation (COVERAGE.md governance): the string-keyed
+    # ExactSubstr detector dedup_exact_duplicated_spans rotated OUT — its
+    # hash-first tier below is the same output with the better shuffle
+    # (the policy's "faster sibling replaces" case; the string-keyed form
+    # stays oracle-pinned and scaling-tracked) — for the end-to-end exact
+    # near-dup curation composition (prefix-filtered Jaccard pairs → CC →
+    # keep-best-quality → surviving corpus, one chained plan)
+    "dedup_exact_jaccard_curation",
+    # round-9 addition: the ExactSubstr hash-first corpus-scale tier
+    # (8-byte xxhash64 shuffle keys + raw-gram verify of multi-hash buckets
+    # only — identical output, shuffle payload no longer scales with L)
     "dedup_exact_duplicated_spans_hashed",
     # round-9 addition: the distributed capped suffix array (range-sort of
     # candidate suffix windows + lexicographic-neighbor LCP — the

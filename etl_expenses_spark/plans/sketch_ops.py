@@ -976,3 +976,122 @@ def link_prediction_adamic_adar(spark, sf_dir):
 
     edges = _copurchase_edges(spark, sf_dir)
     return adamic_adar_link_prediction(edges, max_degree=None, min_common=2)
+
+
+@query(
+    "harmonic_centrality_3hop",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        edges AS (
+            SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING COUNT(*) >= 2),
+        d1 AS (
+            SELECT pa AS u, pb AS v FROM edges
+            UNION SELECT pb, pa FROM edges),
+        d2 AS (
+            SELECT DISTINCT a.u, b.v
+            FROM d1 a JOIN d1 b ON a.v = b.u
+            WHERE a.u <> b.v
+              AND NOT EXISTS (SELECT 1 FROM d1
+                              WHERE d1.u = a.u AND d1.v = b.v)),
+        d3 AS (
+            SELECT DISTINCT a.u, b.v
+            FROM d2 a JOIN d1 b ON a.v = b.u
+            WHERE a.u <> b.v
+              AND NOT EXISTS (SELECT 1 FROM d1
+                              WHERE d1.u = a.u AND d1.v = b.v)
+              AND NOT EXISTS (SELECT 1 FROM d2
+                              WHERE d2.u = a.u AND d2.v = b.v)),
+        h AS (
+            SELECT u,
+                   SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS n1,
+                   SUM(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS n2,
+                   SUM(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS n3
+            FROM (SELECT u, 1 AS d FROM d1
+                  UNION ALL SELECT u, 2 FROM d2
+                  UNION ALL SELECT u, 3 FROM d3)
+            GROUP BY u)
+        SELECT u AS node,
+               CAST(n1 AS BIGINT) AS n_dist1,
+               CAST(n2 AS BIGINT) AS n_dist2,
+               CAST(n3 AS BIGINT) AS n_dist3,
+               CAST(CAST(n1 AS DECIMAL(18,6))
+                    + CAST(n2 AS DECIMAL(18,6)) * 0.5
+                    + CAST(n3 AS DECIMAL(18,6)) * CAST(0.333333 AS DECIMAL(8,6))
+                    AS DOUBLE) AS harmonic
+        FROM h
+    """,
+    tags=("graph", "centrality", "bfs"),
+)
+def harmonic_centrality_3hop(spark, sf_dir):
+    """Bounded-hop HARMONIC CENTRALITY over the co-purchase graph:
+    Σ_{v ≠ u, d(u,v) ≤ 3} 1/d(u,v) (Boldi & Vigna's centrality, truncated
+    at radius 3 — the form production graph stacks actually compute, full
+    closeness being O(n·m)). The per-hop frontier sets come from iterated
+    min-plus expansion: dist-2 = neighbors-of-neighbors minus dist-1 minus
+    self; dist-3 = one more expansion minus everything closer — each hop
+    ONE join + one distinct + anti-joins against the closer tiers, the
+    standard BSP BFS round written declaratively, which is what keeps this
+    iterative-family query fully ORACLE-CHECKABLE (the closure is bounded,
+    so DuckDB expresses the identical three tiers without recursion
+    tricks). The 1/d weights are decimal literals (1, 0.5, 0.333333) so
+    the sum is exact in both engines — the dsum convention.
+
+    Scale shape: frontier relations shuffle on their endpoints exactly
+    like one CC/PageRank round; the >= 2 common-orders sparsifier bounds
+    degree fan-out; distinct dedups each tier before it feeds the next
+    (the frontier never re-expands known-closer pairs). Radius bounds the
+    round count at 3 by construction — no convergence loop, no
+    checkpointing machinery needed."""
+    edges = _copurchase_edges(spark, sf_dir)
+    d1 = (
+        edges.select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .unionAll(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+        .distinct()
+    )
+    from etl_expenses_spark.caching import tracked_persist
+
+    d1 = tracked_persist(d1)
+    a, b = d1.alias("a"), d1.alias("b")
+    expand2 = (
+        a.join(b, F.col("a.v") == F.col("b.u"))
+        .filter(F.col("a.u") != F.col("b.v"))
+        .select(F.col("a.u").alias("u"), F.col("b.v").alias("v"))
+        .distinct()
+    )
+    d2 = tracked_persist(expand2.join(d1, ["u", "v"], "left_anti"))
+    c = d2.alias("c")
+    expand3 = (
+        c.join(b, F.col("c.v") == F.col("b.u"))
+        .filter(F.col("c.u") != F.col("b.v"))
+        .select(F.col("c.u").alias("u"), F.col("b.v").alias("v"))
+        .distinct()
+    )
+    d3 = expand3.join(d1, ["u", "v"], "left_anti").join(
+        d2, ["u", "v"], "left_anti"
+    )
+    tiers = (
+        d1.select("u", F.lit(1).alias("d"))
+        .unionAll(d2.select("u", F.lit(2).alias("d")))
+        .unionAll(d3.select("u", F.lit(3).alias("d")))
+    )
+    h = tiers.groupBy("u").agg(
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("d") == 2, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("d") == 3, 1).otherwise(0)).alias("n3"),
+    )
+    harmonic = (
+        F.col("n1").cast("decimal(18,6)")
+        + F.col("n2").cast("decimal(18,6)") * F.lit(0.5).cast("decimal(8,6)")
+        + F.col("n3").cast("decimal(18,6)")
+        * F.lit(0.333333).cast("decimal(8,6)")
+    ).cast("double")
+    return h.select(
+        F.col("u").alias("node"),
+        F.col("n1").cast("bigint").alias("n_dist1"),
+        F.col("n2").cast("bigint").alias("n_dist2"),
+        F.col("n3").cast("bigint").alias("n_dist3"),
+        harmonic.alias("harmonic"),
+    )
