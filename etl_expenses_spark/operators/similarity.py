@@ -651,3 +651,85 @@ def cosine_topk_batch(
         .filter(F.col("rnk") <= k)
         .drop("rnk")
     )
+
+
+def mmr_diversified_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    pool: int = 100,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998)
+    diversified top-k: greedily pick k results maximizing
+    λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s) — the retrieval-diversity
+    selector a training-data pipeline uses to avoid filling a context (or
+    a fine-tuning batch) with k near-copies of the same best match.
+
+    Two tiers, matching the operator's real cost structure:
+    - POOL (distributed, the heavy part): exact cosine top-``pool``
+      against the corpus — one scan ending in TakeOrdered, any of the
+      ANN tiers can substitute at 100 TB.
+    - REFINE (bounded): k greedy rounds over the persisted pool-sized
+      relation; each round joins the pool against the ≤ k broadcast
+      selected vectors, takes max pairwise similarity per candidate, and
+      argmaxes the MMR score. Each round's job touches ``pool`` rows; the
+      driver receives exactly ONE row per round (the winner) — bounded by
+      construction, the skew-hot-key-list convention.
+
+    Determinism: relevance and pairwise similarities are quantized to
+    DECIMAL(18,6) (the cosine_topk convention), the MMR score is computed
+    in exact decimal integer arithmetic (λ = lam_num/lam_den applied as
+    rel·lam_num − sim·(lam_den−lam_num), monotone in the true score), and
+    ties break on id — so the greedy trajectory is unique and the output
+    golden-pins. Output: (rank, id, relevance, mmr_score)."""
+    from etl_expenses_spark.caching import tracked_persist
+
+    joined = embeddings.crossJoin(F.broadcast(query))
+    rel = cosine(F.col(vec_col), F.col("q")).cast("decimal(18,6)")
+    pool_df = tracked_persist(
+        joined.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+            rel.alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), "id")
+        .limit(pool)
+    )
+    mu = lam_den - lam_num
+    picked = []  # (rank, id, rel, score) driver-side, ≤ k rows
+    sel_rows = []  # winner vectors, ≤ k
+    spark = embeddings.sparkSession
+    for rank in range(1, k + 1):
+        if not sel_rows:
+            scored = pool_df.select(
+                "id", "v", "rel", (F.col("rel") * lam_num).alias("score")
+            )
+        else:
+            sel = spark.createDataFrame(
+                [(r,) for r in sel_rows], f"sv array<float>"
+            )
+            sims = (
+                pool_df.crossJoin(F.broadcast(sel))
+                .select(
+                    "id", "v", "rel",
+                    cosine(F.col("v"), F.col("sv"))
+                    .cast("decimal(18,6)")
+                    .alias("ps"),
+                )
+                .groupBy("id", "v", "rel")
+                .agg(F.max("ps").alias("ms"))
+            )
+            scored = sims.select(
+                "id", "v", "rel",
+                (F.col("rel") * lam_num - F.col("ms") * mu).alias("score"),
+            )
+        w = scored.orderBy(F.col("score").desc(), "id").limit(1).collect()[0]
+        picked.append((rank, w["id"], float(w["rel"]), float(w["score"]) / lam_den))
+        sel_rows.append(list(w["v"]))
+        pool_df = pool_df.filter(F.col("id") != w["id"])
+    return spark.createDataFrame(
+        picked, "rank int, vec_id long, relevance double, mmr_score double"
+    )

@@ -803,3 +803,29 @@ def dedup_exact_jaccard_curation(spark, sf_dir):
         F.col("cluster_size").cast("bigint").alias("cluster_size"),
         "quality",
     )
+
+
+@query(
+    "similarity_mmr_topk",
+    oracle=None,  # golden-pinned: the greedy trajectory is not ANSI-SQL
+    tags=("similarity", "retrieval", "diversity", "mmr"),
+)
+def similarity_mmr_topk(spark, sf_dir):
+    """MMR-diversified top-10 against the vec_id=0 query
+    (operators/similarity.py mmr_diversified_topk, λ=0.7 over a top-100
+    exact-cosine pool): the retrieval-diversity selector that keeps a
+    training batch / context from being k near-copies of one best match.
+    Golden-pinned (greedy argmax chains are outside ANSI SQL; the
+    trajectory is deterministic — quantized decimal scores, id
+    tie-breaks); the SEMANTICS are pinned against a from-first-principles
+    numpy greedy replica in tests/test_dedup_similarity.py, and the
+    diversity effect itself is asserted there (the MMR set's mean
+    pairwise similarity is strictly below the plain top-k's)."""
+    from etl_expenses_spark.operators.similarity import mmr_diversified_topk
+
+    # the query vector itself is excluded from the candidate corpus —
+    # otherwise it is picked first (rel = 1.0) and every later candidate's
+    # max-sim-to-selected collapses to its own relevance, degenerating MMR
+    # to a rescaled plain top-k
+    emb = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return mmr_diversified_topk(emb, _query_vec(spark, sf_dir), k=10, pool=100)

@@ -394,3 +394,62 @@ def test_multiprobe_assignment_recovers_cell_boundary_pairs(spark):
     assert got1 <= got2  # multi-probe is a strict superset of single-probe
     assert r2 > r1  # and it recovers boundary pairs
     assert r2 >= 0.95  # near-complete at 2 probes
+
+
+def test_mmr_matches_numpy_greedy_and_diversifies(spark):
+    """similarity_mmr_topk's trajectory == a from-first-principles numpy
+    greedy MMR over the same pool (decimal-quantized scores, id
+    tie-breaks), and the diversity contract holds: the MMR set's mean
+    pairwise cosine is strictly below the plain top-k's."""
+    import decimal
+
+    import numpy as np
+
+    from etl_expenses_spark.plans import REGISTRY
+
+    got = REGISTRY["similarity_mmr_topk"].build(spark, SF_DIR).collect()
+    got_ids = [r.vec_id for r in sorted(got, key=lambda r: r.rank)]
+
+    emb = load_table(spark, SF_DIR, "embeddings").collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb}
+    q = vecs[0]
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    def q6(x):
+        return decimal.Decimal(x).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+
+    rel = {i: q6(cos(v, q)) for i, v in vecs.items() if i != 0}
+    pool = sorted(rel, key=lambda i: (-rel[i], i))[:100]
+    selected: list[int] = []
+    for _ in range(10):
+        best = None
+        for i in pool:
+            if i in selected:
+                continue
+            ms = max(
+                (q6(cos(vecs[i], vecs[s])) for s in selected),
+                default=decimal.Decimal(0),
+            )
+            score = rel[i] * 7 - (ms * 3 if selected else 0)
+            key = (-score, i)
+            if best is None or key < best[0]:
+                best = (key, i)
+        selected.append(best[1])
+    assert got_ids == selected, f"{got_ids} != {selected}"
+
+    # diversity: MMR's mean pairwise similarity < plain top-10's
+    plain = pool[:10]
+
+    def mean_pair_sim(ids):
+        sims = [
+            cos(vecs[a], vecs[b])
+            for x, a in enumerate(ids)
+            for b in ids[x + 1 :]
+        ]
+        return sum(sims) / len(sims)
+
+    assert mean_pair_sim(got_ids) < mean_pair_sim(plain)

@@ -69,6 +69,9 @@ GOLDEN_TARGETS = [
     # (VERDICT r9 "What's wrong" #2: a rows-only query can never be
     # hash-green; the golden makes the same slot hash-checkable)
     "lpa_communities_copurchase",
+    # r10: MMR greedy trajectory (deterministic; semantics pinned vs the
+    # numpy greedy replica in tests/test_dedup_similarity.py)
+    "similarity_mmr_topk",
 ]
 
 _DUCK_TYPES = {
