@@ -13,38 +13,44 @@ def test_entry_runs(spark):
 
 
 def test_correctness_window_priority():
-    """The driver records the FIRST 50 queries() entries. Round-9 rotation:
-    the window is exactly the 50 registered queries without a green driver
-    row after eight rounds, so a green round closes full-registry coverage
-    (303/303). Every slot has a DuckDB oracle EXCEPT the one registered
-    rows-only query (iterative LPA has no SQL oracle by design) — giving it
-    its weaker rows-only driver row is the point of including it."""
+    """The driver records the FIRST 50 queries() entries. Round-10
+    rotation (COVERAGE.md governance): block 1 = every query with no
+    hash-green driver row yet (the 10 post-window r9 registrations, the
+    repaired incremental_agg_state_merge, the newly golden-pinned LPA
+    summary, and the 8 round-10 additions); block 2 = the 30
+    oldest-evidence queries (last green r1-r2). Every slot must have an
+    oracle (golden or declarative) — rows-only slots can only ever record
+    err:no_oracle and are banned from the window (VERDICT r9 #2)."""
     qs = list(entrymod.queries())
     os_ = entrymod.oracle_sql()
     window = qs[:50]
-    rows_only_by_design = {"lpa_communities_copurchase"}
-    missing = [n for n in window if n not in os_ and n not in rows_only_by_design]
+    missing = [n for n in window if n not in os_]
     assert not missing, missing
     must = {
-        # closure targets called out in VERDICT r8 #1: the never-window'd
-        # round-8 operators plus the one query whose only driver row ever
-        # was an r1 oracle error
-        "approx_count_distinct_parts",
-        "ktruss_copurchase",
-        "ktruss_copurchase_capped",
-        "ivm_join_view_cdc",
-        "ivm_dim_change_two_level",
-        "wap_merge_upsert_version",
-        "dedup_cut_duplicated_spans",
-        "dedup_exact_duplicated_spans",
-        "geo_knn_nearest_suppliers",
-        "geo_cell_density_topk",
-        "csv_corrupt_quarantine",
-        "bpe_trained_segmentation",
-        "cogroup_user_orders_events",
-        # round-9 new queries shipping with driver evidence
-        "dedup_exact_duplicated_spans_hashed",
-        "stream_full_outer_interval_join",
+        # the r9 red row, repaired (decimal-output hash fix)
+        "incremental_agg_state_merge",
+        # the 10 round-9 queries registered after that round's window
+        "dedup_spans_suffix_array",
+        "maximal_repeats_topk",
+        "dsir_importance_resample",
+        "ivm_lsh_index_cdc",
+        "quantile_sketch_weekly_rollup",
+        "quantile_sketch_stream_fold",
+        "skyline_orders_2d",
+        "shipments_in_transit_daily",
+        "hilbert_curve_values",
+        "allpairs_jaccard_prefix_join",
+        # previously rows-only, now golden-pinned (hash-checkable)
+        "lpa_communities_copurchase",
+        # round-10 additions shipping with same-round driver evidence
+        "dedup_exact_jaccard_curation",
+        "dedup_sorted_neighborhood",
+        "dedup_cluster_components_star",
+        "skyline_orders_3d",
+        "skyline_insert_maintenance",
+        "link_prediction_adamic_adar",
+        "harmonic_centrality_3hop",
+        "similarity_mmr_topk",
     }
     assert must <= set(window), must - set(window)
     # nothing silently dropped: priority reordering preserves the registry

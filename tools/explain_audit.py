@@ -89,6 +89,12 @@ BNLJ_OK: set[str] = {
     # day-granularity sketch relation range-self-joined (<=365 rows/year
     # regardless of event volume — the sketch union IS the reduction)
     "hll_sliding_7d_users",
+    # r10: the 3D skyline's MERGE pass theta-joins the union of LOCAL
+    # skylines under the dominance predicate — the broadcast side is
+    # skyline-sized (polylog for independent dims), bounded by the local
+    # SFS pass, never the relation; the BNLJ is the bounded final pass the
+    # two-phase algorithm is built around
+    "skyline_orders_3d",
 }
 
 
