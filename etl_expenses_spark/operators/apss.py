@@ -429,35 +429,50 @@ def allpairs_jaccard_prefix(
         )
     )
     prefix = ranked.filter(F.col("rk") <= F.col("prefix_len")).select(
-        F.col("id").alias("pid"), "e"
+        F.col("id").alias("pid"), F.col("n").alias("na"), "e"
     )
+    # One-SIDED ordered candidate generation (r10 — halves candidate volume
+    # vs the least/greatest form): the prefix lemma holds independently for
+    # EACH member of a qualifying pair (a's prefix must intersect b's full
+    # set AND vice versa), so probing only pid < qid from pid's prefix
+    # still finds every pair — the smaller-id side's prefix is always one
+    # of the two guaranteed witnesses. Plus the classic SIZE filter
+    # (Arasu et al. VLDB'06): J ≥ t ⟹ min(|a|,|b|) ≥ t·max(|a|,|b|)
+    # (overlap ≤ min, union ≥ max) — a pure candidate prune, exactness is
+    # untouched because the recount below is the decider either way.
     cands = (
-        prefix.join(post.select(F.col("id").alias("qid"), "e"), "e")
-        .filter(F.col("pid") != F.col("qid"))
+        prefix.join(
+            post.select(F.col("id").alias("qid"), F.col("n").alias("nb"), "e"),
+            "e",
+        )
+        .filter(
+            (F.col("pid") < F.col("qid"))
+            & (
+                F.least("na", "nb").cast("double")
+                >= F.lit(threshold) * F.greatest("na", "nb").cast("double")
+            )
+        )
         .select(
-            F.least("pid", "qid").alias("id_a"),
-            F.greatest("pid", "qid").alias("id_b"),
+            F.col("pid").alias("id_a"),
+            F.col("qid").alias("id_b"),
+            "na",
+            "nb",
         )
         .distinct()
     )
+    # exact overlap recount; sizes ride the candidate rows (the postings
+    # already carried them), so no extra sizes joins
     inter = (
         cands.join(post.select(F.col("id").alias("id_a"), "e"), "id_a")
         .join(post.select(F.col("id").alias("id_b"), "e"), ["id_b", "e"])
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("o"))
     )
-    # set sizes ride the persisted postings (one row per element carries n)
-    # — re-deriving them from `sets` would re-run the whole shingling pass
-    sizes = post.groupBy("id").agg(F.first("n").alias("sz"))
     jac = F.col("o").cast("double") / F.greatest(
-        (F.col("sz_a") + F.col("sz_b") - F.col("o")).cast("double"), F.lit(1.0)
+        (F.col("na") + F.col("nb") - F.col("o")).cast("double"), F.lit(1.0)
     )
     return (
-        inter.join(sizes.select(F.col("id").alias("id_a"),
-                                F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"),
-                           F.col("sz").alias("sz_b")), "id_b")
-        .withColumn("jac_raw", jac)
+        inter.withColumn("jac_raw", jac)
         .filter(F.col("jac_raw") >= threshold)
         .select(
             "id_a",

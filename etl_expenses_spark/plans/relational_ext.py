@@ -2026,8 +2026,13 @@ def skyline_orders_3d(spark, sf_dir):
                 sk.append(i)
         return pdf.loc[keep, ["o_orderkey", "cents", "osec", "qty"]]
 
+    from etl_expenses_spark.caching import tracked_persist
+
     k = max(2, spark.sparkContext.defaultParallelism)
-    local = (
+    # persisted: BOTH sides of the dominance self-join read it — without
+    # the persist the whole scan→join→SFS chain executes twice (once for
+    # the broadcast build, once for the probe)
+    local = tracked_persist(
         pts.repartition(k)
         .withColumn("pid", F.spark_partition_id())
         .groupBy("pid")
