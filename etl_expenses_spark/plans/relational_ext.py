@@ -1979,9 +1979,6 @@ def skyline_orders_3d(spark, sf_dir):
     broadcast merge — same silhouette as the 2D tier and the suffix
     array's edge pass; skyline size for independent dims grows
     polylogarithmically, so the merge input stays driver-safe."""
-    import numpy as np
-    import pandas as pd
-
     lq = (
         T(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
@@ -1999,6 +1996,26 @@ def skyline_orders_3d(spark, sf_dir):
             "qty",
         )
     )
+    return (
+        _skyline_3d(pts, spark)
+        .select(
+            "o_orderkey",
+            "cents",
+            F.timestamp_seconds(F.col("osec")).alias("odate"),
+            "qty",
+        )
+        .orderBy("cents", "o_orderkey")
+    )
+
+
+def _skyline_3d(pts, spark):
+    """Two-phase 3D skyline over (o_orderkey, cents min, osec max, qty max)
+    long columns: partition-local SFS sweep (applyInPandas) + bounded
+    broadcast anti-join merge. Returns the same four columns. Factored out
+    of skyline_orders_3d so the tie/duplicate property tests
+    (tests/test_skyline.py) hammer it on adversarial point sets."""
+    import numpy as np
+    import pandas as pd
 
     def sfs(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(
@@ -2049,15 +2066,11 @@ def skyline_orders_3d(spark, sf_dir):
             | (F.col("d.qty") > F.col("p.qty"))
         )
     )
-    return (
-        p.join(F.broadcast(d), dominance, "left_anti")
-        .select(
-            F.col("p.o_orderkey").alias("o_orderkey"),
-            F.col("p.cents").alias("cents"),
-            F.timestamp_seconds(F.col("p.osec")).alias("odate"),
-            F.col("p.qty").alias("qty"),
-        )
-        .orderBy("cents", "o_orderkey")
+    return p.join(F.broadcast(d), dominance, "left_anti").select(
+        F.col("p.o_orderkey").alias("o_orderkey"),
+        F.col("p.cents").alias("cents"),
+        F.col("p.osec").alias("osec"),
+        F.col("p.qty").alias("qty"),
     )
 
 

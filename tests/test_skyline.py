@@ -56,3 +56,76 @@ def test_full_duplicates_all_survive(spark):
     # (9,9) dominates (5,5) is false: 9 > 5 on cents (worse). (5,5) vs
     # (9,9): cents 5<=9 ok but odate 5>=9 fails — nobody dominates anybody
     assert got == sorted(pts)
+
+
+def brute_skyline_3d(pts):
+    out = []
+    for i, (k, c, o, q) in enumerate(pts):
+        dominated = any(
+            (c2 <= c and o2 >= o and q2 >= q and (c2 < c or o2 > o or q2 > q))
+            for j, (k2, c2, o2, q2) in enumerate(pts)
+            if j != i
+        )
+        if not dominated:
+            out.append((k, c, o, q))
+    return sorted(out)
+
+
+def test_3d_two_phase_matches_bruteforce_with_ties(spark):
+    """The 3D SFS + broadcast-merge pipeline vs brute-force dominance on
+    random points with tiny value domains (heavy ties on every dim,
+    full duplicates included)."""
+    from etl_expenses_spark.plans.relational_ext import _skyline_3d
+
+    rng = random.Random(23)
+    pts = [
+        (k, rng.randrange(8), rng.randrange(8), rng.randrange(8))
+        for k in range(400)
+    ]
+    df = spark.createDataFrame(
+        pts, "o_orderkey long, cents long, osec long, qty long"
+    )
+    got = sorted(tuple(r) for r in _skyline_3d(df, spark).collect())
+    assert got == brute_skyline_3d(pts)
+    assert got
+
+
+def test_3d_full_duplicates_all_survive(spark):
+    from etl_expenses_spark.plans.relational_ext import _skyline_3d
+
+    pts = [(1, 5, 5, 5), (2, 5, 5, 5), (3, 5, 5, 5)]
+    df = spark.createDataFrame(
+        pts, "o_orderkey long, cents long, osec long, qty long"
+    )
+    got = sorted(tuple(r) for r in _skyline_3d(df, spark).collect())
+    assert got == sorted(pts)  # no strict edge between identical points
+
+
+def test_insert_maintenance_equals_recompute_random_splits(spark):
+    """skyline(skyline(A) ∪ B) == skyline(A ∪ B) for random 2D point sets
+    under several random base/delta splits — the transitivity identity the
+    skyline_insert_maintenance query rests on."""
+    rng = random.Random(7)
+    pts = [(k, rng.randrange(10), rng.randrange(10)) for k in range(240)]
+
+    def spark_skyline(rows):
+        df = spark.createDataFrame(
+            rows, "o_orderkey long, cents long, odate long"
+        )
+        local = _skyline_2d_pass(
+            df.repartition(5).withColumn("pid", F.spark_partition_id()), "pid"
+        ).drop("pid")
+        return sorted(
+            tuple(r)
+            for r in _skyline_2d_pass(local.withColumn("pid", F.lit(0)), "pid")
+            .drop("pid")
+            .collect()
+        )
+
+    full = spark_skyline(pts)
+    for cut in (0.2, 0.5, 0.8):
+        split = int(len(pts) * cut)
+        base, delta = pts[:split], pts[split:]
+        view = spark_skyline(base)  # the stored skyline view
+        maintained = spark_skyline(list(view) + delta)
+        assert maintained == full, f"cut={cut}"
