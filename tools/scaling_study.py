@@ -95,6 +95,13 @@ SYNTH_EXCLUDE = {
     # itself explodes ~45x per original doc — the problem changes, not the
     # scale (measured 339 s, all of it pair materialization)
     "allpairs_jaccard_prefix_join",
+    # the end-to-end composition built ON that pair set inherits the same
+    # artifact (pairs -> CC -> keep-best); measured once at 229 s (r10,
+    # AFTER the one-sided-candidates + size-filter optimization halved the
+    # pair stage) — all of it the ~45x pair-output explosion plus CC over
+    # the correspondingly denser near-dup graph. Real-scale decades are
+    # the informative rows.
+    "dedup_exact_jaccard_curation",
 }
 
 
@@ -254,7 +261,12 @@ def main() -> None:
         "same reason as minhash (SYNTH_EXCLUDE): x10 replication gives "
         "every doc 10 exact copies, so the >= 0.5 pair OUTPUT itself "
         "explodes ~45x per original document — measured 339 s, all of it "
-        "pair materialization; the problem changes, not the scale.\n"
+        "pair materialization; the problem changes, not the scale. The "
+        "end-to-end composition `dedup_exact_jaccard_curation` inherits "
+        "the identical artifact and skips likewise (measured once at "
+        "229 s in r10 — after the one-sided-candidate + size-filter "
+        "optimization halved the pair stage — all of it the pair "
+        "explosion plus CC over the correspondingly denser graph).\n"
         "- `hilbert_curve_values` pays ~4 s at sf0.1 for the 16-level "
         "conversion because higher-order aggregate lambdas are "
         "interpreted, not codegen'd (the loop form is mandatory — an "
