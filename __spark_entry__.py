@@ -35,25 +35,25 @@ _PRIORITY = [
     # slot lint-checked harness-safe via tools/check_oracle.py
     # --lint-window). Two blocks:
     #
-    # (1) The 20 queries with NO hash-green driver row yet: the 10
+    # (1) The 21 queries with NO hash-green driver row yet: the 10
     #     round-9 queries registered after that round's window, the
     #     repaired `incremental_agg_state_merge` (r9's one red row — the
     #     decimal-output hash defect, fixed in plans/sketch_ops.py and
     #     pinned by tests/test_oracle_gate.py), `lpa_communities_copurchase`
     #     (previously rows-only by construction; now GOLDEN-pinned, so
     #     this slot can flip the registry's weakest row hash-green —
-    #     VERDICT r9 #2's ask), and the 8 round-10 additions (exact-
+    #     VERDICT r9 #2's ask), and the 9 round-10 additions (exact-
     #     Jaccard end-to-end curation, sorted-neighborhood blocking,
     #     star-contraction CC, 3D skyline, Adamic-Adar link prediction,
     #     3-hop harmonic centrality, insert-maintained skyline,
-    #     MMR diversified top-k). A green block makes cumulative driver
+    #     MMR diversified top-k, semantic decontamination). A green block makes cumulative driver
     #     coverage complete again.
     #
-    # (2) FRESHNESS rotation: the 30 queries whose most recent hash-green
+    # (2) FRESHNESS rotation: the 29 queries whose most recent hash-green
     #     row is oldest (rounds 1–2) — regression-guarding re-proof of the
     #     earliest surface, per the COVERAGE.md governance policy (oldest
     #     evidence rotates in once closure is achieved).
-    # -- block 1: never-hash-green (20) --
+    # -- block 1: never-hash-green (21) --
     "incremental_agg_state_merge",
     "dedup_spans_suffix_array",
     "maximal_repeats_topk",
@@ -74,7 +74,8 @@ _PRIORITY = [
     "harmonic_centrality_3hop",
     "skyline_insert_maintenance",
     "similarity_mmr_topk",  # golden-pinned greedy trajectory
-    # -- block 2: oldest-evidence freshness rotation (30) --
+    "decontaminate_semantic_overlap",
+    # -- block 2: oldest-evidence freshness rotation (29) --
     "agg_bitwise_flags",
     "count_distinct_suppliers",
     "cube_lineitem_status",
@@ -104,7 +105,6 @@ _PRIORITY = [
     "dataset_split_leakage_safe",
     "dedup_embedding_cosine_pairs",
     "dedup_incremental_batch",
-    "dedup_keep_first",
 ]
 
 

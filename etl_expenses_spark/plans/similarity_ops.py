@@ -829,3 +829,65 @@ def similarity_mmr_topk(spark, sf_dir):
     # to a rescaled plain top-k
     emb = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     return mmr_diversified_topk(emb, _query_vec(spark, sf_dir), k=10, pool=100)
+
+
+@query(
+    "decontaminate_semantic_overlap",
+    oracle="""
+        WITH bench AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+        corpus AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 50),
+        sims AS (
+            SELECT c.vec_id,
+                   CAST(CAST(
+                       (SELECT SUM(CAST(c.embedding[i] AS DOUBLE)
+                                   * CAST(b.embedding[i] AS DOUBLE))
+                        FROM range(1, 65) r(i))
+                       / (SQRT((SELECT SUM(CAST(c.embedding[i] AS DOUBLE)
+                                           * CAST(c.embedding[i] AS DOUBLE))
+                                FROM range(1, 65) r(i)))
+                          * SQRT((SELECT SUM(CAST(b.embedding[i] AS DOUBLE)
+                                             * CAST(b.embedding[i] AS DOUBLE))
+                                  FROM range(1, 65) r(i))))
+                   AS DECIMAL(18,6)) AS DOUBLE) AS sim
+            FROM corpus c CROSS JOIN bench b)
+        SELECT vec_id,
+               MAX(sim) AS max_benchmark_sim,
+               MAX(sim) >= 0.30 AS is_contaminated
+        FROM sims
+        GROUP BY vec_id
+    """,
+    tags=("dedup", "decontamination", "similarity", "embedding"),
+)
+def decontaminate_semantic_overlap(spark, sf_dir):
+    """SEMANTIC benchmark decontamination — the embedding-space tier next
+    to the n-gram gate (`decontaminate_benchmark_overlap`): flag training
+    vectors whose max cosine against ANY held-out benchmark vector
+    (vec_id < 50 stands in for the eval set) reaches the near-dup
+    threshold. N-gram overlap catches verbatim leakage; the semantic tier
+    catches paraphrased/reformatted leakage — modern pipelines run both.
+
+    Plan: the benchmark side is SMALL by nature (an eval set), so it
+    broadcasts; the corpus streams through one broadcast nested-loop
+    against ≤ |bench| vectors with the JVM-side dot/norm expressions (no
+    corpus shuffle), then one per-vector max. Pairwise sims quantize to
+    1e-6 BEFORE the max in both engines (quantization is monotone, so
+    the max picks the same pair). At a larger benchmark the IVF/LSH ANN
+    tiers substitute for the brute probe — same output contract."""
+    e = T(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("vec_id") < 50).select(F.col("embedding").alias("b"))
+    corpus = e.filter(F.col("vec_id") >= 50).select("vec_id", "embedding")
+    from etl_expenses_spark.operators.similarity import cosine
+
+    sims = corpus.crossJoin(F.broadcast(bench)).select(
+        "vec_id",
+        cosine(F.col("embedding"), F.col("b"))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("sim"),
+    )
+    return sims.groupBy("vec_id").agg(
+        F.max("sim").alias("max_benchmark_sim"),
+        (F.max("sim") >= 0.30).alias("is_contaminated"),
+    )

@@ -51,6 +51,7 @@ def test_correctness_window_priority():
         "link_prediction_adamic_adar",
         "harmonic_centrality_3hop",
         "similarity_mmr_topk",
+        "decontaminate_semantic_overlap",
     }
     assert must <= set(window), must - set(window)
     # nothing silently dropped: priority reordering preserves the registry
