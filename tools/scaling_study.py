@@ -82,6 +82,14 @@ _EXTRA_SHAPES = [
     "shipments_in_transit_daily",      # interval-sweep concurrency
     "hilbert_curve_values",            # Hilbert layout key
     "ivm_lsh_index_cdc",               # CDC-maintained LSH index + delta probe
+    # round-10 non-headline operators:
+    "dedup_sorted_neighborhood",       # sorted-neighborhood blocking
+    "dedup_cluster_components_star",   # star-contraction CC
+    "link_prediction_adamic_adar",     # hub-discounting wedge scorer
+    "harmonic_centrality_3hop",        # bounded-hop BFS centrality
+    "skyline_insert_maintenance",      # IVM x skyline composition
+    "similarity_mmr_topk",             # MMR diversified top-k
+    "decontaminate_semantic_overlap",  # embedding decontamination gate
 ]
 QUERIES_ALL_SCALES = list(dict.fromkeys(list(HEADLINE) + _EXTRA_SHAPES))
 # Iterative / candidate-generation shapes whose synthetic-×10 run costs
@@ -102,6 +110,17 @@ SYNTH_EXCLUDE = {
     # the correspondingly denser near-dup graph. Real-scale decades are
     # the informative rows.
     "dedup_exact_jaccard_curation",
+    # uncapped wedge expansion over the x10-densified co-purchase graph —
+    # the same artifact the capped linkpred tier's 13,482x wedge-growth
+    # verdict documents, without the cap that makes it affordable; the
+    # capped tier is the synth-tier representative of the family
+    "link_prediction_adamic_adar",
+    # 3-hop frontier expansion over the same densified graph: the dist-2 /
+    # dist-3 tiers approach all-pairs of the giant dense component (the
+    # densification artifact, cubed) — does not finish in useful time at
+    # the synth tier; real-scale decades carry this operator's evidence,
+    # and its round count is capped by the RADIUS, not the data
+    "harmonic_centrality_3hop",
 }
 
 
