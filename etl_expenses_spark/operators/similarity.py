@@ -673,63 +673,71 @@ def mmr_diversified_topk(
     - POOL (distributed, the heavy part): exact cosine top-``pool``
       against the corpus — one scan ending in TakeOrdered, any of the
       ANN tiers can substitute at 100 TB.
-    - REFINE (bounded): k greedy rounds over the persisted pool-sized
-      relation; each round joins the pool against the ≤ k broadcast
-      selected vectors, takes max pairwise similarity per candidate, and
-      argmaxes the MMR score. Each round's job touches ``pool`` rows; the
-      driver receives exactly ONE row per round (the winner) — bounded by
-      construction, the skew-hot-key-list convention.
+    - REFINE (bounded, driver-side): the pool is ≤ ``pool`` rows BY
+      CONSTRUCTION (a top-N), so it collects under the bounded-collect
+      convention (IVF samples, skew hot-key lists) and the k greedy
+      rounds run as O(k·pool) local arithmetic — launching a Spark job
+      per argmax round would spend ~0.5 s of scheduling per microsecond
+      of math (the r10 rewrite; the prior per-round distributed argmax
+      measured 5-9 s of pure job overhead at EVERY scale).
 
     Determinism: relevance and pairwise similarities are quantized to
-    DECIMAL(18,6) (the cosine_topk convention), the MMR score is computed
-    in exact decimal integer arithmetic (λ = lam_num/lam_den applied as
+    DECIMAL(18,6) (the cosine_topk convention) — the driver-side cosine
+    reproduces the JVM expression bit-for-bit (same left-fold order in
+    doubles, same shortest-repr HALF_UP decimal rounding) — the MMR score
+    is exact decimal integer arithmetic (λ = lam_num/lam_den applied as
     rel·lam_num − sim·(lam_den−lam_num), monotone in the true score), and
     ties break on id — so the greedy trajectory is unique and the output
     golden-pins. Output: (rank, id, relevance, mmr_score)."""
-    from etl_expenses_spark.caching import tracked_persist
+    import decimal
 
     joined = embeddings.crossJoin(F.broadcast(query))
     rel = cosine(F.col(vec_col), F.col("q")).cast("decimal(18,6)")
-    pool_df = tracked_persist(
+    rows = (
         joined.select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
             rel.alias("rel"),
         )
         .orderBy(F.col("rel").desc(), "id")
         .limit(pool)
+        .collect()
     )
+
+    def _cos_q6(a: list, b: list) -> decimal.Decimal:
+        # bit-identical to cosine(...).cast("decimal(18,6)"): sequential
+        # left folds in doubles (operators.similarity.dot/norm), then the
+        # JVM's double->decimal cast = HALF_UP on the shortest repr
+        s = na = nb = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+            na += x * x
+            nb += y * y
+        c = s / (na ** 0.5 * nb ** 0.5)
+        return decimal.Decimal(repr(c)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+
     mu = lam_den - lam_num
-    picked = []  # (rank, id, rel, score) driver-side, ≤ k rows
-    sel_rows = []  # winner vectors, ≤ k
-    spark = embeddings.sparkSession
+    cand = {r["id"]: (list(r["v"]), r["rel"]) for r in rows}
+    best_ms: dict = {i: None for i in cand}  # max sim to selected so far
+    picked = []
     for rank in range(1, k + 1):
-        if not sel_rows:
-            scored = pool_df.select(
-                "id", "v", "rel", (F.col("rel") * lam_num).alias("score")
-            )
-        else:
-            sel = spark.createDataFrame(
-                [(r,) for r in sel_rows], f"sv array<float>"
-            )
-            sims = (
-                pool_df.crossJoin(F.broadcast(sel))
-                .select(
-                    "id", "v", "rel",
-                    cosine(F.col("v"), F.col("sv"))
-                    .cast("decimal(18,6)")
-                    .alias("ps"),
-                )
-                .groupBy("id", "v", "rel")
-                .agg(F.max("ps").alias("ms"))
-            )
-            scored = sims.select(
-                "id", "v", "rel",
-                (F.col("rel") * lam_num - F.col("ms") * mu).alias("score"),
-            )
-        w = scored.orderBy(F.col("score").desc(), "id").limit(1).collect()[0]
-        picked.append((rank, w["id"], float(w["rel"]), float(w["score"]) / lam_den))
-        sel_rows.append(list(w["v"]))
-        pool_df = pool_df.filter(F.col("id") != w["id"])
-    return spark.createDataFrame(
+        best = None
+        for i, (_, rel_i) in cand.items():
+            ms = best_ms[i]
+            score = rel_i * lam_num - (ms * mu if ms is not None else 0)
+            key = (-score, i)
+            if best is None or key < best[0]:
+                best = (key, i, rel_i, score)
+        _, wid, wrel, wscore = best
+        picked.append(
+            (rank, wid, float(wrel), float(wscore) / lam_den)
+        )
+        wvec, _ = cand.pop(wid)
+        for i, (v_i, _) in cand.items():  # fold the winner into the max-sims
+            ps = _cos_q6(v_i, wvec)
+            if best_ms[i] is None or ps > best_ms[i]:
+                best_ms[i] = ps
+    return embeddings.sparkSession.createDataFrame(
         picked, "rank int, vec_id long, relevance double, mmr_score double"
     )
