@@ -598,20 +598,24 @@ def adamic_adar_link_prediction(
     one hash aggregate sums the decimal terms, one left_anti removes
     known edges. Wedge-bound cost, no all-pairs stage."""
     adj = capped_adjacency(edges, max_degree)
-    deg = adj.groupBy("nbr").agg(F.count(F.lit(1)).alias("d"))
     nbrs = adj.groupBy("node").agg(F.sort_array(F.collect_set("nbr")).alias("ns"))
+    # deg(w) = size of the SAME neighbor array the wedges expand from —
+    # under a max_degree cap the adjacency is asymmetric, so a nbr-side
+    # count would disagree with the wedge-generating degree (and an inner
+    # join on it could silently drop wedges whose center never appears on
+    # the nbr side). Deriving d from ns keeps capped and uncapped calls
+    # consistent and removes the degree join entirely (ADVICE r10).
     wedges = nbrs.select(
         F.col("node").alias("w"),
+        F.size("ns").alias("d"),
         F.explode(
             F.expr(
                 "flatten(transform(ns, (x, i) -> transform("
                 "slice(ns, i + 2, size(ns)), y -> struct(x AS u, y AS v))))"
             )
         ).alias("p"),
-    ).select("w", "p.u", "p.v")
-    terms = wedges.join(
-        deg.select(F.col("nbr").alias("w"), "d"), "w"
-    ).withColumn(
+    ).select("w", "d", "p.u", "p.v")
+    terms = wedges.withColumn(
         "t",
         (F.lit(1.0) / F.log(F.col("d").cast("double"))).cast("decimal(18,9)"),
     )

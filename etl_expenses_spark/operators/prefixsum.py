@@ -162,6 +162,27 @@ def pps_sample_stratified(
     return j.withColumn("n_picks", picks).filter(F.col("n_picks") >= 1).drop("__step")
 
 
+def utf8_prefix_bucket(col: Column, nbytes: int = 2) -> Column:
+    """Monotone bucket for a STRING sort key: the first ``nbytes`` UTF-8
+    bytes read as a big-endian integer. Spark orders strings by unsigned
+    byte-wise comparison of their UTF-8 encoding, so this is exactly
+    non-decreasing in the string order for ANY code point — unlike
+    ``ascii(substring(k,i,1))``, which returns the full code point of a
+    multi-byte character (ascii('中') = 20013 > 255) and breaks the
+    monotone-bucket contract distributed_cumsum/distributed_rank require
+    (ADVICE r10). Missing bytes pad as 0x00 (hex rpad), matching
+    "a shorter prefix sorts first"; '' maps to bucket 0."""
+    return F.conv(
+        F.rpad(
+            F.hex(F.substring(F.encode(col, "UTF-8"), 1, nbytes)),
+            2 * nbytes,
+            "0",
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
 def distributed_rank(
     df: DataFrame,
     order_col: str | list[str],

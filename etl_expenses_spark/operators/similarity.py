@@ -722,6 +722,8 @@ def mmr_diversified_topk(
     best_ms: dict = {i: None for i in cand}  # max sim to selected so far
     picked = []
     for rank in range(1, k + 1):
+        if not cand:  # pool smaller than k: return the short result
+            break     # rather than unpacking a None best (ADVICE r10)
         best = None
         for i, (_, rel_i) in cand.items():
             ms = best_ms[i]

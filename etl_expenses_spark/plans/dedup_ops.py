@@ -1863,14 +1863,16 @@ def dedup_sorted_neighborhood(spark, sf_dir):
         F.lower(F.substring("text", 1, 20)).alias("k"),
         F.array_distinct(shingles_of_tokens(tokens(F.col("text")), 3)).alias("s"),
     )
-    from etl_expenses_spark.operators.prefixsum import distributed_rank
+    from etl_expenses_spark.operators.prefixsum import (
+        distributed_rank,
+        utf8_prefix_bucket,
+    )
 
-    # bucket = first two bytes of the sort key: monotone in k (the
-    # distributed_cumsum contract); per-bucket window partitions stay
-    # bounded by the key-prefix histogram. ascii('') = 0 handles empties.
-    bucket = (
-        F.ascii(F.substring("k", 1, 1)) * 256 + F.ascii(F.substring("k", 2, 1))
-    ).cast("long")
+    # bucket = first two UTF-8 BYTES of the sort key, big-endian —
+    # exactly monotone under Spark's byte-wise string ordering for ANY
+    # code point (ADVICE r10: the previous ascii()-based bucket broke on
+    # multi-byte characters). See utf8_prefix_bucket's docstring.
+    bucket = utf8_prefix_bucket(F.col("k"))
     ranked = tracked_persist(
         distributed_rank(docs, ["k", "doc_id"], bucket, out_col="gr")
     )

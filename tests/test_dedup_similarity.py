@@ -453,3 +453,25 @@ def test_mmr_matches_numpy_greedy_and_diversifies(spark):
         return sum(sims) / len(sims)
 
     assert mean_pair_sim(got_ids) < mean_pair_sim(plain)
+
+
+def test_mmr_pool_smaller_than_k_returns_short_result(spark):
+    """ADVICE r10: when the corpus (hence the collected pool) has fewer
+    than k rows, the greedy loop must stop cleanly with a short result
+    instead of unpacking a None best."""
+    from pyspark.sql import functions as F
+
+    from etl_expenses_spark.operators.similarity import mmr_diversified_topk
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame([([1.0, 0.0, 0.0],)], "q array<double>")
+    out = mmr_diversified_topk(emb, q, k=10, pool=100).collect()
+    assert [r.rank for r in out] == [1, 2, 3]
+    assert {r.vec_id for r in out} == {1, 2, 3}

@@ -17,7 +17,7 @@ def test_correctness_window_priority():
     rotation (COVERAGE.md governance): block 1 = every query with no
     hash-green driver row yet (the 10 post-window r9 registrations, the
     repaired incremental_agg_state_merge, the newly golden-pinned LPA
-    summary, and the 8 round-10 additions); block 2 = the 30
+    summary, and the 9 round-10 additions — 21 slots); block 2 = the 29
     oldest-evidence queries (last green r1-r2). Every slot must have an
     oracle (golden or declarative) — rows-only slots can only ever record
     err:no_oracle and are banned from the window (VERDICT r9 #2)."""

@@ -177,3 +177,33 @@ def test_pps_stratified_partition_invariance_and_budget(spark):
     assert len(per_source) == n_sources
     for src, total in per_source.items():
         assert k <= total <= k + 3, (src, total)
+
+
+def test_utf8_prefix_bucket_monotone_on_non_ascii(spark):
+    """ADVICE r10: the sorted-neighborhood bucket must be monotone under
+    Spark's byte-wise string ordering even for multi-byte code points —
+    the old ascii()-based bucket ranked 'a中' AFTER 'b0'. distributed_rank
+    with utf8_prefix_bucket must reproduce a global ORDER BY exactly."""
+    from etl_expenses_spark.operators.prefixsum import (
+        distributed_rank,
+        utf8_prefix_bucket,
+    )
+
+    keys = [
+        "", "a", "a中x", "b0", "añejo", "Ω", "日本語", "zz", "\x01ctl",
+        "ab", "aé", "a߿", "a￿", "中", "中z",
+    ]
+    df = spark.createDataFrame([(k, i) for i, k in enumerate(keys)], "k string, i long")
+    ranked = distributed_rank(
+        df.repartition(7), ["k", "i"], utf8_prefix_bucket(F.col("k")), out_col="gr"
+    )
+    got = [r.k for r in ranked.orderBy("gr").collect()]
+    want = [r.k for r in df.orderBy("k", "i").collect()]
+    assert got == want
+    # and the bucket itself is non-decreasing along the sorted order
+    bks = (
+        df.select("k", utf8_prefix_bucket(F.col("k")).alias("b"))
+        .orderBy("k")
+        .collect()
+    )
+    assert all(bks[j].b <= bks[j + 1].b for j in range(len(bks) - 1))

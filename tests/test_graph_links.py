@@ -497,3 +497,55 @@ def test_ktruss_uncapped_hub_guard(spark):
         ktruss_edges(hub, 3, degree_guard=5)
     got = ktruss_edges(hub, 3, degree_guard=5, max_degree=5).collect()
     assert got == []  # a star has no triangles at any cap
+
+
+def _aa_replica(adj_rows):
+    """From-first-principles Adamic-Adar over a COLLECTED (node, nbr)
+    adjacency: wedges from each node's sorted neighbor set, center weight
+    1/ln(|ns|) quantized to DECIMAL(18,9) before the exact decimal sum —
+    the operator's documented semantics."""
+    import decimal
+    from collections import defaultdict
+
+    ns = defaultdict(set)
+    for node, nbr in adj_rows:
+        ns[node].add(nbr)
+    acc = defaultdict(lambda: [0, decimal.Decimal(0)])
+    for w, s in ns.items():
+        t = decimal.Decimal(repr(1.0 / __import__("math").log(len(s)))).quantize(
+            decimal.Decimal("0.000000001"), rounding=decimal.ROUND_HALF_UP
+        )
+        srt = sorted(s)
+        for x in range(len(srt)):
+            for y in range(x + 1, len(srt)):
+                acc[(srt[x], srt[y])][0] += 1
+                acc[(srt[x], srt[y])][1] += t
+    return acc
+
+
+def test_adamic_adar_capped_degree_consistent_with_wedges(spark):
+    """ADVICE r10: with max_degree set the capped adjacency is asymmetric;
+    deg(w) must come from the SAME neighbor array that generated the
+    wedges (not a nbr-side count, whose inner join could also silently
+    drop centers). Pin capped output == replica computed from the capped
+    adjacency itself, and uncapped output == replica of the full graph."""
+    from etl_expenses_spark.operators.graph import (
+        adamic_adar_link_prediction,
+        capped_adjacency,
+    )
+
+    edges = _edges_df(spark, _planted_graph(), num_partitions=5)
+    for cap in (None, 3):
+        adj = capped_adjacency(edges, cap)
+        acc = _aa_replica([(r.node, r.nbr) for r in adj.collect()])
+        known = {(a, b) for a, b in _planted_graph()}
+        want = sorted(
+            (u, v, c, float(s))
+            for (u, v), (c, s) in acc.items()
+            if c >= 2 and (u, v) not in known
+        )
+        got = sorted(
+            (r.pa, r.pb, r.n_common_neighbors, r.aa_score)
+            for r in adamic_adar_link_prediction(edges, max_degree=cap).collect()
+        )
+        assert got == want, f"cap={cap}: {got} != {want}"
