@@ -112,6 +112,57 @@ def _hilbert_step(a, i):
     return F.struct(nx.alias("x"), ny.alias("y"), nd.alias("d"))
 
 
+def hilbert_key_numpy(x, y, bits: int = 16):
+    """``hilbert_key``'s bit math vectorized over whole numpy arrays —
+    the fast twin. The expression form must run the 16-level loop as a
+    higher-order ``aggregate`` (an unrolled tree OOMs the analyzer), and
+    higher-order lambdas are INTERPRETED per row, not codegen'd — measured
+    4.45 s at sf0.1 with a 6x scaling step (VERDICT r10 #3). Here the same
+    quadrant-rotation recurrence runs ``bits`` numpy passes over the whole
+    column: O(bits) vectorized ops total, independent of codegen. Exact
+    int64 arithmetic — bit-identical to ``hilbert_key`` and to the
+    ``hilbert_key_sql`` oracle (both are pinned by tests)."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.int64).copy()
+    y = np.asarray(y, dtype=np.int64).copy()
+    d = np.zeros_like(x)
+    for i in range(bits - 1, -1, -1):
+        s = np.int64(1) << np.int64(i)
+        rx = ((x & s) != 0).astype(np.int64)
+        ry = ((y & s) != 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        nx = np.where(swap, np.where(flip, s - 1 - y, y), x)
+        ny = np.where(swap, np.where(flip, s - 1 - x, x), y)
+        x, y = nx, ny
+    return d
+
+
+def with_hilbert_key(df, x, y, bits: int = 16, out_col: str = "hval"):
+    """Append a Hilbert-curve key column via Arrow-batched mapInPandas
+    running ``hilbert_key_numpy`` over each batch — the scale path for
+    query/layout use. Narrow (no shuffle): each task keys its own batches;
+    cost is one Arrow roundtrip of the projected columns plus O(bits)
+    numpy passes. ``x``/``y`` are Columns (already bucketed/masked to
+    ``bits`` bits by the caller, matching ``hilbert_key``'s contract)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    tx, ty = "__hkx", "__hky"
+    base = df.withColumn(tx, x.cast("long")).withColumn(ty, y.cast("long"))
+    schema = StructType(base.schema.fields + [StructField(out_col, LongType())])
+
+    def gen(batches):
+        for pdf in batches:
+            pdf[out_col] = hilbert_key_numpy(
+                pdf[tx].to_numpy(), pdf[ty].to_numpy(), bits
+            )
+            yield pdf
+
+    return base.mapInPandas(gen, schema=schema).drop(tx, ty)
+
+
 def hilbert_key_sql(x: str, y: str, bits: int = 16) -> str:
     """The identical Hilbert conversion as a SQL CTE chain (oracle twin).
 

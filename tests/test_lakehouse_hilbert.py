@@ -95,3 +95,35 @@ def test_write_hilbert_spans_non_inferior_to_zorder(spark, tmp_path):
     h = norm_span_sum(str(tmp_path / "h"))
     assert h <= z * 1.05, (h, z)
     assert h < 2.0  # both dims cluster: sum of two normalized spans < max
+
+
+def test_hilbert_numpy_twin_bit_identical_to_expression(spark):
+    """The Arrow/numpy fast path (hilbert_key_numpy / with_hilbert_key,
+    VERDICT r10 #3) must agree bit-for-bit with the expression form on
+    the full 16-bit domain boundary cases and a dense 64x64 grid."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from etl_expenses_spark.functions.ids import (
+        hilbert_key,
+        hilbert_key_numpy,
+        with_hilbert_key,
+    )
+
+    n = 64
+    pts = [(x, y) for x in range(n) for y in range(n)]
+    pts += [(65535, 65535), (65535, 0), (0, 65535), (32768, 32767)]
+    df = spark.createDataFrame(pts, "x long, y long").repartition(5)
+    expr = {
+        (r.x, r.y): r.hd
+        for r in df.withColumn("hd", hilbert_key("x", "y", 16)).collect()
+    }
+    fast = {
+        (r.x, r.y): r.hval
+        for r in with_hilbert_key(df, F.col("x"), F.col("y"), bits=16).collect()
+    }
+    assert fast == expr
+    xs = np.array([p[0] for p in pts])
+    ys = np.array([p[1] for p in pts])
+    local = hilbert_key_numpy(xs, ys, 16)
+    assert [expr[p] for p in pts] == list(local)
