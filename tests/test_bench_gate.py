@@ -305,3 +305,45 @@ def test_format_outputs_drops_query_map_before_overflowing():
     assert parsed["queries"] == "see BENCH_DETAIL.json"
     assert parsed["value"] == round(sum(timings.values()), 4)
     assert detail["queries"] == timings  # full map still in the detail file
+
+
+def test_bench_compare_day_effect_normalization(tmp_path):
+    """VERDICT r10 #1: per-query regression verdicts are judged relative
+    to the run-pair's day effect (median ratio over shared queries
+    >= 0.75s) with an absolute floor — a uniform 1.3x host-drift run must
+    produce ZERO flagged regressions, while a genuine 2x outlier on top
+    of the drift is still flagged."""
+    import json
+    import subprocess
+    import sys
+
+    old = {
+        "metric": "headline_queries_total", "value": 0, "unit": "sec",
+        "queries": {f"q{i}": 1.0 + i * 0.1 for i in range(10)},
+        "sf": 0.1, "loadavg_start": 0.5, "ext_cores_max": 0.1,
+    }
+    # uniform 1.3x drift + one real 2x regression on q3
+    newq = {k: round(v * 1.3, 3) for k, v in old["queries"].items()}
+    drift = dict(old, queries=newq, value=sum(newq.values()))
+    real = dict(newq)
+    real["q3"] = round(old["queries"]["q3"] * 2.0 * 1.3, 3)
+    regressed = dict(old, queries=real, value=sum(real.values()))
+
+    a, b, c = tmp_path / "a.json", tmp_path / "b.json", tmp_path / "c.json"
+    a.write_text(json.dumps(old))
+    b.write_text(json.dumps(drift))
+    c.write_text(json.dumps(regressed))
+    tool = os.path.join(os.path.dirname(bench.__file__), "tools", "bench_compare.py")
+
+    out1 = subprocess.run(
+        [sys.executable, tool, str(a), str(b)], capture_output=True, text=True
+    ).stdout
+    assert "regressions" not in out1, out1  # pure drift: nothing flagged
+    assert "1.30x" in out1  # and the day effect is reported
+
+    out2 = subprocess.run(
+        [sys.executable, tool, str(a), str(c)], capture_output=True, text=True
+    ).stdout
+    assert "q3" in out2 and "regressions" in out2, out2
+    flagged = [ln for ln in out2.splitlines() if ln.strip().startswith("q")]
+    assert len(flagged) == 1, out2  # only the genuine outlier

@@ -5,7 +5,21 @@ wrapper (whose ``tail`` embeds the JSON line). Prints shared-set totals,
 the per-query deltas beyond a threshold, and the load-average context if
 present (a shared host can move every number 2-6x — see BENCH loadavg_1m).
 
-Usage: python tools/bench_compare.py OLD NEW [--threshold 0.2]
+Day-effect normalization (VERDICT r10 #1): two clean runs of IDENTICAL
+code measure 5-10% apart whole-run (host/JVM day drift — r11 measured
+the same commit at 79.3 s and 90.2 s on different days, both at
+ext_cores_max < 0.4), and individual iterative-BSP queries drift up to
+25% run-to-run. Raw per-query ratios therefore mix three signals: code,
+day, and per-query noise. This tool separates them: the MEDIAN ratio
+across shared queries estimates the day effect (a code change rarely
+moves the median of ~57 mostly-untouched queries), each query's ratio is
+judged RELATIVE to that median, and deltas under an absolute floor
+(--floor, default 0.3 s) are ignored as scheduling noise. Queries still
+flagged after normalization are candidates for the N=5 protocol
+(tools/bench_remeasure.py), which brackets the query's own clean-run
+band before any regression verdict.
+
+Usage: python tools/bench_compare.py OLD NEW [--threshold 0.2] [--floor 0.3]
 """
 
 from __future__ import annotations
@@ -38,17 +52,35 @@ def load(path: str) -> dict:
 
 
 def main() -> int:
+    import statistics
+
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     thr = 0.2
+    floor = 0.3
     for a in sys.argv[1:]:
         if a.startswith("--threshold"):
             thr = float(a.split("=", 1)[1]) if "=" in a else thr
+        if a.startswith("--floor"):
+            floor = float(a.split("=", 1)[1]) if "=" in a else floor
     old, new = load(args[0]), load(args[1])
     oq, nq = old["queries"], new["queries"]
     shared = sorted(set(oq) & set(nq))
     ot, nt = sum(oq[k] for k in shared), sum(nq[k] for k in shared)
     print(f"shared {len(shared)} queries: {ot:.2f}s -> {nt:.2f}s "
           f"({nt / ot:.2f}x)" if ot else "no shared queries")
+    # day effect = median per-query ratio across the shared set, estimated
+    # over queries >= 0.75 s only: driver BENCH records round to 1 decimal,
+    # so a 0.3 s query's ratio quantizes to 1.00/1.33/0.67 — the sub-second
+    # majority would pin the median to exactly 1.0 and hide a uniform
+    # 5-10% drift that the mid-sized queries show plainly
+    sizable = [k for k in shared if oq[k] >= 0.75]
+    day = (
+        statistics.median(nq[k] / oq[k] for k in sizable)
+        if sizable else 1.0
+    )
+    print(f"day-effect estimate (median ratio over {len(sizable)} shared "
+          f"queries >= 0.75s): {day:.2f}x — per-query deltas are judged "
+          f"relative to this")
     contaminated = False
     for tag, d in (("old", old), ("new", new)):
         start = d.get("loadavg_start")
@@ -74,17 +106,30 @@ def main() -> int:
               "contention; per-query deltas would be load artifacts, not "
               "code changes. Re-run the contaminated side on an idle host.")
         return 2
-    worse = [(k, oq[k], nq[k]) for k in shared if nq[k] > oq[k] * (1 + thr)]
-    better = [(k, oq[k], nq[k]) for k in shared if nq[k] < oq[k] * (1 - thr)]
+    # normalized per-query verdicts: ratio relative to the day effect,
+    # with an absolute floor (sub-floor deltas are scheduling noise on
+    # short queries no matter the ratio)
+    worse = [
+        (k, oq[k], nq[k]) for k in shared
+        if nq[k] > oq[k] * day * (1 + thr) and nq[k] - oq[k] * day > floor
+    ]
+    better = [
+        (k, oq[k], nq[k]) for k in shared
+        if nq[k] < oq[k] * day * (1 - thr) and oq[k] * day - nq[k] > floor
+    ]
     only_new = sorted(set(nq) - set(oq))
     if worse:
-        print(f"\nregressions (> {thr:.0%}):")
+        print(f"\nregressions (> {thr:.0%} beyond day effect, > {floor}s):")
         for k, a, b in sorted(worse, key=lambda t: t[2] / t[1], reverse=True):
-            print(f"  {k:40s} {a:7.3f} -> {b:7.3f}  x{b / a:.2f}")
+            print(f"  {k:40s} {a:7.3f} -> {b:7.3f}  x{b / a:.2f} "
+                  f"(x{b / (a * day):.2f} day-adjusted)")
+        print("  ^ before calling these code regressions, band them with "
+              "tools/bench_remeasure.py --n=5")
     if better:
-        print(f"\nimprovements (> {thr:.0%}):")
+        print(f"\nimprovements (> {thr:.0%} beyond day effect, > {floor}s):")
         for k, a, b in sorted(better, key=lambda t: t[2] / t[1]):
-            print(f"  {k:40s} {a:7.3f} -> {b:7.3f}  x{b / a:.2f}")
+            print(f"  {k:40s} {a:7.3f} -> {b:7.3f}  x{b / a:.2f} "
+                  f"(x{b / (a * day):.2f} day-adjusted)")
     if only_new:
         print("\nnew queries: " + ", ".join(f"{k} ({nq[k]:.2f}s)" for k in only_new))
     return 0
