@@ -417,15 +417,43 @@ def count_distinct_suppliers(spark, sf_dir):
     )
 
 
-@query("approx_count_distinct_parts", oracle=None, tags=("agg", "approx", "rows_only"))
+@query(
+    "approx_count_distinct_parts",
+    # Computed BOUND-CHECK oracle (r11, VERDICT r10 #2 — replaces the
+    # golden literal): the sketch estimate itself is implementation-
+    # defined, so the query emits the exact distinct count (independently
+    # computable) plus whether the HLL++ estimate landed within 5x its
+    # configured 1% relative standard deviation — a semantic guarantee
+    # DuckDB can predict TRUE for, rather than a pinned magic number.
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact_parts,
+               TRUE AS approx_within_5pct
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx"),
+)
 def approx_count_distinct_parts(spark, sf_dir):
-    """HLL++ sketch — the scale path for COUNT(DISTINCT) (single pass, no
-    shuffle explosion). No SQL oracle: sketch estimates are
-    implementation-defined; driver checks rows-only."""
+    """HLL++ sketch vs exact COUNT(DISTINCT) in one pass — the scale path
+    for distinct counting (single pass, no shuffle explosion) checked
+    against its own ground truth: output carries the exact count and a
+    boolean pinning the estimate within 5% of it (5x the configured 1%
+    rsd — a deterministic fact on fixed data, so the oracle computes the
+    exact count and predicts TRUE). At 100 TB you drop the exact column
+    and keep the sketch; here the pair IS the correctness evidence."""
+    approx = F.approx_count_distinct("l_partkey", 0.01)
+    exact = F.count_distinct("l_partkey").cast("bigint")
     return (
         T(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"))
+        .agg(
+            exact.alias("n_exact_parts"),
+            (
+                F.abs(approx.cast("double") - exact.cast("double"))
+                <= F.lit(0.05) * exact.cast("double")
+            ).alias("approx_within_5pct"),
+        )
     )
 
 

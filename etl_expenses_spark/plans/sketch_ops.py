@@ -484,8 +484,64 @@ def link_prediction_jaccard_capped(spark, sf_dir):
     return jaccard_link_prediction(edges, max_degree=_LINKPRED_DEGREE_CAP)
 
 
+# Shared prefix of the graph-family computed oracles (r11, VERDICT r10
+# #2): the co-purchase edge construction in DuckDB SQL, identical to
+# _copurchase_edges + the two adjacency tiers of operators/graph.py.
+_EDGES_SQL = """
+        prs AS (
+            SELECT DISTINCT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        edges0 AS (
+            SELECT pa, pb FROM prs GROUP BY pa, pb HAVING COUNT(*) >= 2),
+"""
+
+# h-index BSP replayed as a recursive CTE: the working table carries the
+# previous round's estimates; the self-row trick (is_self=1) reads each
+# node's own estimate through the same single join that collects its
+# neighbors' values; the h-index itself is a list lambda (sort desc,
+# count positions where value >= 1-based rank — DuckDB's (x, i) index
+# lambda). Core numbers are an order-independent fixpoint and the
+# iteration is monotone non-increasing, so running the full round budget
+# (50, Spark raises beyond it) reproduces Spark's early-stop exactly.
+_KCORE_SQL = """
+        adj2 AS (
+            SELECT node, nbr, 0 AS is_self FROM sym
+            UNION ALL
+            SELECT DISTINCT node, node, 1 AS is_self FROM sym),
+        est(h, node, c) AS (
+            SELECT 0, node, COUNT(*) FILTER (WHERE is_self = 0)
+            FROM adj2 GROUP BY node
+            UNION ALL
+            SELECT h, node,
+                   LEAST(old_c, len(list_filter(list_sort(cs, 'DESC'),
+                                                (x, i) -> x >= i))) AS c
+            FROM (
+                SELECT e.h + 1 AS h, a.node AS node,
+                       MAX(CASE WHEN a.is_self = 1 THEN e.c END) AS old_c,
+                       list(e.c) FILTER (WHERE a.is_self = 0) AS cs
+                FROM adj2 a JOIN est e ON a.nbr = e.node
+                GROUP BY 1, 2
+            )
+            WHERE h <= 50
+        )
+        SELECT CAST(c AS BIGINT) AS core,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(MIN(node) AS BIGINT) AS min_node,
+               CAST(MAX(node) AS BIGINT) AS max_node
+        FROM est WHERE h = 50
+        GROUP BY c ORDER BY core
+"""
+
+
 @query(
     "kcore_copurchase",
+    oracle="WITH RECURSIVE " + _EDGES_SQL + """
+        sym AS (
+            SELECT pa AS node, pb AS nbr FROM edges0
+            UNION
+            SELECT pb AS node, pa AS nbr FROM edges0),
+    """ + _KCORE_SQL,
     tags=("graph", "kcore"),
 )
 def kcore_copurchase(spark, sf_dir):
@@ -493,9 +549,12 @@ def kcore_copurchase(spark, sf_dir):
     decomposition (operators/graph.py kcore_decomposition — Montresor
     h-index BSP, one shuffle per round, exact at convergence), aggregated
     to (core, n_nodes, min_node, max_node) so the output is a stable
-    handful of rows. Rows-only + golden-pinned: peeling is iterative and
-    outside ANSI SQL's recursive-CTE semantics; semantic correctness
-    (vs literal sequential peeling) is pinned in tests/test_graph_links.py."""
+    handful of rows. Since r11 the oracle is a COMPUTED DuckDB recursive
+    CTE running the identical h-index iteration (core numbers are an
+    order-independent fixpoint, so the fixed 50-round budget reproduces
+    Spark's early-stop exactly) — the golden pin retired (VERDICT r10
+    #2). Semantic correctness vs literal sequential peeling additionally
+    pinned in tests/test_graph_links.py."""
     from etl_expenses_spark.operators.graph import kcore_decomposition
 
     edges = _copurchase_edges(spark, sf_dir)
@@ -511,8 +570,29 @@ def kcore_copurchase(spark, sf_dir):
     )
 
 
+# Mutual-capped adjacency in DuckDB: per-node hash-lowest cap (the same
+# Knuth multiplicative key as operators/graph._hash_rank_col), then an
+# edge survives only if BOTH directions kept it.
+_CAPPED_SYM_SQL = """
+        adjall AS (
+            SELECT pa AS node, pb AS nbr FROM edges0
+            UNION ALL
+            SELECT pb AS node, pa AS nbr FROM edges0),
+        adjc AS (
+            SELECT node, nbr FROM adjall
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY node
+                ORDER BY (nbr % 1000003) * 2654435761 % 4294967296, nbr
+            ) <= 64),
+        sym AS (
+            SELECT a.node, a.nbr FROM adjc a
+            JOIN adjc b ON a.node = b.nbr AND a.nbr = b.node),
+"""
+
+
 @query(
     "kcore_copurchase_capped",
+    oracle="WITH RECURSIVE " + _EDGES_SQL + _CAPPED_SYM_SQL + _KCORE_SQL,
     tags=("graph", "kcore", "skew"),
 )
 def kcore_copurchase_capped(spark, sf_dir):
@@ -525,8 +605,9 @@ def kcore_copurchase_capped(spark, sf_dir):
     kcore_decomposition(max_degree=...)), bounding per-node state, the
     initial estimates, and the rounds at the cap. Core numbers lower-bound
     the exact ones and equal them when the cap clears the max degree
-    (pinned in tests/test_graph_links.py). Rows-only + golden-pinned, like
-    the uncapped query."""
+    (pinned in tests/test_graph_links.py). Since r11 the oracle is the
+    same computed h-index recursive CTE as the uncapped query, over the
+    DuckDB replica of the mutual-capped adjacency (golden pin retired)."""
     from etl_expenses_spark.operators.graph import kcore_decomposition
 
     edges = _copurchase_edges(spark, sf_dir)
@@ -650,20 +731,79 @@ def bitmap_sliding_7d_users(spark, sf_dir):
 
 @query(
     "lpa_communities_copurchase",
+    # INDEPENDENT computed oracle (r11, VERDICT r10 #2 — replaces the r10
+    # golden pin): the parity-scheduled min-tie-break LPA evolution is a
+    # bounded recursion, and DuckDB's recursive-CTE working table IS the
+    # half-sweep state carry. One recursive reference suffices: the
+    # adjacency is augmented with a self-row per node (is_self=1) so each
+    # sweep reads both the neighbor votes AND the node's own old label
+    # from a single join against the previous half's labels; the
+    # most-frequent-smallest-label argmax is an encoded-key MIN
+    # (nlab - cnt*2^40 orders by count desc, then label asc; decoded by
+    # integer division). Early-stop parity with Spark is exact because a
+    # stable even+odd cycle is a fixed point — running all 2*max_cycles=16
+    # half-sweeps yields identical labels to stopping early.
+    oracle="""
+        WITH RECURSIVE
+        prs AS (
+            SELECT DISTINCT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        edges AS (
+            SELECT pa, pb FROM prs GROUP BY pa, pb HAVING COUNT(*) >= 2),
+        sym AS (
+            SELECT pa AS node, pb AS nbr FROM edges
+            UNION
+            SELECT pb AS node, pa AS nbr FROM edges),
+        nds AS (SELECT DISTINCT node FROM sym),
+        adj2 AS (
+            SELECT node, nbr, 0 AS is_self FROM sym
+            UNION ALL
+            SELECT node, node, 1 AS is_self FROM nds),
+        lab(h, node, lab) AS (
+            SELECT 0, node, CAST(node AS BIGINT) FROM nds
+            UNION ALL
+            SELECT h, node,
+                   CASE WHEN (node % 2) = ((h - 1) % 2) AND bk IS NOT NULL
+                        THEN bk + ((-bk + 1099511627775) // 1099511627776)
+                                  * 1099511627776
+                        ELSE old_lab END AS lab
+            FROM (
+                SELECT h, node,
+                       MAX(CASE WHEN has_self = 1 THEN nlab END) AS old_lab,
+                       MIN(CASE WHEN cnt > 0
+                                THEN nlab - cnt * 1099511627776 END) AS bk
+                FROM (
+                    SELECT l.h + 1 AS h, a.node AS node, l.lab AS nlab,
+                           COUNT(*) FILTER (WHERE a.is_self = 0) AS cnt,
+                           MAX(a.is_self) AS has_self
+                    FROM adj2 a JOIN lab l ON a.nbr = l.node
+                    GROUP BY 1, 2, 3
+                ) GROUP BY h, node
+            )
+            WHERE h <= 16
+        )
+        SELECT CAST(lab AS BIGINT) AS community,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(MIN(node) AS BIGINT) AS min_node,
+               CAST(MAX(node) AS BIGINT) AS max_node
+        FROM lab WHERE h = 16
+        GROUP BY lab ORDER BY community
+    """,
     tags=("graph", "communities", "lpa"),
 )
 def lpa_communities_copurchase(spark, sf_dir):
     """Communities of the co-purchase graph by label propagation
     (operators/graph.py lpa_communities — parity-scheduled, min-tie-break,
     budget-capped; deterministic across runs/partitionings/engines),
-    aggregated to (community, n_nodes, min_node, max_node). Golden-pinned
-    like the other iterative graph queries (r10 — previously the
-    registry's one rows-only row, which could never be driver-hash-green;
-    VERDICT r9 #2): LPA has no relational oracle (its output is defined by
-    the schedule), so the semantics are pinned by
-    tests/test_graph_links.py (cliques keep their own label, bridges don't
-    merge them, partitioning-invariance) and the golden pins the concrete
-    assignment."""
+    aggregated to (community, n_nodes, min_node, max_node). Since r11 the
+    oracle is a COMPUTED DuckDB recursive CTE replaying the identical
+    parity-scheduled evolution (16 half-sweeps; a stable cycle is a fixed
+    point, so the fixed sweep budget reproduces Spark's early-stop
+    exactly) — the r10 golden pin retired (VERDICT r10 #2). Semantics
+    remain additionally pinned by tests/test_graph_links.py (cliques keep
+    their own label, bridges don't merge them,
+    partitioning-invariance)."""
     from etl_expenses_spark.operators.graph import lpa_communities
 
     edges = _copurchase_edges(spark, sf_dir)
@@ -679,8 +819,52 @@ def lpa_communities_copurchase(spark, sf_dir):
     )
 
 
+# 3-truss support peeling replayed as a recursive CTE (r11, VERDICT r10
+# #2): state = the surviving edge set; an edge survives a round iff it
+# closes >= 1 triangle within the CURRENT set (k=3 => min_support=1, so
+# survival is a pure EXISTS — no counting needed). The k-truss is the
+# unique maximal fixpoint (peeling order never changes it) and batch
+# peeling is monotone, so the fixed 30-round budget (Spark's max_rounds)
+# reproduces Spark's early-stop exactly. A NULL sentinel row rides every
+# level so the recursion reaches round 30 even if the truss empties.
+_KTRUSS_SQL = """
+        e(h, lo, hi) AS (
+            SELECT 0, lo, hi FROM canon
+            UNION ALL
+            SELECT 0, NULL, NULL
+            UNION ALL
+            SELECT * FROM (
+                WITH s AS (
+                    SELECT h, lo AS a, hi AS b FROM e WHERE lo IS NOT NULL
+                    UNION ALL
+                    SELECT h, hi AS a, lo AS b FROM e WHERE lo IS NOT NULL)
+                SELECT e1.h + 1 AS h, e1.lo, e1.hi
+                FROM e e1
+                WHERE e1.lo IS NOT NULL AND EXISTS (
+                    SELECT 1 FROM s s2 JOIN s s3 ON s3.b = s2.b
+                    WHERE s2.a = e1.lo AND s3.a = e1.hi)
+                UNION ALL
+                SELECT DISTINCT h + 1, NULL, NULL FROM e
+            ) WHERE h <= 30
+        )
+        SELECT CAST(COUNT(*) FILTER (WHERE lo IS NOT NULL) AS BIGINT)
+                   AS n_edges,
+               CAST(MIN(lo) AS BIGINT) AS min_node,
+               CAST(MAX(hi) AS BIGINT) AS max_node,
+               (SELECT CAST(COUNT(DISTINCT n) AS BIGINT) FROM (
+                    SELECT lo AS n FROM e WHERE h = 30 AND lo IS NOT NULL
+                    UNION ALL
+                    SELECT hi FROM e WHERE h = 30 AND lo IS NOT NULL))
+                   AS n_nodes
+        FROM e WHERE h = 30
+"""
+
+
 @query(
     "ktruss_copurchase",
+    oracle="WITH RECURSIVE " + _EDGES_SQL + """
+        canon AS (SELECT pa AS lo, pb AS hi FROM edges0),
+    """ + _KTRUSS_SQL,
     tags=("graph", "ktruss"),
 )
 def ktruss_copurchase(spark, sf_dir):
@@ -692,9 +876,11 @@ def ktruss_copurchase(spark, sf_dir):
     (n_edges, n_nodes, min/max node) so the driver row is stable.
     Edge-level cohesion, stricter than k-core: the truss keeps only
     triangle-reinforced ties, the standard community-core primitive.
-    Rows-only + golden-pinned like the other iterative graph queries
-    (peeling is outside ANSI SQL); semantic correctness vs literal
-    sequential peeling is pinned in tests/test_graph_links.py."""
+    Since r11 the oracle is a COMPUTED DuckDB recursive CTE replaying the
+    batch support peeling (the truss is the unique order-independent
+    fixpoint; k=3 makes survival a pure EXISTS-triangle test) — golden
+    pin retired (VERDICT r10 #2); semantic correctness vs literal
+    sequential peeling additionally pinned in tests/test_graph_links.py."""
     from etl_expenses_spark.operators.graph import ktruss_edges
 
     edges = _copurchase_edges(spark, sf_dir)
@@ -713,6 +899,11 @@ def ktruss_copurchase(spark, sf_dir):
 
 @query(
     "ktruss_copurchase_capped",
+    oracle="WITH RECURSIVE " + _EDGES_SQL + _CAPPED_SYM_SQL + """
+        canon AS (
+            SELECT DISTINCT node AS lo, nbr AS hi FROM sym
+            WHERE node < nbr),
+    """ + _KTRUSS_SQL,
     tags=("graph", "ktruss", "skew"),
 )
 def ktruss_copurchase_capped(spark, sf_dir):
@@ -723,7 +914,9 @@ def ktruss_copurchase_capped(spark, sf_dir):
     capped adjacency bounds every wedge fan-out at the cap; k-truss is
     monotone under edge removal, so the capped truss LOWER-BOUNDS the
     exact edge set and equals it when the cap clears the max degree
-    (pinned in tests/test_graph_links.py). Rows-only + golden-pinned."""
+    (pinned in tests/test_graph_links.py). Since r11 the oracle is the
+    same computed peeling recursive CTE as the uncapped query, over the
+    DuckDB replica of the mutual-capped adjacency (golden pin retired)."""
     from etl_expenses_spark.operators.graph import ktruss_edges
 
     edges = _copurchase_edges(spark, sf_dir)

@@ -51,24 +51,16 @@ GOLDEN_TARGETS = [
     "embedding_pq_codes",
     "agg_percentiles",
     "sketch_hll_distinct_users",
-    "approx_count_distinct_parts",
     "catalog_inventory",
     "multimodal_doc_features",
     "bpe_trained_segmentation",
     "semantic_dedup_prune",
     "corpus_curation_funnel",
     "hll_sliding_7d_users",
-    "kcore_copurchase",
-    "ktruss_copurchase",
-    "ktruss_copurchase_capped",
-    "kcore_copurchase_capped",
-    # r10: LPA's community summary is deterministic (parity-scheduled,
-    # min-tie-break — partitioning-invariance pinned in
-    # tests/test_graph_links.py), so pin it like the other iterative graph
-    # queries instead of leaving the registry's one rows-only driver row
-    # (VERDICT r9 "What's wrong" #2: a rows-only query can never be
-    # hash-green; the golden makes the same slot hash-checkable)
-    "lpa_communities_copurchase",
+    # r11: the five iterative graph goldens (kcore x2, ktruss x2, LPA) and
+    # the HLL literal converted to COMPUTED oracles (VERDICT r10 #2):
+    # recursive-CTE replicas of the h-index iteration / support peeling /
+    # parity-scheduled LPA, and an exact-count bound check.
     # r10: MMR greedy trajectory (deterministic; semantics pinned vs the
     # numpy greedy replica in tests/test_dedup_similarity.py)
     "similarity_mmr_topk",
