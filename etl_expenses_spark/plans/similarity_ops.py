@@ -805,9 +805,79 @@ def dedup_exact_jaccard_curation(spark, sf_dir):
     )
 
 
+_MMR_DOT = (
+    "(SELECT SUM(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)) "
+    "FROM range(1, 65) r(i))"
+)
+
+
+def _mmr_cos(a: str, b: str) -> str:
+    dot = _MMR_DOT.format(a=a, b=b)
+    na = _MMR_DOT.format(a=a, b=a)
+    nb = _MMR_DOT.format(a=b, b=b)
+    return f"{dot} / (SQRT({na}) * SQRT({nb}))"
+
+
 @query(
     "similarity_mmr_topk",
-    oracle=None,  # golden-pinned: the greedy trajectory is not ANSI-SQL
+    # COMPUTED greedy-trajectory oracle (r11, VERDICT r10 #2 — replaces
+    # the r10 golden pin): the k=10 greedy rounds run as a DuckDB
+    # recursive CTE whose single working row carries the selected-so-far
+    # lists; each round left-joins the remaining pool against the
+    # MATERIALIZED quantized pairwise-cosine table for the
+    # max-sim-to-selected penalty (a correlated scalar subquery silently
+    # returns empty against a materialized CTE inside a recursive term in
+    # DuckDB 1.0 — hence the join+GROUP BY form), scores compare in exact
+    # DECIMAL(18,6) integer space (rel*7 - maxsim*3, the engine's lambda
+    # encoding), ties break on id. Cosines reproduce Spark's double fold
+    # + HALF_UP decimal quantization (the convention every cosine oracle
+    # in this registry already relies on).
+    oracle=f"""
+        WITH RECURSIVE
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        cand AS (
+            SELECT e.vec_id AS id, e.embedding AS v,
+                   CAST({_mmr_cos('e.embedding', 'q.qe')} AS DECIMAL(18,6))
+                       AS rel
+            FROM embeddings e, q WHERE e.vec_id <> 0),
+        pool AS MATERIALIZED (
+            SELECT id, v, rel FROM cand
+            QUALIFY ROW_NUMBER() OVER (ORDER BY rel DESC, id) <= 100),
+        sims AS MATERIALIZED (
+            SELECT a.id AS ia, b.id AS ib,
+                   CAST({_mmr_cos('a.v', 'b.v')} AS DECIMAL(18,6)) AS s
+            FROM pool a JOIN pool b ON a.id < b.id),
+        g(h, ids, rels, scores) AS (
+            SELECT 0, CAST([] AS BIGINT[]), CAST([] AS DOUBLE[]),
+                   CAST([] AS DOUBLE[])
+            UNION ALL
+            SELECT h, list_append(ids, pid), list_append(rels, prel),
+                   list_append(scores, psc)
+            FROM (
+                SELECT h, ids, rels, scores, pid, prel, psc,
+                       ROW_NUMBER() OVER (ORDER BY skey DESC, pid) AS rk
+                FROM (
+                    SELECT g.h + 1 AS h, g.ids, g.rels, g.scores,
+                           p.id AS pid, CAST(p.rel AS DOUBLE) AS prel,
+                           p.rel * 7 - COALESCE(MAX(sm.s), 0) * 3 AS skey,
+                           CAST(p.rel * 7 - COALESCE(MAX(sm.s), 0) * 3
+                                AS DOUBLE) / 10 AS psc
+                    FROM g
+                    JOIN pool p ON NOT list_contains(g.ids, p.id)
+                    LEFT JOIN sims sm
+                      ON (sm.ia = p.id AND list_contains(g.ids, sm.ib))
+                      OR (sm.ib = p.id AND list_contains(g.ids, sm.ia))
+                    WHERE g.h < 10
+                    GROUP BY g.h, g.ids, g.rels, g.scores, p.id, p.rel
+                )
+            ) WHERE rk = 1
+        )
+        SELECT CAST(r.i AS INTEGER) AS rank, t.ids[r.i] AS vec_id,
+               t.rels[r.i] AS relevance, t.scores[r.i] AS mmr_score
+        FROM (SELECT ids, rels, scores FROM g WHERE h = 10) t,
+             range(1, 11) r(i)
+        ORDER BY rank
+    """,
     tags=("similarity", "retrieval", "diversity", "mmr"),
 )
 def similarity_mmr_topk(spark, sf_dir):
@@ -815,12 +885,12 @@ def similarity_mmr_topk(spark, sf_dir):
     (operators/similarity.py mmr_diversified_topk, λ=0.7 over a top-100
     exact-cosine pool): the retrieval-diversity selector that keeps a
     training batch / context from being k near-copies of one best match.
-    Golden-pinned (greedy argmax chains are outside ANSI SQL; the
-    trajectory is deterministic — quantized decimal scores, id
-    tie-breaks); the SEMANTICS are pinned against a from-first-principles
-    numpy greedy replica in tests/test_dedup_similarity.py, and the
-    diversity effect itself is asserted there (the MMR set's mean
-    pairwise similarity is strictly below the plain top-k's)."""
+    Since r11 the oracle is a COMPUTED recursive-CTE replay of the greedy
+    trajectory (golden pin retired — VERDICT r10 #2); the SEMANTICS are
+    additionally pinned against a from-first-principles numpy greedy
+    replica in tests/test_dedup_similarity.py, and the diversity effect
+    itself is asserted there (the MMR set's mean pairwise similarity is
+    strictly below the plain top-k's)."""
     from etl_expenses_spark.operators.similarity import mmr_diversified_topk
 
     # the query vector itself is excluded from the candidate corpus —

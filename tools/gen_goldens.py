@@ -61,9 +61,8 @@ GOLDEN_TARGETS = [
     # the HLL literal converted to COMPUTED oracles (VERDICT r10 #2):
     # recursive-CTE replicas of the h-index iteration / support peeling /
     # parity-scheduled LPA, and an exact-count bound check.
-    # r10: MMR greedy trajectory (deterministic; semantics pinned vs the
-    # numpy greedy replica in tests/test_dedup_similarity.py)
-    "similarity_mmr_topk",
+    # (similarity_mmr_topk converted to a computed recursive-CTE greedy
+    # replay in r11)
 ]
 
 _DUCK_TYPES = {
