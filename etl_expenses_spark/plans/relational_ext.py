@@ -2135,3 +2135,105 @@ def skyline_insert_maintenance(spark, sf_dir):
     stored_view = two_phase(base)  # materialized once, |skyline(history)| rows
     maintained = two_phase(stored_view.unionByName(delta))
     return maintained.orderBy("cents", "o_orderkey")
+
+
+@query(
+    "skyline_delete_maintenance",
+    # Full-recompute oracle (the IVM maintain-equals-recompute contract):
+    # the maintained skyline must equal the skyline of ALL orders minus
+    # the two deleted champions — the view mechanics (layered skyband)
+    # never appear in the oracle.
+    oracle="""
+        WITH pts AS (
+            SELECT o_orderkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS cents,
+                   o_orderdate AS odate
+            FROM orders),
+        base AS (SELECT * FROM pts WHERE odate < TIMESTAMP '1996-01-01'),
+        bsky AS (
+            SELECT p.* FROM base p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM base q
+                WHERE q.cents <= p.cents AND q.odate >= p.odate
+                  AND (q.cents < p.cents OR q.odate > p.odate))),
+        d AS (SELECT o_orderkey FROM bsky
+              ORDER BY cents, o_orderkey LIMIT 2),
+        live AS (SELECT * FROM pts
+                 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM d))
+        SELECT p.o_orderkey, p.cents, p.odate
+        FROM live p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM live q
+            WHERE q.cents <= p.cents AND q.odate >= p.odate
+              AND (q.cents < p.cents OR q.odate > p.odate))
+        ORDER BY p.cents, p.o_orderkey
+    """,
+    tags=("relational", "skyline", "dominance", "incremental", "delete"),
+)
+def skyline_delete_maintenance(spark, sf_dir):
+    """INCREMENTAL skyline maintenance under DELETES + inserts (VERDICT
+    r10 #4 — the asymmetric case `skyline_insert_maintenance` states):
+    removing a skyline point can RESURRECT points the thin view already
+    discarded, so the stored view must be THICK. Here the view is the
+    first `kband`=3 onion layers of the history — layer 1 = skyline(base),
+    layer i+1 = skyline(base minus earlier layers), built by iterating the
+    same two-phase sweep the thin view uses. Sufficiency: a point that
+    enters the skyline after deleting a set D has every dominator chain
+    inside D, so its layer depth is at most |D|+1 — the 3-layer view is
+    exact for any |D| <= 2 deletions per fold (the skyband bound; deeper
+    delete batches rebuild the view, stated not hidden).
+
+    The fold deletes the two CURRENT champions (the lowest-cents skyline
+    rows — deletions guaranteed to force resurrection), folds the day's
+    inserts, and sweeps ONLY (view \\ D) ∪ delta — the history is never
+    rescanned. Oracle: full recompute over all orders minus D (maintain ==
+    recompute, the IVM contract). At 100 TB the view is skyband-sized
+    (polylog for independent dims); the k-layer build is a one-time cost
+    amortized over every subsequent O(|view| + |delta|) fold."""
+    from etl_expenses_spark.caching import tracked_persist
+
+    pts = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("o_orderdate").alias("odate"),
+    )
+    cutoff = "1996-01-01"
+    base = pts.filter(F.col("odate") < cutoff)
+    delta = pts.filter(F.col("odate") >= cutoff)
+    k = max(2, spark.sparkContext.defaultParallelism)
+
+    def two_phase(p):
+        local = _skyline_2d_pass(
+            p.repartition(k).withColumn("pid", F.spark_partition_id()), "pid"
+        ).drop("pid")
+        return _skyline_2d_pass(local.withColumn("pid", F.lit(0)), "pid").drop(
+            "pid"
+        )
+
+    kband = 3
+    layers = []
+    remaining = base
+    for _ in range(kband):
+        lay = tracked_persist(two_phase(remaining))
+        layers.append(lay)
+        remaining = remaining.join(
+            lay.select("o_orderkey"), "o_orderkey", "left_anti"
+        )
+    view = layers[0]
+    for lay in layers[1:]:
+        view = view.unionByName(lay)
+
+    # delete the two current champions: guaranteed skyline members, so the
+    # fold must resurrect their layer-2 successors
+    deleted = (
+        layers[0].orderBy("cents", "o_orderkey").limit(2).select("o_orderkey")
+    )
+    maintained = two_phase(
+        view.join(F.broadcast(deleted), "o_orderkey", "left_anti").unionByName(
+            delta
+        )
+    )
+    return maintained.orderBy("cents", "o_orderkey")

@@ -129,3 +129,60 @@ def test_insert_maintenance_equals_recompute_random_splits(spark):
         view = spark_skyline(base)  # the stored skyline view
         maintained = spark_skyline(list(view) + delta)
         assert maintained == full, f"cut={cut}"
+
+
+def test_layered_view_delete_maintenance_equals_recompute(spark):
+    """VERDICT r10 #4: the kband-layer onion view supports up to kband-1
+    deletions exactly — sweeping (view \\ D) ∪ delta equals a full
+    recompute over (base \\ D) ∪ delta, including when D hits skyline
+    points whose successors must resurrect from deeper layers. Hammered
+    on random tied points with D = the current champions (worst case)."""
+    rng = random.Random(23)
+    kband = 3
+    for trial in range(4):
+        pts = [(k, rng.randrange(10), rng.randrange(10)) for k in range(200)]
+        base, delta = pts[:150], pts[150:]
+        df = spark.createDataFrame(
+            base, "o_orderkey long, cents long, odate long"
+        )
+
+        def two_phase(p):
+            local = _skyline_2d_pass(
+                p.repartition(5).withColumn("pid", F.spark_partition_id()),
+                "pid",
+            ).drop("pid")
+            return _skyline_2d_pass(
+                local.withColumn("pid", F.lit(0)), "pid"
+            ).drop("pid")
+
+        layers, remaining = [], df
+        for _ in range(kband):
+            lay = two_phase(remaining).persist()
+            layers.append(lay)
+            remaining = remaining.join(
+                lay.select("o_orderkey"), "o_orderkey", "left_anti"
+            )
+        view = layers[0]
+        for lay in layers[1:]:
+            view = view.unionByName(lay)
+        # D = the kband-1 champions of the current skyline (all guaranteed
+        # skyline members -> maximal resurrection pressure)
+        d_ids = [
+            r.o_orderkey
+            for r in layers[0].orderBy("cents", "o_orderkey").limit(kband - 1).collect()
+        ]
+        delta_df = spark.createDataFrame(
+            delta, "o_orderkey long, cents long, odate long"
+        )
+        got = sorted(
+            tuple(r)
+            for r in two_phase(
+                view.filter(~F.col("o_orderkey").isin(d_ids)).unionByName(
+                    delta_df
+                )
+            ).collect()
+        )
+        live = [p for p in pts if p[0] not in set(d_ids)]
+        assert got == brute_skyline(live), f"trial {trial}"
+        for lay in layers:
+            lay.unpersist()
