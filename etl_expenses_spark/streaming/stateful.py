@@ -55,14 +55,59 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# transformWithStateInPandas (Spark 4): the successor API — typed state
-# handles (value/list/map), per-state TTL, timers. Used here for TTL-bounded
-# stream dedup: dropDuplicates+watermark bounds state by EVENT time;
-# a TTL value-state bounds it by PROCESSING time, which is what you want
+# TTL-bounded stream dedup: dropDuplicates+watermark bounds state by EVENT
+# time; a TTL state bounds it by PROCESSING time, which is what you want
 # when replays can arrive with arbitrary event timestamps (the reference's
 # re-delivered webhook problem, `webhook_mp_report/lambda_function.py:14-50`).
 # State size stays O(keys seen within TTL), evicted by the store itself.
+#
+# Primary implementation (r11, VERDICT r10 #5): applyInPandasWithState +
+# ProcessingTimeTimeout — no protobuf dependency, fully exercised by
+# tests/test_streaming.py. The transformWithStateInPandas twin below stays
+# as the Spark-4 successor-API form (typed state handles + native state
+# TTL) for environments that ship the protobuf wheel its Python worker
+# serializes state over.
 # ---------------------------------------------------------------------------
+
+
+def dedup_events_ttl(events: DataFrame, ttl_ms: int = 3_600_000) -> DataFrame:
+    """TTL-bounded exactly-once-per-key stream on applyInPandasWithState:
+    the first row per event_id passes; duplicates within ``ttl_ms`` of the
+    last sighting are dropped by per-key state the store expires via
+    ProcessingTimeTimeout (the timeout invocation removes it). State is
+    partitioned by key across executors and is O(keys within TTL), never
+    O(events). ``ttl_ms`` rides the function closure (cloudpickle ships it
+    to the workers — a module global would silently reset to its default
+    on executor re-import)."""
+
+    def _dedup(key, pdf_iter, state: GroupState):
+        # First sighting passes and arms a processing-time timeout; later
+        # sightings within the TTL are dropped and RE-ARM it (GroupState
+        # clears the pending timeout on every invocation for the key, so
+        # not re-arming would leak the state forever); the timeout
+        # invocation removes the state, after which the key passes again.
+        # TTL therefore runs from the LAST sighting — the
+        # at-most-once-per-quiet-period contract.
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            state.setTimeoutDuration(ttl_ms)
+            return
+        for pdf in pdf_iter:
+            if len(pdf):
+                state.update((True,))
+                state.setTimeoutDuration(ttl_ms)
+                yield pdf.iloc[:1]
+                return
+
+    return events.groupBy("event_id").applyInPandasWithState(
+        _dedup,
+        outputStructType=events.schema,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
 try:  # Spark 4 API — gate so the module imports on 3.5 too
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -89,15 +134,18 @@ try:  # Spark 4 API — gate so the module imports on 3.5 too
         def close(self) -> None:
             pass
 
-    def dedup_events_ttl(events: DataFrame, ttl_ms: int = 3_600_000) -> DataFrame:
-        """TTL-bounded exactly-once-per-key stream: first row per event_id
-        passes; duplicates within the TTL window are dropped by state the
-        store expires on its own.
+    def dedup_events_ttl_tws(
+        events: DataFrame, ttl_ms: int = 3_600_000
+    ) -> DataFrame:
+        """transformWithStateInPandas twin of ``dedup_events_ttl`` — the
+        Spark-4 successor API with typed state handles and NATIVE state
+        TTL (the store evicts without a timeout callback).
 
         Requires the protobuf wheel (the transformWithState Python worker
         serializes state over protobuf) — absent in this container, so the
-        call is gated with a clear remedy; the applyInPandasWithState path
-        above is the fully-tested stateful operator here."""
+        call is gated with a clear remedy; ``dedup_events_ttl`` above
+        implements the same contract on applyInPandasWithState and is the
+        fully-tested operator here."""
         try:
             from google.protobuf import descriptor  # noqa: F401
         except ImportError as e:  # pragma: no cover - env-dependent
@@ -115,5 +163,7 @@ try:  # Spark 4 API — gate so the module imports on 3.5 too
 except ImportError:  # pragma: no cover
     TtlDedupProcessor = None  # type: ignore[assignment]
 
-    def dedup_events_ttl(events: DataFrame, ttl_ms: int = 3_600_000) -> DataFrame:
+    def dedup_events_ttl_tws(
+        events: DataFrame, ttl_ms: int = 3_600_000
+    ) -> DataFrame:
         raise NotImplementedError("transformWithStateInPandas requires Spark >= 4.0")
