@@ -230,6 +230,109 @@ def embedding_neardup_pairs_lsh(
     )
 
 
+def embedding_neardup_pairs_lsh_multiprobe(
+    embeddings: DataFrame,
+    dims: int,
+    threshold: float = 0.8,
+    bands: int = 6,
+    planes_per_band: int = 8,
+    flip_bits: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """TUNED recall tier of ``embedding_neardup_pairs_lsh`` (VERDICT r10
+    #6): same banded hyperplane signatures, but the probe side of the
+    candidate join also visits every bucket within ``flip_bits`` bit
+    FLIPS of its own — a pair becomes a candidate when some band's
+    signatures differ in at most ``flip_bits`` planes. Per band the
+    collision probability rises from p^m to Σ_{f<=flip_bits} C(m,f)
+    p^(m-f) (1-p)^f (p = 1 − θ/π per plane): at cos 0.82, m = 8, 2-bit
+    probes, 6 bands the per-pair miss probability is ~5e-5 where the
+    plain 4-band tier misses ~half. Cost: Σ C(m,f)× probe-side rows
+    (37× at m=8, f=2) and bands/4× signatures — multiplicative in the
+    SIGNATURE relation, never the full pairwise space. Candidates still
+    carry only ids; vectors re-join for the verified few; precision stays
+    1.0 (exact quantized cosine verification, the LSH-tier convention)."""
+    from itertools import combinations
+    sig = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nv"),
+        *[
+            hyperplane_bucket(
+                F.col(vec_col), dims, planes_per_band, seed=1000 + band
+            ).alias(f"b{band}")
+            for band in range(bands)
+        ],
+    ).persist()
+    track(sig)
+    build = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"), F.col(f"b{band}").alias("bucket")
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    flips = [0]
+    for f in range(1, flip_bits + 1):
+        for bits in combinations(range(planes_per_band), f):
+            flips.append(sum(1 << j for j in bits))
+    probe = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.col(f"b{band}").bitwiseXOR(F.lit(flip)).alias("bucket"),
+                    )
+                    for band in range(bands)
+                    for flip in flips
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a, b = probe.alias("a"), build.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = sig.select("id", "v", "nv")
+    pdot = pair_dot_udf()
+    sim = (
+        (pdot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .cast("decimal(18,6)")
+        .cast("double")
+    )
+    return (
+        candidates.join(
+            vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nv").alias("na")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nv").alias("nb")),
+            "id_b",
+        )
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def train_centroids_sampled(
     embeddings: DataFrame,
     k: int = 16,
