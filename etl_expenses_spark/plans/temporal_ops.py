@@ -1673,6 +1673,10 @@ def shipments_in_transit_daily(spark, sf_dir):
         .groupBy("day")
         .agg(F.sum("d").alias("d"))
     )
+    # global window is bounded BY CONSTRUCTION: byday is day-grain
+    # (<= ~2.5k rows over the 7-year order domain, growing with calendar
+    # time only, never with shipment volume) — allowlisted per query in
+    # tools/explain_audit.py GLOBAL_WINDOW_OK (VERDICT r10 #9)
     run = byday.withColumn(
         "in_transit",
         F.sum("d")

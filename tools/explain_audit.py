@@ -98,9 +98,46 @@ BNLJ_OK: set[str] = {
 }
 
 
+# Queries whose plan legitimately contains an UNPARTITIONED Window (the
+# "No Partition Defined ... single partition" warning): allowed ONLY with
+# a stated row-count bound — a global window is correct exactly when its
+# input is provably small by construction (VERDICT r10 #9). Every entry
+# names the bound; an unlisted query with a global window fails the audit.
+GLOBAL_WINDOW_OK: dict[str, str] = {
+    # post-aggregation DAY grain: <= ~2.5k rows over the 7-year order
+    # domain, growing with calendar time only, never with order volume
+    # (plans/temporal_ops.py running in-transit sum)
+    "shipments_in_transit_daily": "day-grain running sum (<= ~2.5k rows)",
+    # global term index over the DISTINCT FREQUENCY-RANKED vocabulary
+    # (operators/apss.py:term_index) — bounded by token diversity, not
+    # corpus size; the prefix-filter lemma needs the one total order
+    "allpairs_cosine_prefix_join": "distinct-term index (vocab-bounded)",
+    # 2 partition-boundary rows PER RANGE PARTITION (first/last of each),
+    # i.e. 2*shuffle.partitions rows regardless of corpus size
+    # (plans/dedup_ops.py bwin — lag+lead = 2 specs over one window)
+    "dedup_spans_suffix_array": "2 boundary rows per range partition",
+}
+
+
 def plan_string(df, mode: str = "formatted") -> str:
     jvm = df.sparkSession.sparkContext._jvm
     return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def _global_windows(plan: str) -> int:
+    """Count window specs with an EMPTY partition clause. The robust
+    marker is the head of ``windowspecdefinition(...)``: partition columns
+    come first as plain attributes; when the partition spec is empty the
+    first argument is either an ORDER expression (``col ASC/DESC NULLS
+    ...``) or directly the ``specifiedwindowframe``. (Bracket-counting the
+    ``Arguments:`` line is unreliable: formatted explain truncates long
+    lines, and order-less partitioned windows print only two groups.)"""
+    import re
+
+    pat = re.compile(
+        r"windowspecdefinition\((?:[^,()]+ (?:ASC|DESC)|specifiedwindowframe)"
+    )
+    return len(pat.findall(plan))
 
 
 def audit(name: str, plan: str) -> list[str]:
@@ -112,6 +149,12 @@ def audit(name: str, plan: str) -> list[str]:
     # formatted mode labels whole-stage-codegen membership per node
     if "codegen id" not in plan and name not in NO_CODEGEN_OK:
         problems.append("no whole-stage-codegen span")
+    gw = _global_windows(plan)
+    if gw and name not in GLOBAL_WINDOW_OK:
+        problems.append(
+            f"{gw} unpartitioned Window node(s) without a stated bound "
+            "(add to GLOBAL_WINDOW_OK with the row-count argument)"
+        )
     # every scan of a parquet source must prune columns: the ReadSchema
     # clause exists on all of them; spot obvious full-width reads is manual,
     # but a scan with a filter above it and no pushed filter is mechanical:
