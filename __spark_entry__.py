@@ -31,80 +31,79 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # registered after the window and is verified by tools/check_oracle.py
 # (the local replica of the same gate) across all scale factors.
 _PRIORITY = [
-    # Round-10 window (rotation rationale + history: COVERAGE.md; every
+    # Round-11 window (rotation rationale + history: COVERAGE.md; every
     # slot lint-checked harness-safe via tools/check_oracle.py
     # --lint-window). Two blocks:
     #
-    # (1) The 21 queries with NO hash-green driver row yet: the 10
-    #     round-9 queries registered after that round's window, the
-    #     repaired `incremental_agg_state_merge` (r9's one red row — the
-    #     decimal-output hash defect, fixed in plans/sketch_ops.py and
-    #     pinned by tests/test_oracle_gate.py), `lpa_communities_copurchase`
-    #     (previously rows-only by construction; now GOLDEN-pinned, so
-    #     this slot can flip the registry's weakest row hash-green —
-    #     VERDICT r9 #2's ask), and the 9 round-10 additions (exact-
-    #     Jaccard end-to-end curation, sorted-neighborhood blocking,
-    #     star-contraction CC, 3D skyline, Adamic-Adar link prediction,
-    #     3-hop harmonic centrality, insert-maintained skyline,
-    #     MMR diversified top-k, semantic decontamination). A green block makes cumulative driver
-    #     coverage complete again.
+    # (1) CHANGED-EVIDENCE block (10): the seven queries whose oracles
+    #     were converted from golden literals to independent COMPUTED
+    #     oracles this round (recursive-CTE replicas of LPA / h-index
+    #     k-core x2 / support-peeling k-truss x2, the MMR greedy replay,
+    #     and the HLL bound check — VERDICT r10 #2's done-criterion needs
+    #     a driver row under the computed oracle), the two round-11
+    #     additions (layered-skyband delete maintenance, the 2-bit
+    #     multiprobe LSH recall tier whose oracle is a brute-force recall
+    #     proof), and hilbert_curve_values whose implementation moved to
+    #     the Arrow/numpy twin (VERDICT r10 #3).
     #
-    # (2) FRESHNESS rotation: the 29 queries whose most recent hash-green
-    #     row is oldest (rounds 1–2) — regression-guarding re-proof of the
-    #     earliest surface, per the COVERAGE.md governance policy (oldest
-    #     evidence rotates in once closure is achieved).
-    # -- block 1: never-hash-green (21) --
-    "incremental_agg_state_merge",
-    "dedup_spans_suffix_array",
-    "maximal_repeats_topk",
-    "dsir_importance_resample",
-    "ivm_lsh_index_cdc",
-    "quantile_sketch_weekly_rollup",
-    "quantile_sketch_stream_fold",
-    "skyline_orders_2d",
-    "shipments_in_transit_daily",
+    # (2) FRESHNESS rotation (40): the queries whose most recent
+    #     hash-green row is oldest (rounds 2-3, computed from the
+    #     CORRECTNESS_r*.json history in (round, name) order) — the
+    #     regression-guarding re-proof the COVERAGE.md governance policy
+    #     prescribes once closure is achieved (all 322 queries have had a
+    #     hash-green driver row since r10).
+    # -- block 1: changed evidence (10) --
+    "lpa_communities_copurchase",
+    "kcore_copurchase",
+    "kcore_copurchase_capped",
+    "ktruss_copurchase",
+    "ktruss_copurchase_capped",
+    "approx_count_distinct_parts",
+    "similarity_mmr_topk",
+    "skyline_delete_maintenance",
+    "dedup_embedding_lsh_tuned",
     "hilbert_curve_values",
-    "allpairs_jaccard_prefix_join",
-    "lpa_communities_copurchase",  # golden-pinned in r10 (was rows-only)
-    "dedup_exact_jaccard_curation",
-    "dedup_sorted_neighborhood",
-    "dedup_cluster_components_star",
-    "skyline_orders_3d",
-    "link_prediction_adamic_adar",
-    "harmonic_centrality_3hop",
-    "skyline_insert_maintenance",
-    "similarity_mmr_topk",  # golden-pinned greedy trajectory
-    "decontaminate_semantic_overlap",
-    # -- block 2: oldest-evidence freshness rotation (29) --
-    "agg_bitwise_flags",
-    "count_distinct_suppliers",
-    "cube_lineitem_status",
-    "date_functions",
-    "dedup_exact_groups",
-    "epoch_millis_roundtrip",
-    "explode_outer_rare_tokens",
-    "hash_identity",
-    "intersect_active_actors",
-    "join_full_outer_nation_activity",
-    "null_handling_functions",
-    "regex_functions",
-    "rollup_spend",
-    "string_functions",
-    "text_bpe_token_count",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_stats",
-    "time_padding",
-    "timezone_conversion",
-    "token_frequencies_top20",
-    "try_arithmetic_safety",
-    "union_ledger",
-    "window_rank_parts_by_price",
-    "agg_watermark_max_date",
-    "codec_hash_functions",
-    "dataset_split_leakage_safe",
-    "dedup_embedding_cosine_pairs",
-    "dedup_incremental_batch",
+    # -- block 2: oldest-evidence freshness rotation (40) --
+    "dedup_keep_first",
+    "dedup_ngram_jaccard_pairs",
+    "distinct_segments",
+    "doc_fingerprint",
+    "except_inactive_customers",
+    "join_anti_customers_without_orders",
+    "join_inner_orders_customer",
+    "join_left_order_counts",
+    "join_semi_big_spenders",
+    "json_field_access",
+    "money_parse_roundtrip",
+    "pricing_summary",
+    "tfidf_top_terms_per_doc",
+    "topk_orders",
+    "two_digit_year_repair",
+    "window_latest_order_per_customer",
+    "window_running_user_spend",
+    "agg_arg_extremes",
+    "agg_order_stats",
+    "asof_join_events_orders",
+    "basket_pair_lift",
+    "decontaminate_benchmark_overlap",
+    "dedup_substring_windows",
+    "doc_length_outliers",
+    "dual_header_normalize",
+    "equidepth_histogram_totals",
+    "filter_events_threshold",
+    "fuzzy_entity_clusters",
+    "gapfill_interpolate_linear",
+    "json_struct_roundtrip",
+    "monthly_spend_mom_delta",
+    "pit_join_events_user_tier",
+    "range_join_recent_clicks",
+    "required_fields_filter",
+    "rfm_segmentation",
+    "scd2_customer_segments",
+    "sequence_gap_detection",
+    "session_windows_30m",
+    "snapshot_diff_cdc",
+    "string_regex_functions",
 ]
 
 

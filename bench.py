@@ -115,7 +115,13 @@ HEADLINE = [
     "allpairs_cosine_prefix_join",
     "bloom_semijoin_reduction",
     "image_dhash_neardup",
-    "kcore_copurchase",
+    # round-11 rotation (COVERAGE.md governance + VERDICT r10 #8): the
+    # UNCAPPED k-core rotated OUT — its capped tier below carries the
+    # h-index family's scale verdict (the shape you run at 100 TB); the
+    # uncapped form keeps its computed oracle and SCALING.json tracking —
+    # for the layered-skyband delete-maintenance fold (the IVM-under-
+    # deletes archetype: resurrection from a thick view, r11)
+    "skyline_delete_maintenance",
     # round-7 addition: the degree-capped k-core tier (mutual-capped
     # adjacency bounds per-node state and round count — the shape you run
     # on hub-heavy graphs; uncapped stays as its oracle, like linkpred)
@@ -166,9 +172,16 @@ HEADLINE = [
     # stage (61 names no longer fit; the pointer fallback would strip the
     # per-query map from the driver record). They are regression-tracked
     # by tools/scaling_study.py instead (SCALING.json rows at all tiers).
-    "ktruss_copurchase",
-    # its hub-capped scale tier (mutual-capped adjacency, lower-bound
-    # contract — the shape you run on hub-heavy graphs)
+    # round-11 rotation (COVERAGE.md governance + VERDICT r10 #8): the
+    # UNCAPPED k-truss rotated OUT — the capped tier below carries the
+    # support-peeling family's scale verdict; the uncapped form keeps its
+    # computed oracle and SCALING.json tracking — for the 2-bit multiprobe
+    # LSH recall tier (the tuned candidate-generation archetype whose
+    # oracle is a brute-force recall proof, r11)
+    "dedup_embedding_lsh_tuned",
+    # the support-peeling family's hub-capped scale tier (mutual-capped
+    # adjacency, lower-bound contract — the shape you run on hub-heavy
+    # graphs)
     "ktruss_copurchase_capped",
 ]
 

@@ -13,45 +13,34 @@ def test_entry_runs(spark):
 
 
 def test_correctness_window_priority():
-    """The driver records the FIRST 50 queries() entries. Round-10
-    rotation (COVERAGE.md governance): block 1 = every query with no
-    hash-green driver row yet (the 10 post-window r9 registrations, the
-    repaired incremental_agg_state_merge, the newly golden-pinned LPA
-    summary, and the 9 round-10 additions — 21 slots); block 2 = the 29
-    oldest-evidence queries (last green r1-r2). Every slot must have an
-    oracle (golden or declarative) — rows-only slots can only ever record
-    err:no_oracle and are banned from the window (VERDICT r9 #2)."""
+    """The driver records the FIRST 50 queries() entries. Round-11
+    rotation (COVERAGE.md governance): block 1 = changed evidence — the
+    seven queries whose oracles were converted from golden literals to
+    computed oracles (VERDICT r10 #2 needs a driver row under the
+    computed oracle), the two r11 additions, and the Arrow-vectorized
+    hilbert_curve_values (10 slots); block 2 = the 40 oldest-evidence
+    queries (last hash-green r2-r3). Every slot must have an oracle —
+    rows-only slots can only ever record err:no_oracle and are banned
+    from the window (VERDICT r9 #2)."""
     qs = list(entrymod.queries())
     os_ = entrymod.oracle_sql()
     window = qs[:50]
     missing = [n for n in window if n not in os_]
     assert not missing, missing
     must = {
-        # the r9 red row, repaired (decimal-output hash fix)
-        "incremental_agg_state_merge",
-        # the 10 round-9 queries registered after that round's window
-        "dedup_spans_suffix_array",
-        "maximal_repeats_topk",
-        "dsir_importance_resample",
-        "ivm_lsh_index_cdc",
-        "quantile_sketch_weekly_rollup",
-        "quantile_sketch_stream_fold",
-        "skyline_orders_2d",
-        "shipments_in_transit_daily",
-        "hilbert_curve_values",
-        "allpairs_jaccard_prefix_join",
-        # previously rows-only, now golden-pinned (hash-checkable)
+        # golden -> computed-oracle conversions (r11)
         "lpa_communities_copurchase",
-        # round-10 additions shipping with same-round driver evidence
-        "dedup_exact_jaccard_curation",
-        "dedup_sorted_neighborhood",
-        "dedup_cluster_components_star",
-        "skyline_orders_3d",
-        "skyline_insert_maintenance",
-        "link_prediction_adamic_adar",
-        "harmonic_centrality_3hop",
+        "kcore_copurchase",
+        "kcore_copurchase_capped",
+        "ktruss_copurchase",
+        "ktruss_copurchase_capped",
+        "approx_count_distinct_parts",
         "similarity_mmr_topk",
-        "decontaminate_semantic_overlap",
+        # round-11 additions shipping with same-round driver evidence
+        "skyline_delete_maintenance",
+        "dedup_embedding_lsh_tuned",
+        # implementation moved to the Arrow/numpy twin (VERDICT r10 #3)
+        "hilbert_curve_values",
     }
     assert must <= set(window), must - set(window)
     # nothing silently dropped: priority reordering preserves the registry
