@@ -121,6 +121,13 @@ SYNTH_EXCLUDE = {
     # the synth tier; real-scale decades carry this operator's evidence,
     # and its round count is capped by the RADIUS, not the data
     "harmonic_centrality_3hop",
+    # r11: the tuned-recall tier plants 60 twins and its OUTPUT is the
+    # pairs touching them; x10 replication gives every planted original 10
+    # exact copies (each a new >= 0.8 pair), so the output — and the
+    # verified-pair stage behind it — grows with the replication artifact,
+    # not the scale (the minhash/jaccard exclusion's reason applied to the
+    # embedding side). Real-scale decades carry this tier's evidence.
+    "dedup_embedding_lsh_tuned",
 }
 
 
@@ -286,12 +293,12 @@ def main() -> None:
         "229 s in r10 — after the one-sided-candidate + size-filter "
         "optimization halved the pair stage — all of it the pair "
         "explosion plus CC over the correspondingly denser graph).\n"
-        "- `hilbert_curve_values` pays ~4 s at sf0.1 for the 16-level "
-        "conversion because higher-order aggregate lambdas are "
-        "interpreted, not codegen'd (the loop form is mandatory — an "
-        "unrolled tree grows ~3x per level and OOMs the analyzer). "
-        "Near-linear across tiers, and a layout key is computed once per "
-        "table write, not per query.\n"
+        "- `hilbert_curve_values` runs the 16-level conversion as "
+        "O(bits) numpy passes per Arrow batch since r11 "
+        "(functions/ids.hilbert_key_numpy via mapInPandas — VERDICT r10 "
+        "#3); the interpreted higher-order-aggregate expression form "
+        "remains as the oracle twin. ~1.1 s at sf0.1 (was 4.45) and the "
+        "step ratio dropped from 6.0x to ~2x.\n"
         "- `dedup_spans_suffix_array` / `maximal_repeats_topk` (~9-11x at "
         "the synth step): the x10 replication makes EVERY document a "
         "10-way duplicate, so the candidate set (positions with a "
