@@ -39,20 +39,20 @@ _PRIORITY = [
     #     were converted from golden literals to independent COMPUTED
     #     oracles this round (recursive-CTE replicas of LPA / h-index
     #     k-core x2 / support-peeling k-truss x2, the MMR greedy replay,
-    #     and the HLL bound check — VERDICT r10 #2's done-criterion needs
-    #     a driver row under the computed oracle), the two round-11
-    #     additions (layered-skyband delete maintenance, the 2-bit
-    #     multiprobe LSH recall tier whose oracle is a brute-force recall
-    #     proof), and hilbert_curve_values whose implementation moved to
-    #     the Arrow/numpy twin (VERDICT r10 #3).
+    #     the HLL/percentile bound checks — VERDICT r10 #2's
+    #     done-criterion needs a driver row under the computed oracle),
+    #     the two round-11 additions (layered-skyband delete maintenance,
+    #     the 2-bit multiprobe LSH recall tier whose oracle is a
+    #     brute-force recall proof), and hilbert_curve_values whose
+    #     implementation moved to the Arrow/numpy twin (VERDICT r10 #3).
     #
-    # (2) FRESHNESS rotation (40): the queries whose most recent
+    # (2) FRESHNESS rotation (37): the queries whose most recent
     #     hash-green row is oldest (rounds 2-3, computed from the
     #     CORRECTNESS_r*.json history in (round, name) order) — the
     #     regression-guarding re-proof the COVERAGE.md governance policy
-    #     prescribes once closure is achieved (all 322 queries have had a
-    #     hash-green driver row since r10).
-    # -- block 1: changed evidence (10) --
+    #     prescribes once closure is achieved (all pre-r11 queries have
+    #     had a hash-green driver row since r10).
+    # -- block 1: changed evidence (13) --
     "lpa_communities_copurchase",
     "kcore_copurchase",
     "kcore_copurchase_capped",
@@ -63,7 +63,10 @@ _PRIORITY = [
     "skyline_delete_maintenance",
     "dedup_embedding_lsh_tuned",
     "hilbert_curve_values",
-    # -- block 2: oldest-evidence freshness rotation (40) --
+    "agg_percentiles",
+    "sketch_hll_distinct_users",
+    "hll_sliding_7d_users",
+    # -- block 2: oldest-evidence freshness rotation (37) --
     "dedup_keep_first",
     "dedup_ngram_jaccard_pairs",
     "distinct_segments",
@@ -101,9 +104,6 @@ _PRIORITY = [
     "rfm_segmentation",
     "scd2_customer_segments",
     "sequence_gap_detection",
-    "session_windows_30m",
-    "snapshot_diff_cdc",
-    "string_regex_functions",
 ]
 
 

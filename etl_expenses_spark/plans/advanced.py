@@ -86,19 +86,63 @@ def top3_orders_per_segment(spark, sf_dir):
     )
 
 
-@query("agg_percentiles", oracle=None, tags=("agg", "approx", "rows_only"))
+@query(
+    "agg_percentiles",
+    # Computed BOUND-CHECK oracle (r11, VERDICT r10 #2 — replaces the
+    # golden literal): percentile_approx(accuracy=10000) guarantees a
+    # rank error of at most floor(n/accuracy); the query verifies that
+    # guarantee IN EXACT INTEGER SPACE against its own group (the count
+    # of values <= the sketch's answer must put the answer within the
+    # tolerated rank window around p·n) and emits the boolean the oracle
+    # can predict TRUE — the sketch's internals never cross engines.
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               TRUE AS p50_within_rank_bound,
+               TRUE AS p90_within_rank_bound
+        FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "approx", "sketch"),
+)
 def agg_percentiles(spark, sf_dir):
-    """Exact interpolated percentile + approx sketch side by side. The
-    approx path (KLL-style) is the 100 TB answer: single pass, mergeable,
-    no global sort. Rows-only: interpolation/sketch internals are
-    implementation-defined across engines."""
+    """Approximate percentiles with their rank-error guarantee checked
+    against ground truth in one pass. The approx path (GK/KLL-style) is
+    the 100 TB answer: single pass, mergeable, no global sort; its
+    contract is a RANK bound — the returned element's rank is within
+    floor(n/accuracy) of p·n — which is a deterministic fact on fixed
+    data, so the oracle computes the group size and predicts TRUE. The
+    rank of the sketch's answer is measured exactly (count of values <=
+    answer, integer space; +1 slack for the <=-vs-< rank convention).
+    Exact interpolated percentiles live in `agg_exact_percentiles`."""
+    o = T(spark, sf_dir, "orders")
+    approx = o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("a50"),
+        F.percentile_approx("o_totalprice", 0.9, 10000).alias("a90"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    j = o.join(approx, "o_orderpriority")
+    le50 = F.sum((F.col("o_totalprice") <= F.col("a50")).cast("long"))
+    lt50 = F.sum((F.col("o_totalprice") < F.col("a50")).cast("long"))
+    le90 = F.sum((F.col("o_totalprice") <= F.col("a90")).cast("long"))
+    lt90 = F.sum((F.col("o_totalprice") < F.col("a90")).cast("long"))
+    n = F.max("n_rows")
+
+    def within(lt, le, p_num, p_den):
+        # true rank of the returned element spans (lt, le]; the guarantee
+        # holds if that span intersects [p*n - tol, p*n + tol],
+        # tol = floor(n/accuracy) + 1 (slack for the rank convention)
+        target2 = n * F.lit(p_num)  # compare in p_den-scaled integers
+        tol2 = (F.floor(n / F.lit(10000)) + 1) * F.lit(p_den)
+        return (le * F.lit(p_den) >= target2 - tol2) & (
+            lt * F.lit(p_den) <= target2 + tol2
+        )
+
     return (
-        T(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
+        j.groupBy("o_orderpriority")
         .agg(
-            F.expr("percentile(o_totalprice, 0.5)").alias("p50_exact"),
-            F.expr("percentile(o_totalprice, 0.9)").alias("p90_exact"),
-            F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+            n.cast("bigint").alias("n_rows"),
+            within(lt50, le50, 1, 2).alias("p50_within_rank_bound"),
+            within(lt90, le90, 9, 10).alias("p90_within_rank_bound"),
         )
     )
 
@@ -483,7 +527,27 @@ def orders_above_customer_avg(spark, sf_dir):
     )
 
 
-@query("sketch_hll_distinct_users", oracle=None, tags=("agg", "sketch", "rows_only"))
+@query(
+    "sketch_hll_distinct_users",
+    # Computed BOUND-CHECK oracle (r11, VERDICT r10 #2 — replaces the
+    # golden literal): DataSketches HLL at the default lgK=12 has ~1.6%
+    # relative standard error; a 5% bound is ~3 sigma and, on FIXED data
+    # with a deterministic sketch, a deterministic fact the oracle can
+    # predict TRUE for while computing the exact counts itself.
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS est_within_5pct
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'ALL' AS event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS est_within_5pct
+        FROM events
+        ORDER BY event_type
+    """,
+    tags=("agg", "sketch"),
+)
 def sketch_hll_distinct_users(spark, sf_dir):
     """Mergeable HLL sketches (Apache DataSketches via Spark 4 built-ins):
     per-event-type user cardinality estimates, plus a global row produced by
@@ -492,32 +556,66 @@ def sketch_hll_distinct_users(spark, sf_dir):
     This is THE scale pattern for distinct-counting 100 TB: each partition
     builds a fixed-size (KB) sketch, sketches merge associatively across
     partitions / days / tables, and the estimate is read off the merged
-    state. exact_users rides along (count_distinct) so the test can bound
-    the estimation error; the sketch default lgK=12 keeps it ~±2%.
-    No DuckDB oracle: sketch internals are library-specific by design.
-    """
+    state. The exact count rides along (count_distinct) and the output
+    pins the estimate within 5% of it (~3 sigma at the default lgK=12) —
+    so the oracle computes ground truth instead of replaying sketch
+    internals (golden pin retired, r11). At 100 TB you drop the exact
+    column and keep the sketch; here the pair IS the evidence."""
     ev = T(spark, sf_dir, "events")
+
+    def bounded(est, exact):
+        return F.abs(est.cast("double") - exact.cast("double")) <= F.lit(
+            0.05
+        ) * exact.cast("double")
+
     per = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.count_distinct("user_id").alias("exact_users"),
     )
     per_out = per.select(
         "event_type",
-        F.hll_sketch_estimate("sk").alias("est_users"),
-        "exact_users",
+        F.col("exact_users").cast("bigint").alias("exact_users"),
+        bounded(F.hll_sketch_estimate("sk"), F.col("exact_users")).alias(
+            "est_within_5pct"
+        ),
     )
     merged = per.agg(F.hll_union_agg("sk").alias("sk_all")).select(
         F.lit("ALL").alias("event_type"),
-        F.hll_sketch_estimate("sk_all").alias("est_users"),
+        F.hll_sketch_estimate("sk_all").alias("est_all"),
     )
     global_exact = ev.agg(F.count_distinct("user_id").alias("exact_users"))
-    return per_out.unionByName(merged.crossJoin(global_exact)).orderBy("event_type")
+    all_row = merged.crossJoin(global_exact).select(
+        "event_type",
+        F.col("exact_users").cast("bigint").alias("exact_users"),
+        bounded(F.col("est_all"), F.col("exact_users")).alias(
+            "est_within_5pct"
+        ),
+    )
+    return per_out.unionByName(all_row).orderBy("event_type")
 
 
 @query(
     "hll_sliding_7d_users",
-    oracle=None,
-    tags=("agg", "sketch", "sliding", "rows_only"),
+    # Computed BOUND-CHECK oracle (r11, VERDICT r10 #2 — replaces the
+    # golden literal): exact trailing-7d distinct per day is declarative
+    # (the rolling_7d_active_users idiom); the sketch estimate pins
+    # within 5% of it (~3 sigma at lgK=12), a deterministic fact on
+    # fixed data.
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+                   user_id
+            FROM events),
+        days AS (SELECT DISTINCT day FROM du)
+        SELECT d.day AS day,
+               CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS exact_7d_users,
+               TRUE AS est_within_5pct
+        FROM days d JOIN du u
+          ON u.day <= d.day AND u.day > d.day - INTERVAL 7 DAY
+        GROUP BY d.day
+        ORDER BY day
+    """,
+    tags=("agg", "sketch", "sliding"),
 )
 def hll_sliding_7d_users(spark, sf_dir):
     """Sliding-window distinct users from MERGED daily sketches — the
@@ -526,12 +624,11 @@ def hll_sliding_7d_users(spark, sf_dir):
     the events table); this query scans events ONCE to build per-day HLL
     sketches (KB each), then the 7-day window is a union over ≤7 sketch
     rows per day — the window cost is O(days × 7 × KB), independent of
-    event volume. exact rides along per day so the error-bound test can
-    check every window (lgK=12 ⇒ ~±2%).
-
-    Rows-only/golden: sketch estimates are library-specific by design;
-    register-max union is order-insensitive, so the output is
-    deterministic and pinnable."""
+    event volume. The exact trailing-7d distinct rides along per day and
+    the output pins every window's estimate within 5% of it (~3 sigma at
+    lgK=12) — the oracle computes the exact counts itself and predicts
+    TRUE (golden pin retired, r11; sketch internals never cross
+    engines)."""
     e = T(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"), "user_id"
     )
@@ -552,7 +649,21 @@ def hll_sliding_7d_users(spark, sf_dir):
         .groupBy(F.col("out_day").alias("day"))
         .agg(F.count_distinct("user_id").alias("exact_7d_users"))
     )
-    return est.join(exact, "day").orderBy("day")
+    return (
+        est.join(exact, "day")
+        .select(
+            "day",
+            F.col("exact_7d_users").cast("bigint").alias("exact_7d_users"),
+            (
+                F.abs(
+                    F.col("est_7d_users").cast("double")
+                    - F.col("exact_7d_users").cast("double")
+                )
+                <= F.lit(0.05) * F.col("exact_7d_users").cast("double")
+            ).alias("est_within_5pct"),
+        )
+        .orderBy("day")
+    )
 
 
 @query(

@@ -49,14 +49,11 @@ GOLDEN_TARGETS = [
     "similarity_cosine_topk_pq",
     "kmeans_lloyd_refine",
     "embedding_pq_codes",
-    "agg_percentiles",
-    "sketch_hll_distinct_users",
     "catalog_inventory",
     "multimodal_doc_features",
     "bpe_trained_segmentation",
     "semantic_dedup_prune",
     "corpus_curation_funnel",
-    "hll_sliding_7d_users",
     # r11: the five iterative graph goldens (kcore x2, ktruss x2, LPA) and
     # the HLL literal converted to COMPUTED oracles (VERDICT r10 #2):
     # recursive-CTE replicas of the h-index iteration / support peeling /
