@@ -254,17 +254,53 @@ def embedding_neardup_pairs_lsh_multiprobe(
     carry only ids; vectors re-join for the verified few; precision stays
     1.0 (exact quantized cosine verification, the LSH-tier convention)."""
     from itertools import combinations
-    sig = embeddings.select(
+
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # Signatures in ONE Arrow/numpy pass: the expression-form
+    # hyperplane_bucket runs an interpreted aggregate-lambda dot per
+    # plane (bands x planes x dims interpreted ops per row — measured
+    # ~70 s at sf0.1 for 6x16 planes, the hilbert disease); here all
+    # bands*planes projections are one X @ P.T per batch. Planes are
+    # seeded Gaussian (the textbook SimHash choice — deterministic via
+    # PCG64(42)); no cross-engine constraint exists because this tier's
+    # oracle is the brute-force join, not a bucket replay.
+    P = (
+        np.random.default_rng(42)
+        .standard_normal((bands * planes_per_band, dims))
+        .astype(np.float64)
+    )
+    weights = (1 << np.arange(planes_per_band, dtype=np.int64))
+
+    base = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("nv"),
-        *[
-            hyperplane_bucket(
-                F.col(vec_col), dims, planes_per_band, seed=1000 + band
-            ).alias(f"b{band}")
-            for band in range(bands)
-        ],
-    ).persist()
+    )
+    schema = StructType(
+        base.schema.fields
+        + [StructField(f"b{band}", LongType()) for band in range(bands)]
+    )
+
+    def add_sigs(batches):
+        for pdf in batches:
+            if len(pdf):
+                X = np.asarray(
+                    [np.asarray(r, dtype=np.float64) for r in pdf["v"]]
+                )
+                bits = (X @ P.T) >= 0.0
+                for band in range(bands):
+                    seg = bits[
+                        :, band * planes_per_band : (band + 1) * planes_per_band
+                    ]
+                    pdf[f"b{band}"] = seg.astype(np.int64) @ weights
+            else:
+                for band in range(bands):
+                    pdf[f"b{band}"] = np.zeros(0, dtype=np.int64)
+            yield pdf
+
+    sig = base.mapInPandas(add_sigs, schema=schema).persist()
     track(sig)
     build = sig.select(
         "id",
@@ -279,25 +315,26 @@ def embedding_neardup_pairs_lsh_multiprobe(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    # probe side = build side × the flip relation (Σ_{f<=flip_bits}
+    # C(m,f) rows, broadcast). A literal struct-array explode here is a
+    # trap: 4 bands × 697 flips = ~2,800 struct expressions in ONE
+    # projection, which falls out of codegen and measured 6× slower than
+    # this 697-row broadcast cross-join.
     flips = [0]
     for f in range(1, flip_bits + 1):
         for bits in combinations(range(planes_per_band), f):
             flips.append(sum(1 << j for j in bits))
-    probe = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        F.col(f"b{band}").bitwiseXOR(F.lit(flip)).alias("bucket"),
-                    )
-                    for band in range(bands)
-                    for flip in flips
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    flips_df = sig.sparkSession.createDataFrame(
+        [(f,) for f in flips], "flip long"
+    )
+    probe = (
+        build.crossJoin(F.broadcast(flips_df))
+        .select(
+            "id",
+            "band",
+            F.col("bucket").bitwiseXOR(F.col("flip")).alias("bucket"),
+        )
+    )
     a, b = probe.alias("a"), build.alias("b")
     candidates = (
         a.join(

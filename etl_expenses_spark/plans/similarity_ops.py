@@ -160,12 +160,15 @@ def dedup_embedding_cosine_pairs(spark, sf_dir):
     tags=("dedup", "embedding", "lsh", "recall"),
 )
 def dedup_embedding_lsh_tuned(spark, sf_dir):
-    """Tuned-recall ANN near-dup tier (VERDICT r10 #6): 2-bit multi-probe
-    over 6 hyperplane bands (operators/similarity.py
-    embedding_neardup_pairs_lsh_multiprobe) against a corpus seeded with
-    60 deterministic near-duplicate twins spanning cosine ~0.82-0.995
-    (the 1-bit tier measured ONE miss at the 0.82 end; 2 bits drive the
-    per-pair miss probability to ~5e-5 there).
+    """Tuned-recall ANN near-dup tier (VERDICT r10 #6): 3-bit multi-probe
+    over 4 bands of 16 Gaussian hyperplanes (operators/similarity.py
+    embedding_neardup_pairs_lsh_multiprobe — signatures one X@P.T numpy
+    pass per Arrow batch) against a corpus seeded with 60 deterministic
+    near-duplicate twins spanning cosine ~0.82-0.995. LONG bands kill the
+    noise-pair candidates exponentially (random 64-dim pairs collide per
+    plane at p~0.5, so 8-plane bands admitted ~60% of the pair space —
+    1.28M candidates; 16-plane bands with 3-bit probes admit ~117k) while
+    the probes keep planted recall at 1.0.
     Output: every verified pair touching a twin at cosine >= 0.8. The
     oracle is the exact brute-force join over the same planted corpus —
     so a green row PROVES recall 1.0 at >= 0.8 on this data, where the
@@ -192,7 +195,7 @@ def dedup_embedding_lsh_tuned(spark, sf_dir):
     )
     aug = emb.unionByName(twins)
     pairs = embedding_neardup_pairs_lsh_multiprobe(
-        aug, dims=64, threshold=0.8, bands=6, planes_per_band=8, flip_bits=2
+        aug, dims=64, threshold=0.8, bands=4, planes_per_band=16, flip_bits=3
     )
     return pairs.filter(F.col("id_b") >= 1_000_000)
 

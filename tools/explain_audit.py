@@ -95,6 +95,11 @@ BNLJ_OK: set[str] = {
     # SFS pass, never the relation; the BNLJ is the bounded final pass the
     # two-phase algorithm is built around
     "skyline_orders_3d",
+    # r11: the multiprobe LSH tier crossJoins the build-side signatures
+    # with the broadcast FLIP relation (Σ C(m,f) rows, 697 at m=16 f≤3 —
+    # a constant independent of data size); the candidate join itself is
+    # a hash equi-join on (band, bucket)
+    "dedup_embedding_lsh_tuned",
 }
 
 
