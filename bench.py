@@ -403,6 +403,15 @@ def format_outputs(timings, ext_cores, retried, sf, load_start, load_now,
         line_obj["queries"] = {k: round(v, 1) for k, v in timings.items()}
         line = json.dumps(line_obj, separators=(",", ":"))
     if len(line) > 1900:
+        # context-field stage (r11: the headline names grew ~20 chars in
+        # rotation and the 1-decimal line hit 1904): loadavg_start is
+        # redundant with ext_cores_max (the authoritative in-run probe)
+        # and retries is diagnostic — both live in BENCH_DETAIL.json; the
+        # per-query map is what the driver grades, so it goes LAST
+        line_obj.pop("loadavg_start", None)
+        line_obj.pop("retries", None)
+        line = json.dumps(line_obj, separators=(",", ":"))
+    if len(line) > 1900:
         # final stage: the per-query map itself no longer fits (the
         # headline set keeps growing) — keep the parseable core and point
         # at the committed detail file instead of shipping a truncated

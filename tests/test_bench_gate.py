@@ -106,7 +106,11 @@ def test_format_outputs_line_fits_capture_and_detail_is_complete():
     parsed = _json.loads(line)
     assert set(parsed["queries"]) == set(names)
     assert parsed["value"] == round(sum(timings.values()), 4)
-    assert parsed["ext_cores_max"] == 0.11 and parsed["retries"] == 2
+    # ext_cores_max (the authoritative contamination signal) must survive
+    # every degradation stage; loadavg_start/retries may drop from the
+    # LINE at the context-field stage (r11) — they always live in detail
+    assert parsed["ext_cores_max"] == 0.11
+    assert parsed.get("retries", 2) == 2
     assert len(line) <= 1900
     assert "ext_cores\":{" not in line  # per-query probe map stays off-line
     # detail: full-precision timings + the per-query ext_cores map
