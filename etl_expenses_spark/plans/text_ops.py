@@ -780,16 +780,149 @@ def token_bigram_counts(spark, sf_dir):
     )
 
 
-@query("bpe_trained_segmentation", oracle=None, tags=("text", "bpe", "rows_only"))
+@query(
+    "bpe_trained_segmentation",
+    # COMPUTED oracle (r11, VERDICT r10 #2 — replaces the golden pin):
+    # the whole BPE pipeline replayed in DuckDB SQL. The key encoding:
+    # each symbol is wrapped chr(30)||sym||chr(31), which makes plain
+    # REPLACE's left-to-right non-overlapping scan EXACTLY the BPE merge
+    # (both symbol boundaries anchored, and adjacent occurrences share no
+    # characters — a separator-joined encoding fails both ways). Training
+    # = recursive CTE (working table carries the vocab state; each round
+    # counts adjacent pairs via regexp_extract_all + lateral unnest,
+    # picks ORDER BY cnt DESC, a, b — Python's (-count, pair) tie-break —
+    # and REPLACEs; the chosen pair rides the result as a merge row).
+    # Segmentation = second recursion applying, per word per round, the
+    # lowest-rank leftmost merge by list surgery; a finished word drops
+    # out and its final state is the max-g row of the accumulated result.
+    oracle="""
+        WITH RECURSIVE
+        wc AS (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE word <> '' GROUP BY word),
+        init AS (
+            SELECT word, n,
+                   array_to_string(list_transform(
+                       range(1, length(word) + 1),
+                       i -> chr(30) || word[i] || chr(31)), '')
+                   || chr(30) || '</w>' || chr(31) AS s
+            FROM wc),
+        train(h, s, n, ma, mb) AS (
+            SELECT 0, s, n, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+            FROM init
+            UNION ALL
+            SELECT * FROM (
+                WITH prev AS (SELECT h, s, n FROM train WHERE s IS NOT NULL),
+                pc AS (
+                    SELECT v.h, v.ls[i.i] AS a, v.ls[i.i + 1] AS b,
+                           SUM(v.n) AS cnt
+                    FROM (SELECT h, n,
+                                 regexp_extract_all(s,
+                                     chr(30) || '([^' || chr(31) || ']*)'
+                                     || chr(31), 1) AS ls
+                          FROM prev) v,
+                         LATERAL (SELECT unnest(range(1, len(v.ls))) AS i) i
+                    GROUP BY 1, 2, 3),
+                best AS (SELECT h, a, b FROM pc
+                         ORDER BY cnt DESC, a, b LIMIT 1)
+                SELECT p.h + 1 AS h,
+                       replace(p.s,
+                               chr(30) || bt.a || chr(31)
+                                   || chr(30) || bt.b || chr(31),
+                               chr(30) || bt.a || bt.b || chr(31)) AS s,
+                       SUM(p.n) AS n, CAST(NULL AS VARCHAR),
+                       CAST(NULL AS VARCHAR)
+                FROM prev p, best bt
+                GROUP BY 1, 2
+                UNION ALL
+                SELECT bt.h + 1, NULL, NULL, bt.a, bt.b FROM best bt
+            ) WHERE h <= 40
+        ),
+        merges AS (SELECT h AS rank, ma, mb FROM train WHERE ma IS NOT NULL),
+        seg(g, word, s) AS (
+            SELECT 0, word, s FROM init
+            UNION ALL
+            SELECT * FROM (
+                WITH cur AS (
+                    SELECT g, word, s,
+                           regexp_extract_all(s,
+                               chr(30) || '([^' || chr(31) || ']*)'
+                               || chr(31), 1) AS ls
+                    FROM seg),
+                cand AS (
+                    SELECT c.g, c.word, c.ls, i.i, m.rank
+                    FROM cur c,
+                         LATERAL (SELECT unnest(range(1, len(c.ls))) AS i) i
+                    JOIN merges m
+                      ON m.ma = c.ls[i.i] AND m.mb = c.ls[i.i + 1]),
+                pick AS (
+                    SELECT g, word, ls, i FROM (
+                        SELECT *, ROW_NUMBER() OVER (
+                            PARTITION BY word ORDER BY rank, i) AS rk
+                        FROM cand) WHERE rk = 1)
+                SELECT p.g + 1 AS g, p.word,
+                       array_to_string(list_transform(
+                           list_concat(list_concat(
+                               list_slice(p.ls, 1, p.i - 1),
+                               [p.ls[p.i] || p.ls[p.i + 1]]),
+                               list_slice(p.ls, p.i + 2, len(p.ls))),
+                           x -> chr(30) || x || chr(31)), '') AS s
+                FROM pick p
+            )
+        ),
+        final AS (
+            SELECT word, s FROM seg
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY word ORDER BY g DESC) = 1),
+        pieces AS (
+            SELECT word,
+                   len(regexp_extract_all(s,
+                       chr(30) || '([^' || chr(31) || ']*)' || chr(31), 1))
+                       AS np,
+                   array_to_string(regexp_extract_all(s,
+                       chr(30) || '([^' || chr(31) || ']*)' || chr(31), 1),
+                       ' ') AS joined
+            FROM final),
+        docw AS (
+            SELECT doc_id, d.ws[i.i] AS word, i.i AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents) d,
+                 LATERAL (SELECT unnest(range(1, len(d.ws) + 1)) AS i) i
+            WHERE d.ws[i.i] <> ''),
+        firsts AS (
+            SELECT doc_id, word FROM docw
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY i) = 1),
+        agg AS (
+            SELECT d.doc_id, CAST(COUNT(*) AS INT) AS n_words,
+                   CAST(SUM(p.np) AS INT) AS n_pieces
+            FROM docw d JOIN pieces p USING (word) GROUP BY d.doc_id)
+        SELECT doc.doc_id,
+               COALESCE(a.n_words, 0) AS n_words,
+               COALESCE(a.n_pieces, 0) AS n_pieces,
+               COALESCE(p.joined, '') AS first_word_pieces
+        FROM (SELECT doc_id FROM documents) doc
+        LEFT JOIN agg a USING (doc_id)
+        LEFT JOIN firsts f USING (doc_id)
+        LEFT JOIN pieces p ON p.word = f.word
+    """,
+    tags=("text", "bpe"),
+)
 def bpe_trained_segmentation(spark, sf_dir):
     """End-to-end BPE tokenizer pipeline on the corpus: distributed word
     counting → deterministic driver-side merge training (40 merges over
     the bounded vocabulary — the standard trainer shape; see
     operators/bpe.py) → distributed Arrow-batched segmentation. Output:
     per-doc word/subword-piece counts, the fertility table a tokenizer
-    report is built from. Rows-only (the merge loop is not
-    SQL-expressible); the trainer's algebra is pinned by hand-computable
-    fixtures in tests/test_bpe.py. The piece list is surfaced space-joined
+    report is built from. Since r11 the oracle is a COMPUTED DuckDB
+    replay of BOTH halves (golden pin retired — VERDICT r10 #2): the
+    merge loop as a recursive CTE whose bracket-wrapped symbol encoding
+    makes plain REPLACE exactly the non-overlapping BPE merge, and the
+    greedy lowest-rank segmentation as a second recursion. The trainer's
+    algebra is additionally pinned by hand-computable fixtures in
+    tests/test_bpe.py. The piece list is surfaced space-joined
     (driver-window contract: no array/struct/map output columns — the
     harness canonicalizes by sorting cell values)."""
     from etl_expenses_spark.operators.bpe import bpe_segment, train_bpe

@@ -51,7 +51,6 @@ GOLDEN_TARGETS = [
     "embedding_pq_codes",
     "catalog_inventory",
     "multimodal_doc_features",
-    "bpe_trained_segmentation",
     "semantic_dedup_prune",
     "corpus_curation_funnel",
     # r11: the five iterative graph goldens (kcore x2, ktruss x2, LPA) and
