@@ -46,13 +46,13 @@ _PRIORITY = [
     #     brute-force recall proof), and hilbert_curve_values whose
     #     implementation moved to the Arrow/numpy twin (VERDICT r10 #3).
     #
-    # (2) FRESHNESS rotation (36): the queries whose most recent
+    # (2) FRESHNESS rotation (35): the queries whose most recent
     #     hash-green row is oldest (rounds 2-3, computed from the
     #     CORRECTNESS_r*.json history in (round, name) order) — the
     #     regression-guarding re-proof the COVERAGE.md governance policy
     #     prescribes once closure is achieved (all pre-r11 queries have
     #     had a hash-green driver row since r10).
-    # -- block 1: changed evidence (14) --
+    # -- block 1: changed evidence (15) --
     "lpa_communities_copurchase",
     "kcore_copurchase",
     "kcore_copurchase_capped",
@@ -67,7 +67,8 @@ _PRIORITY = [
     "sketch_hll_distinct_users",
     "hll_sliding_7d_users",
     "bpe_trained_segmentation",
-    # -- block 2: oldest-evidence freshness rotation (36) --
+    "multimodal_doc_features",
+    # -- block 2: oldest-evidence freshness rotation (35) --
     "dedup_keep_first",
     "dedup_ngram_jaccard_pairs",
     "distinct_segments",
@@ -103,7 +104,6 @@ _PRIORITY = [
     "range_join_recent_clicks",
     "required_fields_filter",
     "rfm_segmentation",
-    "scd2_customer_segments",
 ]
 
 

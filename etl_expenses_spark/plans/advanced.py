@@ -147,15 +147,55 @@ def agg_percentiles(spark, sf_dir):
     )
 
 
-@query("multimodal_doc_features", oracle=None, tags=("multimodal", "rows_only"))
+def _sha_feature_fold_sql() -> str:
+    """The digest-fake featurizer replayed in SQL (r11, VERDICT r10 #2):
+    feature[i] = big-endian uint32 of sha256-digest bytes [4i, 4i+4) /
+    2^32 — DuckDB's sha256(VARCHAR) hashes the UTF-8 bytes, exactly
+    Python's hashlib over the encoded payload; each uint32 parses from 8
+    hex chars as an exact-integer double sum; and the L2² fold is written
+    as EXPLICITLY NESTED additions so the summation order is the
+    sequential left fold Spark's higher-order aggregate runs."""
+    fold = "0.0"
+    for i in range(8):
+        u = (
+            "(SELECT SUM((strpos('0123456789abcdef', "
+            f"substr(hx, {8 * i} + k.j, 1)) - 1) * POWER(16, 8 - k.j)) "
+            "FROM range(1, 9) k(j))"
+        )
+        # the engine stores features as FLOAT32 (FEATURES_SCHEMA), so each
+        # value round-trips through FLOAT before the double fold
+        f = f"CAST(CAST(({u} / 4294967296.0) AS FLOAT) AS DOUBLE)"
+        fold = f"({fold} + {f} * {f})"
+    return fold
+
+
+@query(
+    "multimodal_doc_features",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id AS media_id, 'text' AS kind,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS hx
+            FROM documents)
+        SELECT media_id, kind, n_bytes, 8 AS n_dims,
+               CAST(FLOOR({_sha_feature_fold_sql()} * 1000000.0 + 0.5)
+                    AS BIGINT) AS feature_l2sq_micro
+        FROM h
+    """,
+    tags=("multimodal",),
+)
 def multimodal_doc_features(spark, sf_dir):
     """The multimodal feature stage driven end-to-end on real testdata:
     documents.text re-encoded as a binary payload column → Arrow-batched
-    mapInPandas featurization (operators/multimodal.py). Rows-only: the
-    'decoder' is the documented deterministic stub. The feature vector is
-    surfaced as (n_dims, rounded L2²) scalars — driver-window contract: no
-    array/struct/map output columns — while downstream pipeline stages keep
-    consuming the full array from decode_and_featurize directly."""
+    mapInPandas featurization (operators/multimodal.py). Text payloads
+    aren't a decodable image/audio/video format, so they take the
+    documented deterministic digest featurizer — which IS SQL-expressible
+    (sha256 + hex parsing + a nested-fold L2²), so since r11 the oracle
+    COMPUTES the features instead of pinning them (golden retired —
+    VERDICT r10 #2). The feature vector is surfaced as (n_dims, rounded
+    L2²) scalars — driver-window contract: no array/struct/map output
+    columns — while downstream pipeline stages keep consuming the full
+    array from decode_and_featurize directly."""
     from etl_expenses_spark.operators.multimodal import decode_and_featurize
 
     media = T(spark, sf_dir, "documents").select(
@@ -164,19 +204,24 @@ def multimodal_doc_features(spark, sf_dir):
         F.encode("text", "UTF-8").alias("payload"),
     )
     feats = decode_and_featurize(media)
+    l2 = F.aggregate(
+        "feature",
+        F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double"),
+    )
     return feats.select(
         "media_id",
         "kind",
         "n_bytes",
         F.size("feature").alias("n_dims"),
-        F.round(
-            F.aggregate(
-                "feature",
-                F.lit(0.0),
-                lambda a, x: a + x.cast("double") * x.cast("double"),
-            ),
-            3,
-        ).alias("feature_l2sq"),
+        # micro-quantized in PURE double arithmetic (floor(x*1e6 + 0.5)):
+        # bit-exact across engines, unlike ROUND(double, d) whose HALF_UP
+        # runs on the shortest decimal repr in Spark but on the binary
+        # value in DuckDB — one sf0.1 doc landed exactly on a 0.0005
+        # boundary and split the two (r11)
+        F.floor(l2 * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("feature_l2sq_micro"),
     )
 
 

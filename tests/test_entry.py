@@ -18,7 +18,7 @@ def test_correctness_window_priority():
     seven queries whose oracles were converted from golden literals to
     computed oracles (VERDICT r10 #2 needs a driver row under the
     computed oracle), the two r11 additions, and the Arrow-vectorized
-    hilbert_curve_values (14 slots); block 2 = the 36 oldest-evidence
+    hilbert_curve_values (15 slots); block 2 = the 35 oldest-evidence
     queries (last hash-green r2-r3). Every slot must have an oracle —
     rows-only slots can only ever record err:no_oracle and are banned
     from the window (VERDICT r9 #2)."""
@@ -40,6 +40,7 @@ def test_correctness_window_priority():
         "sketch_hll_distinct_users",
         "hll_sliding_7d_users",
         "bpe_trained_segmentation",
+        "multimodal_doc_features",
         # round-11 additions shipping with same-round driver evidence
         "skyline_delete_maintenance",
         "dedup_embedding_lsh_tuned",

@@ -695,17 +695,28 @@ def test_stream_hll_sketch_mv_equals_batch(spark, dirs):
     assert got == want
 
     # sliding window straight from the stream-maintained state equals the
-    # batch sliding query's estimates on the same events (union algebra)
-    from etl_expenses_spark.plans import REGISTRY
+    # batch sliding computation's estimates on the same events (union
+    # algebra; since r11 the registry query surfaces a bound verdict
+    # instead of the raw estimate, so the batch twin is built directly
+    # from the shared sketch-window operator)
+    from etl_expenses_spark.operators.sketchwindow import sliding_hll_estimates
     from etl_expenses_spark.streaming.pipeline import hll_read_sliding_users
 
     got_sliding = {
         (r.day, int(r.est_window_users))
         for r in hll_read_sliding_users(spark, st, window_days=7).collect()
     }
+    daily_sk = (
+        events.select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            "user_id",
+        )
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
     want_sliding = {
         (r.day, int(r.est_7d_users))
-        for r in REGISTRY["hll_sliding_7d_users"].build(spark, SF_DIR).collect()
+        for r in sliding_hll_estimates(daily_sk, 7, out_col="est_7d_users").collect()
     }
     assert got_sliding == want_sliding
 

@@ -50,7 +50,6 @@ GOLDEN_TARGETS = [
     "kmeans_lloyd_refine",
     "embedding_pq_codes",
     "catalog_inventory",
-    "multimodal_doc_features",
     "semantic_dedup_prune",
     "corpus_curation_funnel",
     # r11: the five iterative graph goldens (kcore x2, ktruss x2, LPA) and
