@@ -52,12 +52,14 @@ GOLDEN_TARGETS = [
     "catalog_inventory",
     "semantic_dedup_prune",
     "corpus_curation_funnel",
-    # r11: the five iterative graph goldens (kcore x2, ktruss x2, LPA) and
-    # the HLL literal converted to COMPUTED oracles (VERDICT r10 #2):
-    # recursive-CTE replicas of the h-index iteration / support peeling /
-    # parity-scheduled LPA, and an exact-count bound check.
-    # (similarity_mmr_topk converted to a computed recursive-CTE greedy
-    # replay in r11)
+    # r11 conversions (VERDICT r10 #2) — twelve former goldens now carry
+    # COMPUTED oracles and left this list: the five iterative graph pins
+    # (kcore x2, ktruss x2, LPA) as recursive-CTE replicas, the MMR greedy
+    # replay, the BPE train+segment replay, the sha256 digest featurizer
+    # (multimodal_doc_features), and the four sketch bound checks
+    # (approx_count_distinct_parts, sketch_hll_distinct_users,
+    # hll_sliding_7d_users, agg_percentiles). The twelve above are the
+    # documented irreducible remainder (QUERIES.md / COVERAGE.md r11).
 ]
 
 _DUCK_TYPES = {
