@@ -121,6 +121,13 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     # i.e. 2*shuffle.partitions rows regardless of corpus size
     # (plans/dedup_ops.py bwin — lag+lead = 2 specs over one window)
     "dedup_spans_suffix_array": "2 boundary rows per range partition",
+    # the two-phase skyline's MERGE pass windows over the UNION OF LOCAL
+    # SKYLINES (skyline-sized per partition — polylog for independent
+    # dims, never the relation); the pass partitions on a literal pid
+    # that Catalyst constant-folds away, which is why it surfaces as a
+    # global window. 4 specs = phase-2 sweeps of the layered view build
+    # plus the delta fold (plans/relational_ext.py two_phase).
+    "skyline_delete_maintenance": "union of local skylines (phase-2 merge)",
 }
 
 
