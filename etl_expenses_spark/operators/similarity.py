@@ -370,6 +370,86 @@ def embedding_neardup_pairs_lsh_multiprobe(
     )
 
 
+def _rademacher_sign(i: int, j: int) -> int:
+    """±1 entry (row i, input dim j) of the deterministic Rademacher
+    projection matrix — pure integer arithmetic (Knuth multiplicative mix
+    mod a prime) so a SQL oracle computes the IDENTICAL matrix. Database-
+    friendly JL: no stored matrix, no RNG state, any engine regenerates
+    any entry from (i, j)."""
+    return 1 if ((i * 2654435761 + j * 40503) % 97) < 48 else -1
+
+
+def random_project(
+    embeddings: DataFrame,
+    dims: int,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sketch of the embedding column: project each
+    vector onto ``k`` deterministic Rademacher directions (Achlioptas
+    2003 — ±1 entries preserve pairwise distances in expectation like
+    Gaussian ones, with database-friendly arithmetic). The standard
+    100 TB pre-step: ANN/clustering downstream runs on k floats per row
+    instead of ``dims``, and the projection itself is one Arrow/numpy
+    pass per batch, no shuffle, no trained state.
+
+    Determinism contract: the accumulation runs DIM-BY-DIM across the
+    whole batch (``acc[:, r] += sign * X[:, d]``) — the same sequence of
+    IEEE additions as a sequential left fold and as an engine's ordered
+    SUM, so a SQL oracle reproduces every projected value bit-for-bit
+    (the pair_dot_udf convention). Output: (id, k_dims, proj_l2sq_micro)
+    with the projection's squared length micro-quantized in pure double
+    arithmetic (floor(x*1e6 + 0.5) — exact cross-engine, unlike
+    ROUND(double, d))."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    S = np.asarray(
+        [[_rademacher_sign(r, d) for d in range(dims)] for r in range(k)],
+        dtype=np.float64,
+    )
+
+    base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    schema = StructType(
+        [
+            StructField("id", base.schema["id"].dataType),
+            StructField("k_dims", LongType()),
+            StructField("proj_l2sq_micro", LongType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n:
+                X = np.asarray(
+                    [np.asarray(r, dtype=np.float64) for r in pdf["v"]]
+                )
+                acc = np.zeros((n, k))
+                for d in range(X.shape[1]):  # dim-by-dim: fold order == SQL's
+                    acc += X[:, d : d + 1] * S[:, d]
+                l2 = np.zeros(n)
+                for r in range(k):  # same discipline for the norm fold
+                    l2 += acc[:, r] * acc[:, r]
+                out = pd.DataFrame(
+                    {
+                        "id": pdf["id"],
+                        "k_dims": np.full(n, k, dtype=np.int64),
+                        "proj_l2sq_micro": np.floor(l2 * 1e6 + 0.5).astype(
+                            np.int64
+                        ),
+                    }
+                )
+            else:
+                out = pd.DataFrame(
+                    {"id": pdf["id"], "k_dims": [], "proj_l2sq_micro": []}
+                )
+            yield out
+
+    return base.mapInPandas(gen, schema=schema)
+
+
 def train_centroids_sampled(
     embeddings: DataFrame,
     k: int = 16,

@@ -892,6 +892,57 @@ def dedup_exact_jaccard_curation(spark, sf_dir):
     )
 
 
+def _jl_l2_fold_sql(k: int = 16) -> str:
+    """The JL projection's squared length as explicitly nested SQL: each
+    projected coordinate p_r = ordered SUM over the 64 input dims of
+    sign(r, d) * x_d, with the ±1 Rademacher sign regenerated by the same
+    integer arithmetic as operators/similarity._rademacher_sign; the
+    final fold nests additions so the summation order is the engine's
+    dim-by-dim accumulation."""
+    fold = "0.0"
+    for r in range(k):
+        p = (
+            f"(SELECT SUM((CASE WHEN (({r} * 2654435761 + (i.i - 1) * 40503)"
+            " % 97) < 48 THEN 1.0 ELSE -1.0 END)"
+            " * CAST(e.embedding[i.i] AS DOUBLE))"
+            " FROM range(1, 65) i(i))"
+        )
+        fold = f"({fold} + {p} * {p})"
+    return fold
+
+
+@query(
+    "embedding_random_projection",
+    # Exact cross-engine oracle: the deterministic Rademacher matrix
+    # regenerates from (row, dim) integer arithmetic in SQL, the ordered
+    # correlated SUM reproduces the engine's dim-by-dim accumulation
+    # bit-for-bit, and the squared length micro-quantizes in pure double
+    # arithmetic — no RNG, no stored matrix, no float-rounding semantics
+    # crossing engines.
+    oracle=f"""
+        SELECT e.vec_id, CAST(16 AS BIGINT) AS k_dims,
+               CAST(FLOOR({_jl_l2_fold_sql(16)} * 1000000.0 + 0.5)
+                    AS BIGINT) AS proj_l2sq_micro
+        FROM embeddings e
+    """,
+    tags=("similarity", "projection", "sketch"),
+)
+def embedding_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss sketch of the embedding column
+    (operators/similarity.py random_project): 64 dims → 16 deterministic
+    Rademacher directions — the train-free dimensionality reduction a
+    100 TB embedding pipeline runs before ANN/clustering so downstream
+    stages move 4× fewer bytes per row. One Arrow/numpy pass per batch,
+    no shuffle, no state; the ±1 matrix regenerates anywhere from
+    (row, dim) integer arithmetic, which is what makes the oracle EXACT
+    (same matrix, same summation order, micro-quantized output) instead
+    of a golden pin or a bound check."""
+    from etl_expenses_spark.operators.similarity import random_project
+
+    emb = T(spark, sf_dir, "embeddings")
+    return random_project(emb, dims=64, k=16).withColumnRenamed("id", "vec_id")
+
+
 _MMR_DOT = (
     "(SELECT SUM(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)) "
     "FROM range(1, 65) r(i))"

@@ -475,3 +475,26 @@ def test_mmr_pool_smaller_than_k_returns_short_result(spark):
     out = mmr_diversified_topk(emb, q, k=10, pool=100).collect()
     assert [r.rank for r in out] == [1, 2, 3]
     assert {r.vec_id for r in out} == {1, 2, 3}
+
+
+def test_random_projection_preserves_norms_in_expectation(spark):
+    """JL contract of random_project: for ±1 Rademacher rows,
+    E[||Sx||²] = k·||x||², so the per-vector ratio proj_l2sq/(k·||x||²)
+    concentrates around 1 (rsd ~ sqrt(2/k) ≈ 0.35 at k=16) — the corpus
+    mean must sit well inside [0.8, 1.2] and no ratio may collapse to 0
+    (which would mean a degenerate, non-mixing sign matrix)."""
+    import numpy as np
+
+    from etl_expenses_spark.operators.similarity import random_project
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    got = {r.id: r.proj_l2sq_micro / 1e6 for r in random_project(
+        emb, dims=64, k=16).collect()}
+    norms = {
+        r.vec_id: float(np.sum(np.asarray(r.embedding, dtype=np.float64) ** 2))
+        for r in emb.collect()
+    }
+    ratios = [got[i] / (16 * norms[i]) for i in got if norms[i] > 0]
+    assert ratios
+    assert all(r > 0.05 for r in ratios)
+    assert 0.8 < sum(ratios) / len(ratios) < 1.2
