@@ -2,8 +2,12 @@
 
 The brute-force top-k is oracle-checked: both engines compute the cosine in
 double precision and quantize to 6 decimals before ranking, so summation-
-order noise (≤1e-15) cannot flip the comparison. The LSH variant is
-rows-only (xxhash64-derived hyperplanes aren't reproducible in DuckDB).
+order noise (≤1e-15) cannot flip the comparison. The query-side LSH/IVF/PQ
+top-k variants stay golden-pinned (xxhash64-derived hyperplanes and the
+PCG64-seeded sampled k-means aren't reproducible in DuckDB); the tuned
+multiprobe near-dup tier instead carries a brute-force oracle that PROVES
+its recall, and the JL random projection regenerates its ±1 matrix from
+integer arithmetic, making its oracle exact.
 """
 
 from __future__ import annotations
