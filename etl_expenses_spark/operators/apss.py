@@ -482,3 +482,112 @@ def allpairs_jaccard_prefix(
             ),
         )
     )
+
+
+def _shingle_sets(docs: DataFrame, text_col: str, id_col: str,
+                  shingle_k: int) -> DataFrame:
+    """(id, s) distinct 64-bit shingle-fingerprint sets — the shared input
+    representation of the Jaccard APSS tiers (dedup_ngram_jaccard_pairs
+    convention: integer set ops; collision mass ~n²·2⁻⁶⁴)."""
+    from etl_expenses_spark.functions.text import tokens
+    from etl_expenses_spark.operators.dedup import shingles_of_tokens
+
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform(
+                shingles_of_tokens(tokens(F.col(text_col)), shingle_k),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("s"),
+    )
+
+
+def allpairs_jaccard_prefix_delta(
+    corpus: DataFrame,
+    delta: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact Jaccard threshold pairs TOUCHING A DELTA BATCH — every pair
+    (a, b) with J ≥ t where at least one side is a delta document — with
+    NO corpus self-join anywhere in the plan. The incremental-curation
+    primitive (VERDICT r11 #6): when N new docs arrive against an
+    already-curated 100 TB corpus, the recuration workload is
+    delta×(corpus∪delta), never corpus².
+
+    Prefix lemma, delta form: for each member x of a qualifying pair,
+    prefix(x) must intersect the OTHER side's full set (the same per-member
+    witness argument as allpairs_jaccard_prefix) — so indexing ONLY the
+    delta docs' prefixes and probing them against the full postings of
+    corpus∪delta catches every pair touching the delta, exactly. Corpus
+    postings are only ever (a) aggregated once for the maintained df table
+    and (b) point-joined for candidate verify — both linear index reads in
+    production (the stored posting/df tables are the index state; here they
+    are derived in-plan). Work: Σ_delta-prefix |posting| — proportional to
+    |delta| for fixed corpus density, the APSS analog of
+    dedup_incremental_batch's batch×corpus contract."""
+    cs = _shingle_sets(corpus, text_col, id_col, shingle_k)
+    ds = _shingle_sets(delta, text_col, id_col, shingle_k)
+    post_c = cs.select("id", F.size("s").alias("n"), F.explode("s").alias("e"))
+    post_d = ds.select("id", F.size("s").alias("n"), F.explode("s").alias("e"))
+    post_all = tracked_persist(post_c.unionByName(post_d))
+    post_delta = tracked_persist(post_d)
+    # df over corpus∪delta: in production this is the stored df table plus
+    # the delta's fold (both sides maintained incrementally); the prefix
+    # lemma itself holds for ANY consistent global order — df-ascending is
+    # the candidate-minimizing choice, not a correctness requirement.
+    df_tbl = post_all.groupBy("e").agg(F.count(F.lit(1)).alias("df"))
+    w = W.partitionBy("id").orderBy("df", "e")
+    ranked = (
+        post_delta.join(df_tbl, "e")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "prefix_len",
+            (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int"),
+        )
+    )
+    prefix = ranked.filter(F.col("rk") <= F.col("prefix_len")).select(
+        F.col("id").alias("pid"), F.col("n").alias("na"), "e"
+    )
+    cands = (
+        prefix.join(
+            post_all.select(F.col("id").alias("qid"), F.col("n").alias("nb"), "e"),
+            "e",
+        )
+        .filter(
+            (F.col("pid") != F.col("qid"))
+            & (
+                F.least("na", "nb").cast("double")
+                >= F.lit(threshold) * F.greatest("na", "nb").cast("double")
+            )
+        )
+        .select(
+            F.least("pid", "qid").alias("id_a"),
+            F.greatest("pid", "qid").alias("id_b"),
+        )
+        .distinct()
+    )
+    sizes = post_all.select("id", "n").distinct()
+    inter = (
+        cands.join(post_all.select(F.col("id").alias("id_a"), "e"), "id_a")
+        .join(post_all.select(F.col("id").alias("id_b"), "e"), ["id_b", "e"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+    )
+    jac = F.col("o").cast("double") / F.greatest(
+        (F.col("na") + F.col("nb") - F.col("o")).cast("double"), F.lit(1.0)
+    )
+    return (
+        inter.withColumn("jac_raw", jac)
+        .filter(F.col("jac_raw") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("jac_raw").cast("decimal(18,6)").cast("double").alias("jaccard"),
+        )
+    )

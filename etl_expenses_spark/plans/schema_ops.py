@@ -222,13 +222,53 @@ def sql_surface_agent_query(spark, sf_dir):
     return spark.sql(_AGENT_SQL)
 
 
-@query("catalog_inventory", oracle=None, tags=("catalog",))
+@query(
+    "catalog_inventory",
+    # Computed oracle (r12 — replaces the golden literal): DuckDB reads
+    # the SAME parquet files through the same pre-registered views, so its
+    # information_schema IS an independent derivation of the catalog; the
+    # CASE maps DuckDB's type vocabulary onto Spark's. A green row proves
+    # both engines inferred identical schemas from the parquet footers —
+    # a real cross-engine contract, not a pinned listing. The IN filter
+    # keeps the oracle insensitive to any extra relations the harness
+    # session might hold.
+    oracle="""
+        SELECT table_name, column_name,
+               CASE data_type
+                   WHEN 'BIGINT' THEN 'bigint'
+                   WHEN 'INTEGER' THEN 'int'
+                   WHEN 'SMALLINT' THEN 'smallint'
+                   WHEN 'TINYINT' THEN 'tinyint'
+                   WHEN 'DOUBLE' THEN 'double'
+                   WHEN 'REAL' THEN 'float'
+                   WHEN 'FLOAT' THEN 'float'
+                   WHEN 'VARCHAR' THEN 'string'
+                   WHEN 'BOOLEAN' THEN 'boolean'
+                   WHEN 'DATE' THEN 'date'
+                   WHEN 'TIMESTAMP' THEN 'timestamp'
+                   WHEN 'BLOB' THEN 'binary'
+                   WHEN 'FLOAT[]' THEN 'array<float>'
+                   WHEN 'REAL[]' THEN 'array<float>'
+                   WHEN 'DOUBLE[]' THEN 'array<double>'
+                   WHEN 'BIGINT[]' THEN 'array<bigint>'
+                   WHEN 'INTEGER[]' THEN 'array<int>'
+                   WHEN 'VARCHAR[]' THEN 'array<string>'
+                   ELSE lower(data_type)
+               END AS data_type
+        FROM information_schema.columns
+        WHERE table_name IN ('region', 'nation', 'customer', 'supplier',
+                             'part', 'orders', 'lineitem', 'events',
+                             'documents', 'embeddings')
+    """,
+    tags=("catalog",),
+)
 def catalog_inventory(spark, sf_dir):
     """S10: catalog read-back — the schema feed the agent builds its prompt
     from (`/root/reference/ai_agent/lambda_function.py:22-36` walks Glue
     get_tables). Ours lists (table, column, type) from spark.catalog after
     view registration; schemas come from parquet footers, not crawling.
-    Rows-only check: pure metadata, no relational oracle."""
+    Oracle: DuckDB's information_schema over the same views (see oracle
+    comment) — the two engines must agree on every inferred column type."""
     register_views(spark, sf_dir)
     rows = [
         (t, c.name, c.dataType)

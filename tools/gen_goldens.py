@@ -41,25 +41,27 @@ SF_DIRS = {
 
 GOLDEN_TARGETS = [
     "ivm_lsh_index_cdc",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_lsh_pairs",
-    "similarity_cosine_topk_lsh",
-    "similarity_cosine_topk_ivf",
-    "similarity_cosine_topk_pq",
-    "kmeans_lloyd_refine",
-    "embedding_pq_codes",
-    "catalog_inventory",
     "semantic_dedup_prune",
     "corpus_curation_funnel",
-    # r11 conversions (VERDICT r10 #2) — twelve former goldens now carry
-    # COMPUTED oracles and left this list: the five iterative graph pins
-    # (kcore x2, ktruss x2, LPA) as recursive-CTE replicas, the MMR greedy
-    # replay, the BPE train+segment replay, the sha256 digest featurizer
+    # r11 conversions (VERDICT r10 #2) — twelve former goldens moved to
+    # COMPUTED oracles: the five iterative graph pins (kcore x2, ktruss x2,
+    # LPA) as recursive-CTE replicas, the MMR greedy replay, the BPE
+    # train+segment replay, the sha256 digest featurizer
     # (multimodal_doc_features), and the four sketch bound checks
     # (approx_count_distinct_parts, sketch_hll_distinct_users,
-    # hll_sliding_7d_users, agg_percentiles). The twelve above are the
-    # documented irreducible remainder (QUERIES.md / COVERAGE.md r11).
+    # hll_sliding_7d_users, agg_percentiles).
+    # r12 conversions (VERDICT r11 #1/#2) — eight more left this list:
+    # the LSH family (dedup_minhash_lsh, dedup_simhash,
+    # dedup_embedding_lsh_pairs, similarity_cosine_topk_lsh) as
+    # planted-corpus RECALL PROOFS against brute-force oracles, the
+    # k-means descendants (similarity_cosine_topk_ivf/_pq on the same
+    # planted corpus; kmeans_lloyd_refine + embedding_pq_codes as
+    # bound-check oracles asserting the Lloyd/encode guarantees), plus
+    # catalog_inventory (now checked against DuckDB's information_schema
+    # over the same views). The three above are the documented
+    # irreducible remainder (QUERIES.md / COVERAGE.md r12): k-means
+    # cluster CONTENTS (semantic prune / curation funnel) and the
+    # xxhash64-signature CDC delta probe.
 ]
 
 _DUCK_TYPES = {
