@@ -31,79 +31,79 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # registered after the window and is verified by tools/check_oracle.py
 # (the local replica of the same gate) across all scale factors.
 _PRIORITY = [
-    # Round-11 window (rotation rationale + history: COVERAGE.md; every
+    # Round-12 window (rotation rationale + history: COVERAGE.md; every
     # slot lint-checked harness-safe via tools/check_oracle.py
     # --lint-window). Two blocks:
     #
-    # (1) CHANGED-EVIDENCE block (10): the seven queries whose oracles
+    # (1) CHANGED-EVIDENCE block (11): the nine queries whose oracles
     #     were converted from golden literals to independent COMPUTED
-    #     oracles this round (recursive-CTE replicas of LPA / h-index
-    #     k-core x2 / support-peeling k-truss x2, the MMR greedy replay,
-    #     the HLL/percentile bound checks — VERDICT r10 #2's
-    #     done-criterion needs a driver row under the computed oracle),
-    #     the two round-11 additions (layered-skyband delete maintenance,
-    #     the 2-bit multiprobe LSH recall tier whose oracle is a
-    #     brute-force recall proof), and hilbert_curve_values whose
-    #     implementation moved to the Arrow/numpy twin (VERDICT r10 #3).
+    #     oracles this round (the LSH family as planted-corpus recall
+    #     proofs — minhash/simhash/embedding-pairs/top-k-LSH; the k-means
+    #     descendants — IVF/PQ top-k on the planted corpus, Lloyd
+    #     refinement + PQ encode as bound checks; catalog_inventory vs
+    #     DuckDB's information_schema — VERDICT r11 #1/#2's done-criterion
+    #     needs a driver row under each computed oracle), the r11
+    #     post-closing JL projection (VERDICT r11 #3), and the round-12
+    #     addition dedup_incremental_apss (maintain==recompute curation,
+    #     VERDICT r11 #6).
     #
-    # (2) FRESHNESS rotation (35): the queries whose most recent
-    #     hash-green row is oldest (rounds 2-3, computed from the
+    # (2) FRESHNESS rotation (39): the queries whose most recent
+    #     hash-green row is oldest (rounds 3-5, computed from the
     #     CORRECTNESS_r*.json history in (round, name) order) — the
     #     regression-guarding re-proof the COVERAGE.md governance policy
-    #     prescribes once closure is achieved (all pre-r11 queries have
-    #     had a hash-green driver row since r10).
-    # -- block 1: changed evidence (15) --
-    "lpa_communities_copurchase",
-    "kcore_copurchase",
-    "kcore_copurchase_capped",
-    "ktruss_copurchase",
-    "ktruss_copurchase_capped",
-    "approx_count_distinct_parts",
-    "similarity_mmr_topk",
-    "skyline_delete_maintenance",
-    "dedup_embedding_lsh_tuned",
-    "hilbert_curve_values",
-    "agg_percentiles",
-    "sketch_hll_distinct_users",
-    "hll_sliding_7d_users",
-    "bpe_trained_segmentation",
-    "multimodal_doc_features",
-    # -- block 2: oldest-evidence freshness rotation (35) --
-    "dedup_keep_first",
-    "dedup_ngram_jaccard_pairs",
-    "distinct_segments",
-    "doc_fingerprint",
-    "except_inactive_customers",
-    "join_anti_customers_without_orders",
-    "join_inner_orders_customer",
-    "join_left_order_counts",
-    "join_semi_big_spenders",
-    "json_field_access",
-    "money_parse_roundtrip",
-    "pricing_summary",
-    "tfidf_top_terms_per_doc",
-    "topk_orders",
-    "two_digit_year_repair",
-    "window_latest_order_per_customer",
-    "window_running_user_spend",
-    "agg_arg_extremes",
-    "agg_order_stats",
-    "asof_join_events_orders",
-    "basket_pair_lift",
-    "decontaminate_benchmark_overlap",
-    "dedup_substring_windows",
-    "doc_length_outliers",
-    "dual_header_normalize",
-    "equidepth_histogram_totals",
-    "filter_events_threshold",
-    "fuzzy_entity_clusters",
-    "gapfill_interpolate_linear",
-    "json_struct_roundtrip",
-    "monthly_spend_mom_delta",
-    "pit_join_events_user_tier",
-    "range_join_recent_clicks",
-    "required_fields_filter",
-    "rfm_segmentation",
+    #     prescribes once closure is achieved.
+    # -- block 1: changed evidence (11) --
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_lsh_pairs",
+    "similarity_cosine_topk_lsh",
+    "similarity_cosine_topk_ivf",
+    "similarity_cosine_topk_pq",
+    "kmeans_lloyd_refine",
+    "embedding_pq_codes",
+    "catalog_inventory",
+    "embedding_random_projection",
+    "dedup_incremental_apss",
+    # -- block 2: oldest-evidence freshness rotation (39: r3 8, r4 23, r5 8) --
+    "scd2_customer_segments",
+    "sequence_gap_detection",
+    "session_windows_30m",
+    "snapshot_diff_cdc",
+    "string_regex_functions",
+    "tpch_q21_waiting_supplier",
+    "union_evolved_schemas",
+    "window_range_1h_user_spend",
+    "compaction_plan_documents",
+    "corpus_summary_card",
+    "countmin_user_frequency",
+    "curriculum_quality_bins",
+    "dedup_spans_keep_first",
+    "funnel_view_click_purchase",
+    "gold_denormalized_sales",
+    "growth_accounting_daily",
+    "higher_order_array_ops",
+    "lm_bigram_rarity",
+    "merge_upsert_orders",
+    "pagerank_copurchase",
+    "pps_sample_documents",
+    "prefix_sum_document_bytes",
+    "proportional_budget_allocation",
+    "running_value_resets_on_signup",
+    "sql_exists_and_scalar_subquery",
+    "sql_recursive_month_spine",
+    "tpch_q12_priority_shipmode",
+    "tpch_q3_shipping_priority",
+    "triangle_count_copurchase",
+    "variant_props_rollup",
+    "weighted_median_spend",
+    "colocated_join_spend_by_segment",
+    "except_all_order_lines",
+    "expectations_report_orders",
+    "fuzzy_best_match_dirty_parts",
+    "grouping_sets_spend",
+    "heavy_hitters_users",
+    "inverted_index_postings",
+    "join_salted_skew",
 ]
 
 

@@ -13,39 +13,34 @@ def test_entry_runs(spark):
 
 
 def test_correctness_window_priority():
-    """The driver records the FIRST 50 queries() entries. Round-11
+    """The driver records the FIRST 50 queries() entries. Round-12
     rotation (COVERAGE.md governance): block 1 = changed evidence — the
-    seven queries whose oracles were converted from golden literals to
-    computed oracles (VERDICT r10 #2 needs a driver row under the
-    computed oracle), the two r11 additions, and the Arrow-vectorized
-    hilbert_curve_values (15 slots); block 2 = the 35 oldest-evidence
-    queries (last hash-green r2-r3). Every slot must have an oracle —
-    rows-only slots can only ever record err:no_oracle and are banned
-    from the window (VERDICT r9 #2)."""
+    nine queries whose oracles were converted from golden literals to
+    computed oracles (VERDICT r11 #1/#2 need a driver row under each
+    computed oracle), the post-closing JL projection (VERDICT r11 #3),
+    and the r12 addition dedup_incremental_apss (11 slots); block 2 =
+    the 39 oldest-evidence queries (last hash-green r3-r5). Every slot
+    must have an oracle — rows-only slots can only ever record
+    err:no_oracle and are banned from the window (VERDICT r9 #2)."""
     qs = list(entrymod.queries())
     os_ = entrymod.oracle_sql()
     window = qs[:50]
     missing = [n for n in window if n not in os_]
     assert not missing, missing
     must = {
-        # golden -> computed-oracle conversions (r11)
-        "lpa_communities_copurchase",
-        "kcore_copurchase",
-        "kcore_copurchase_capped",
-        "ktruss_copurchase",
-        "ktruss_copurchase_capped",
-        "approx_count_distinct_parts",
-        "similarity_mmr_topk",
-        "agg_percentiles",
-        "sketch_hll_distinct_users",
-        "hll_sliding_7d_users",
-        "bpe_trained_segmentation",
-        "multimodal_doc_features",
-        # round-11 additions shipping with same-round driver evidence
-        "skyline_delete_maintenance",
-        "dedup_embedding_lsh_tuned",
-        # implementation moved to the Arrow/numpy twin (VERDICT r10 #3)
-        "hilbert_curve_values",
+        # golden -> computed-oracle conversions (r12)
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_embedding_lsh_pairs",
+        "similarity_cosine_topk_lsh",
+        "similarity_cosine_topk_ivf",
+        "similarity_cosine_topk_pq",
+        "kmeans_lloyd_refine",
+        "embedding_pq_codes",
+        "catalog_inventory",
+        # r11 post-closing addition (VERDICT r11 #3) + r12 addition
+        "embedding_random_projection",
+        "dedup_incremental_apss",
     }
     assert must <= set(window), must - set(window)
     # nothing silently dropped: priority reordering preserves the registry
