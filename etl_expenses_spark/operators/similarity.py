@@ -682,6 +682,94 @@ def embedding_neardup_pairs_blocked_gemm(
     )
 
 
+def lloyd_cell_stats_fn(centroids, tol: float = 1e-9):
+    """applyInPandas function verifying one cell's Lloyd guarantees
+    (plans/similarity_ops.kmeans_lloyd_refine): recomputes EVERY
+    vector-to-centroid cosine (independent of the assignment UDF's argmax),
+    checks the assigned cell is the argmax within fp tolerance, and returns
+    the Σcos under the initial vs refined (normalized per-cell mean)
+    centroid. Exposed as a named operator so
+    tests/test_bound_predicates.py can prove argmin_ok flips FALSE on a
+    mis-assigned cell — the booleans the bound-check oracle pins TRUE must
+    demonstrably discriminate (ADVICE r11)."""
+    import numpy as np
+
+    C0m = np.asarray(centroids, dtype=np.float64)
+
+    def cell_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(pdf["cell"].iloc[0])
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = X @ C0m.T  # independent recompute of ALL cell similarities
+        argmin_ok = bool((sims.max(axis=1) <= sims[:, cell] + tol).all())
+        c1 = X.mean(axis=0)
+        c1 /= max(np.linalg.norm(c1), 1e-12)
+        return pd.DataFrame(
+            {
+                "cell": [cell],
+                "n": [len(X)],
+                "argmin_ok": [argmin_ok],
+                "cos_init": [float(sims[:, cell].sum())],
+                "cos_refined": [float((X @ c1).sum())],
+            }
+        )
+
+    return cell_stats
+
+
+def lloyd_guarantees(per_cell: DataFrame, k: int) -> DataFrame:
+    """Fold per-cell Lloyd stats into the single guarantees row the
+    bound-check oracle predicts: total membership, ≤k cells, every
+    assignment argmax-optimal, refinement never decreased Σcos (the
+    spherical-k-means objective; its per-cell maximizer is the normalized
+    mean). Negative-tested in tests/test_bound_predicates.py with doctored
+    per-cell frames (k+1 cells / cos_refined < cos_init)."""
+    return per_cell.agg(
+        F.sum("n").cast("bigint").alias("n_vectors"),
+        (F.count(F.lit(1)) <= F.lit(k)).alias("cells_within_k"),
+        F.bool_and("argmin_ok").alias("assignments_are_argmin"),
+        (F.sum("cos_refined") >= F.sum("cos_init") - F.lit(1e-9)).alias(
+            "inertia_monotone"
+        ),
+    )
+
+
+def pq_verify_fn(codebooks, tol: float = 1e-9):
+    """mapInPandas verifier of the PQ encode contract
+    (plans/similarity_ops.embedding_pq_codes): joins codes back to the
+    float tier and re-scores every codeword in a second numpy pass —
+    codes_in_range (all m codes in [0, k)) and recon_is_argmin (each
+    chosen codeword is the argmin-distance codeword for its subvector).
+    Negative-tested with out-of-range and valid-but-suboptimal codes."""
+    import numpy as np
+
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, k, sub = B.shape
+
+    def verify(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+            C = np.asarray([np.asarray(c, dtype=np.int64) for c in b["codes"]])
+            in_range = ((C >= 0) & (C < k)).all(axis=1)
+            argmin_ok = np.ones(len(X), dtype=bool)
+            for j in range(m):
+                S = X[:, j * sub : (j + 1) * sub]
+                d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+                chosen = d2[np.arange(len(X)), np.clip(C[:, j], 0, k - 1)]
+                argmin_ok &= chosen <= d2.min(axis=1) + tol
+            yield pd.DataFrame(
+                {
+                    "vec_id": b["vec_id"],
+                    "codes_in_range": in_range,
+                    "recon_is_argmin": in_range & argmin_ok,
+                }
+            )
+
+    return verify
+
+
 def pq_train_codebooks(
     embeddings: DataFrame,
     m: int = 8,

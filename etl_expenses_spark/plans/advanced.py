@@ -127,22 +127,18 @@ def agg_percentiles(spark, sf_dir):
     lt90 = F.sum((F.col("o_totalprice") < F.col("a90")).cast("long"))
     n = F.max("n_rows")
 
-    def within(lt, le, p_num, p_den):
-        # true rank of the returned element spans (lt, le]; the guarantee
-        # holds if that span intersects [p*n - tol, p*n + tol],
-        # tol = floor(n/accuracy) + 1 (slack for the rank convention)
-        target2 = n * F.lit(p_num)  # compare in p_den-scaled integers
-        tol2 = (F.floor(n / F.lit(10000)) + 1) * F.lit(p_den)
-        return (le * F.lit(p_den) >= target2 - tol2) & (
-            lt * F.lit(p_den) <= target2 + tol2
-        )
+    from etl_expenses_spark.functions.bounds import rank_window_contains
 
     return (
         j.groupBy("o_orderpriority")
         .agg(
             n.cast("bigint").alias("n_rows"),
-            within(lt50, le50, 1, 2).alias("p50_within_rank_bound"),
-            within(lt90, le90, 9, 10).alias("p90_within_rank_bound"),
+            rank_window_contains(lt50, le50, n, 1, 2, 10000).alias(
+                "p50_within_rank_bound"
+            ),
+            rank_window_contains(lt90, le90, n, 9, 10, 10000).alias(
+                "p90_within_rank_bound"
+            ),
         )
     )
 
@@ -606,12 +602,12 @@ def sketch_hll_distinct_users(spark, sf_dir):
     so the oracle computes ground truth instead of replaying sketch
     internals (golden pin retired, r11). At 100 TB you drop the exact
     column and keep the sketch; here the pair IS the evidence."""
+    from etl_expenses_spark.functions.bounds import rel_err_within
+
     ev = T(spark, sf_dir, "events")
 
     def bounded(est, exact):
-        return F.abs(est.cast("double") - exact.cast("double")) <= F.lit(
-            0.05
-        ) * exact.cast("double")
+        return rel_err_within(est, exact, 0.05)
 
     per = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
@@ -674,6 +670,8 @@ def hll_sliding_7d_users(spark, sf_dir):
     lgK=12) — the oracle computes the exact counts itself and predicts
     TRUE (golden pin retired, r11; sketch internals never cross
     engines)."""
+    from etl_expenses_spark.functions.bounds import rel_err_within
+
     e = T(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"), "user_id"
     )
@@ -699,12 +697,8 @@ def hll_sliding_7d_users(spark, sf_dir):
         .select(
             "day",
             F.col("exact_7d_users").cast("bigint").alias("exact_7d_users"),
-            (
-                F.abs(
-                    F.col("est_7d_users").cast("double")
-                    - F.col("exact_7d_users").cast("double")
-                )
-                <= F.lit(0.05) * F.col("exact_7d_users").cast("double")
+            rel_err_within(
+                F.col("est_7d_users"), F.col("exact_7d_users"), 0.05
             ).alias("est_within_5pct"),
         )
         .orderBy("day")

@@ -442,6 +442,8 @@ def approx_count_distinct_parts(spark, sf_dir):
     rsd — a deterministic fact on fixed data, so the oracle computes the
     exact count and predicts TRUE). At 100 TB you drop the exact column
     and keep the sketch; here the pair IS the correctness evidence."""
+    from etl_expenses_spark.functions.bounds import rel_err_within
+
     approx = F.approx_count_distinct("l_partkey", 0.01)
     exact = F.count_distinct("l_partkey").cast("bigint")
     return (
@@ -449,10 +451,7 @@ def approx_count_distinct_parts(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(
             exact.alias("n_exact_parts"),
-            (
-                F.abs(approx.cast("double") - exact.cast("double"))
-                <= F.lit(0.05) * exact.cast("double")
-            ).alias("approx_within_5pct"),
+            rel_err_within(approx, exact, 0.05).alias("approx_within_5pct"),
         )
     )
 

@@ -464,49 +464,21 @@ def kmeans_lloyd_refine(spark, sf_dir):
     the per-cell stage — an independent pass from the assignment UDF — and
     the monotonicity check compares Σcos under the initial vs refined
     centroids at fp tolerance 1e-9."""
-    import numpy as np
-    import pandas as pd
-
     from etl_expenses_spark.operators.similarity import (
         ivf_assign_udf,
+        lloyd_cell_stats_fn,
+        lloyd_guarantees,
         train_centroids_sampled,
     )
 
     emb = T(spark, sf_dir, "embeddings")
     C0 = train_centroids_sampled(emb, k=8)
-    C0m = np.asarray(C0, dtype=np.float64)
-
-    def cell_stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        cell = int(pdf["cell"].iloc[0])
-        X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        sims = X @ C0m.T  # independent recompute of ALL cell similarities
-        argmin_ok = bool((sims.max(axis=1) <= sims[:, cell] + 1e-9).all())
-        c1 = X.mean(axis=0)
-        c1 /= max(np.linalg.norm(c1), 1e-12)
-        return pd.DataFrame(
-            {
-                "cell": [cell],
-                "n": [len(X)],
-                "argmin_ok": [argmin_ok],
-                "cos_init": [float(sims[:, cell].sum())],
-                "cos_refined": [float((X @ c1).sum())],
-            }
-        )
-
     cells = emb.withColumn("cell", ivf_assign_udf(C0)(F.col("embedding")))
     per_cell = cells.groupBy("cell").applyInPandas(
-        cell_stats,
+        lloyd_cell_stats_fn(C0),
         schema="cell int, n long, argmin_ok boolean, cos_init double, cos_refined double",
     )
-    return per_cell.agg(
-        F.sum("n").cast("bigint").alias("n_vectors"),
-        (F.count(F.lit(1)) <= F.lit(8)).alias("cells_within_k"),
-        F.bool_and("argmin_ok").alias("assignments_are_argmin"),
-        (F.sum("cos_refined") >= F.sum("cos_init") - F.lit(1e-9)).alias(
-            "inertia_monotone"
-        ),
-    )
+    return lloyd_guarantees(per_cell, k=8)
 
 
 @query(
@@ -627,41 +599,19 @@ def embedding_pq_codes(spark, sf_dir):
     oracle comment): the verify stage re-joins codes to vectors and
     recomputes all 16 codeword distances per subspace in a second numpy
     pass, independent of the encode path's argmin."""
-    import numpy as np
-    import pandas as pd
-
-    from etl_expenses_spark.operators.similarity import pq_encode, pq_train_codebooks
+    from etl_expenses_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebooks,
+        pq_verify_fn,
+    )
 
     e = T(spark, sf_dir, "embeddings")
     books = pq_train_codebooks(e, m=8, k=16)
     out = pq_encode(e, books)
-    B = np.asarray(books, dtype=np.float64)
-    m, k, sub = B.shape
-
-    def verify(batches):
-        for b in batches:
-            if not len(b):
-                continue
-            X = np.asarray([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
-            C = np.asarray([np.asarray(c, dtype=np.int64) for c in b["codes"]])
-            in_range = ((C >= 0) & (C < k)).all(axis=1)
-            argmin_ok = np.ones(len(X), dtype=bool)
-            for j in range(m):
-                S = X[:, j * sub : (j + 1) * sub]
-                d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
-                chosen = d2[np.arange(len(X)), np.clip(C[:, j], 0, k - 1)]
-                argmin_ok &= chosen <= d2.min(axis=1) + 1e-9
-            yield pd.DataFrame(
-                {
-                    "vec_id": b["vec_id"],
-                    "codes_in_range": in_range,
-                    "recon_is_argmin": in_range & argmin_ok,
-                }
-            )
-
     joined = out.join(e.select("vec_id", "embedding"), on="vec_id", how="inner")
     return joined.mapInPandas(
-        verify, schema="vec_id long, codes_in_range boolean, recon_is_argmin boolean"
+        pq_verify_fn(books),
+        schema="vec_id long, codes_in_range boolean, recon_is_argmin boolean",
     )
 
 

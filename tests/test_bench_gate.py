@@ -43,6 +43,57 @@ class _FakeQuery:
     name = "fake"
 
 
+def _ambient_external_cores(sample_sec: float = 0.3) -> float:
+    """One idle-window sample of co-tenant CPU (tools/cpuprobe): how many
+    external user-space cores are burning while WE sleep."""
+    import time as _t
+
+    from tools.cpuprobe import ContentionWindow
+
+    win = ContentionWindow()
+    t0 = _t.perf_counter()
+    _t.sleep(sample_sec)
+    return win.external_cores(_t.perf_counter() - t0)
+
+
+def _require_quiet_host(tries: int = 4, threshold: float = 0.5,
+                        sampler=_ambient_external_cores):
+    """VERDICT r11 #4: the two cpuprobe self-tests assert the HOST is
+    quiet, so a co-tenant CPU burner (e.g. an oracle sweep running
+    alongside pytest) fails them spuriously. Sample the ambient load
+    BEFORE the assertion window; retry while it is ≥ threshold cores and
+    skip-with-reason if it never settles — a skip names the contention,
+    a red asserts a real attribution bug."""
+    import time as _t
+
+    import pytest
+
+    amb = None
+    for attempt in range(tries):
+        amb = sampler()
+        if amb < threshold:
+            return
+        if attempt < tries - 1:
+            _t.sleep(0.5)
+    pytest.skip(
+        f"ambient external load {amb:.2f} cores >= {threshold} across "
+        f"{tries} samples — the cpuprobe attribution self-test needs a "
+        "quiet host (a co-tenant burner would fail it spuriously)"
+    )
+
+
+def test_require_quiet_host_skips_under_fake_contention():
+    # pins the guard itself: a persistently-loaded host must SKIP (with
+    # the load in the reason), and a transient spike must retry through
+    import pytest
+
+    with pytest.raises(pytest.skip.Exception, match="2.00 cores"):
+        _require_quiet_host(tries=2, sampler=lambda: 2.0)
+
+    seq = iter([1.7, 0.1])
+    _require_quiet_host(tries=3, sampler=lambda: next(seq))  # no skip
+
+
 def test_cpuprobe_counts_own_subtree_as_self():
     # CPU burned by a process WE spawned (and even reaped) must register as
     # subtree work, not as external contention: an idle host reads ~0
@@ -52,6 +103,7 @@ def test_cpuprobe_counts_own_subtree_as_self():
 
     from tools.cpuprobe import ContentionWindow
 
+    _require_quiet_host()
     win = ContentionWindow()
     t0 = _t.perf_counter()
     subprocess.run(
@@ -77,6 +129,7 @@ def test_cpuprobe_ignores_own_kernel_side_work():
 
     from tools.cpuprobe import ContentionWindow
 
+    _require_quiet_host()
     win = ContentionWindow()
     t0 = _t.perf_counter()
     subprocess.run(
@@ -108,14 +161,58 @@ def test_format_outputs_line_fits_capture_and_detail_is_complete():
     assert parsed["value"] == round(sum(timings.values()), 4)
     # ext_cores_max (the authoritative contamination signal) must survive
     # every degradation stage; loadavg_start/retries may drop from the
-    # LINE at the context-field stage (r11) — they always live in detail
+    # LINE at the context-field stage (r11) — they always live in detail.
+    # (Their stage-exact presence/drop behavior is pinned by the two
+    # dedicated tests below — a .get() default here was vacuous, ADVICE
+    # r11.)
     assert parsed["ext_cores_max"] == 0.11
-    assert parsed.get("retries", 2) == 2
     assert len(line) <= 1900
     assert "ext_cores\":{" not in line  # per-query probe map stays off-line
     # detail: full-precision timings + the per-query ext_cores map
     assert detail["queries"] == timings and detail["ext_cores"] == ext
     assert detail["retried"] == {names[0]: 2}
+
+
+def test_format_outputs_retries_present_on_short_line():
+    """ADVICE r11: when the line is comfortably under budget (small query
+    set), retries and loadavg_start MUST be on it — asserted without a
+    .get() default so a silently-dropped field fails the test."""
+    import json as _json
+
+    import bench
+
+    names = [f"q{i}" for i in range(10)]
+    timings = {n: 1.234 for n in names}
+    line, _ = bench.format_outputs(
+        timings, {n: 0.11 for n in names}, {names[0]: 2}, "0.1", 0.42, 6.3
+    )
+    parsed = _json.loads(line)
+    assert parsed["retries"] == 2
+    assert parsed["loadavg_start"] == 0.42
+
+
+def test_format_outputs_retries_drop_only_at_context_stage():
+    """ADVICE r11 sibling: retries/loadavg_start leave the LINE exactly
+    when even 1-decimal timings exceed the 1900-char budget (the context-
+    field stage) — and ext_cores_max plus the full query map survive it."""
+    import json as _json
+
+    import bench
+
+    # sized so the 1-decimal line only fits once the context fields go
+    # (the stage window is ~34 chars wide; the 7-char pad name lands in it)
+    names = [f"extremely_long_headline_query_name_number_{i:04d}" for i in range(33)]
+    names.append("p" * 7)
+    timings = {n: 1.234 for n in names}
+    line, detail = bench.format_outputs(
+        timings, {n: 0.11 for n in names}, {names[0]: 2}, "0.1", 0.42, 6.3
+    )
+    parsed = _json.loads(line)
+    assert len(line) <= 1900
+    assert "retries" not in parsed and "loadavg_start" not in parsed
+    assert parsed["ext_cores_max"] == 0.11
+    assert set(parsed["queries"]) == set(names)  # map intact at this stage
+    assert detail["retried"] == {names[0]: 2}  # full record always in detail
 
 
 def test_format_outputs_degrades_precision_rather_than_overflowing():

@@ -19,14 +19,28 @@ flagged after normalization are candidates for the N=5 protocol
 (tools/bench_remeasure.py), which brackets the query's own clean-run
 band before any regression verdict.
 
+LIMIT of the normalization (ADVICE r11): subtracting the median ratio
+makes a GENUINE UNIFORM code regression (a session/config change slowing
+most queries alike) indistinguishable from host drift — only outliers
+relative to the median are flagged. So when the day-effect estimate
+itself exceeds ±15%, the tool prints an explicit warning and exits 3:
+the whole-run shift needs an N=5 re-measure of the OLD commit
+(tools/bench_remeasure.py) before it may be attributed to host drift.
+
 Usage: python tools/bench_compare.py OLD NEW [--threshold 0.2] [--floor 0.3]
+       (both --opt VALUE and --opt=VALUE forms accepted — argparse)
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import re
 import sys
+
+# |median ratio - 1| beyond this is a whole-run shift the normalization
+# cannot classify by itself (drift vs uniform regression) — warn + exit 3
+DAY_DRIFT_WARN = 0.15
 
 
 def load(path: str) -> dict:
@@ -54,15 +68,19 @@ def load(path: str) -> dict:
 def main() -> int:
     import statistics
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    thr = 0.2
-    floor = 0.3
-    for a in sys.argv[1:]:
-        if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1]) if "=" in a else thr
-        if a.startswith("--floor"):
-            floor = float(a.split("=", 1)[1]) if "=" in a else floor
-    old, new = load(args[0]), load(args[1])
+    ap = argparse.ArgumentParser(
+        description="Diff two bench result files; flag per-query "
+        "regressions relative to the run pair's day effect."
+    )
+    ap.add_argument("old", help="bench JSON line / BENCH_DETAIL / driver wrapper")
+    ap.add_argument("new", help="same formats as OLD")
+    ap.add_argument("--threshold", type=float, default=0.2,
+                    help="relative delta beyond day effect to flag (default 0.2)")
+    ap.add_argument("--floor", type=float, default=0.3,
+                    help="absolute seconds below which deltas are noise (default 0.3)")
+    ns = ap.parse_args(sys.argv[1:])
+    thr, floor = ns.threshold, ns.floor
+    old, new = load(ns.old), load(ns.new)
     oq, nq = old["queries"], new["queries"]
     shared = sorted(set(oq) & set(nq))
     ot, nt = sum(oq[k] for k in shared), sum(nq[k] for k in shared)
@@ -81,6 +99,14 @@ def main() -> int:
     print(f"day-effect estimate (median ratio over {len(sizable)} shared "
           f"queries >= 0.75s): {day:.2f}x — per-query deltas are judged "
           f"relative to this")
+    big_shift = abs(day - 1.0) > DAY_DRIFT_WARN
+    if big_shift:
+        print(f"WARNING: the whole-run shift itself is {day:.2f}x — beyond "
+              f"±{DAY_DRIFT_WARN:.0%}, the median-ratio normalization cannot "
+              "distinguish host drift from a UNIFORM code regression (e.g. a "
+              "session/config change slowing most queries alike). Re-measure "
+              "the OLD commit with tools/bench_remeasure.py --n=5 before "
+              "attributing this shift to the host. (exit 3)")
     contaminated = False
     for tag, d in (("old", old), ("new", new)):
         start = d.get("loadavg_start")
@@ -132,7 +158,7 @@ def main() -> int:
                   f"(x{b / (a * day):.2f} day-adjusted)")
     if only_new:
         print("\nnew queries: " + ", ".join(f"{k} ({nq[k]:.2f}s)" for k in only_new))
-    return 0
+    return 3 if big_shift else 0
 
 
 if __name__ == "__main__":

@@ -33,16 +33,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    n = 5
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    for a in sys.argv[1:]:
-        if a.startswith("--n"):
-            n = int(a.split("=", 1)[1]) if "=" in a else n
-        if a.startswith("--sf-dir"):
-            sf_dir = a.split("=", 1)[1]
-    if not args:
-        raise SystemExit("usage: bench_remeasure.py [--n=5] [--sf-dir=DIR] QUERY...")
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="N-run clean-band re-measure of flagged bench queries "
+        "(accepts both --n 5 and --n=5 forms)."
+    )
+    ap.add_argument("queries", nargs="+", metavar="QUERY")
+    ap.add_argument("--n", type=int, default=5, help="runs per query (default 5)")
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        help="testdata directory (default $SPARK_GRAFT_SF_DIR or sf0.1)",
+    )
+    ns = ap.parse_args(sys.argv[1:])
+    args, n, sf_dir = ns.queries, ns.n, ns.sf_dir
 
     from etl_expenses_spark.plans import REGISTRY
     from etl_expenses_spark.session import get_spark
