@@ -1191,10 +1191,20 @@ def avro_roundtrip_orders(spark, sf_dir):
     value the codec mangles (zigzag sign errors, varint boundaries, IEEE
     byte order, utf-8 slicing) fails the value hash. Distributed
     end-to-end: each mapInPandas batch becomes its own container file —
-    no driver-side bytes, per-task memory bounded by the batch."""
+    no driver-side bytes, per-task memory bounded by the batch.
+
+    r12 (VERDICT r11 #5): the hot loop is the COLUMNAR codec tier —
+    numpy-vectorized zigzag/varint packing + scatter row assembly on the
+    write side (byte-identical to the per-record reference writer, pinned
+    by tests/test_avro.py), and a compiled flat-record plan returning
+    columns on the read side (no per-datum recursion, no per-record
+    dicts). The per-record path remains the property-test twin."""
     import pandas as pd
 
-    from etl_expenses_spark.operators.avrocodec import read_avro, write_avro
+    from etl_expenses_spark.operators.avrocodec import (
+        read_avro_columns,
+        write_avro_columnar,
+    )
 
     schema = {
         "type": "record",
@@ -1210,34 +1220,32 @@ def avro_roundtrip_orders(spark, sf_dir):
 
     def rt(batches):
         for b in batches:
-            us = b["o_orderdate"].astype("datetime64[us]").astype("int64")
-            recs = [
-                {
-                    "o_orderkey": int(k),
-                    "o_custkey": int(c),
-                    "o_orderstatus": s,
-                    "o_totalprice": float(p),
-                    "o_orderdate_us": int(u),
-                }
-                for k, c, s, p, u in zip(
-                    b["o_orderkey"], b["o_custkey"], b["o_orderstatus"],
-                    b["o_totalprice"], us,
-                )
-            ]
-            data = write_avro(recs, schema, codec="deflate")
-            _, back = read_avro(data)
-            if len(back) != len(recs):
+            n = len(b)
+            cols = {
+                "o_orderkey": b["o_orderkey"].to_numpy(),
+                "o_custkey": b["o_custkey"].to_numpy(),
+                "o_orderstatus": list(b["o_orderstatus"]),
+                "o_totalprice": b["o_totalprice"].to_numpy(),
+                "o_orderdate_us": b["o_orderdate"]
+                .astype("datetime64[us]")
+                .astype("int64")
+                .to_numpy(),
+            }
+            data = write_avro_columnar(cols, schema, codec="deflate")
+            _, back = read_avro_columns(data)
+            if len(back["o_orderkey"]) != n:
                 raise ValueError(
-                    f"avro roundtrip dropped rows: {len(recs)} -> {len(back)}"
+                    "avro roundtrip dropped rows: "
+                    f"{n} -> {len(back['o_orderkey'])}"
                 )
             yield pd.DataFrame(
                 {
-                    "o_orderkey": [r["o_orderkey"] for r in back],
-                    "o_custkey": [r["o_custkey"] for r in back],
-                    "o_orderstatus": [r["o_orderstatus"] for r in back],
-                    "o_totalprice": [r["o_totalprice"] for r in back],
+                    "o_orderkey": back["o_orderkey"],
+                    "o_custkey": back["o_custkey"],
+                    "o_orderstatus": back["o_orderstatus"],
+                    "o_totalprice": back["o_totalprice"],
                     "o_orderdate": pd.to_datetime(
-                        [r["o_orderdate_us"] for r in back], unit="us"
+                        back["o_orderdate_us"], unit="us"
                     ),
                 }
             )

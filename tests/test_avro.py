@@ -214,3 +214,53 @@ def test_schema_resolution_rules():
         {"name": "x", "type": "double"}, {"name": "zz", "type": "long"}]}
     with pytest.raises(ValueError, match="no default"):
         resolve_record({"x": 1.0, "b": b""}, w, r2)
+
+
+@given(st.lists(_REC, max_size=25), st.sampled_from(["null", "deflate"]))
+@settings(max_examples=60, deadline=None)
+def test_columnar_writer_byte_identical_and_columnar_reader_agrees(recs, codec):
+    """r12 columnar fast path (VERDICT r11 #5): the numpy-vectorized
+    writer must produce BYTE-IDENTICAL containers to the per-record
+    reference writer (same blocks, same varints), and the compiled
+    column reader must decode to exactly the reference reader's values —
+    the per-record path IS the property-test twin."""
+    from etl_expenses_spark.operators.avrocodec import (
+        read_avro_columns,
+        write_avro_columnar,
+    )
+
+    ref = write_avro(recs, SCHEMA, codec=codec, block_records=7)
+    cols_in = {
+        f["name"]: [r[f["name"]] for r in recs] for f in SCHEMA["fields"]
+    }
+    fast = (
+        write_avro_columnar(cols_in, SCHEMA, codec=codec, block_records=7)
+        if recs
+        else None
+    )
+    if recs:
+        assert fast == ref
+    _, ref_records = read_avro(ref)
+    _, cols = read_avro_columns(ref)
+    for f in SCHEMA["fields"]:
+        name = f["name"]
+        got = cols[name]
+        want = [r[name] for r in ref_records]
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g == w or (g != g and w != w)  # NaN-tolerant
+
+
+def test_columnar_reader_falls_back_on_nested_schema():
+    """Non-flat schemas (here: decimal logical type) take the reference
+    decode path and still return columns."""
+    from etl_expenses_spark.operators.avrocodec import read_avro_columns
+
+    sch = {"type": "record", "name": "D", "fields": [
+        {"name": "v", "type": {"type": "bytes", "logicalType": "decimal",
+                               "precision": 10, "scale": 2}}]}
+    from decimal import Decimal
+
+    data = write_avro([{"v": Decimal("12.34")}, {"v": Decimal("-0.07")}], sch)
+    _, cols = read_avro_columns(data)
+    assert cols["v"] == [Decimal("12.34"), Decimal("-0.07")]
