@@ -230,42 +230,33 @@ def embedding_neardup_pairs_lsh(
     )
 
 
-def embedding_neardup_pairs_lsh_multiprobe(
+def _multiprobe_build_probe(
     embeddings: DataFrame,
     dims: int,
-    threshold: float = 0.8,
-    bands: int = 6,
-    planes_per_band: int = 8,
-    flip_bits: int = 1,
+    bands: int,
+    planes_per_band: int,
+    flip_bits: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """TUNED recall tier of ``embedding_neardup_pairs_lsh`` (VERDICT r10
-    #6): same banded hyperplane signatures, but the probe side of the
-    candidate join also visits every bucket within ``flip_bits`` bit
-    FLIPS of its own — a pair becomes a candidate when some band's
-    signatures differ in at most ``flip_bits`` planes. Per band the
-    collision probability rises from p^m to Σ_{f<=flip_bits} C(m,f)
-    p^(m-f) (1-p)^f (p = 1 − θ/π per plane): at cos 0.82, m = 8, 2-bit
-    probes, 6 bands the per-pair miss probability is ~5e-5 where the
-    plain 4-band tier misses ~half. Cost: Σ C(m,f)× probe-side rows
-    (37× at m=8, f=2) and bands/4× signatures — multiplicative in the
-    SIGNATURE relation, never the full pairwise space. Candidates still
-    carry only ids; vectors re-join for the verified few; precision stays
-    1.0 (exact quantized cosine verification, the LSH-tier convention)."""
+):
+    """Shared signature machinery of the tuned LSH tier → (build, probe,
+    sig): `build` = one (id, band, bucket) row per band per vector;
+    `probe` = build × the ≤flip_bits bit-flip relation; `sig` = the
+    persisted per-vector relation carrying (v, nv, band signatures).
+
+    Signatures in ONE Arrow/numpy pass: the expression-form
+    hyperplane_bucket runs an interpreted aggregate-lambda dot per
+    plane (bands x planes x dims interpreted ops per row — measured
+    ~70 s at sf0.1 for 6x16 planes, the hilbert disease); here all
+    bands*planes projections are one X @ P.T per batch. Planes are
+    seeded Gaussian (the textbook SimHash choice — deterministic via
+    PCG64(42)); no cross-engine constraint exists because this tier's
+    oracle is the brute-force join, not a bucket replay."""
     from itertools import combinations
 
     import numpy as np
     from pyspark.sql.types import LongType, StructField, StructType
 
-    # Signatures in ONE Arrow/numpy pass: the expression-form
-    # hyperplane_bucket runs an interpreted aggregate-lambda dot per
-    # plane (bands x planes x dims interpreted ops per row — measured
-    # ~70 s at sf0.1 for 6x16 planes, the hilbert disease); here all
-    # bands*planes projections are one X @ P.T per batch. Planes are
-    # seeded Gaussian (the textbook SimHash choice — deterministic via
-    # PCG64(42)); no cross-engine constraint exists because this tier's
-    # oracle is the brute-force join, not a bucket replay.
     P = (
         np.random.default_rng(42)
         .standard_normal((bands * planes_per_band, dims))
@@ -334,6 +325,80 @@ def embedding_neardup_pairs_lsh_multiprobe(
             "band",
             F.col("bucket").bitwiseXOR(F.col("flip")).alias("bucket"),
         )
+    )
+    return build, probe, sig
+
+
+def lsh_probe_bucket_histogram(
+    embeddings: DataFrame,
+    dims: int,
+    bands: int = 4,
+    planes_per_band: int = 16,
+    flip_bits: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe-side candidate-load distribution of the tuned LSH tier
+    (VERDICT r11 #7): per (band, bucket), how many candidate-join rows
+    that bucket contributes — cand = probe_cnt × build_cnt minus the
+    self-match diagonal (each vector probes its own exact bucket once, at
+    flip 0). The 100 TB failure mode this measures is a HOT BUCKET under
+    duplication skew: a bucket holding b near-identical vectors costs
+    O(b²) join rows however good the bands are, so the max bucket's share
+    of total candidate load is the skew number that decides whether the
+    candidate join needs salting. Reported in DEDUP_QUALITY.md at sf0.1
+    and under a synthetic duplication-skew tier; the organic-corpus cap
+    is property-pinned in tests/test_dedup_similarity.py."""
+    build, probe, _sig = _multiprobe_build_probe(
+        embeddings, dims, bands, planes_per_band, flip_bits, id_col, vec_col
+    )
+    build_cnt = build.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("build_cnt")
+    )
+    probe_cnt = probe.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("probe_cnt")
+    )
+    # join-row load per bucket; flip 0 probes self-match exactly once per
+    # build row, so the diagonal correction is build_cnt
+    return (
+        probe_cnt.join(build_cnt, ["band", "bucket"], "inner")
+        .select(
+            "band",
+            "bucket",
+            "build_cnt",
+            "probe_cnt",
+            (
+                F.col("probe_cnt") * F.col("build_cnt") - F.col("build_cnt")
+            ).alias("cand_rows"),
+        )
+    )
+
+
+def embedding_neardup_pairs_lsh_multiprobe(
+    embeddings: DataFrame,
+    dims: int,
+    threshold: float = 0.8,
+    bands: int = 6,
+    planes_per_band: int = 8,
+    flip_bits: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """TUNED recall tier of ``embedding_neardup_pairs_lsh`` (VERDICT r10
+    #6): same banded hyperplane signatures, but the probe side of the
+    candidate join also visits every bucket within ``flip_bits`` bit
+    FLIPS of its own — a pair becomes a candidate when some band's
+    signatures differ in at most ``flip_bits`` planes. Per band the
+    collision probability rises from p^m to Σ_{f<=flip_bits} C(m,f)
+    p^(m-f) (1-p)^f (p = 1 − θ/π per plane): at cos 0.82, m = 8, 2-bit
+    probes, 6 bands the per-pair miss probability is ~5e-5 where the
+    plain 4-band tier misses ~half. Cost: Σ C(m,f)× probe-side rows
+    (37× at m=8, f=2) and bands/4× signatures — multiplicative in the
+    SIGNATURE relation, never the full pairwise space. Candidates still
+    carry only ids; vectors re-join for the verified few; precision stays
+    1.0 (exact quantized cosine verification, the LSH-tier convention)."""
+    build, probe, sig = _multiprobe_build_probe(
+        embeddings, dims, bands, planes_per_band, flip_bits, id_col, vec_col
     )
     a, b = probe.alias("a"), build.alias("b")
     candidates = (
