@@ -35,24 +35,26 @@ _PRIORITY = [
     # slot lint-checked harness-safe via tools/check_oracle.py
     # --lint-window). Two blocks:
     #
-    # (1) CHANGED-EVIDENCE block (11): the nine queries whose oracles
+    # (1) CHANGED-EVIDENCE block (12): the ten queries whose oracles
     #     were converted from golden literals to independent COMPUTED
     #     oracles this round (the LSH family as planted-corpus recall
     #     proofs — minhash/simhash/embedding-pairs/top-k-LSH; the k-means
     #     descendants — IVF/PQ top-k on the planted corpus, Lloyd
     #     refinement + PQ encode as bound checks; catalog_inventory vs
     #     DuckDB's information_schema — VERDICT r11 #1/#2's done-criterion
-    #     needs a driver row under each computed oracle), the r11
-    #     post-closing JL projection (VERDICT r11 #3), and the round-12
-    #     addition dedup_incremental_apss (maintain==recompute curation,
-    #     VERDICT r11 #6).
+    #     needs a driver row under each computed oracle — including the
+    #     CDC delta probe ivm_lsh_index_cdc, whose planted pairs now carry
+    #     a brute-force recall proof), the r11 post-closing JL projection
+    #     (VERDICT r11 #3), and the round-12 addition
+    #     dedup_incremental_apss (maintain==recompute curation, VERDICT
+    #     r11 #6).
     #
-    # (2) FRESHNESS rotation (39): the queries whose most recent
+    # (2) FRESHNESS rotation (38): the queries whose most recent
     #     hash-green row is oldest (rounds 3-5, computed from the
     #     CORRECTNESS_r*.json history in (round, name) order) — the
     #     regression-guarding re-proof the COVERAGE.md governance policy
     #     prescribes once closure is achieved.
-    # -- block 1: changed evidence (11) --
+    # -- block 1: changed evidence (12) --
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_lsh_pairs",
@@ -64,7 +66,8 @@ _PRIORITY = [
     "catalog_inventory",
     "embedding_random_projection",
     "dedup_incremental_apss",
-    # -- block 2: oldest-evidence freshness rotation (39: r3 8, r4 23, r5 8) --
+    "ivm_lsh_index_cdc",
+    # -- block 2: oldest-evidence freshness rotation (38: r3 8, r4 23, r5 7) --
     "scd2_customer_segments",
     "sequence_gap_detection",
     "session_windows_30m",
@@ -103,7 +106,6 @@ _PRIORITY = [
     "grouping_sets_spend",
     "heavy_hitters_users",
     "inverted_index_postings",
-    "join_salted_skew",
 ]
 
 

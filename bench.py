@@ -154,9 +154,16 @@ HEADLINE = [
     # hash-first tier below is the same output with the better shuffle
     # (the policy's "faster sibling replaces" case; the string-keyed form
     # stays oracle-pinned and scaling-tracked) — for the end-to-end exact
-    # near-dup curation composition (prefix-filtered Jaccard pairs → CC →
-    # keep-best-quality → surviving corpus, one chained plan)
-    "dedup_exact_jaccard_curation",
+    # near-dup curation composition.
+    # round-12 rotation: that composition (dedup_exact_jaccard_curation)
+    # rotated OUT for its INCREMENTAL sibling — dedup_incremental_apss
+    # runs the identical pair→CC→keep-best machinery in-plan (stored-state
+    # derivation) PLUS the delta probe and star fold, so it regression-
+    # tracks a superset of the same plan at the operational 100 TB shape
+    # (recurate a delta, never the corpus). The full-recompute form keeps
+    # its computed oracle and SCALING.json rows; the delta-proportionality
+    # study lives in SCALING.md.
+    "dedup_incremental_apss",
     # round-9 addition: the ExactSubstr hash-first corpus-scale tier
     # (8-byte xxhash64 shuffle keys + raw-gram verify of multi-hash buckets
     # only — identical output, shuffle payload no longer scales with L)

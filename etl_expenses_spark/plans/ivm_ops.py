@@ -341,8 +341,69 @@ def ivm_dim_change_two_level(spark, sf_dir):
 
 @query(
     "ivm_lsh_index_cdc",
-    oracle=None,
-    tags=("ivm", "cdc", "dedup", "lsh", "rows_only"),
+    # Planted-pair RECALL-PROOF oracle (r12 — replaces the golden
+    # literal, the dedup_minhash_lsh shape applied to the CDC pipeline):
+    # every CDC transform is string arithmetic BOTH engines replay
+    # exactly (delete = filter, update = text || ' rev2 marker', insert
+    # twin = text || ' near duplicate copy'), so the oracle rebuilds the
+    # post-CDC corpus in SQL, brute-forces the exact string-shingle
+    # Jaccard of each planted (source, source+10M) pair over it, and
+    # keeps those ≥ 0.5. The output is restricted to planted-pair rows of
+    # ≥80-token sources (J = ns/(ns+≈5-9) ≥ 0.89, where the 16-perm/4-band
+    # catch probability leaves <0.01 expected misses; shorter docs sit in
+    # the J≈0.6 band where the tier's recall is honestly partial — their
+    # discovery stays covered by the maintain==recompute pytest
+    # invariant, not the driver gate). A green row proves the MAINTAINED
+    # index + delta probe found every such pair — including the doubly-
+    # touched docs whose UPDATED text must pair with their insert twin,
+    # which exercises the update path of the maintenance fold end-to-end.
+    oracle=r"""
+        WITH survivors AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 37 = 0
+                        THEN text || ' rev2 marker' ELSE text END AS text
+            FROM documents WHERE doc_id % 41 <> 0),
+        planted AS (
+            SELECT s.doc_id AS src_id, s.doc_id + 10000000 AS tid,
+                   s.text AS stext, d.text || ' near duplicate copy' AS ttext
+            FROM survivors s JOIN documents d ON d.doc_id = s.doc_id
+            WHERE s.doc_id % 43 = 0
+              AND len(list_filter(regexp_split_to_array(trim(d.text), '\s+'),
+                                  x -> x <> '')) >= 80),
+        sh AS (
+            SELECT src_id, tid,
+                   (WITH t AS (SELECT list_filter(
+                                   regexp_split_to_array(trim(stext), '\s+'),
+                                   x -> x <> '') AS tk)
+                    SELECT CASE WHEN len(tk) >= 3
+                                THEN list_transform(range(1, len(tk) - 1),
+                                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                                ELSE [array_to_string(tk, ' ')] END FROM t) AS ssh,
+                   (WITH t AS (SELECT list_filter(
+                                   regexp_split_to_array(trim(ttext), '\s+'),
+                                   x -> x <> '') AS tk)
+                    SELECT CASE WHEN len(tk) >= 3
+                                THEN list_transform(range(1, len(tk) - 1),
+                                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                                ELSE [array_to_string(tk, ' ')] END FROM t) AS tsh
+            FROM planted),
+        ds AS (SELECT src_id, tid, list_distinct(ssh) AS sa,
+                      list_distinct(tsh) AS sb FROM sh)
+        SELECT src_id AS id_a, tid AS id_b,
+               CAST(CAST(
+                   CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                   / GREATEST(CAST(len(sa) + len(sb)
+                                   - len(list_intersect(sa, sb)) AS DOUBLE),
+                              1.0)
+                   AS DECIMAL(18,6)) AS DOUBLE) AS jaccard
+        FROM ds
+        WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+              / GREATEST(CAST(len(sa) + len(sb)
+                              - len(list_intersect(sa, sb)) AS DOUBLE), 1.0)
+              >= 0.5
+        ORDER BY id_a, id_b
+    """,
+    tags=("ivm", "cdc", "dedup", "lsh", "recall"),
 )
 def ivm_lsh_index_cdc(spark, sf_dir):
     """Maintain the MINHASH-LSH NEAR-DUP INDEX under a CDC batch and probe
@@ -356,12 +417,13 @@ def ivm_lsh_index_cdc(spark, sf_dir):
     Deterministic CDC day over documents: doc_id % 41 = 0 → DELETE;
     % 37 = 0 (surviving) → UPDATE (text gains a revision marker);
     % 43 = 0 (surviving) → a NEAR-COPY INSERT under doc_id + 10 000 000 —
-    planted near-duplicates the delta probe must find. Output: the
-    delta-discovered verified pairs. xxhash64 signatures are not
-    SQL-derivable, so the gate is golden-pinned (determinism convention of
-    dedup_minhash_lsh); the maintained-index == full-recompute and
-    delta-pairs == restricted-full-pairs invariants are pinned in
-    tests/test_ivm.py."""
+    planted near-duplicates the delta probe must find. Output (r12): the
+    delta-discovered verified planted pairs over ≥80-token sources, which
+    the oracle brute-forces from the SQL-replayed post-CDC corpus — see
+    the oracle comment for the recall-proof structure; the
+    maintained-index == full-recompute and delta-pairs ==
+    restricted-full-pairs invariants (covering ALL pairs, not just the
+    planted band) are pinned in tests/test_ivm.py."""
     from etl_expenses_spark.operators.dedup import (
         lsh_delta_pairs,
         maintain_lsh_index,
@@ -396,8 +458,17 @@ def ivm_lsh_index_cdc(spark, sf_dir):
 
     new_index = tracked_persist(maintain_lsh_index(index, cdc))
     delta_ids = cdc.filter(F.col("op").isin("I", "U")).select("doc_id")
+    # planted-pair restriction (r12, see oracle comment): sources ≥80
+    # tokens whose (source, source+10M) twin pair the tier must find
+    from etl_expenses_spark.functions.text import tokens
+
+    long_srcs = docs.filter(F.size(tokens("text")) >= 80).select(
+        F.col("doc_id").alias("src_id")
+    )
     return (
         lsh_delta_pairs(new_index, delta_ids, min_jaccard=0.5)
+        .filter(F.col("id_b") == F.col("id_a") + 10_000_000)
+        .join(long_srcs, F.col("id_a") == F.col("src_id"), "left_semi")
         .select(
             "id_a",
             "id_b",

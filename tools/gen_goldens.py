@@ -40,7 +40,6 @@ SF_DIRS = {
 }
 
 GOLDEN_TARGETS = [
-    "ivm_lsh_index_cdc",
     "semantic_dedup_prune",
     "corpus_curation_funnel",
     # r11 conversions (VERDICT r10 #2) — twelve former goldens moved to
@@ -56,12 +55,13 @@ GOLDEN_TARGETS = [
     # planted-corpus RECALL PROOFS against brute-force oracles, the
     # k-means descendants (similarity_cosine_topk_ivf/_pq on the same
     # planted corpus; kmeans_lloyd_refine + embedding_pq_codes as
-    # bound-check oracles asserting the Lloyd/encode guarantees), plus
+    # bound-check oracles asserting the Lloyd/encode guarantees),
     # catalog_inventory (now checked against DuckDB's information_schema
-    # over the same views). The three above are the documented
-    # irreducible remainder (QUERIES.md / COVERAGE.md r12): k-means
-    # cluster CONTENTS (semantic prune / curation funnel) and the
-    # xxhash64-signature CDC delta probe.
+    # over the same views), and ivm_lsh_index_cdc (the CDC transforms are
+    # string arithmetic both engines replay, so the delta probe's planted
+    # pairs carry a brute-force recall-proof oracle). The two above are
+    # the documented irreducible remainder (QUERIES.md / COVERAGE.md r12):
+    # their output rows are k-means cluster CONTENTS.
 ]
 
 _DUCK_TYPES = {

@@ -92,6 +92,9 @@ _EXTRA_SHAPES = [
     "decontaminate_semantic_overlap",  # embedding decontamination gate
     # round-12 non-headline operators:
     "dedup_incremental_apss",          # delta-vs-corpus prefix join + CC fold
+    # rotated out of HEADLINE r12 (its incremental sibling carries the
+    # composition's bench slot) but keeps its scale rows here:
+    "dedup_exact_jaccard_curation",
 ]
 QUERIES_ALL_SCALES = list(dict.fromkeys(list(HEADLINE) + _EXTRA_SHAPES))
 # Iterative / candidate-generation shapes whose synthetic-×10 run costs
