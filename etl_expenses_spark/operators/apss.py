@@ -381,6 +381,7 @@ def allpairs_jaccard_prefix(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 3,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact corpus-wide JACCARD threshold self-join over distinct
     shingle-fingerprint sets — the set-overlap member of the APSS family
@@ -402,19 +403,14 @@ def allpairs_jaccard_prefix(
 
     Scale shape: identical to the cosine tier — posting lists shortened
     exactly where document frequency is high, Σ|posting|² near-linear on
-    Zipf corpora, verify join touches candidates only."""
-    from etl_expenses_spark.functions.text import tokens
-    from etl_expenses_spark.operators.dedup import shingles_of_tokens
+    Zipf corpora, verify join touches candidates only.
 
-    sets = docs.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(
-            F.transform(
-                shingles_of_tokens(tokens(F.col(text_col)), shingle_k),
-                lambda s: F.xxhash64(s),
-            )
-        ).alias("s"),
-    )
+    `sets` lets a caller pass a precomputed (id, s) shingle-set relation
+    (e.g. a persisted slice shared with the delta tier) — tokenization is
+    the dominant stage, so a pipeline running both the stored-state and
+    delta passes over the same corpus should shingle it once."""
+    if sets is None:
+        sets = _shingle_sets(docs, text_col, id_col, shingle_k)
     post = tracked_persist(
         sets.select("id", F.size("s").alias("n"), F.explode("s").alias("e"))
     )
@@ -510,6 +506,8 @@ def allpairs_jaccard_prefix_delta(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 3,
+    corpus_sets: DataFrame | None = None,
+    delta_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard threshold pairs TOUCHING A DELTA BATCH — every pair
     (a, b) with J ≥ t where at least one side is a delta document — with
@@ -528,9 +526,14 @@ def allpairs_jaccard_prefix_delta(
     production (the stored posting/df tables are the index state; here they
     are derived in-plan). Work: Σ_delta-prefix |posting| — proportional to
     |delta| for fixed corpus density, the APSS analog of
-    dedup_incremental_batch's batch×corpus contract."""
-    cs = _shingle_sets(corpus, text_col, id_col, shingle_k)
-    ds = _shingle_sets(delta, text_col, id_col, shingle_k)
+    dedup_incremental_batch's batch×corpus contract.
+
+    `corpus_sets`/`delta_sets` accept precomputed (id, s) relations (the
+    persisted shared shingle pass of dedup_incremental_apss)."""
+    cs = corpus_sets if corpus_sets is not None else _shingle_sets(
+        corpus, text_col, id_col, shingle_k)
+    ds = delta_sets if delta_sets is not None else _shingle_sets(
+        delta, text_col, id_col, shingle_k)
     post_c = cs.select("id", F.size("s").alias("n"), F.explode("s").alias("e"))
     post_d = ds.select("id", F.size("s").alias("n"), F.explode("s").alias("e"))
     post_all = tracked_persist(post_c.unionByName(post_d))

@@ -1173,11 +1173,28 @@ def dedup_incremental_apss(spark, sf_dir):
     )
     from etl_expenses_spark.operators.dedup import connected_components
 
+    from etl_expenses_spark.caching import track
+    from etl_expenses_spark.operators.apss import _shingle_sets
+
     docs = T(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 10 != 9)
     delta = docs.filter(F.col("doc_id") % 10 == 9)
-    # stored state: the corpus's curated cluster map (production: read back)
-    stored_pairs = allpairs_jaccard_prefix(corpus, threshold=0.5)
+    # one shingle pass over the whole table, shared by the stored-state
+    # derivation AND the delta probe (tokenization dominates both; the
+    # shuffle-audit run without sharing re-shingled the corpus twice)
+    sets_all = _shingle_sets(docs, "text", "doc_id", 3).persist()
+    track(sets_all)
+    corpus_sets = sets_all.filter(F.col("id") % 10 != 9)
+    delta_sets = sets_all.filter(F.col("id") % 10 == 9)
+    from etl_expenses_spark.caching import tracked_persist
+
+    # stored state: the corpus's curated cluster map (production: read
+    # back). PERSISTED: connected_components re-reads its edge input once
+    # per BSP round — unpersisted, each round re-ran the whole
+    # prefix-filter join (measured 10 s -> ~7 s at sf0.1)
+    stored_pairs = tracked_persist(
+        allpairs_jaccard_prefix(corpus, threshold=0.5, sets=corpus_sets)
+    )
     stored_cc = connected_components(
         stored_pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
@@ -1185,7 +1202,12 @@ def dedup_incremental_apss(spark, sf_dir):
         F.col("id").alias("src"), F.col("cluster_id").alias("dst")
     )
     # delta step: new pairs only (delta×corpus + delta×delta)
-    new_pairs = allpairs_jaccard_prefix_delta(corpus, delta, threshold=0.5)
+    new_pairs = tracked_persist(
+        allpairs_jaccard_prefix_delta(
+            corpus, delta, threshold=0.5,
+            corpus_sets=corpus_sets, delta_sets=delta_sets,
+        )
+    )
     fold_edges = star.unionByName(
         new_pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
