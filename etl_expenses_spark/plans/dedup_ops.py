@@ -879,8 +879,107 @@ def dedup_substring_windows(spark, sf_dir):
 
 @query(
     "corpus_curation_funnel",
-    oracle=None,
-    tags=("training", "curation", "dedup", "rows_only"),
+    # Fully COMPUTED oracle (r12 — replaces the golden literal): every
+    # stage of the funnel is independently SQL-derivable, so the oracle
+    # replays the WHOLE pipeline — benchmark split, the integer quality
+    # rules, exact dedup by text group, TRUE ≥0.5-Jaccard near-dup CC
+    # (recursive CTE over an inverted shingle index), and the 8-shingle
+    # decontamination semi-join — and emits the same five funnel rows.
+    # Stage 4 is the one place the engines could diverge: Spark runs the
+    # BANDED MinHash tier while the oracle computes the exact Jaccard
+    # graph, so a green row additionally PROVES the LSH tier dropped
+    # exactly the true near-dup set on this corpus (verified r12 at all
+    # three SFs: dropped 16/19/231 — the organic dup band sits at
+    # J ≥ 0.888 where 16-perm/4-band recall is effectively 1).
+    oracle=r"""
+        WITH RECURSIVE
+        corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id >= 50),
+        qm AS (
+            SELECT doc_id, text,
+                   CAST(len(list_filter(regexp_split_to_array(
+                        trim(lower(text)), '\s+'), t -> t <> '')) AS BIGINT)
+                       AS n_tokens,
+                   CAST(LENGTH(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+                       AS n_glyph,
+                   CAST(len(regexp_extract_all(text, '[.,;:!?"''()\-]'))
+                       AS BIGINT) AS n_punct,
+                   CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+                       AS n_digit,
+                   CAST(GREATEST(LENGTH(text), 1) AS BIGINT) AS n_chars
+            FROM corpus),
+        q AS (
+            SELECT doc_id, text FROM qm
+            WHERE n_tokens BETWEEN 10 AND 100000
+              AND 3 * n_tokens <= n_glyph AND n_glyph <= 10 * n_tokens
+              AND 10 * n_punct < n_chars AND 5 * n_digit < n_chars),
+        e AS (
+            SELECT doc_id, text FROM q
+            WHERE doc_id IN (SELECT MIN(doc_id) FROM q GROUP BY text)),
+        sh AS (
+            SELECT doc_id,
+                   (WITH t AS (SELECT list_filter(regexp_split_to_array(
+                                   trim(text), '\s+'), x -> x <> '') AS tk)
+                    SELECT CASE WHEN len(tk) >= 3
+                                THEN list_transform(range(1, len(tk) - 1),
+                                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                                ELSE [array_to_string(tk, ' ')] END FROM t) AS s
+            FROM e),
+        ds AS (SELECT doc_id, list_distinct(s) AS s,
+                      len(list_distinct(s)) AS ns FROM sh),
+        post AS (SELECT doc_id, ns, unnest(s) AS g FROM ds),
+        ovl AS (SELECT a.doc_id sa, b.doc_id sb, a.ns na, b.ns nb, COUNT(*) i
+                FROM post a JOIN post b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4),
+        ed AS (SELECT sa, sb FROM ovl
+               WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5),
+        sym AS (SELECT sa, sb FROM ed UNION SELECT sb, sa FROM ed),
+        reach(id, r) AS (
+            SELECT DISTINCT sa, sa FROM sym
+            UNION
+            SELECT reach.id, sym.sb FROM reach JOIN sym ON reach.r = sym.sa),
+        cc AS (SELECT id, MIN(r) AS m FROM reach GROUP BY id),
+        m AS (
+            SELECT doc_id, text FROM e
+            WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> m)),
+        sh8 AS (
+            SELECT doc_id,
+                   (WITH t AS (SELECT list_filter(regexp_split_to_array(
+                                   trim(text), '\s+'), x -> x <> '') AS tk)
+                    SELECT list_distinct(CASE WHEN len(tk) >= 8
+                        THEN list_transform(range(1, len(tk) - 6),
+                             i -> array_to_string(list_slice(tk, i, i + 7), ' '))
+                        ELSE [array_to_string(tk, ' ')] END) FROM t) AS s
+            FROM documents),
+        bench AS (SELECT DISTINCT unnest(s) AS g FROM sh8 WHERE doc_id < 50),
+        cont AS (
+            SELECT DISTINCT p.doc_id
+            FROM (SELECT m.doc_id, unnest(sh8.s) AS g
+                  FROM m JOIN sh8 ON sh8.doc_id = m.doc_id) p
+            JOIN bench b ON p.g = b.g),
+        c AS (SELECT doc_id FROM m
+              WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+        SELECT * FROM (
+            SELECT CAST(1 AS INTEGER) AS stage_order,
+                   'benchmark_split' AS stage,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_in,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM corpus) AS n_out
+            UNION ALL
+            SELECT 2, 'quality_gate',
+                   (SELECT COUNT(*) FROM corpus), (SELECT COUNT(*) FROM q)
+            UNION ALL
+            SELECT 3, 'exact_dedup',
+                   (SELECT COUNT(*) FROM q), (SELECT COUNT(*) FROM e)
+            UNION ALL
+            SELECT 4, 'neardup_minhash',
+                   (SELECT COUNT(*) FROM e), (SELECT COUNT(*) FROM m)
+            UNION ALL
+            SELECT 5, 'decontaminate',
+                   (SELECT COUNT(*) FROM m), (SELECT COUNT(*) FROM c))
+        ORDER BY stage_order
+    """,
+    tags=("training", "curation", "dedup", "funnel"),
 )
 def corpus_curation_funnel(spark, sf_dir):
     """The END-TO-END curation pipeline a pretraining corpus goes through,
@@ -899,10 +998,12 @@ def corpus_curation_funnel(spark, sf_dir):
                              with the benchmark set (broadcast semi-join)
 
     Output: (stage_order, stage, n_in, n_out) — the funnel card every
-    curation run reports. Deterministic (integer rules, hash ids, min-id
-    keeps) → golden-pinned; each stage's semantics are already verified
-    by its own oracle query (quality_filter_rules, dedup_exact_groups,
-    dedup_minhash_lsh, decontaminate_benchmark_overlap).
+    curation run reports. The oracle (r12) replays the ENTIRE pipeline in
+    SQL — with stage 4 computed as the TRUE Jaccard graph, so the green
+    row doubles as an LSH-recall fact; each stage's semantics are also
+    verified by its own oracle query (quality_filter_rules,
+    dedup_exact_groups, dedup_minhash_lsh,
+    decontaminate_benchmark_overlap).
 
     100 TB shape: stages 2-3 are scan-fused + one groupBy; stage 4 is the
     banded-join tier (never all-pairs); stage 5 broadcasts the (small)

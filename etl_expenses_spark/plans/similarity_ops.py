@@ -840,8 +840,18 @@ def embedding_class_separation(spark, sf_dir):
 
 @query(
     "semantic_dedup_prune",
-    oracle=None,
-    tags=("similarity", "dedup", "semantic", "rows_only"),
+    # Computed oracle (r12 — replaces the golden literal): the planted
+    # exact copies are the ONLY ≥0.92 pairs in the corpus (organic pair
+    # cosines max 0.60 across SFs), so the correct prune decision is a
+    # closed form — every base vector kept, every planted copy dropped —
+    # that the oracle derives from the table. See the docstring for why
+    # this pins the full pipeline, not the cluster contents.
+    oracle="""
+        SELECT vec_id, FALSE AS is_dropped FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000000, TRUE FROM embeddings WHERE vec_id % 20 = 0
+    """,
+    tags=("similarity", "dedup", "semantic"),
 )
 def semantic_dedup_prune(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
@@ -860,18 +870,20 @@ def semantic_dedup_prune(spark, sf_dir):
          comparison affordable),
       4. connected components over dup pairs (BSP min-label), keep the
          component minimum.
-    Output: per-cell prune accounting (members / dropped / kept), the
-    shape a corpus-curation run reports. Deterministic (seeded sampling,
-    min-id keeps) → golden-pinned; component-level keep semantics are
-    property-tested in tests/test_dedup_similarity.py.
-
-    The synthetic embeddings table is near-orthogonal (max in-cell cosine
-    ≈0.51), so semantic duplicates are PLANTED: every 20th vector gets an
-    offset-id exact copy appended before clustering. The copy lands in the
-    same cell (identical vector ⇒ identical assignment), forms a cosine-1.0
-    pair, and min-id keep drops exactly the copy — so n_dropped per cell
-    equals the planted copies that clustered there, a closed-form the
-    golden pins and the pytest property re-derives.
+    Output (r12 — the golden literal retired): the full per-vector PRUNE
+    DECISION (vec_id, is_dropped). The synthetic embeddings table is
+    near-orthogonal (max pair cosine 0.48/0.51/0.60 at the three SFs,
+    measured r12 — far below the 0.92 threshold), so semantic duplicates
+    are PLANTED: every 20th vector gets an offset-id exact copy appended
+    before clustering. The copy lands in the same cell (identical vector
+    ⇒ identical assignment), forms the only ≥0.92 pairs in the corpus,
+    and min-id keep drops exactly the copies — so the decision vector is
+    a closed form the oracle computes from the table (base vectors kept,
+    copies dropped), and a green row proves the whole
+    cluster→in-cell-pairs→CC→keep pipeline reproduced it exactly.
+    Per-cell accounting (members/dropped/kept) stays property-tested in
+    tests/test_dedup_similarity.py — cell CONTENTS remain
+    implementation-defined; the prune decision is not.
 
     100 TB shape: one broadcast assign pass + per-cell pair join (cells
     bound the quadratic term) + log-round CC on the (sparse) dup graph +
@@ -904,17 +916,14 @@ def semantic_dedup_prune(spark, sf_dir):
         dst="id_b",
     )
     dropped = pairs.filter(F.col("id") != F.col("cluster_id")).select(
-        F.col("id").alias("vec_id"), F.lit(1).alias("is_dropped")
+        F.col("id").alias("vec_id"), F.lit(True).alias("dropped")
     )
     return (
         cells.join(dropped, "vec_id", "left")
-        .groupBy("cell")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.sum(F.coalesce("is_dropped", F.lit(0))).cast("long").alias("n_dropped"),
+        .select(
+            "vec_id",
+            F.coalesce("dropped", F.lit(False)).alias("is_dropped"),
         )
-        .withColumn("n_kept", (F.col("n_members") - F.col("n_dropped")).cast("long"))
-        .orderBy("cell")
     )
 
 

@@ -299,7 +299,11 @@ def test_semantic_dedup_prune_drops_exactly_planted_copies(spark):
     every 20th vector; clustering must co-locate each copy with its
     original (identical vector, deterministic assign), the in-cell cosine
     pass must pair them at sim 1.0, and min-id keep must drop exactly the
-    copies — no original ever dropped, accounting exact per cell."""
+    copies — no original ever dropped. (r12: the query emits the
+    per-vector decision vector the computed oracle pins; this property
+    re-derives it independently and keeps the per-cell accounting
+    claim — every decision row present, planted copies and only planted
+    copies dropped.)"""
     from etl_expenses_spark.plans import REGISTRY
     from etl_expenses_spark.sources.readers import load_table
 
@@ -307,12 +311,10 @@ def test_semantic_dedup_prune_drops_exactly_planted_copies(spark):
     out = REGISTRY["semantic_dedup_prune"].build(spark, sf).collect()
     base = load_table(spark, sf, "embeddings")
     n_base = base.count()
-    n_planted = base.filter("vec_id % 20 = 0").count()
-    assert sum(r.n_dropped for r in out) == n_planted
-    assert sum(r.n_members for r in out) == n_base + n_planted
-    for r in out:
-        assert r.n_kept == r.n_members - r.n_dropped
-        assert r.n_dropped <= r.n_members // 2 + 1
+    planted = {r.vec_id + 10_000_000 for r in base.filter("vec_id % 20 = 0").collect()}
+    assert len(out) == n_base + len(planted)
+    dropped = {r.vec_id for r in out if r.is_dropped}
+    assert dropped == planted  # exactly the copies, never an original
 
 
 def test_corpus_curation_funnel_chain_invariants(spark):

@@ -39,29 +39,17 @@ SF_DIRS = {
     "0.01": "/root/testdata/sf0.01",
 }
 
-GOLDEN_TARGETS = [
-    "semantic_dedup_prune",
-    "corpus_curation_funnel",
-    # r11 conversions (VERDICT r10 #2) — twelve former goldens moved to
-    # COMPUTED oracles: the five iterative graph pins (kcore x2, ktruss x2,
-    # LPA) as recursive-CTE replicas, the MMR greedy replay, the BPE
-    # train+segment replay, the sha256 digest featurizer
-    # (multimodal_doc_features), and the four sketch bound checks
-    # (approx_count_distinct_parts, sketch_hll_distinct_users,
-    # hll_sliding_7d_users, agg_percentiles).
-    # r12 conversions (VERDICT r11 #1/#2) — eight more left this list:
-    # the LSH family (dedup_minhash_lsh, dedup_simhash,
-    # dedup_embedding_lsh_pairs, similarity_cosine_topk_lsh) as
-    # planted-corpus RECALL PROOFS against brute-force oracles, the
-    # k-means descendants (similarity_cosine_topk_ivf/_pq on the same
-    # planted corpus; kmeans_lloyd_refine + embedding_pq_codes as
-    # bound-check oracles asserting the Lloyd/encode guarantees),
-    # catalog_inventory (now checked against DuckDB's information_schema
-    # over the same views), and ivm_lsh_index_cdc (the CDC transforms are
-    # string arithmetic both engines replay, so the delta probe's planted
-    # pairs carry a brute-force recall-proof oracle). The two above are
-    # the documented irreducible remainder (QUERIES.md / COVERAGE.md r12):
-    # their output rows are k-means cluster CONTENTS.
+GOLDEN_TARGETS: list[str] = [
+    # EMPTY since r12 — every registered query carries a COMPUTED oracle.
+    # Conversion history: r11 moved twelve goldens (iterative graph pins
+    # as recursive CTEs, MMR/BPE/sha256 replays, four sketch bound
+    # checks); r12 moved the final fourteen — the LSH family + ANN top-k
+    # tiers as planted-corpus RECALL PROOFS, the k-means descendants as
+    # bound checks, catalog_inventory vs information_schema, the CDC
+    # delta probe's planted pairs, the full curation funnel replayed in
+    # SQL (true-Jaccard stage 4), and semantic_dedup_prune's closed-form
+    # decision vector. The tool remains for any future operator whose
+    # output is deterministic but genuinely non-derivable.
 ]
 
 _DUCK_TYPES = {
