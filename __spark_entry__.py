@@ -35,7 +35,7 @@ _PRIORITY = [
     # slot lint-checked harness-safe via tools/check_oracle.py
     # --lint-window). Two blocks:
     #
-    # (1) CHANGED-EVIDENCE block (12): the ten queries whose oracles
+    # (1) CHANGED-EVIDENCE block (13): the twelve queries whose oracles
     #     were converted from golden literals to independent COMPUTED
     #     oracles this round (the LSH family as planted-corpus recall
     #     proofs — minhash/simhash/embedding-pairs/top-k-LSH; the k-means
@@ -47,14 +47,15 @@ _PRIORITY = [
     #     a brute-force recall proof), the r11 post-closing JL projection
     #     (VERDICT r11 #3), and the round-12 addition
     #     dedup_incremental_apss (maintain==recompute curation, VERDICT
-    #     r11 #6).
+    #     r11 #6) and training_sequence_packing (the r12 sequence-packing
+    #     operator, recursive-CTE oracle).
     #
-    # (2) FRESHNESS rotation (38): the queries whose most recent
+    # (2) FRESHNESS rotation (37): the queries whose most recent
     #     hash-green row is oldest (rounds 3-5, computed from the
     #     CORRECTNESS_r*.json history in (round, name) order) — the
     #     regression-guarding re-proof the COVERAGE.md governance policy
     #     prescribes once closure is achieved.
-    # -- block 1: changed evidence (12) --
+    # -- block 1: changed evidence (13) --
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_lsh_pairs",
@@ -67,7 +68,8 @@ _PRIORITY = [
     "embedding_random_projection",
     "dedup_incremental_apss",
     "ivm_lsh_index_cdc",
-    # -- block 2: oldest-evidence freshness rotation (38: r3 8, r4 23, r5 7) --
+    "training_sequence_packing",
+    # -- block 2: oldest-evidence freshness rotation (37: r3 8, r4 23, r5 6) --
     "scd2_customer_segments",
     "sequence_gap_detection",
     "session_windows_30m",
@@ -105,7 +107,6 @@ _PRIORITY = [
     "fuzzy_best_match_dirty_parts",
     "grouping_sets_spend",
     "heavy_hitters_users",
-    "inverted_index_postings",
 ]
 
 

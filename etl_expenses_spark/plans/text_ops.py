@@ -1604,3 +1604,87 @@ def text_nfc_normalize(spark, sf_dir):
         schema="doc_id bigint, cp_before bigint, cp_after bigint, "
         "changed boolean, tail10 string",
     )
+
+
+@query(
+    "training_sequence_packing",
+    # Exact computed oracle: greedy boundary-respecting packing is a
+    # sequential fold, which the oracle replays as a per-group recursive
+    # CTE stepping through the doc_id-ordered rank (working set = one row
+    # per group per step — iterations bounded by the largest group, not
+    # the table). Token counts are the whitespace tokenizer both engines
+    # already share, so the entire assignment is bit-deterministic.
+    oracle=r"""
+        WITH RECURSIVE d AS (
+            SELECT source, doc_id,
+                   CAST(len(list_filter(regexp_split_to_array(trim(text),
+                        '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                       AS rn
+            FROM documents),
+        pack(source, rn, doc_id, n_tokens, bin_id, fill) AS (
+            SELECT source, rn, doc_id, n_tokens,
+                   CAST(0 AS BIGINT), n_tokens
+            FROM d WHERE rn = 1
+            UNION ALL
+            SELECT d.source, d.rn, d.doc_id, d.n_tokens,
+                   CASE WHEN p.fill + d.n_tokens > 512
+                        THEN p.bin_id + 1 ELSE p.bin_id END,
+                   CASE WHEN p.fill + d.n_tokens > 512
+                        THEN d.n_tokens ELSE p.fill + d.n_tokens END
+            FROM pack p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+        SELECT source, doc_id, n_tokens, bin_id,
+               CAST(fill AS BIGINT) AS bin_fill_after
+        FROM pack
+    """,
+    tags=("training", "packing", "text"),
+)
+def training_sequence_packing(spark, sf_dir):
+    """SEQUENCE PACKING for training-data assembly: greedy
+    boundary-respecting fill of fixed token-budget windows (C=512) — the
+    step between a curated corpus and a token-efficient training run.
+    Documents are packed in doc_id order; a doc that would overflow the
+    current window starts a new one, so no document ever straddles a
+    window (no cross-document attention leakage) and padding waste is
+    bounded by the tail of each window. A doc longer than C gets a
+    dedicated window (truncation is the trainer's policy call, not the
+    packer's).
+
+    Scale shape: packing is a SEQUENTIAL fold, so the parallel unit is
+    the SHARD — bins never cross `source` groups, each group packs
+    independently inside one applyInPandas task ordered by doc_id (at
+    100 TB the shard list is the natural partition; the per-task loop is
+    O(shard), the shuffle is one groupBy). Emits the full per-doc
+    assignment (source, doc_id, n_tokens, bin_id, bin_fill_after); the
+    greedy-tightness property (every window break was forced) is pinned
+    in tests/test_text_ops_extra.py."""
+    import pandas as pd
+
+    docs = T(spark, sf_dir, "documents").select(
+        "source", "doc_id", token_count("text").alias("n_tokens")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        bin_ids, fills = [], []
+        bin_id, fill = 0, 0
+        first = True
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if first:
+                bin_id, fill, first = 0, n, False
+            elif fill + n > 512:
+                bin_id, fill = bin_id + 1, n
+            else:
+                fill += n
+            bin_ids.append(bin_id)
+            fills.append(fill)
+        pdf["bin_id"] = pd.Series(bin_ids, dtype="int64")
+        pdf["bin_fill_after"] = pd.Series(fills, dtype="int64")
+        return pdf
+
+    return docs.groupBy("source").applyInPandas(
+        pack,
+        schema="source string, doc_id bigint, n_tokens bigint, "
+        "bin_id bigint, bin_fill_after bigint",
+    )
