@@ -35,7 +35,7 @@ _PRIORITY = [
     # slot lint-checked harness-safe via tools/check_oracle.py
     # --lint-window). Two blocks:
     #
-    # (1) CHANGED-EVIDENCE block (13): the twelve queries whose oracles
+    # (1) CHANGED-EVIDENCE block (16): the twelve queries whose oracles
     #     were converted from golden literals to independent COMPUTED
     #     oracles this round (the LSH family as planted-corpus recall
     #     proofs — minhash/simhash/embedding-pairs/top-k-LSH; the k-means
@@ -47,15 +47,19 @@ _PRIORITY = [
     #     a brute-force recall proof), the r11 post-closing JL projection
     #     (VERDICT r11 #3), and the round-12 addition
     #     dedup_incremental_apss (maintain==recompute curation, VERDICT
-    #     r11 #6) and training_sequence_packing (the r12 sequence-packing
-    #     operator, recursive-CTE oracle).
+    #     r11 #6), training_sequence_packing (the r12 sequence-packing
+    #     operator, recursive-CTE oracle), and training_mixture_rebalance
+    #     (temperature-reweighted language mixture, exact md5-rank
+    #     oracle), plus the final two golden retirements — the curation
+    #     funnel (full five-stage SQL replay, TRUE-Jaccard stage 4) and
+    #     semantic_dedup_prune (closed-form decision vector).
     #
-    # (2) FRESHNESS rotation (37): the queries whose most recent
+    # (2) FRESHNESS rotation (34): the queries whose most recent
     #     hash-green row is oldest (rounds 3-5, computed from the
     #     CORRECTNESS_r*.json history in (round, name) order) — the
     #     regression-guarding re-proof the COVERAGE.md governance policy
     #     prescribes once closure is achieved.
-    # -- block 1: changed evidence (13) --
+    # -- block 1: changed evidence (16) --
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_lsh_pairs",
@@ -69,7 +73,10 @@ _PRIORITY = [
     "dedup_incremental_apss",
     "ivm_lsh_index_cdc",
     "training_sequence_packing",
-    # -- block 2: oldest-evidence freshness rotation (37: r3 8, r4 23, r5 6) --
+    "training_mixture_rebalance",
+    "corpus_curation_funnel",
+    "semantic_dedup_prune",
+    # -- block 2: oldest-evidence freshness rotation (34: r3 8, r4 23, r5 3) --
     "scd2_customer_segments",
     "sequence_gap_detection",
     "session_windows_30m",
@@ -103,10 +110,7 @@ _PRIORITY = [
     "weighted_median_spend",
     "colocated_join_spend_by_segment",
     "except_all_order_lines",
-    "expectations_report_orders",
-    "fuzzy_best_match_dirty_parts",
     "grouping_sets_spend",
-    "heavy_hitters_users",
 ]
 
 

@@ -1688,3 +1688,85 @@ def training_sequence_packing(spark, sf_dir):
         schema="source string, doc_id bigint, n_tokens bigint, "
         "bin_id bigint, bin_fill_after bigint",
     )
+
+
+@query(
+    "training_mixture_rebalance",
+    # Exact computed oracle: quotas are closed-form double arithmetic over
+    # the per-language counts (identical IEEE ops in both engines before
+    # the exact FLOOR), and the selection order is the md5 hex string of
+    # the doc id — both engines produce the identical digest and compare
+    # it lexicographically, so the sampled SET matches bit-for-bit.
+    oracle="""
+        WITH counts AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY lang),
+        w AS (SELECT lang, n, SQRT(CAST(n AS DOUBLE)) AS wt FROM counts),
+        tot AS (SELECT SUM(wt) AS sw, SUM(n) AS total FROM w),
+        quota AS (
+            SELECT lang, n,
+                   CAST(FLOOR(0.6 * CAST(total AS DOUBLE) * wt / sw)
+                        AS BIGINT) AS lang_quota
+            FROM w, tot),
+        ranked AS (
+            SELECT d.lang, d.doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                        PARTITION BY d.lang
+                        ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+                   AS BIGINT) AS sample_rank
+            FROM documents d)
+        SELECT r.lang, r.doc_id, r.sample_rank, q.lang_quota
+        FROM ranked r JOIN quota q USING (lang)
+        WHERE r.sample_rank <= q.lang_quota
+    """,
+    tags=("training", "sampling", "mixture"),
+)
+def training_mixture_rebalance(spark, sf_dir):
+    """TEMPERATURE-REBALANCED MIXTURE SAMPLING (the multilingual-corpus
+    recipe: sample language l with probability ∝ n_l^(1/T); T=2 here, the
+    sqrt rule): the high-resource head is down-weighted and the tail
+    up-weighted relative to natural proportions, under a total budget of
+    60% of the corpus. On this data English holds ~41% of documents but
+    receives ~29% of the sample (the four tail languages rise from ~15%
+    to ~18% each) — the rebalancing a multilingual pretraining run
+    applies before tokenization.
+
+    Selection within each language is the lowest-md5-rank prefix — a
+    deterministic uniform sample that is also INCREMENTAL-FRIENDLY: the
+    hash order is stable under corpus growth, so yesterday's sample is a
+    prefix-superset decision, not a reshuffle. A tail language whose
+    quota exceeds its size contributes everything it has (true
+    upsampling-with-repetition is the trainer's loop, not the sampler's).
+    One groupBy for counts (broadcast back — 5 rows), one window per
+    language partition for ranks; no shuffle grows with the budget.
+    Scale: the quota computation is dimension-sized; the rank window
+    shuffles each doc once on lang."""
+    docs = T(spark, sf_dir, "documents").select("lang", "doc_id")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = counts.select("lang", "n", F.sqrt(F.col("n").cast("double")).alias("wt"))
+    tot = w.agg(
+        F.sum("wt").alias("sw"), F.sum("n").cast("double").alias("total")
+    )
+    quota = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.floor(
+            F.lit(0.6) * F.col("total") * F.col("wt") / F.col("sw")
+        ).cast("bigint").alias("lang_quota"),
+    )
+    from pyspark.sql.window import Window as W
+
+    ranked = docs.select(
+        "lang",
+        "doc_id",
+        F.row_number()
+        .over(
+            W.partitionBy("lang").orderBy(
+                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+            )
+        )
+        .cast("bigint")
+        .alias("sample_rank"),
+    )
+    return ranked.join(F.broadcast(quota), "lang").filter(
+        F.col("sample_rank") <= F.col("lang_quota")
+    ).select("lang", "doc_id", "sample_rank", "lang_quota")

@@ -19,9 +19,9 @@ def test_correctness_window_priority():
     computed oracles (VERDICT r11 #1/#2 need a driver row under each
     computed oracle), the post-closing JL projection (VERDICT r11 #3),
     the r12 addition dedup_incremental_apss, and the
-    recall-proof-converted CDC delta probe, and the new sequence-packing
-    operator (13 slots); block 2 = the 37 oldest-evidence queries (last
-    hash-green r3-r5). Every slot
+    recall-proof-converted CDC delta probe, and the two new training-data
+    operators, and the final two golden retirements (16 slots); block 2 =
+    the 34 oldest-evidence queries (last hash-green r3-r5). Every slot
     must have an oracle — rows-only slots can only ever record
     err:no_oracle and are banned from the window (VERDICT r9 #2)."""
     qs = list(entrymod.queries())
@@ -45,6 +45,9 @@ def test_correctness_window_priority():
         "dedup_incremental_apss",
         "ivm_lsh_index_cdc",
         "training_sequence_packing",
+        "training_mixture_rebalance",
+        "corpus_curation_funnel",
+        "semantic_dedup_prune",
     }
     assert must <= set(window), must - set(window)
     # nothing silently dropped: priority reordering preserves the registry

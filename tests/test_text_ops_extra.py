@@ -97,3 +97,44 @@ def test_sequence_packing_oversize_doc_gets_own_window(spark):
     # 600 -> window 0 (alone, oversize); 10 -> window 1; 600 overflows ->
     # window 2; 10 overflows (fill 600) -> window 3
     assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_mixture_rebalance_shifts_mass_to_tail_languages(spark):
+    """Temperature rebalancing must strictly reduce the head language's
+    share relative to its natural proportion and raise every tail
+    language's, under the 60% budget; the per-language selection must be
+    the md5-rank prefix (stable under growth)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from etl_expenses_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = REGISTRY["training_mixture_rebalance"].build(spark, sf).collect()
+    docs = load_table(spark, sf, "documents")
+    natural = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    total = sum(natural.values())
+    sampled = defaultdict(int)
+    for r in out:
+        sampled[r.lang] += 1
+    n_sample = sum(sampled.values())
+    assert 0.55 * total <= n_sample <= 0.6 * total  # floor() eats a little
+    head = max(natural, key=natural.get)
+    assert sampled[head] / n_sample < natural[head] / total  # head shrinks
+    for lang, n in natural.items():
+        if lang != head:
+            assert sampled[lang] / n_sample > n / total  # every tail grows
+    # hash-prefix property: the selected set per language is exactly the
+    # lowest-md5 ids — recompute independently
+    by_lang_all = defaultdict(list)
+    for r in docs.select("lang", "doc_id").collect():
+        by_lang_all[r.lang].append(r.doc_id)
+    for lang, ids in by_lang_all.items():
+        want = set(
+            sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[
+                : sampled[lang]
+            ]
+        )
+        got = {r.doc_id for r in out if r.lang == lang}
+        assert got == want, lang
