@@ -95,6 +95,10 @@ _EXTRA_SHAPES = [
     # rotated out of HEADLINE r12 (its incremental sibling carries the
     # composition's bench slot) but keeps its scale rows here:
     "dedup_exact_jaccard_curation",
+    # r12 training-data operators (per-shard sequential fold; md5-rank
+    # window sample):
+    "training_sequence_packing",
+    "training_mixture_rebalance",
 ]
 QUERIES_ALL_SCALES = list(dict.fromkeys(list(HEADLINE) + _EXTRA_SHAPES))
 # Iterative / candidate-generation shapes whose synthetic-×10 run costs
