@@ -57,6 +57,11 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
         build.__doc__ = fn.__doc__
         build.__name__ = fn.__name__
+        build.__module__ = fn.__module__
+        # expose the undecorated builder so tools can map a query to its
+        # implementing source files (tools/bench_compare.py sentinel mode
+        # walks the import closure of the plan function's module + body)
+        build.__wrapped__ = fn
         REGISTRY[name] = Query(
             name=name, build=build, oracle=oracle, tags=tags, doc=fn.__doc__ or ""
         )

@@ -448,3 +448,83 @@ def test_bench_compare_day_effect_normalization(tmp_path):
     assert "q3" in out2 and "regressions" in out2, out2
     flagged = [ln for ln in out2.splitlines() if ln.strip().startswith("q")]
     assert len(flagged) == 1, out2  # only the genuine outlier
+
+
+def test_bench_compare_sentinel_flags_uniform_regression():
+    """VERDICT r12 #1 done-bar, half 1: a synthetic UNIFORM 30% regression
+    confined to changed-file queries must be flagged while unchanged-code
+    sentinels pin the day effect — exactly the shift the legacy all-shared
+    median estimator absorbed as drift (r12 measured 1.13x, under its
+    ±15% trip wire)."""
+    import sys as _sys
+
+    _sys.path.insert(0, "tools")
+    import bench_compare
+
+    names = [f"q{i}" for i in range(12)]
+    oq = {n: 1.0 + i * 0.1 for i, n in enumerate(names)}
+    qfiles = {n: ({"pkg/a.py"} if i < 6 else {"pkg/b.py"})
+              for i, n in enumerate(names)}
+    changed = {"pkg/b.py"}
+    # host drift 1.05x on everything; a genuine 1.3x code regression on
+    # top of it for the changed-file half
+    nq = {n: round(oq[n] * (1.05 if i < 6 else 1.05 * 1.3), 4)
+          for i, n in enumerate(names)}
+    r = bench_compare.analyze(oq, nq, qfiles, changed, thr=0.2, floor=0.05)
+    assert r["mode"] == "sentinel"
+    assert sorted(r["sentinels"]) == sorted(names[:6])
+    assert abs(r["day"] - 1.05) < 0.01  # sentinels pin the host drift
+    assert r["uniform_regression"], r  # the 1.3x code shift is NOT absorbed
+    flagged = {k for k, _, _ in r["worse"]}
+    assert flagged == set(names[6:]), flagged  # every changed query flagged
+
+    # control: same drift with NO code regression — nothing flagged, and
+    # the changed-file set sits inside the sentinel band
+    nq2 = {n: round(oq[n] * 1.05, 4) for n in names}
+    r2 = bench_compare.analyze(oq, nq2, qfiles, changed, thr=0.2, floor=0.05)
+    assert not r2["uniform_regression"] and not r2["worse"]
+
+
+def test_bench_compare_sentinel_real_pair_reproduces_drift():
+    """VERDICT r12 #1 done-bar, half 2: on the committed r11→r12 BENCH
+    pair the new estimator derives the day effect from unchanged-code
+    sentinels, attributes the 1.12x whole-run shift to the host (exit 0,
+    no uniform-regression alarm), and labels the two judge-adjudicated
+    noise queries as unchanged-code candidates."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(bench.__file__)
+    tool = os.path.join(repo, "tools", "bench_compare.py")
+    proc = subprocess.run(
+        [sys.executable, tool,
+         os.path.join(repo, "BENCH_r11.json"),
+         os.path.join(repo, "BENCH_r12.json")],
+        capture_output=True, text=True,
+    )
+    out = proc.stdout
+    assert proc.returncode == 0, out + proc.stderr  # drift, not regression
+    assert "SENTINEL" in out, out  # sentinel mode engaged (git + registry)
+    assert "UNIFORM REGRESSION" not in out, out
+    # the r12 judge's adjudication, now visible in the tool itself
+    assert "lm_bigram_rarity" in out and "noise candidate" in out, out
+
+
+def test_bench_compare_query_files_excludes_shared_plumbing():
+    """The query→files map walks the real import closure (plan module +
+    operators it imports) but leaves out all-query plumbing (registry,
+    readers, caching, __init__ re-exports) — a diff there is a caveat,
+    not a sentinel-set wipe."""
+    import sys as _sys
+
+    _sys.path.insert(0, "tools")
+    import bench_compare
+
+    qf = bench_compare.query_files(["dedup_incremental_apss"])
+    files = qf["dedup_incremental_apss"]
+    assert "etl_expenses_spark/plans/similarity_ops.py" in files
+    assert "etl_expenses_spark/operators/apss.py" in files
+    assert "etl_expenses_spark/operators/dedup.py" in files
+    assert not any(f.endswith("__init__.py") for f in files)
+    assert "etl_expenses_spark/plans/registry.py" not in files
+    assert "etl_expenses_spark/sources/readers.py" not in files
