@@ -80,3 +80,29 @@ def work_dir(name: str, sf_dir: str) -> str:
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     return path
+
+
+def state_dir(name: str, sf_dir: str) -> str:
+    """Deterministic per-(artifact, sf) directory that PERSISTS across
+    invocations and sessions — the home of WAP-published stored state
+    (e.g. the incremental-APSS curation tables, VERDICT r12 #2). Unlike
+    ``work_dir`` it is NOT wiped on entry: the whole point is that a later
+    run reads back what an earlier run published, like a warehouse table.
+    Content validity is the caller's contract (fingerprint the source and
+    republish on mismatch); disk usage stays bounded because publishers
+    use ``publish_replace`` + the WAP vacuum, one artifact per tier."""
+    import getpass
+    import os
+    import re
+    import tempfile
+
+    slug = re.sub(r"[^A-Za-z0-9_.-]+", "_", sf_dir.strip("/"))
+    try:
+        user = re.sub(r"[^A-Za-z0-9_.-]+", "_", getpass.getuser())
+    except Exception:  # no passwd entry (containers) — fall back to uid
+        user = f"uid{os.getuid()}"
+    path = os.path.join(
+        tempfile.gettempdir(), f"etl_spark_state_{user}_{name}_{slug}"
+    )
+    os.makedirs(path, exist_ok=True)
+    return path

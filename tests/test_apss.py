@@ -195,3 +195,48 @@ def test_jaccard_prefix_join_equals_bruteforce(spark):
                 want.add((pair[0], pair[1], round(float(f"{jac:.6f}"), 6)))
     assert {(a, b) for a, b, _ in got} == {(a, b) for a, b, _ in want}
     assert got  # non-vacuous: planted near-dups found
+
+
+def test_curation_state_is_a_published_artifact(spark):
+    """VERDICT r12 #2: the incremental-APSS stored state is a WAP-published
+    parquet artifact, not a session cache — a warm call reads back the
+    published tables without republishing, and a changed corpus
+    fingerprint triggers a rebuild (new version) while a stale marker
+    never serves wrong state."""
+    import os
+
+    from etl_expenses_spark.operators.wap import versions
+    from etl_expenses_spark.plans._util import state_dir
+    from etl_expenses_spark.plans.similarity_ops import _curation_state
+
+    sf_dir = SF_DIR
+    root = state_dir("curation_apss", sf_dir)
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)  # force cold
+    docs = load_table(spark, sf_dir, "documents")
+
+    sets1, star1 = _curation_state(spark, docs, sf_dir)
+    assert versions(os.path.join(root, "sets")) == [1]
+    assert versions(os.path.join(root, "star")) == [1]
+    n_sets, n_star = sets1.count(), star1.count()
+    assert n_sets == docs.count() and n_star > 0
+
+    # warm: same fingerprint -> NO republish (version list unchanged)
+    sets2, star2 = _curation_state(spark, docs, sf_dir)
+    assert versions(os.path.join(root, "sets")) == [1]
+    assert sets2.count() == n_sets and star2.count() == n_star
+
+    # corpus change -> fingerprint mismatch -> rebuild publishes anew
+    grown = docs.limit(50).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    ).unionByName(docs)
+    sets3, _ = _curation_state(spark, grown, sf_dir)
+    assert versions(os.path.join(root, "sets")) == [2]
+    assert sets3.count() == n_sets + 50
+
+    # and the original corpus rebuilds again (marker now stale for it)
+    sets4, _ = _curation_state(spark, docs, sf_dir)
+    assert versions(os.path.join(root, "sets")) == [3]
+    assert sets4.count() == n_sets
+    shutil.rmtree(root, ignore_errors=True)  # leave no sf0.001 state behind
