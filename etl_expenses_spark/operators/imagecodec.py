@@ -1,6 +1,6 @@
 """Real image codecs in pure numpy: PPM (P6/P3), PGM (P5), BMP (24-bit
-BI_RGB), baseline JPEG (operators/jpegcodec.py — full T.81 sequential
-decoder + encoder built from the public spec), PNG
+BI_RGB), JPEG (operators/jpegcodec.py — full T.81 sequential AND
+progressive decoder + encoder built from the public spec), PNG
 (operators/pngcodec.py — stdlib-zlib DEFLATE, all five scanline filters
 and color types, 8/16-bit, Adam7; decoder + encoder), and GIF87a/89a
 first-frame (operators/gifcodec.py — variable-width LZW, interlace,
@@ -10,7 +10,7 @@ The container ships no PIL/ffmpeg, but these formats are fully decodable
 with stdlib + numpy, which makes the multimodal image path REAL
 end-to-end: decode → resize → re-encode → feature-extract, all inside
 Arrow-batched ``mapInPandas`` workers (operators/multimodal.py).
-Remaining fallback formats: progressive/arithmetic JPEG, sub-byte-depth
+Remaining fallback formats: arithmetic-coded/12-bit JPEG, sub-byte-depth
 PNG, and the compressed audio/video containers (MP3/AAC, MP4/H.264) that
 genuinely need codec libraries this container lacks.
 

@@ -18,8 +18,17 @@ Everything is deterministic (fixed float64 op order, integer rounding via
 np.round) so decode(encode(x)) is bit-stable across partitionings and
 retries — the contract every other codec in operators/imagecodec.py obeys.
 
-Scope (documented): baseline sequential, 8-bit, Huffman. Progressive
-(SOF2), arithmetic coding, 12-bit, and hierarchical modes raise
+Scope (documented): baseline sequential (SOF0/1) AND progressive (SOF2)
+DCT, 8-bit, Huffman — progressive implements T.81 Annex G spectral
+selection + successive approximation for both DC and AC bands (first and
+refinement passes, EOB runs, restart intervals), with coefficients
+accumulated across scans and one shared reconstruction (dequant → IDCT →
+upsample → YCbCr→RGB). A progressive ENCODER (`encode_jpeg_progressive`)
+emits a libjpeg-style 10-scan script so the roundtrip is testable without
+external codecs; because progressive is an entropy-level reorganization
+of the same quantized coefficients, its decode is bit-identical to the
+baseline decode of the same image — the property the tests pin.
+Arithmetic coding, 12-bit, lossless, and hierarchical modes raise
 ``UnsupportedJpegError`` — callers (operators/multimodal.py) treat that
 exactly like an unknown format and fall back to the deterministic digest
 path, so a mixed corpus never crashes the job.
@@ -279,8 +288,9 @@ def _extend(v: int, t: int) -> int:
 def decode_jpeg(data: bytes) -> np.ndarray:
     """JPEG bytes → (H, W, 3) uint8 RGB (grayscale replicates channels).
 
-    Baseline sequential only; raises UnsupportedJpegError for progressive/
-    arithmetic/12-bit streams and ValueError for corrupt data.
+    Baseline sequential (SOF0/1) and progressive (SOF2) Huffman; raises
+    UnsupportedJpegError for arithmetic/12-bit/lossless/hierarchical
+    streams and ValueError for corrupt data.
     """
     if data[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
@@ -288,6 +298,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None  # (h, w, components)
+    progressive = False
+    prog_coeffs = None  # comp id -> (by, bx, 8, 8) int32, across scans
     restart_interval = 0
     pos = 2
     n = len(data)
@@ -323,7 +335,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(seg[i + 17 : i + 17 + nv])
                 (huff_dc if tc == 0 else huff_ac)[th] = _build_decode_table(bits, vals)
                 i += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline(+ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline(+ext), SOF2 prog
             precision = seg[0]
             if precision != 8:
                 raise UnsupportedJpegError("jpeg: non-8-bit precision")
@@ -336,9 +348,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 tq = seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise UnsupportedJpegError(f"jpeg: SOF{marker - 0xC0} not baseline")
+            raise UnsupportedJpegError(
+                f"jpeg: SOF{marker - 0xC0} not baseline/progressive"
+            )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -350,28 +365,43 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cs = seg[1 + 2 * c]
                 tt = seg[2 + 2 * c]
                 scan.append({"id": cs, "td": tt >> 4, "ta": tt & 0x0F})
-            return _decode_scan(
-                data, pos + seglen, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    data, pos + seglen, frame, scan, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            a = seg[3 + 2 * ns]
+            if prog_coeffs is None:
+                _, _, mcux, mcuy = _mcu_geometry(frame)
+                prog_coeffs = {
+                    c["id"]: np.zeros(
+                        (mcuy * c["v"], mcux * c["h"], 8, 8), dtype=np.int32
+                    )
+                    for c in frame[2]
+                }
+            pos = _decode_progressive_scan(
+                data, pos + seglen, frame, scan, ss, se, a >> 4, a & 0x0F,
+                prog_coeffs, huff_dc, huff_ac, restart_interval,
             )
+            continue  # pos already sits at the next marker
         pos += seglen
+    if prog_coeffs is not None:
+        return _reconstruct(frame, prog_coeffs, qt)
     raise ValueError("jpeg: no scan data")
+
+
+def _mcu_geometry(frame):
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    return hmax, vmax, -(-w // (8 * hmax)), -(-h // (8 * vmax))
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
     h, w, comps = frame
     by_id = {c["id"]: c for c in comps}
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    # per-component coefficient planes (in MCU-padded block grids)
-    planes = {
-        c["id"]: np.zeros(
-            (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64
-        )
-        for c in comps
-    }
+    hmax, vmax, mcux, mcuy = _mcu_geometry(frame)
     coeffs = {
         c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 8, 8), dtype=np.float64)
         for c in comps
@@ -414,13 +444,21 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
                             my * c["v"] + by, mx * c["h"] + bx
                         ] = blk.reshape(8, 8)
             mcu_count += 1
-    # dequantize + IDCT all blocks per component at once (vectorized)
+    return _reconstruct(frame, coeffs, qt)
+
+
+def _reconstruct(frame, coeffs, qt):
+    """Shared back half of both decode modes: per-component dequantize +
+    IDCT (vectorized over all blocks), chroma upsample, crop, color."""
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     out_planes = []
     for c in comps:
         cf = coeffs[c["id"]]
         q = qt[c["tq"]]
         by, bx = cf.shape[:2]
-        blocks = cf.reshape(-1, 8, 8) * q
+        blocks = cf.reshape(-1, 8, 8).astype(np.float64) * q
         spatial = _idct2(blocks) + 128.0
         grid = spatial.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(
             by * 8, bx * 8
@@ -430,7 +468,6 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
         if ry > 1 or rx > 1:
             grid = np.repeat(np.repeat(grid, ry, axis=0), rx, axis=1)
         out_planes.append(grid[:h, :w])
-        planes.pop(c["id"], None)
     if len(out_planes) == 1:
         y = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
         return np.repeat(y[:, :, None], 3, axis=2)
@@ -442,6 +479,197 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------------------- progressive
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Position of the next real marker (not a stuffed 0x00, not RSTn) at
+    or after ``pos`` — the end of a scan's entropy-coded segment."""
+    n = len(data)
+    while pos < n - 1:
+        if data[pos] == 0xFF and data[pos + 1] != 0x00 and not (
+            0xD0 <= data[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_progressive_scan(data, pos, frame, scan, ss, se, ah, al,
+                             coeffs, huff_dc, huff_ac, restart_interval):
+    """One SOS of a progressive frame (T.81 Annex G): a DC or AC spectral
+    band, first pass (Ah=0) or successive-approximation refinement
+    (Ah>0), decoded into the persistent per-component coefficient grids.
+    Returns the stream position of the marker after the entropy data.
+
+    Band/geometry rules (G.2): a DC scan may interleave components in MCU
+    order (covering the MCU-padded block grid); an AC scan carries exactly
+    one component, non-interleaved, over that component's ACTUAL block
+    grid (ceil(comp_size/8)) — padded MCU blocks are only ever coded by
+    interleaved DC scans. Restart intervals reset DC prediction and the
+    EOB run, counted per MCU (interleaved) or per block (otherwise)."""
+    h, w, comps = frame
+    by_id = {c["id"]: c for c in comps}
+    hmax, vmax, mcux, mcuy = _mcu_geometry(frame)
+    br = _BitReader(data, pos)
+    eobrun = 0
+    if ss == 0:  # DC band
+        if se != 0:
+            raise ValueError("jpeg: DC scan with Se != 0")
+        pred = {sc["id"]: 0 for sc in scan}
+
+        def dc_unit(sc, cf, by, bx):
+            if ah == 0:
+                t = _decode_huff(br, huff_dc[sc["td"]])
+                pred[sc["id"]] += _extend(br.read_bits(t), t)
+                cf[by, bx, 0, 0] = pred[sc["id"]] << al
+            elif br.read_bit():
+                cf[by, bx, 0, 0] |= 1 << al
+
+        if len(scan) > 1:  # interleaved: MCU order over the padded grid
+            mcu_count = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and mcu_count == restart_interval:
+                        br.align_to_restart()
+                        pred = {sc["id"]: 0 for sc in scan}
+                        mcu_count = 0
+                    for sc in scan:
+                        c = by_id[sc["id"]]
+                        cf = coeffs[c["id"]]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_unit(sc, cf, my * c["v"] + by,
+                                        mx * c["h"] + bx)
+                    mcu_count += 1
+        else:  # single component: its actual block grid, MCU = one block
+            sc = scan[0]
+            c = by_id[sc["id"]]
+            cf = coeffs[c["id"]]
+            cy, cx = _actual_blocks(frame, c)
+            mcu_count = 0
+            for by in range(cy):
+                for bx in range(cx):
+                    if restart_interval and mcu_count == restart_interval:
+                        br.align_to_restart()
+                        pred = {sc["id"]: 0}
+                        mcu_count = 0
+                    dc_unit(sc, cf, by, bx)
+                    mcu_count += 1
+    else:  # AC band: exactly one component, non-interleaved
+        if len(scan) != 1:
+            raise ValueError("jpeg: interleaved AC scan")
+        sc = scan[0]
+        c = by_id[sc["id"]]
+        tbl = huff_ac[sc["ta"]]
+        cf = coeffs[c["id"]]
+        cy, cx = _actual_blocks(frame, c)
+        mcu_count = 0
+        for by in range(cy):
+            for bx in range(cx):
+                if restart_interval and mcu_count == restart_interval:
+                    br.align_to_restart()
+                    eobrun = 0
+                    mcu_count = 0
+                blk = cf[by, bx].reshape(64)
+                if ah == 0:
+                    eobrun = _ac_first(br, tbl, blk, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine(br, tbl, blk, ss, se, al, eobrun)
+                mcu_count += 1
+    return _next_marker(data, br.pos)
+
+
+def _actual_blocks(frame, c):
+    """(rows, cols) of a component's real block grid — ceil of the
+    downsampled component size over 8 (T.81 A.1.1), NOT the MCU-padded
+    grid non-interleaved scans never cover."""
+    h, w, comps = frame
+    hmax = max(k["h"] for k in comps)
+    vmax = max(k["v"] for k in comps)
+    comp_h = -(-(h * c["v"]) // vmax)
+    comp_w = -(-(w * c["h"]) // hmax)
+    return -(-comp_h // 8), -(-comp_w // 8)
+
+
+def _ac_first(br, tbl, blk, ss, se, al, eobrun):
+    """First pass of an AC band (G.1.2.2): zero-run/size symbols place
+    ``value << Al``; EOBn symbols start a run of end-of-band blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(br, tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            eobrun = (1 << r) - 1  # this block is part of the run
+            if r:
+                eobrun += br.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("jpeg: AC band overflow")
+        blk[ZIGZAG[k]] = _extend(br.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(br, tbl, blk, ss, se, al, eobrun):
+    """Successive-approximation refinement of an AC band (G.1.2.3):
+    one correction bit per already-nonzero coefficient crossed, newly
+    nonzero coefficients appear as ±(1 << Al), and EOB runs carry
+    correction bits through the rest of the band."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(zz):
+        if br.read_bit():
+            v = int(blk[zz])
+            if (v & p1) == 0:
+                blk[zz] = v + (p1 if v >= 0 else m1)
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(br, tbl)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                newval = 0  # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("jpeg: refinement size != 1")
+                newval = p1 if br.read_bit() else m1
+            # advance over r zero-history coefficients, correcting the
+            # nonzero-history ones crossed on the way
+            while k <= se:
+                zz = ZIGZAG[k]
+                if blk[zz] != 0:
+                    correct(zz)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                blk[ZIGZAG[k]] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # correction bits through the rest of the band
+            zz = ZIGZAG[k]
+            if blk[zz] != 0:
+                correct(zz)
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 # ---------------------------------------------------------------- encoder
@@ -539,9 +767,10 @@ def _pad_to(img: np.ndarray, mh: int, mw: int) -> np.ndarray:
     return img
 
 
-def encode_jpeg(rgb: np.ndarray, quality: int = 90, subsample: bool = False) -> bytes:
-    """(H, W, 3) uint8 RGB → baseline JFIF bytes (4:4:4, or 4:2:0 when
-    ``subsample``). Deterministic for identical inputs."""
+def _encode_prep(rgb: np.ndarray, quality: int, subsample: bool) -> dict:
+    """Shared encoder front end (baseline and progressive emit the SAME
+    quantized coefficients — progressive is an entropy-level reordering):
+    color transform, optional 4:2:0 downsample, padding, DCT, quantize."""
     h, w = rgb.shape[:2]
     x = rgb.astype(np.float64)
     r, g, b = x[:, :, 0], x[:, :, 1], x[:, :, 2]
@@ -575,32 +804,21 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 90, subsample: bool = False) -> 
         qz = np.round(coeff).astype(np.int64)
         return qz.reshape(-1, 64)[:, ZIGZAG]  # -> zigzag order per block
 
-    dc_l = _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
-    ac_l = _build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
-    dc_c = _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)
-    ac_c = _build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    return {
+        "h": h, "w": w, "yh": yh, "yv": yv,
+        "ql": ql, "qc": qc,
+        "yzz": quantized_zz(yp, ql2),
+        "cbzz": quantized_zz(cbs, qc2),
+        "crzz": quantized_zz(crs, qc2),
+        "ybw": yp.shape[1] // 8,  # y blocks per padded row
+        "cbw": cbs.shape[1] // 8,
+        "mcux": yp.shape[1] // mw,
+        "mcuy": yp.shape[0] // mh,
+    }
 
-    yzz = quantized_zz(yp, ql2)
-    cbzz = quantized_zz(cbs, qc2)
-    crzz = quantized_zz(crs, qc2)
 
-    ybw = yp.shape[1] // 8  # y blocks per row
-    cbw = cbs.shape[1] // 8
-    mcux = yp.shape[1] // mw
-    mcuy = yp.shape[0] // mh
-
-    bw = _BitWriter()
-    pred = {"y": 0, "cb": 0, "cr": 0}
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for by in range(yv):
-                for bx in range(yh):
-                    idx = (my * yv + by) * ybw + (mx * yh + bx)
-                    pred["y"] = _encode_block(bw, yzz[idx], pred["y"], dc_l, ac_l)
-            cidx = my * cbw + mx
-            pred["cb"] = _encode_block(bw, cbzz[cidx], pred["cb"], dc_c, ac_c)
-            pred["cr"] = _encode_block(bw, crzz[cidx], pred["cr"], dc_c, ac_c)
-    bw.flush()
+def _frame_headers(p: dict, sof_marker: int) -> bytearray:
+    """SOI + APP0/JFIF + DQT×2 + SOFn + the four Annex K DHT segments."""
 
     def dqt(tid: int, tbl: np.ndarray) -> bytes:
         zz = tbl.reshape(64)[ZIGZAG].astype(np.uint8)
@@ -615,19 +833,257 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 90, subsample: bool = False) -> 
         b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x01\x01"
         + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
     )
-    out += dqt(0, ql)
-    out += dqt(1, qc)
-    sof = struct.pack(">BHHB", 8, h, w, 3)
-    sof += bytes([1, (yh << 4) | yv, 0])
+    out += dqt(0, p["ql"])
+    out += dqt(1, p["qc"])
+    sof = struct.pack(">BHHB", 8, p["h"], p["w"], 3)
+    sof += bytes([1, (p["yh"] << 4) | p["yv"], 0])
     sof += bytes([2, 0x11, 1])
     sof += bytes([3, 0x11, 1])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += bytes([0xFF, sof_marker]) + struct.pack(">H", 2 + len(sof)) + sof
     out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
     out += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
     out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
     out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    return out
+
+
+def encode_jpeg(rgb: np.ndarray, quality: int = 90, subsample: bool = False) -> bytes:
+    """(H, W, 3) uint8 RGB → baseline JFIF bytes (4:4:4, or 4:2:0 when
+    ``subsample``). Deterministic for identical inputs."""
+    p = _encode_prep(rgb, quality, subsample)
+    yh, yv = p["yh"], p["yv"]
+    yzz, cbzz, crzz = p["yzz"], p["cbzz"], p["crzz"]
+    ybw, cbw = p["ybw"], p["cbw"]
+    mcux, mcuy = p["mcux"], p["mcuy"]
+
+    dc_l = _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = _build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    bw = _BitWriter()
+    pred = {"y": 0, "cb": 0, "cr": 0}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for by in range(yv):
+                for bx in range(yh):
+                    idx = (my * yv + by) * ybw + (mx * yh + bx)
+                    pred["y"] = _encode_block(bw, yzz[idx], pred["y"], dc_l, ac_l)
+            cidx = my * cbw + mx
+            pred["cb"] = _encode_block(bw, cbzz[cidx], pred["cb"], dc_c, ac_c)
+            pred["cr"] = _encode_block(bw, crzz[cidx], pred["cr"], dc_c, ac_c)
+    bw.flush()
+
+    out = _frame_headers(p, 0xC0)
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
     out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------------ progressive encoder
+
+# libjpeg's default scan script (jcparam.c): DC first at Al=1 interleaved,
+# AC first passes split Y into a 1-5 band then 6-63 (chroma whole-band),
+# then successive-approximation refinements down to Al=0 for every band.
+# Exercises every progressive decode path: spectral selection, DC+AC
+# first, DC+AC refinement, multi-level Y refinement.
+# Rows: (comp, ss, se, ah, al) with comp None = all components (DC scan).
+_PROGRESSIVE_SCRIPT = (
+    (None, 0, 0, 0, 1),
+    (0, 1, 5, 0, 2),
+    (1, 1, 63, 0, 1),
+    (2, 1, 63, 0, 1),
+    (0, 6, 63, 0, 2),
+    (0, 1, 63, 2, 1),
+    (None, 0, 0, 1, 0),
+    (1, 1, 63, 1, 0),
+    (2, 1, 63, 1, 0),
+    (0, 1, 63, 1, 0),
+)
+
+
+def _emit_ac_first_block(bw, blk, tbl, ss, se, al):
+    """First-pass AC band of one block (G.1.2.2 encoder side): values are
+    divided by 2^Al toward zero (sign-magnitude shift, the T.81 point
+    transform for AC); EOB is emitted per block (symbol 0x00 = run of 1)
+    because the Annex K tables carry no EOBn>1 symbols — valid, just less
+    compressed than a tuned-table encoder."""
+    vals = []
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        a = abs(v) >> al
+        vals.append(a if v >= 0 else -a)
+    last = -1
+    for i, v in enumerate(vals):
+        if v:
+            last = i
+    run = 0
+    for i in range(last + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = tbl[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        s = _mag_cat(v)
+        code, length = tbl[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < se - ss:
+        code, length = tbl[0x00]  # EOB
+        bw.write(code, length)
+
+
+def _emit_ac_refine_block(bw, blk, tbl, ss, se, al):
+    """Refinement AC band of one block (G.1.2.3 encoder side, the libjpeg
+    encode_mcu_AC_refine structure with the EOB run flushed per block):
+    newly-nonzero coefficients (|v| >> Al == 1) emit run/size-1 symbols +
+    a sign bit; previously-nonzero ones buffer their correction bit
+    (|v| >> Al) & 1, appended after the next emitted symbol."""
+    absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+    eobpos = -1
+    for i, t in enumerate(absv):
+        if t == 1:
+            eobpos = i
+    run = 0
+    corr: list[int] = []
+    for i, t in enumerate(absv):
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eobpos:
+            code, length = tbl[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+            for b in corr:
+                bw.write(b, 1)
+            corr = []
+        if t > 1:  # already visible at the previous level: correction bit
+            corr.append(t & 1)
+            continue
+        # newly nonzero at this level
+        code, length = tbl[(run << 4) | 1]
+        bw.write(code, length)
+        bw.write(1 if int(blk[ss + i]) >= 0 else 0, 1)
+        for b in corr:
+            bw.write(b, 1)
+        corr = []
+        run = 0
+    if run > 0 or corr:
+        code, length = tbl[0x00]  # EOB (run of 1) + trailing corrections
+        bw.write(code, length)
+        for b in corr:
+            bw.write(b, 1)
+
+
+def encode_jpeg_progressive(
+    rgb: np.ndarray, quality: int = 90, subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W, 3) uint8 RGB → progressive (SOF2) JFIF bytes with the
+    libjpeg-style 10-scan script. Emits the SAME quantized coefficients
+    as ``encode_jpeg`` — progressive is a lossless entropy-level
+    reorganization, so ``decode_jpeg`` of this stream is bit-identical
+    to decoding the baseline stream of the same image (the tested
+    contract). ``restart_interval`` > 0 emits a DRI segment and RSTn
+    markers every that many MCUs (interleaved DC scans) / blocks (all
+    other scans), resetting DC prediction per T.81 — the hook the
+    decoder's progressive restart path is tested through.
+    Deterministic for identical inputs."""
+    p = _encode_prep(rgb, quality, subsample)
+    h, w, yh, yv = p["h"], p["w"], p["yh"], p["yv"]
+    mcux, mcuy = p["mcux"], p["mcuy"]
+
+    dc_l = _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = _build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    def ceil_div(a, b):
+        return -(-a // b)
+
+    # chroma component size = ceil(dim / sampling), per T.81 A.1.1
+    c_acy = ceil_div(ceil_div(h, yv), 8)
+    c_acx = ceil_div(ceil_div(w, yh), 8)
+    # per component: scan id, coefficient rows (padded raster order),
+    # padded blocks-per-row, sampling, tables, actual (non-padded) grid
+    comps = [
+        {"cid": 1, "zz": p["yzz"], "bw": p["ybw"], "h": yh, "v": yv,
+         "dc": dc_l, "ac": ac_l, "td": 0, "ta": 0,
+         "acy": ceil_div(h, 8), "acx": ceil_div(w, 8)},
+        {"cid": 2, "zz": p["cbzz"], "bw": p["cbw"], "h": 1, "v": 1,
+         "dc": dc_c, "ac": ac_c, "td": 1, "ta": 1,
+         "acy": c_acy, "acx": c_acx},
+        {"cid": 3, "zz": p["crzz"], "bw": p["cbw"], "h": 1, "v": 1,
+         "dc": dc_c, "ac": ac_c, "td": 1, "ta": 1,
+         "acy": c_acy, "acx": c_acx},
+    ]
+
+    out = _frame_headers(p, 0xC2)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    for comp_sel, ss, se, ah, al in _PROGRESSIVE_SCRIPT:
+        bw = _BitWriter()
+
+        def maybe_restart(unit_idx: int) -> bool:
+            """Emit RSTn before this unit when a restart group just ended
+            (T.81 E.1.4: marker index cycles 0-7 per scan)."""
+            if not (restart_interval and unit_idx
+                    and unit_idx % restart_interval == 0):
+                return False
+            bw.flush()
+            bw.out += bytes(
+                [0xFF, 0xD0 + ((unit_idx // restart_interval - 1) % 8)]
+            )
+            return True
+
+        if comp_sel is None:  # DC scan, interleaved over the padded grid
+            sos = bytearray([3])
+            for c in comps:
+                sos += bytes([c["cid"], c["td"] << 4])
+            sos += bytes([ss, se, (ah << 4) | al])
+            pred = {c["cid"]: 0 for c in comps}
+            for m in range(mcuy * mcux):
+                if maybe_restart(m):
+                    pred = {c["cid"]: 0 for c in comps}
+                my, mx = divmod(m, mcux)
+                for c in comps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            idx = (my * c["v"] + by) * c["bw"] \
+                                + (mx * c["h"] + bx)
+                            dc = int(c["zz"][idx][0]) >> al
+                            if ah == 0:
+                                diff = dc - pred[c["cid"]]
+                                pred[c["cid"]] = dc
+                                t = _mag_cat(diff)
+                                code, length = c["dc"][t]
+                                bw.write(code, length)
+                                if t:
+                                    bw.write(
+                                        diff if diff >= 0
+                                        else diff + (1 << t) - 1, t)
+                            else:
+                                bw.write(dc & 1, 1)
+        else:  # AC scan: one component, its actual block grid
+            c = comps[comp_sel]
+            sos = bytearray([1, c["cid"], c["ta"]])
+            sos += bytes([ss, se, (ah << 4) | al])
+            for m in range(c["acy"] * c["acx"]):
+                maybe_restart(m)  # per-block EOB flush: no encoder state
+                by, bx = divmod(m, c["acx"])
+                blk = c["zz"][by * c["bw"] + bx]
+                if ah == 0:
+                    _emit_ac_first_block(bw, blk, c["ac"], ss, se, al)
+                else:
+                    _emit_ac_refine_block(bw, blk, c["ac"], ss, se, al)
+        bw.flush()
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + bytes(sos)
+        out += bw.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)

@@ -11,9 +11,10 @@ All three modalities have a REAL decode path for the formats this
 container can parse without binary deps:
 
 - image: PPM (P6/P3), PGM (P5), 24-bit BMP (operators/imagecodec.py),
-  baseline JPEG — a full pure-numpy T.81 sequential decoder + encoder
-  (operators/jpegcodec.py), the one format a 100 TB image corpus cannot
-  avoid — PNG in all five color types, 8/16-bit, both interlace
+  JPEG — a full pure-numpy T.81 decoder + encoder covering BOTH the
+  sequential and progressive (SOF2, spectral selection + successive
+  approximation) profiles (operators/jpegcodec.py), the one format a
+  100 TB image corpus cannot avoid — PNG in all five color types, 8/16-bit, both interlace
   methods (operators/pngcodec.py, stdlib zlib + scanline unfiltering) —
   and GIF87a/89a first-frame (operators/gifcodec.py, variable-width LZW,
   interlace + transparency)
@@ -25,7 +26,7 @@ container can parse without binary deps:
   featurizer
 
 Formats whose *payloads* require a codec library this container lacks
-(progressive/arithmetic JPEG, MP3/AAC, MP4/H.264) still get REAL
+(arithmetic-coded JPEG, MP3/AAC, MP4/H.264) still get REAL
 container-level metadata — duration, resolution, codec fourcc, frame
 count — via the header-only census in operators/containers.py
 (ISO-BMFF box walk, MP3 frame scan, ``probe_media``); their sample
