@@ -469,3 +469,46 @@ def test_wap_publish_replace_snapshots(spark, tmp_path):
     assert {r.id for r in read_as_of(spark, root, c2).collect()} == set(
         range(100, 120)
     )
+
+
+def test_skew_task_study_section_renders_and_rewrites_idempotently(tmp_path):
+    """The straggler-evidence section (VERDICT r12 #5) renders from stored
+    JSON and replaces itself in place — regenerating SHUFFLE.md or re-
+    running the study never duplicates or drops it."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    import skew_task_study as sts
+
+    data = {
+        "fact_rows": 100, "hot_share_pct": 40, "salt_buckets": 16,
+        "asof_bucket_seconds": 604800.0,
+        "arms": [
+            {"arm": "join_plain", "wall_s": 9.0,
+             "worst_stage": {"stage": 1, "tasks": 32, "p50_s": 2.0,
+                             "p99_s": 8.0, "max_s": 8.0, "ratio": 4.0,
+                             "shuffle_read_mb": 100.0},
+             "stages": []},
+            {"arm": "join_salted", "wall_s": 4.0, "worst_stage": None,
+             "stages": []},
+        ],
+        "verdict": "test verdict sentinel",
+    }
+    sec = sts.render_section(data)
+    assert sts.SECTION_MARK in sec and "test verdict sentinel" in sec
+    assert "| join_plain | 9.0 | 32 |" in sec
+    assert "| join_salted | 4.0 | — |" in sec  # missing stage degrades to —
+
+    md = tmp_path / "SHUFFLE.md"
+    md.write_text("# SHUFFLE.md\n\nbody\n")
+    orig_repo = sts.REPO
+    try:
+        sts.REPO = str(tmp_path)
+        sts.rewrite_shuffle_md(data)
+        once = md.read_text()
+        sts.rewrite_shuffle_md(data)
+        twice = md.read_text()
+    finally:
+        sts.REPO = orig_repo
+    assert once == twice  # idempotent replace, not append
+    assert once.count(sts.SECTION_MARK) == 1 and "body" in once
