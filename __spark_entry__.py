@@ -31,86 +31,78 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # registered after the window and is verified by tools/check_oracle.py
 # (the local replica of the same gate) across all scale factors.
 _PRIORITY = [
-    # Round-12 window (rotation rationale + history: COVERAGE.md; every
+    # Round-13 window (rotation rationale + history: COVERAGE.md; every
     # slot lint-checked harness-safe via tools/check_oracle.py
-    # --lint-window). Two blocks:
+    # --lint-window). Two blocks per the governance policy:
     #
-    # (1) CHANGED-EVIDENCE block (16): the twelve queries whose oracles
-    #     were converted from golden literals to independent COMPUTED
-    #     oracles this round (the LSH family as planted-corpus recall
-    #     proofs — minhash/simhash/embedding-pairs/top-k-LSH; the k-means
-    #     descendants — IVF/PQ top-k on the planted corpus, Lloyd
-    #     refinement + PQ encode as bound checks; catalog_inventory vs
-    #     DuckDB's information_schema — VERDICT r11 #1/#2's done-criterion
-    #     needs a driver row under each computed oracle — including the
-    #     CDC delta probe ivm_lsh_index_cdc, whose planted pairs now carry
-    #     a brute-force recall proof), the r11 post-closing JL projection
-    #     (VERDICT r11 #3), and the round-12 addition
-    #     dedup_incremental_apss (maintain==recompute curation, VERDICT
-    #     r11 #6), training_sequence_packing (the r12 sequence-packing
-    #     operator, recursive-CTE oracle), and training_mixture_rebalance
-    #     (temperature-reweighted language mixture, exact md5-rank
-    #     oracle), plus the final two golden retirements — the curation
-    #     funnel (full five-stage SQL replay, TRUE-Jaccard stage 4) and
-    #     semantic_dedup_prune (closed-form decision vector).
+    # (1) CHANGED-EVIDENCE block (3): dedup_incremental_apss (its stored
+    #     state became a WAP-published parquet artifact with a corpus-
+    #     fingerprint commit marker — VERDICT r12 #2 — so the green row
+    #     must re-prove the read-back path), and the two JPEG codec
+    #     queries whose implementing file gained the progressive (SOF2)
+    #     decode path (VERDICT r12 #4): multimodal_jpeg_roundtrip
+    #     (baseline, shared decoder refactored) and the NEW
+    #     multimodal_jpeg_progressive (first driver row).
     #
-    # (2) FRESHNESS rotation (34): the queries whose most recent
-    #     hash-green row is oldest (rounds 3-5, computed from the
+    # (2) FRESHNESS rotation (47): the queries whose most recent
+    #     hash-green driver row is oldest (rounds 5-6, computed from the
     #     CORRECTNESS_r*.json history in (round, name) order) — the
     #     regression-guarding re-proof the COVERAGE.md governance policy
-    #     prescribes once closure is achieved.
-    # -- block 1: changed evidence (16) --
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_lsh_pairs",
-    "similarity_cosine_topk_lsh",
-    "similarity_cosine_topk_ivf",
-    "similarity_cosine_topk_pq",
-    "kmeans_lloyd_refine",
-    "embedding_pq_codes",
-    "catalog_inventory",
-    "embedding_random_projection",
+    #     prescribes once closure is achieved. 20 round-5 rows + the
+    #     first 27 round-6 rows; tpch_q8_market_share and
+    #     warc_record_census are the next-oldest carryovers for r14.
+    # -- block 1: changed evidence (3) --
     "dedup_incremental_apss",
-    "ivm_lsh_index_cdc",
-    "training_sequence_packing",
-    "training_mixture_rebalance",
-    "corpus_curation_funnel",
-    "semantic_dedup_prune",
-    # -- block 2: oldest-evidence freshness rotation (34: r3 8, r4 23, r5 3) --
-    "scd2_customer_segments",
-    "sequence_gap_detection",
-    "session_windows_30m",
-    "snapshot_diff_cdc",
-    "string_regex_functions",
-    "tpch_q21_waiting_supplier",
-    "union_evolved_schemas",
-    "window_range_1h_user_spend",
-    "compaction_plan_documents",
-    "corpus_summary_card",
-    "countmin_user_frequency",
-    "curriculum_quality_bins",
-    "dedup_spans_keep_first",
-    "funnel_view_click_purchase",
-    "gold_denormalized_sales",
-    "growth_accounting_daily",
-    "higher_order_array_ops",
-    "lm_bigram_rarity",
-    "merge_upsert_orders",
-    "pagerank_copurchase",
-    "pps_sample_documents",
-    "prefix_sum_document_bytes",
-    "proportional_budget_allocation",
-    "running_value_resets_on_signup",
-    "sql_exists_and_scalar_subquery",
-    "sql_recursive_month_spine",
-    "tpch_q12_priority_shipmode",
-    "tpch_q3_shipping_priority",
-    "triangle_count_copurchase",
-    "variant_props_rollup",
-    "weighted_median_spend",
-    "colocated_join_spend_by_segment",
-    "except_all_order_lines",
-    "grouping_sets_spend",
+    "multimodal_jpeg_roundtrip",
+    "multimodal_jpeg_progressive",
+    # -- block 2: oldest-evidence freshness rotation (47: r5 20, r6 27) --
+    "expectations_report_orders",
+    "fuzzy_best_match_dirty_parts",
+    "heavy_hitters_users",
+    "inverted_index_postings",
+    "join_salted_skew",
+    "link_prediction_jaccard",
+    "link_prediction_jaccard_capped",
+    "media_tags_census",
+    "merge_evolved_schema_orders",
+    "multimodal_container_census",
+    "multitouch_attribution_credits",
+    "pps_sample_stratified_by_source",
+    "seasonal_naive_backtest",
+    "session_bounce_rate_daily",
+    "sql_lateral_topk_per_group",
+    "theta_retention_daily",
+    "udtf_lateral_word_split",
+    "vocab_coverage_topk",
+    "window_sliding_hourly",
+    "zorder_curve_values",
+    "agg_exact_percentiles",
+    "archive_member_census",
+    "benford_first_digit_screen",
+    "cohort_retention_monthly",
+    "conditional_mapping",
+    "data_drift_monitor",
+    "dataset_split_assign",
+    "event_transition_matrix",
+    "feature_hashing_tokens",
+    "gapfill_daily_user_values",
+    "installment_schedule_expansion",
+    "k_anonymity_report",
+    "multimodal_png_roundtrip",
+    "not_in_null_semantics",
+    "null_safe_join",
+    "pivot_qty_by_status",
+    "pseudonymize_stable_ids",
+    "quality_filter_rules",
+    "rolling_7d_active_users",
+    "text_redact_pii",
+    "theta_weekly_rollup_from_daily",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
 ]
 
 
