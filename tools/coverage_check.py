@@ -140,6 +140,37 @@ def main() -> int:
             f"registry has {n}/{n_oracled} (regenerate with tools/gen_query_index.py)"
         )
 
+    # closing-record single-sourcing (VERDICT r12 #7: the r12 closing
+    # records said both "327/327" and "328/328" across two commits as
+    # operators landed mid-round): in the LATEST closing-record section of
+    # COVERAGE.md, every registry-sweep claim — a "N/N" pair with equal
+    # sides at N >= 100 (the driver window's "50/50" and pytest's
+    # "447 passed / 0 failed" shapes don't match) — and every
+    # "Registry **N queries" claim must equal the live registry size.
+    closings = list(re.finditer(r"#+ Round-\d+ closing record", text))
+    # a closing record followed by a newer "Registered queries: N" line has
+    # been superseded by in-round updates — it is a historical snapshot and
+    # the superseding line already carries the live-count assertion
+    last_count = max(m.start() for m in re.finditer(r"Registered queries: \d+", text)) \
+        if counts else -1
+    if closings and closings[-1].start() > last_count:
+        tail = text[closings[-1].start():]
+        nxt = re.search(r"\n#+ ", tail[1:])
+        section = tail[: nxt.start() + 1] if nxt else tail
+        for a, b in re.findall(r"\b(\d{3,})/(\d{3,})\b", section):
+            if a == b and int(a) != n:
+                problems.append(
+                    f"latest closing record claims a {a}/{b} sweep; the "
+                    f"registry has {n} queries — restate the count once, "
+                    "from the code"
+                )
+        for m2 in re.finditer(r"Registry \*\*(\d+) queries", section):
+            if int(m2.group(1)) != n:
+                problems.append(
+                    f"latest closing record says 'Registry **{m2.group(1)} "
+                    f"queries'; the registry has {n}"
+                )
+
     if problems:
         print("\n".join(problems))
         return 1
