@@ -13,15 +13,13 @@ def test_entry_runs(spark):
 
 
 def test_correctness_window_priority():
-    """The driver records the FIRST 50 queries() entries. Round-12
+    """The driver records the FIRST 50 queries() entries. Round-13
     rotation (COVERAGE.md governance): block 1 = changed evidence — the
-    nine queries whose oracles were converted from golden literals to
-    computed oracles (VERDICT r11 #1/#2 need a driver row under each
-    computed oracle), the post-closing JL projection (VERDICT r11 #3),
-    the r12 addition dedup_incremental_apss, and the
-    recall-proof-converted CDC delta probe, and the two new training-data
-    operators, and the final two golden retirements (16 slots); block 2 =
-    the 34 oldest-evidence queries (last hash-green r3-r5). Every slot
+    incremental-APSS stored state became a WAP-published parquet artifact
+    (VERDICT r12 #2) and the JPEG codec gained the progressive (SOF2)
+    decode path (VERDICT r12 #4: the refactored baseline roundtrip plus
+    the new progressive query's first driver row); block 2 = the 47
+    oldest-evidence queries (last hash-green rounds 5-6). Every slot
     must have an oracle — rows-only slots can only ever record
     err:no_oracle and are banned from the window (VERDICT r9 #2)."""
     qs = list(entrymod.queries())
@@ -30,26 +28,15 @@ def test_correctness_window_priority():
     missing = [n for n in window if n not in os_]
     assert not missing, missing
     must = {
-        # golden -> computed-oracle conversions (r12)
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "dedup_embedding_lsh_pairs",
-        "similarity_cosine_topk_lsh",
-        "similarity_cosine_topk_ivf",
-        "similarity_cosine_topk_pq",
-        "kmeans_lloyd_refine",
-        "embedding_pq_codes",
-        "catalog_inventory",
-        # r11 post-closing addition (VERDICT r11 #3) + r12 addition
-        "embedding_random_projection",
+        # changed evidence (r13): WAP-materialized APSS state + the
+        # progressive-JPEG codec path (shared decoder refactor)
         "dedup_incremental_apss",
-        "ivm_lsh_index_cdc",
-        "training_sequence_packing",
-        "training_mixture_rebalance",
-        "corpus_curation_funnel",
-        "semantic_dedup_prune",
+        "multimodal_jpeg_roundtrip",
+        "multimodal_jpeg_progressive",
     }
     assert must <= set(window), must - set(window)
+    # the window IS the pinned rotation list — no silent drift
+    assert window == entrymod._PRIORITY
     # nothing silently dropped: priority reordering preserves the registry
     assert set(qs) == set(entrymod.REGISTRY if hasattr(entrymod, "REGISTRY") else qs)
     assert len(qs) == len(set(qs))
