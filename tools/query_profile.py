@@ -51,13 +51,21 @@ def profile(name: str, spark, sf_dir: str, n_runs: int) -> None:
     q = REGISTRY[name]
     app = _app_id()
 
+    def cpu_stat():
+        f = open("/proc/stat").readline().split()
+        return list(map(int, f[1:]))
+
     walls = []
+    steals = []
     for i in range(n_runs):
         jobs_before = {j["jobId"] for j in _get(f"/api/v1/applications/{app}/jobs")}
+        c0 = cpu_stat()
         t0 = time.perf_counter()
         q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
         wall = time.perf_counter() - t0
+        c1 = cpu_stat()
         walls.append(wall)
+        steals.append((c1[7] - c0[7]) / 100.0)
     # decompose the LAST run
     jobs = [
         j
@@ -94,10 +102,11 @@ def profile(name: str, spark, sf_dir: str, n_runs: int) -> None:
             inrec += s["inputRecords"]
         rows.append(
             (j["jobId"], dur, nstage, j["numTasks"], tt / 1000.0, inrec, srr,
-             sr, sw)
+             sr, sw, (j.get("description") or j.get("name") or "")[:70])
         )
     med = statistics.median(walls)
-    print(f"\n=== {name}: wall median {med:.3f}s  runs={['%.3f' % w for w in walls]}")
+    print(f"\n=== {name}: wall median {med:.3f}s  runs={['%.3f' % w for w in walls]}"
+          f"  steal_s={['%.1f' % s for s in steals]}")
     print(f"    jobs={len(jobs)} sum(job_dur)={total_job:.3f}s  "
           f"gap(wall-jobs)={walls[-1] - total_job:.3f}s")
     print(f"    {'job':>4} {'dur_s':>7} {'stg':>4} {'tasks':>6} {'tasktime_s':>10}"
@@ -105,7 +114,7 @@ def profile(name: str, spark, sf_dir: str, n_runs: int) -> None:
     for r in rows:
         print(
             f"    {r[0]:>4} {r[1]:>7.3f} {r[2]:>4} {r[3]:>6} {r[4]:>10.2f}"
-            f" {r[5]:>10} {r[6]:>10} {r[7] / 1e6:>9.2f} {r[8] / 1e6:>9.2f}"
+            f" {r[5]:>10} {r[6]:>10} {r[7] / 1e6:>9.2f} {r[8] / 1e6:>9.2f}  {r[9]}"
         )
 
 
@@ -132,7 +141,8 @@ def main() -> int:
     for t in TESTDATA_TABLES:
         load_table(spark, sf_dir, t).count()
     for name in names:
-        spark.sparkContext.setJobDescription(f"profile:{name}")
+        # no setJobDescription: the default job name is the action callsite,
+        # which is what maps a job back to the operator code
         profile(name, spark, sf_dir, n_runs)
     return 0
 
