@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from etl_expenses_spark.caching import bsp_checkpoint, track
 from etl_expenses_spark.functions.text import tokens
+from etl_expenses_spark.scaleout import fan_out
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -110,6 +111,11 @@ def minhash_band_signatures(
     distinct runs before any reuse: array_min is duplicate-insensitive, so
     the minhash is unchanged and downstream consumers read the set as-is."""
     rows_per_band = num_perm // bands
+    # r13: the tokenize→hash→minhash projection is the measured ~100% of
+    # this operator's cost and is compute-bound per row; fan the input out
+    # before it so a narrow scan (one small file / one delta shard) does
+    # not serialize the signature stage on a single task (guide §2.5).
+    df = fan_out(df, id_col)
     tok = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
     th = F.transform("toks", lambda x: F.xxhash64(x))
     n_tok = F.size("toks")

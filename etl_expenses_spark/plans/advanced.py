@@ -8,6 +8,7 @@ from pyspark.sql.window import Window as W
 
 from etl_expenses_spark.plans._util import T, dec, dsum, work_dir
 from etl_expenses_spark.plans.registry import query
+from etl_expenses_spark.scaleout import fan_out
 
 
 @query(
@@ -1707,9 +1708,11 @@ def image_dhash_neardup(spark, sf_dir):
                 imgs.append(encode_ppm(rgb))
             yield pd.DataFrame({"id": ids, "img": imgs})
 
+    # r13: synth+PPM-encode (and the decode/resample/dHash stages above
+    # it) are pure CPU per row and ran as three serial ~1.2 s single-task
+    # stages off the one-file scan; fan out so the codec stack runs wide.
     imgs = (
-        T(spark, sf_dir, "documents")
-        .select("doc_id")
+        fan_out(T(spark, sf_dir, "documents").select("doc_id"), "doc_id")
         .mapInPandas(synth, schema="id bigint, img binary")
     )
     return dhash_neardup_pairs(dhash_bands(imgs), max_hamming=3).orderBy(

@@ -24,6 +24,7 @@ from etl_expenses_spark.operators.dedup import (
 )
 from etl_expenses_spark.plans._util import T
 from etl_expenses_spark.plans.registry import query
+from etl_expenses_spark.scaleout import fan_out
 
 
 @query(
@@ -1010,7 +1011,13 @@ def corpus_curation_funnel(spark, sf_dir):
     benchmark shingle set — the corpus side never shuffles. The funnel
     persists each stage frontier once; counts are branch aggregates
     unioned into one job."""
-    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    # r13: every stage of this funnel (quality regexes, md5, shingle
+    # hashing) is compute-bound per row and chains off this one scan; fan
+    # it out once so the whole persisted frontier chain inherits full
+    # parallelism instead of the single-file scan's one task.
+    docs = fan_out(
+        T(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     n_total = docs
     corpus = docs.filter(F.col("doc_id") >= 50).persist()
     track(corpus)
@@ -1140,8 +1147,11 @@ def dedup_containment_pairs(spark, sf_dir):
 def _winnowing_pairs(spark, sf_dir):
     """Shared implementation: winnowing fingerprint pairs (doc_a < doc_b,
     shared_fps >= 3, common fingerprints seen in > 64 docs dropped)."""
+    # r13: tokenize + per-gram md5 + window minima are compute-bound per
+    # row; fan the single-file documents scan out so the fingerprint stage
+    # uses the whole executor, not one task (profiled 2×0.84 s serial).
     d = (
-        T(spark, sf_dir, "documents")
+        fan_out(T(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
         .select("doc_id", tokens(F.lower(F.col("text"))).alias("toks"))
         .filter(F.size("toks") >= 6)
     )
@@ -1459,10 +1469,14 @@ def dedup_exact_duplicated_spans_hashed(spark, sf_dir):
     re-SCANNED, never shuffled); pass 2 window-counts the recomputed raw
     grams over just the candidate rows. The spans merge is shared with the
     string-keyed form."""
-    docs = (
+    # r13: the per-position substring+xxhash explode is the dominant stage
+    # (profiled 1.8 s on ONE task writing 21.7 MB of shuffle); fan the
+    # scan out so pass 1 and the pass-2 re-scan both run wide.
+    docs = fan_out(
         T(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .filter(F.length("text") >= _SPAN_L)
+        .filter(F.length("text") >= _SPAN_L),
+        "doc_id",
     )
     pos_h = docs.select(
         "doc_id",

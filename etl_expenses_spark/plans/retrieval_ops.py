@@ -24,6 +24,7 @@ from pyspark.sql.window import Window as W
 from etl_expenses_spark.functions.text import tokens
 from etl_expenses_spark.plans._util import T
 from etl_expenses_spark.plans.registry import query
+from etl_expenses_spark.scaleout import fan_out
 
 # DuckDB twin of functions/text.py:tokens over lower(text).
 _D_TOKS = r"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '')"
@@ -154,8 +155,10 @@ def bm25_topk_per_query(spark, sf_dir):
     vocabulary-sized); tf co-partitions with dl on doc_id; top-k is a
     per-query window over an aggregated relation. At 100 TB only tf/dl are
     corpus-sized and they partition by doc_id."""
+    # r13: tokenization + explode is the compute-heavy map stage; fan the
+    # single-file scan out so it does not serialize on one task.
     toks = (
-        T(spark, sf_dir, "documents")
+        fan_out(T(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
         .select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
     )
     from etl_expenses_spark.caching import track
@@ -245,9 +248,11 @@ def lm_bigram_rarity(spark, sf_dir):
     (at 100 TB a trimmed top-K bigram table plays this role); the scoring
     pass re-joins occurrences to the broadcast model and aggregates by
     doc_id — corpus rows shuffle once, on doc_id."""
-    toks = T(spark, sf_dir, "documents").select(
-        "doc_id", tokens(F.lower(F.col("text"))).alias("t")
-    )
+    # r13: same input-parallelism fix as bm25 — the tokenize+zip_with
+    # bigram expansion ran as three ~0.83 s single-task stages.
+    toks = fan_out(
+        T(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    ).select("doc_id", tokens(F.lower(F.col("text"))).alias("t"))
     bigrams = toks.select(
         "doc_id",
         F.explode(

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from etl_expenses_spark.plans._util import T, dec, dsum
 from etl_expenses_spark.plans.registry import query
 from etl_expenses_spark.quality import infer_and_cast, normalize_columns
+from etl_expenses_spark.scaleout import fan_out
 from etl_expenses_spark.sources.readers import TESTDATA_TABLES, register_views
 
 
@@ -1252,9 +1253,12 @@ def avro_roundtrip_orders(spark, sf_dir):
 
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
             "o_orderdate"]
+    # r13: encode+decode is pure CPU per row and the orders file scans as
+    # one task (measured 1.9 s single-threaded); fan out so each task
+    # round-trips its own container file in parallel — the operator is
+    # per-batch by construction, so the split changes nothing semantically.
     return (
-        T(spark, sf_dir, "orders")
-        .select(*cols)
+        fan_out(T(spark, sf_dir, "orders").select(*cols), "o_orderkey")
         .mapInPandas(
             rt,
             schema=(

@@ -35,6 +35,7 @@ from etl_expenses_spark.operators.similarity import (
 )
 from etl_expenses_spark.plans._util import T
 from etl_expenses_spark.plans.registry import query
+from etl_expenses_spark.scaleout import fan_out
 
 
 def _query_vec(spark, sf_dir):
@@ -894,7 +895,7 @@ def semantic_dedup_prune(spark, sf_dir):
     adaptive k, 2.1 s at sf0.1)."""
     from etl_expenses_spark.operators.dedup import connected_components
     from etl_expenses_spark.operators.similarity import (
-        embedding_neardup_pairs_blocked,
+        embedding_neardup_pairs_blocked_gemm,
         ivf_assign_udf,
         train_centroids_sampled,
     )
@@ -903,15 +904,28 @@ def semantic_dedup_prune(spark, sf_dir):
     planted = base.filter(F.col("vec_id") % 20 == 0).select(
         (F.col("vec_id") + 10_000_000).alias("vec_id"), "label", "embedding"
     )
-    emb = base.select("vec_id", "label", "embedding").unionByName(planted)
+    # r13: the assignment UDF below is compute-bound per vector and the
+    # embeddings file scans as ~2 tasks; fan out before it (guide §2.5).
+    emb = fan_out(
+        base.select("vec_id", "label", "embedding").unionByName(planted),
+        "vec_id",
+    )
     k = max(8, base.count() // 512)
     C0 = train_centroids_sampled(base, k=k)
     from etl_expenses_spark.caching import track
 
     cells = emb.withColumn("cell", ivf_assign_udf(C0)(F.col("embedding"))).persist()
     track(cells)
+    # r13 (guide §2.3 "aggregate before you shuffle" / §8 payload
+    # discipline): the in-cell pair stage now uses the GEMM tier — one
+    # applyInPandas per cell computes the |cell|×|cell| Gram matrix with
+    # the SAME dim-by-dim IEEE fold as the pair join (bit-identical sims,
+    # pinned by tests), so each vector crosses the shuffle once instead of
+    # |cell| times and the pair space never transits the Python boundary.
+    # Profiled before: the a⋈b-on-cell join + per-pair Arrow dot ran 2.9 s
+    # on 4 tasks (≤k-way parallel); after: one grouped pass.
     pairs = connected_components(
-        embedding_neardup_pairs_blocked(cells, "cell", threshold=0.92),
+        embedding_neardup_pairs_blocked_gemm(cells, "cell", threshold=0.92),
         src="id_a",
         dst="id_b",
     )
