@@ -22,7 +22,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_expenses_spark.caching import track
-from etl_expenses_spark.scaleout import fan_out
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -398,9 +397,12 @@ def embedding_neardup_pairs_lsh_multiprobe(
     SIGNATURE relation, never the full pairwise space. Candidates still
     carry only ids; vectors re-join for the verified few; precision stays
     1.0 (exact quantized cosine verification, the LSH-tier convention)."""
-    # r13: the per-batch X@P.T signature pass is compute-bound; fan the
-    # (locally one-file) embeddings input out so it runs wide (guide §2.5).
-    embeddings = fan_out(embeddings, id_col)
+    # r13: fan_out was tried here and MEASURED A LOSS (A/B min 2.12 s vs
+    # 1.52 s without, zero-steal windows): the embeddings relation is tiny
+    # (2k rows) and its per-row signature math is light, so the extra
+    # exchange + 32-task scheduling exceeds the single-task work it
+    # parallelizes. At 100 TB the scan is already wide and fan_out would
+    # be an identity — so it buys nothing at either scale. Left out.
     build, probe, sig = _multiprobe_build_probe(
         embeddings, dims, bands, planes_per_band, flip_bits, id_col, vec_col
     )

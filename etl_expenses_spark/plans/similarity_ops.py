@@ -35,7 +35,6 @@ from etl_expenses_spark.operators.similarity import (
 )
 from etl_expenses_spark.plans._util import T
 from etl_expenses_spark.plans.registry import query
-from etl_expenses_spark.scaleout import fan_out
 
 
 def _query_vec(spark, sf_dir):
@@ -904,12 +903,11 @@ def semantic_dedup_prune(spark, sf_dir):
     planted = base.filter(F.col("vec_id") % 20 == 0).select(
         (F.col("vec_id") + 10_000_000).alias("vec_id"), "label", "embedding"
     )
-    # r13: the assignment UDF below is compute-bound per vector and the
-    # embeddings file scans as ~2 tasks; fan out before it (guide §2.5).
-    emb = fan_out(
-        base.select("vec_id", "label", "embedding").unionByName(planted),
-        "vec_id",
-    )
+    # r13: fan_out was tried on this input and MEASURED A LOSS (A/B min
+    # 1.81 s vs 1.35 s without, zero-steal windows) — 2.1k vectors of
+    # light per-row work don't amortize the extra exchange, and at 100 TB
+    # the scan is already wide so fan_out is an identity there. Left out.
+    emb = base.select("vec_id", "label", "embedding").unionByName(planted)
     k = max(8, base.count() // 512)
     C0 = train_centroids_sampled(base, k=k)
     from etl_expenses_spark.caching import track
