@@ -27,6 +27,7 @@ from etl_expenses_spark.operators.prefixsum import (
 )
 from etl_expenses_spark.plans._util import T
 from etl_expenses_spark.plans.registry import query
+from etl_expenses_spark.scaleout import fan_out
 
 
 @query(
@@ -1088,27 +1089,46 @@ def basket_pair_lift(spark, sf_dir):
     pairs co-occurring in an order — the association-rule readout behind
     'frequently bought together'.
 
-    The pair join is WITHIN baskets (equi join on order key, a.item <
-    b.item), so work is Σ|basket|², bounded by basket size — never a
-    cross-item cartesian. Ratios derive from exact counts (wide-decimal
-    numerators before the one double division), so support/confidence/
-    lift are bit-identical across engines. Item-frequency joins broadcast
-    (|items| is small); min-support prunes the tail before they attach.
-    (Measured: persisting the distinct basket-item relation is a LOSS here
-    — the pair self-join already reuses one shuffle via ReusedExchange,
-    and the cache write costs more than the two small re-aggregations.)"""
-    items = (
-        T(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), (F.col("l_partkey") % 64).alias("item"))
-        .distinct()
+    Pairs are expanded WITHIN baskets (r13): one shuffle keyed by order
+    collects each basket's sorted distinct item array (collect_set dedups,
+    replacing the old DISTINCT exchange), and in-basket pairs expand
+    JVM-side from the array — the same basket-array shape as the
+    co-purchase graph builders, two exchanges and a self-join cheaper than
+    the old items⋈items join (guide §2.4; A/B-measured win). Work is still
+    Σ|basket|², bounded by basket size — never a cross-item cartesian.
+    Ratios derive from exact counts (wide-decimal numerators before the
+    one double division), so support/confidence/lift are bit-identical
+    across engines. Item-frequency joins broadcast (|items| is small);
+    min-support prunes the tail before they attach. The basket relation
+    is NOT persisted: all three consumers live in one plan, so the
+    groupBy(ok) exchange is shared via ReusedExchange and a cache write
+    would be pure overhead (A/B-measured, same lesson as the pre-rewrite
+    form)."""
+    baskets = (
+        fan_out(
+            T(spark, sf_dir, "lineitem").select(
+                F.col("l_orderkey").alias("ok"),
+                (F.col("l_partkey") % 64).alias("item"),
+            ),
+            "ok",
+        )
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("item")).alias("bs"))
     )
-    n = items.agg(F.count_distinct("ok").alias("n_baskets"))
-    item_n = items.groupBy("item").agg(F.count("*").alias("cnt"))
-    a = items.alias("a")
-    b = items.alias("b")
+    n = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    item_n = baskets.select(F.explode("bs").alias("item")).groupBy("item").agg(
+        F.count("*").alias("cnt")
+    )
     pairs = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.item") < F.col("b.item")))
-        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(bs, (x, i) -> transform("
+                    "slice(bs, i + 2, size(bs)), y -> struct(x AS item_a, y AS item_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.item_a").alias("item_a"), F.col("p.item_b").alias("item_b"))
         .agg(F.count("*").alias("both_cnt"))
         .filter(F.col("both_cnt") >= 5)
     )

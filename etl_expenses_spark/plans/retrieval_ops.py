@@ -359,7 +359,12 @@ def pagerank_copurchase(spark, sf_dir):
     per-iteration (rank ⋈ degree) join exists at all. This is the standard
     BSP PageRank layout (Pregel-on-dataframes) with the per-round constant
     factors measured down."""
-    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # r13: same-key fan-out as _copurchase_edges — no added exchange, the
+    # partial collect_set leaves the single-task scan (guide §2.4/§2.5).
+    li = fan_out(
+        T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+    )
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("bs")
     )

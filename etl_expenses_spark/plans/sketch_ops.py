@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from etl_expenses_spark.plans._util import T, dec, work_dir
 from etl_expenses_spark.plans.registry import query
+from etl_expenses_spark.scaleout import fan_out
 
 
 def _md5_bucket(col, salt: str, w: int):
@@ -193,7 +194,14 @@ def triangle_count_copurchase(spark, sf_dir):
     list on its endpoints — the standard distributed triangle
     enumeration. The >= 2 common-orders threshold is the edge sparsifier
     that keeps the closing join selective."""
-    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # r13: keyed on the SAME column as the groupBy, so this adds no second
+    # exchange (HashPartitioning(l_orderkey) satisfies the aggregation's
+    # required distribution) — it only moves the partial collect_set off
+    # the single-task one-file scan onto all cores (guide §2.4/§2.5).
+    li = fan_out(
+        T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+    )
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("bs")
     )
@@ -395,7 +403,14 @@ def _copurchase_edges(spark, sf_dir):
     Pairs expand JVM-side from each order's sorted part array (no lineitem
     self-join shuffle). The result is persisted — it feeds three consumers
     (both adjacency directions + the left_anti probe)."""
-    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # r13: keyed on the SAME column as the groupBy, so this adds no second
+    # exchange (HashPartitioning(l_orderkey) satisfies the aggregation's
+    # required distribution) — it only moves the partial collect_set off
+    # the single-task one-file scan onto all cores (guide §2.4/§2.5).
+    li = fan_out(
+        T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+    )
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("bs")
     )
