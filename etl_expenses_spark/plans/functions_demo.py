@@ -15,6 +15,7 @@ from etl_expenses_spark.functions.ids import payment_id
 from etl_expenses_spark.functions.money import currency_of, parse_money
 from etl_expenses_spark.plans._util import T
 from etl_expenses_spark.plans.registry import query
+from etl_expenses_spark.scaleout import fan_out
 
 
 @query(
@@ -161,7 +162,15 @@ def money_parse_roundtrip(spark, sf_dir):
     ('$1234,56' / 'U$S 1234,56') — the `parse_monto` logic at
     `/root/reference/transform_data_bank_pay/lambda_function.py:9-20` as a
     codegen'd expression, round-tripped through the real price column."""
-    li = T(spark, sf_dir, "lineitem")
+    # r13: the parse is regex-heavy per row and the scan plans ~3 tasks;
+    # fan out (projected to the three needed columns first, guide §2.3)
+    # so the string battery runs wide — A/B min 0.65 s vs 1.28 s plain.
+    li = fan_out(
+        T(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_extendedprice"
+        ),
+        "l_orderkey",
+    )
     body = F.translate(
         F.col("l_extendedprice").cast("decimal(18,2)").cast("string"), ".", ","
     )

@@ -2191,8 +2191,6 @@ def skyline_delete_maintenance(spark, sf_dir):
     recompute, the IVM contract). At 100 TB the view is skyband-sized
     (polylog for independent dims); the k-layer build is a one-time cost
     amortized over every subsequent O(|view| + |delta|) fold."""
-    from etl_expenses_spark.caching import tracked_persist
-
     pts = T(spark, sf_dir, "orders").select(
         "o_orderkey",
         (F.col("o_totalprice").cast("decimal(18,2)") * 100)
@@ -2217,7 +2215,12 @@ def skyline_delete_maintenance(spark, sf_dir):
     layers = []
     remaining = base
     for _ in range(kband):
-        lay = tracked_persist(two_phase(remaining))
+        # r13: eager localCheckpoint instead of persist — each layer is
+        # skyband-sized (rows, not MBs), and truncating the lineage here
+        # keeps the final fold's plan from nesting three left_anti chains
+        # that AQE re-optimizes stage by stage (profiled: 1.7 s of driver
+        # gap between 26 jobs with the persist; A/B min 2.70 s vs 2.98 s)
+        lay = two_phase(remaining).localCheckpoint()
         layers.append(lay)
         remaining = remaining.join(
             lay.select("o_orderkey"), "o_orderkey", "left_anti"
