@@ -570,17 +570,26 @@ def allpairs_jaccard_prefix_delta(
         .select(
             F.least("pid", "qid").alias("id_a"),
             F.greatest("pid", "qid").alias("id_b"),
+            # sizes ride the candidate rows through the least/greatest swap
+            # (r13, guide §2.3/§2.4: the batch tier above already did this;
+            # the two post-aggregate sizes joins and the sizes distinct were
+            # three removable exchanges). (na, nb) is functionally
+            # determined by (id_a, id_b), so the distinct/groupBy keys are
+            # unchanged.
+            F.when(F.col("pid") < F.col("qid"), F.col("na"))
+            .otherwise(F.col("nb"))
+            .alias("na"),
+            F.when(F.col("pid") < F.col("qid"), F.col("nb"))
+            .otherwise(F.col("na"))
+            .alias("nb"),
         )
         .distinct()
     )
-    sizes = post_all.select("id", "n").distinct()
     inter = (
         cands.join(post_all.select(F.col("id").alias("id_a"), "e"), "id_a")
         .join(post_all.select(F.col("id").alias("id_b"), "e"), ["id_b", "e"])
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("o"))
-        .join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
     )
     jac = F.col("o").cast("double") / F.greatest(
         (F.col("na") + F.col("nb") - F.col("o")).cast("double"), F.lit(1.0)

@@ -468,6 +468,55 @@ def connected_components(
     return labels.select("id", F.col("lbl").alias("cluster_id"))
 
 
+def star_fold_components(
+    star: DataFrame,
+    pairs: DataFrame,
+    nodes: DataFrame,
+    node_col: str = "id",
+) -> DataFrame:
+    """Components of (star ∪ pairs) computed on the pair-sized
+    REPRESENTATIVE QUOTIENT GRAPH (r13, guide §2.3 — shuffle fewer bytes):
+    ``star`` is a min-labeled cluster map (``src`` member → ``dst`` =
+    component minimum, roots implicit), ``pairs`` is a batch of new edges
+    (``id_a``, ``id_b``), ``nodes`` the universe to label (one column,
+    ``node_col``). Returns ``(node_col, cluster_id)`` for every node —
+    equal to ``connected_components(star ∪ pairs)`` extended with identity
+    labels for untouched nodes (pinned by tests/test_apss.py), but the BSP
+    loop only ever sees O(|pairs|) rep-graph edges, never the corpus-sized
+    star: a new pair (a, b) merges stored components iff it links their
+    representatives rep(a)—rep(b) (rep = stored minimum for members, self
+    otherwise), and since every rep is the MINIMUM of its component and
+    non-members represent themselves, the min label over a merged
+    rep-graph component equals the min over the full merged membership."""
+    rep_map = star.select(F.col("src").alias("_n"), F.col("dst").alias("rep"))
+
+    def to_rep(col: str) -> DataFrame:
+        return rep_map.select(
+            F.col("_n").alias(col), F.col("rep").alias(f"rep_{col}")
+        )
+
+    rep_edges = (
+        pairs.select("id_a", "id_b")
+        .join(to_rep("id_a"), "id_a", "left")
+        .join(to_rep("id_b"), "id_b", "left")
+        .select(
+            F.coalesce("rep_id_a", F.col("id_a")).alias("src"),
+            F.coalesce("rep_id_b", F.col("id_b")).alias("dst"),
+        )
+    )
+    cc_rep = connected_components(rep_edges).withColumnRenamed("id", "rep")
+    return (
+        nodes.select(F.col(node_col))
+        .join(rep_map.withColumnRenamed("_n", node_col), node_col, "left")
+        .select(node_col, F.coalesce("rep", F.col(node_col)).alias("rep"))
+        .join(cc_rep, "rep", "left")
+        .select(
+            node_col,
+            F.coalesce("cluster_id", F.col("rep")).alias("cluster_id"),
+        )
+    )
+
+
 def connected_components_star(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iters: int = 30
 ) -> DataFrame:

@@ -1011,13 +1011,13 @@ def corpus_curation_funnel(spark, sf_dir):
     benchmark shingle set — the corpus side never shuffles. The funnel
     persists each stage frontier once; counts are branch aggregates
     unioned into one job."""
-    # r13: every stage of this funnel (quality regexes, md5, shingle
-    # hashing) is compute-bound per row and chains off this one scan; fan
-    # it out once so the whole persisted frontier chain inherits full
-    # parallelism instead of the single-file scan's one task.
-    docs = fan_out(
-        T(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
-    )
+    # r13: fan_out was tried here (the funnel chains compute-dense stages
+    # off one single-task scan) and MEASURED A LOSS both ways in alternating
+    # near-zero-steal A/B windows (identity 4.50/5.70 s vs fan_out 5.28/7.31
+    # s): the one-time parallelism win on the stage-1 regex pass is repaid
+    # 61× in per-job scheduling overhead, because every downstream frontier
+    # job re-schedules 32 tasks over KB-sized persisted partitions.
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
     n_total = docs
     corpus = docs.filter(F.col("doc_id") >= 50).persist()
     track(corpus)

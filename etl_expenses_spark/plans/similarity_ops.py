@@ -1268,7 +1268,7 @@ def dedup_incremental_apss(spark, sf_dir):
     from etl_expenses_spark.caching import tracked_persist
     from etl_expenses_spark.functions.text import quality_score
     from etl_expenses_spark.operators.apss import allpairs_jaccard_prefix_delta
-    from etl_expenses_spark.operators.dedup import connected_components
+    from etl_expenses_spark.operators.dedup import star_fold_components
 
     docs = T(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 10 != 9)
@@ -1300,17 +1300,14 @@ def dedup_incremental_apss(spark, sf_dir):
             corpus_sets=corpus_sets, delta_sets=delta_sets,
         )
     )
-    fold_edges = star.unionByName(
-        new_pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    )
-    cc = connected_components(fold_edges).withColumnRenamed("id", "doc_id")
-    allcc = (
-        docs.select("doc_id")
-        .join(cc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
-        )
+    # Fold on the REPRESENTATIVE QUOTIENT GRAPH (r13, guide §2.3 — shuffle
+    # fewer bytes): the r12 fold ran CC over star ∪ pairs, re-walking the
+    # WHOLE corpus star every delta; star_fold_components runs the same BSP
+    # loop over the O(|delta pairs|) rep graph with provably identical
+    # labels (operators/dedup.py; equivalence property-tested in
+    # tests/test_apss.py, and the oracle here is the full recompute).
+    allcc = star_fold_components(
+        star, new_pairs, docs.select("doc_id"), node_col="doc_id"
     )
     q = docs.select("doc_id", quality_score("text").alias("quality"))
     w = W.partitionBy("cluster_id")

@@ -240,3 +240,50 @@ def test_curation_state_is_a_published_artifact(spark):
     assert versions(os.path.join(root, "sets")) == [3]
     assert sets4.count() == n_sets
     shutil.rmtree(root, ignore_errors=True)  # leave no sf0.001 state behind
+
+
+def test_star_fold_components_equals_full_cc(spark):
+    """r13 rep-graph fold: star_fold_components over (star, pairs) must
+    equal connected_components(star ∪ pairs) extended with identity labels
+    — on an adversarial fixture where delta pairs CHAIN several stored
+    components together through shared and fresh nodes, and where a delta
+    id is smaller than every stored member of the component it joins."""
+    from etl_expenses_spark.operators.dedup import (
+        connected_components,
+        star_fold_components,
+    )
+
+    # stored components: {10,11,12} min 10; {20,21} min 20; {30,31} min 30;
+    # {40} singleton (no star rows). Star rows are member -> component min.
+    star = spark.createDataFrame(
+        [(11, 10), (12, 10), (21, 20), (31, 30)], "src long, dst long"
+    )
+    # delta pairs: 5 is a NEW node smaller than everything it touches and
+    # chains {20,21}–{30,31} via 21—5, 5—31; 12—40 merges a stored member
+    # (not the rep) with a bare singleton; 99—98 is delta-only.
+    pairs = spark.createDataFrame(
+        [(21, 5), (5, 31), (12, 40), (99, 98)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (10, 11, 12, 20, 21, 30, 31, 40, 5, 98, 99, 77)],
+        "id long",
+    )
+
+    got = {
+        r.id: r.cluster_id
+        for r in star_fold_components(star, pairs, nodes).collect()
+    }
+
+    full_edges = star.unionByName(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    cc = {
+        r.id: r.cluster_id for r in connected_components(full_edges).collect()
+    }
+    want = {r_id: cc.get(r_id, r_id) for r_id in got}
+    assert got == want
+    # spot-check the interesting semantics
+    assert got[20] == got[31] == got[5] == 5  # chained merge, delta id wins
+    assert got[10] == got[40] == 10           # member-side merge keeps min
+    assert got[98] == 98 and got[99] == 98    # delta-only pair
+    assert got[77] == 77                      # untouched node: identity
