@@ -77,3 +77,24 @@ def bsp_checkpoint(df: DataFrame) -> DataFrame:
         spark._jsparkSession.createDataFrame(jdf.javaRDD(), jdf.schema()),
         spark,
     )
+
+
+def bsp_checkpoint_flagged(df: DataFrame, flag_col: str) -> tuple[DataFrame, int]:
+    """``bsp_checkpoint`` plus the count of rows whose boolean ``flag_col``
+    is true, collected as an OBSERVED METRIC during the checkpoint's own
+    materialization job (r13, guide §7.3 driver round-trips): every BSP
+    loop here used to follow each round's eager checkpoint with a separate
+    ``filter(flag).limit(1).count()`` probe action — one extra driver
+    round-trip of pure scheduling cost per round, at every scale. A
+    ``CollectMetrics`` node rides the checkpointed plan instead; the
+    localCheckpoint action populates it, and ``Observation.get`` merely
+    waits for the listener (measured ≤ a few ms, no job). Returns
+    ``(checkpointed df, n_flagged)``."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    ck = bsp_checkpoint(
+        df.observe(obs, F.count_if(F.col(flag_col)).alias("n"))
+    )
+    return ck, int(obs.get["n"])

@@ -21,7 +21,11 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from etl_expenses_spark.caching import bsp_checkpoint, track
+from etl_expenses_spark.caching import (
+    bsp_checkpoint,
+    bsp_checkpoint_flagged,
+    track,
+)
 from etl_expenses_spark.functions.text import tokens
 from etl_expenses_spark.scaleout import fan_out
 
@@ -452,16 +456,15 @@ def connected_components(
         new_lbl = F.least(
             labels["lbl"], F.coalesce(F.col("nbr_min"), labels["lbl"])
         )
-        new_labels = (
+        new_labels, changed = bsp_checkpoint_flagged(
             labels.join(nbr_min, labels["id"] == nbr_min["u"], "left")
             .select(
                 labels["id"],
                 new_lbl.alias("lbl"),
                 (new_lbl < labels["lbl"]).alias("chg"),
-            )
-            .transform(bsp_checkpoint)
+            ),
+            "chg",
         )
-        changed = new_labels.filter("chg").limit(1).count()
         labels = new_labels.drop("chg")
         if changed == 0:
             break

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from etl_expenses_spark.caching import bsp_checkpoint
+from etl_expenses_spark.caching import bsp_checkpoint, bsp_checkpoint_flagged
 
 # Diagnostics for the scale study (tools/graph_scaling_verdict.py): the
 # iterative operators record how many BSP/peel rounds their last run took,
@@ -47,6 +47,26 @@ LAST_STATS: dict[str, int] = {}
 _H_MOD = 1000003
 _H_MUL = 2654435761
 _H_SPACE = 4294967296
+
+
+# H-steps applied per materialization round on the CAPPED k-core path
+# (H is monotone non-increasing per node, so H^k(x) = x ⟺ H(x) = x — the
+# k-step fixed point is the single-step fixed point and exactness is
+# untouched). Wall on the convergence tail is driver round-trips, not
+# compute: each un-checkpointed inner step is recomputed by its consumer
+# (≈2^k−1 evaluations per round) but that work is task-parallel and
+# cap-bounded, while every round saved removes one checkpoint job + one
+# probe job of fixed scheduling cost. Measured at sf0.1 (alternating A/B,
+# 3 samples each): k=2 min 4.71 s, k=3 4.77 s, k=4 4.93 s — the capped
+# co-purchase graph converges in ~8 H-steps, so deeper nesting saves at
+# most one or two round-trips while the recompute and plan depth double;
+# k=2 stays the right point (see OPTIMIZATION_r13.md). Two more measured
+# dead ends recorded so nobody re-tries them: AQE off for the whole query
+# (min 7.76 s vs 4.97 s on) and AQE scope-disabled around just the round
+# loop (min 6.52 s vs 4.86 s) both LOSE — the runtime broadcast conversion
+# AQE applies to each round's est⋈sym join is worth more than the
+# query-stage job overhead it adds.
+_CAPPED_H_STEPS = 2
 
 
 def _hash_rank_col(nbr):
@@ -274,7 +294,7 @@ def kcore_decomposition(
                 est.select(F.col("node").alias("nbr"), F.col("c").alias("c_nbr")),
                 "nbr",
             )
-            new = (
+            new, n_changed = bsp_checkpoint_flagged(
                 nbrv.groupBy("node")
                 .agg(F.collect_list("c_nbr").alias("cs"))
                 .select("node", F.expr(hindex).cast("long").alias("h"))
@@ -284,8 +304,8 @@ def kcore_decomposition(
                     F.least("h", "c").alias("c_new"),
                     (F.least("h", "c") != F.col("c")).alias("changed"),
                 )
-                .select(F.col("node"), F.col("c_new").alias("c"), "changed")
-                .transform(bsp_checkpoint)
+                .select(F.col("node"), F.col("c_new").alias("c"), "changed"),
+                "changed",
             )
         else:
             # two H-steps per materialization round: halves the driver
@@ -307,15 +327,17 @@ def kcore_decomposition(
                     .select("node", F.least("h", "c").alias("c"))
                 )
 
-            new = (
-                one(one(est))
+            stepped = est
+            for _ in range(_CAPPED_H_STEPS):
+                stepped = one(stepped)
+            new, n_changed = bsp_checkpoint_flagged(
+                stepped
                 .join(est.select("node", F.col("c").alias("c_prev")), "node")
                 .select(
                     "node", "c", (F.col("c") != F.col("c_prev")).alias("changed")
-                )
-                .transform(bsp_checkpoint)
+                ),
+                "changed",
             )
-        n_changed = new.filter("changed").limit(1).count()
         est = new.drop("changed")
         if n_changed == 0:
             LAST_STATS["kcore_rounds"] = _round + 1
@@ -428,9 +450,8 @@ def lpa_communities(
                 F.col("lab_new").alias("lab"),
                 (F.col("lab_new") != F.col("lab_old")).alias("changed"),
             )
-            .transform(bsp_checkpoint)
         )
-        n_changed = new.filter("changed").limit(1).count()
+        new, n_changed = bsp_checkpoint_flagged(new, "changed")
         labels = new.drop("changed")
         stable_halves = stable_halves + 1 if n_changed == 0 else 0
         if stable_halves >= 2:  # one full even+odd cycle without movement
@@ -553,14 +574,23 @@ def ktruss_edges(
             .groupBy("lo", "hi")
             .agg(F.count(F.lit(1)).alias("sup"))
         )
-        survivors = (
-            e.join(support, ["lo", "hi"], "left")
-            .filter(F.coalesce(F.col("sup"), F.lit(0)) >= min_support)
-            .select("lo", "hi")
+        # r13: the drop flag rides the peeled relation and is counted as an
+        # observed metric inside the checkpoint job (bsp_checkpoint_flagged)
+        # — the old probe re-joined e against survivors per round, an extra
+        # edge-scale left_anti action every peel. Dropped edges are
+        # materialized alongside survivors for one round (few rows — the
+        # peel's delta) and filtered lazily off the checkpointed leaf.
+        flagged, n_dropped = bsp_checkpoint_flagged(
+            e.join(support, ["lo", "hi"], "left").select(
+                "lo",
+                "hi",
+                (F.coalesce(F.col("sup"), F.lit(0)) < min_support).alias(
+                    "dropped"
+                ),
+            ),
+            "dropped",
         )
-        survivors = bsp_checkpoint(survivors)
-        n_dropped = e.join(survivors, ["lo", "hi"], "left_anti").limit(1).count()
-        e = survivors
+        e = flagged.filter(~F.col("dropped")).select("lo", "hi")
         if n_dropped == 0:
             LAST_STATS["ktruss_rounds"] = _round + 1
             return e.select(F.col("lo").alias("pa"), F.col("hi").alias("pb"))
