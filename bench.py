@@ -315,6 +315,23 @@ def main() -> None:
     # code). One untimed run of the first headline query absorbs them.
     run_once(REGISTRY[HEADLINE[0]], spark, sf_dir)
 
+    # Python-worker warm-up (r14, VERDICT r13 #3): the FIRST pandas-UDF /
+    # applyInPandas stage of a session additionally pays Python worker
+    # daemon spin-up and pandas/pyarrow import on every core — measured
+    # 6-12 s once per session, landing on whichever Arrow-stage query runs
+    # first (allpairs_cosine_prefix_join's recorded bimodality, VERDICT r8
+    # #1). One trivial applyInPandas over a 32-part 1-row-per-part frame
+    # in the UNTIMED warm phase absorbs it — session warm-up, not result
+    # caching: nothing derived from the benched queries or data persists.
+    (
+        spark.range(0, 32, 1, 32)
+        .groupBy("id")
+        .applyInPandas(lambda pdf: pdf, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
     max_ext = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXT", "1.5"))
     timings: dict[str, float] = {}
     ext_cores: dict[str, float] = {}

@@ -12,6 +12,8 @@ eviction pressure.
 
 from __future__ import annotations
 
+from contextlib import contextmanager as _contextmanager
+
 from pyspark.sql import DataFrame
 
 _TRACKED_CACHES: list[DataFrame] = []
@@ -33,6 +35,37 @@ def track(df: DataFrame) -> DataFrame:
 def clear_tracked_caches() -> None:
     while _TRACKED_CACHES:
         _TRACKED_CACHES.pop().unpersist()
+
+
+# Adaptive BSP-state sizing (r14, guide §2 scale-adaptive partitioning):
+# a BSP loop's checkpointed state keeps the FIXED partition count of the
+# plan that produced it (shuffle.partitions-ish) even when the state has
+# collapsed to a few hundred rows — so every subsequent round schedules a
+# full width of no-op tasks (profiled: the curation funnel's CC rounds ran
+# 33-task localCheckpoint jobs with ZERO task time, ~0.24 s of pure
+# scheduling per round). When the materializing job has already counted
+# the rows (the observed-metrics path), the rebuilt leaf is coalesced
+# (narrow, no shuffle) down to ceil(rows / _BSP_ROWS_PER_PARTITION)
+# partitions — identity whenever the state is big enough to deserve its
+# width, so the 100 TB path is untouched.
+_BSP_ROWS_PER_PARTITION = 65536
+
+
+def _rebuild_leaf(ck: DataFrame, rows: int | None = None) -> DataFrame:
+    """Fresh-stats leaf over an already-checkpointed DataFrame's RDD blocks,
+    optionally coalesced to match the observed row count (see above)."""
+    spark = ck.sparkSession
+    jdf = ck._jdf
+    jrdd = jdf.javaRDD()
+    if rows is not None:
+        cur = jrdd.getNumPartitions()
+        want = max(1, min(cur, -(-rows // _BSP_ROWS_PER_PARTITION)))
+        if want < cur:
+            jrdd = jrdd.coalesce(want)
+    return DataFrame(
+        spark._jsparkSession.createDataFrame(jrdd, jdf.schema()),
+        spark,
+    )
 
 
 def bsp_checkpoint(df: DataFrame) -> DataFrame:
@@ -72,11 +105,64 @@ def bsp_checkpoint(df: DataFrame) -> DataFrame:
             "internals do not exist — fall back to df.localCheckpoint() "
             "and bound the loop's round count, or run on a classic session."
         )
-    jdf = ck._jdf
-    return DataFrame(
-        spark._jsparkSession.createDataFrame(jdf.javaRDD(), jdf.schema()),
-        spark,
-    )
+    return _rebuild_leaf(ck)
+
+
+def bsp_checkpoint_sized(df: DataFrame, return_rows: bool = False):
+    """``bsp_checkpoint`` that additionally observes the row count during
+    the checkpoint's own materialization job and coalesces the rebuilt
+    leaf adaptively (r14) — for loop-invariant relations (edge lists,
+    adjacency) whose width every round's joins inherit. With
+    ``return_rows`` the observed count is returned alongside, so a loop
+    can size ITS OWN per-round behavior from the state's true scale."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    ck = df.observe(obs, F.count(F.lit(1)).alias("rows")).localCheckpoint()
+    if not hasattr(ck, "_jdf") or not hasattr(ck.sparkSession, "_jsparkSession"):
+        raise RuntimeError(
+            "bsp_checkpoint_sized requires classic (JVM-local) PySpark — "
+            "see bsp_checkpoint."
+        )
+    rows = int(obs.get["rows"])
+    leaf = _rebuild_leaf(ck, rows)
+    return (leaf, rows) if return_rows else leaf
+
+
+@_contextmanager
+def small_state_rounds(spark, enabled: bool = True):
+    """Scope AQE's post-shuffle coalescing to SIZE-based targeting for a
+    BSP loop whose state is observed tiny (r14, guide §2 scale-adaptive
+    partitioning).
+
+    AQE's default ``coalescePartitions.parallelismFirst=true`` floors the
+    coalesced partition count at the session's default parallelism, so a
+    loop whose whole state is a few hundred rows still runs every round's
+    shuffle at full session width — profiled on the curation funnel's CC
+    loop as 33-task jobs with ZERO task time, ~0.25 s of pure scheduling
+    each. Inside this scope AQE targets ``advisoryPartitionSizeInBytes``
+    instead, which collapses KB-scale shuffles to one task. Callers must
+    enable it ONLY when the loop's per-round work is proportional to an
+    observed-small state (per-row cost ~constant); compute-dense rounds
+    (k-core H-steps, truss wedge expansion) keep the default. The conf is
+    restored on exit, so surrounding plan execution is untouched."""
+    key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    if not enabled:
+        yield
+        return
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 def bsp_checkpoint_flagged(df: DataFrame, flag_col: str) -> tuple[DataFrame, int]:
@@ -88,13 +174,23 @@ def bsp_checkpoint_flagged(df: DataFrame, flag_col: str) -> tuple[DataFrame, int
     round-trip of pure scheduling cost per round, at every scale. A
     ``CollectMetrics`` node rides the checkpointed plan instead; the
     localCheckpoint action populates it, and ``Observation.get`` merely
-    waits for the listener (measured ≤ a few ms, no job). Returns
+    waits for the listener (measured ≤ a few ms, no job). The same metric
+    row carries the state's total row count, which sizes the rebuilt
+    leaf's partitioning (r14, see _BSP_ROWS_PER_PARTITION). Returns
     ``(checkpointed df, n_flagged)``."""
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     obs = Observation()
-    ck = bsp_checkpoint(
-        df.observe(obs, F.count_if(F.col(flag_col)).alias("n"))
-    )
-    return ck, int(obs.get["n"])
+    ck = df.observe(
+        obs,
+        F.count_if(F.col(flag_col)).alias("n"),
+        F.count(F.lit(1)).alias("rows"),
+    ).localCheckpoint()
+    if not hasattr(ck, "_jdf") or not hasattr(ck.sparkSession, "_jsparkSession"):
+        raise RuntimeError(
+            "bsp_checkpoint_flagged requires classic (JVM-local) PySpark — "
+            "see bsp_checkpoint."
+        )
+    got = obs.get
+    return _rebuild_leaf(ck, int(got["rows"])), int(got["n"])

@@ -22,8 +22,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_expenses_spark.caching import (
+    _BSP_ROWS_PER_PARTITION,
     bsp_checkpoint,
     bsp_checkpoint_flagged,
+    bsp_checkpoint_sized,
+    small_state_rounds,
     track,
 )
 from etl_expenses_spark.functions.text import tokens
@@ -433,41 +436,52 @@ def connected_components(
     materialized flag instead of re-joining new labels against old (one
     fewer shuffle per round).
     """
-    sym = (
+    sym, n_sym = bsp_checkpoint_sized(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
-        # plain: checkpointed once, stats cannot compound (see graph.py)
-        .localCheckpoint()
+        .distinct(),
+        # checkpointed once (stats cannot compound) and SIZED (r14): pair
+        # batches are often tiny relative to the session width, and every
+        # round's join inherits this leaf's task count
+        return_rows=True,
     )
-    # fused round 1: with identity labels, each node's neighbor-min is just
-    # min(neighbor ids) — one groupBy over sym, no join needed yet
-    labels = (
-        sym.groupBy("u")
-        .agg(F.min("v").alias("mv"))
-        .select(F.col("u").alias("id"), F.least("u", "mv").alias("lbl"))
-    ).transform(bsp_checkpoint)
-    for _ in range(max_iters - 1):
-        nbr_min = (
-            sym.join(labels, sym["v"] == labels["id"])
-            .groupBy("u")
-            .agg(F.min("lbl").alias("nbr_min"))
-        )
-        new_lbl = F.least(
-            labels["lbl"], F.coalesce(F.col("nbr_min"), labels["lbl"])
-        )
-        new_labels, changed = bsp_checkpoint_flagged(
-            labels.join(nbr_min, labels["id"] == nbr_min["u"], "left")
-            .select(
-                labels["id"],
-                new_lbl.alias("lbl"),
-                (new_lbl < labels["lbl"]).alias("chg"),
-            ),
-            "chg",
-        )
-        labels = new_labels.drop("chg")
-        if changed == 0:
-            break
+    # r14 (guide §2): min-label rounds do O(|edges|) join+min work — when
+    # the whole edge relation is observed smaller than one healthy
+    # partition, every round's shuffles should run at ONE task, not the
+    # session width; AQE's parallelismFirst floor is scoped off for the
+    # loop's checkpoint jobs (restored on exit). At real graph scale the
+    # scope never activates.
+    with small_state_rounds(
+        sym.sparkSession, enabled=n_sym <= _BSP_ROWS_PER_PARTITION
+    ):
+        # fused round 1: with identity labels, each node's neighbor-min is
+        # just min(neighbor ids) — one groupBy over sym, no join needed yet
+        labels = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select(F.col("u").alias("id"), F.least("u", "mv").alias("lbl"))
+        ).transform(bsp_checkpoint_sized)
+        for _ in range(max_iters - 1):
+            nbr_min = (
+                sym.join(labels, sym["v"] == labels["id"])
+                .groupBy("u")
+                .agg(F.min("lbl").alias("nbr_min"))
+            )
+            new_lbl = F.least(
+                labels["lbl"], F.coalesce(F.col("nbr_min"), labels["lbl"])
+            )
+            new_labels, changed = bsp_checkpoint_flagged(
+                labels.join(nbr_min, labels["id"] == nbr_min["u"], "left")
+                .select(
+                    labels["id"],
+                    new_lbl.alias("lbl"),
+                    (new_lbl < labels["lbl"]).alias("chg"),
+                ),
+                "chg",
+            )
+            labels = new_labels.drop("chg")
+            if changed == 0:
+                break
     return labels.select("id", F.col("lbl").alias("cluster_id"))
 
 

@@ -34,7 +34,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from etl_expenses_spark.caching import bsp_checkpoint, bsp_checkpoint_flagged
+from etl_expenses_spark.caching import (
+    bsp_checkpoint,
+    bsp_checkpoint_flagged,
+    bsp_checkpoint_sized,
+)
 
 # Diagnostics for the scale study (tools/graph_scaling_verdict.py): the
 # iterative operators record how many BSP/peel rounds their last run took,
@@ -260,11 +264,11 @@ def kcore_decomposition(
     # keeps the per-round join from planning around sym's copied stats.
     # Cost: one Row-conversion pass per round's sym scan, ~+0.8 s at
     # sf0.1 — the right trade for the tier this loop is built for.
-    sym = bsp_checkpoint(sym)
+    sym = bsp_checkpoint_sized(sym)
     est = (
         sym.groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .transform(bsp_checkpoint)
+        .transform(bsp_checkpoint_sized)
     )
     # One edge-scale shuffle per H-step (the groupBy): the join picks up
     # sym's pre-made nbr partitioning, the node-sized estimate shuffles
@@ -409,10 +413,10 @@ def lpa_communities(
     # keeps the per-round join from planning around sym's copied stats.
     # Cost: one Row-conversion pass per round's sym scan, ~+0.8 s at
     # sf0.1 — the right trade for the tier this loop is built for.
-    sym = bsp_checkpoint(sym)
+    sym = bsp_checkpoint_sized(sym)
     labels = (
         sym.select("node").distinct().select("node", F.col("node").alias("lab"))
-    ).transform(bsp_checkpoint)
+    ).transform(bsp_checkpoint_sized)
     stable_halves = 0
     for half in range(2 * max_cycles):
         parity = half % 2
@@ -546,7 +550,7 @@ def ktruss_edges(
                 "higher-neighbor pairs land in ONE array row. Pass "
                 "max_degree=<cap> for the mutual-capped lower-bound tier."
             )
-    e = canon.localCheckpoint()  # input leaf: checkpointed once
+    e = bsp_checkpoint_sized(canon)  # input leaf: checkpointed once, sized (r14)
     min_support = k - 2
     for _round in range(max_rounds):
         # oriented adjacency: per-lo sorted arrays of higher neighbors

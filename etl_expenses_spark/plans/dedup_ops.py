@@ -1017,9 +1017,29 @@ def corpus_curation_funnel(spark, sf_dir):
     # s): the one-time parallelism win on the stage-1 regex pass is repaid
     # 61× in per-job scheduling overhead, because every downstream frontier
     # job re-schedules 32 tasks over KB-sized persisted partitions.
+    #
+    # r14 (guide §7.3 / the CollectMetrics pattern r13 established for BSP
+    # convergence): the funnel card needs SIX counts (docs, corpus, q, e,
+    # m, c) that previously materialized as five crossJoined branch
+    # aggregates — ~20 driver-scheduled jobs over the persisted frontiers
+    # AFTER the pipeline itself had already run. Each frontier count now
+    # rides its frame as an observed metric, populated by the SAME jobs
+    # that materialize the pipeline (the CC head checkpoint + one final
+    # count of the decontaminated survivors), and the 5-row card is
+    # assembled from the observations. Row-identical output (oracle-pinned
+    # every round); the five branch-aggregate jobs are gone.
+    from pyspark.sql import Observation
+
+    o_docs, o_corpus, o_q, o_e, o_m = (Observation() for _ in range(5))
+    _cnt = F.count(F.lit(1)).alias("n")
+
     docs = T(spark, sf_dir, "documents").select("doc_id", "text")
-    n_total = docs
-    corpus = docs.filter(F.col("doc_id") >= 50).persist()
+    corpus = (
+        docs.observe(o_docs, _cnt)
+        .filter(F.col("doc_id") >= 50)
+        .observe(o_corpus, _cnt)
+        .persist()
+    )
     track(corpus)
 
     # stage 2: quality gate (same integer rules as quality_filter_rules)
@@ -1036,14 +1056,14 @@ def corpus_curation_funnel(spark, sf_dir):
         & (10 * n_punct < n_chars)
         & (5 * n_digit < n_chars)
     )
-    q = corpus.filter(passes).persist()
+    q = corpus.filter(passes).observe(o_q, _cnt).persist()
     track(q)
 
     # stage 3: exact dedup — keep min doc_id per identical text
     keep_exact = exact_dedup_groups(q).select(
         F.col("canonical_id").alias("doc_id")
     )
-    e = q.join(keep_exact, "doc_id").persist()
+    e = q.join(keep_exact, "doc_id").observe(o_e, _cnt).persist()
     track(e)
 
     # stage 4: near-dup — banded MinHash + exact-Jaccard verify + CC
@@ -1052,7 +1072,7 @@ def corpus_curation_funnel(spark, sf_dir):
     dropped = comp.filter(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias("doc_id")
     )
-    m = e.join(dropped, "doc_id", "left_anti").persist()
+    m = e.join(dropped, "doc_id", "left_anti").observe(o_m, _cnt).persist()
     track(m)
 
     # stage 5: decontamination — any shared 8-shingle with the benchmark
@@ -1077,24 +1097,37 @@ def corpus_curation_funnel(spark, sf_dir):
     )
     c = m.join(contaminated, "doc_id", "left_anti")
 
-    def stage(order, name, fin, fout):
-        return fin.agg(F.count(F.lit(1)).alias("n_in")).crossJoin(
-            fout.agg(F.count(F.lit(1)).alias("n_out"))
-        ).select(
-            F.lit(order).alias("stage_order"),
+    # ONE action drives the whole remaining pipeline: counting the final
+    # survivors materializes m's cache and the stage-5 shingle semi-join,
+    # and fires o_m; o_docs/o_corpus/o_q/o_e were fired by the CC head
+    # checkpoint that materialized those caches. Everything is computed
+    # fresh from the parquet inputs inside THIS build.
+    n_c = c.count()
+    counts = [
+        int(o_docs.get["n"]),
+        int(o_corpus.get["n"]),
+        int(o_q.get["n"]),
+        int(o_e.get["n"]),
+        int(o_m.get["n"]),
+        n_c,
+    ]
+    names = [
+        "benchmark_split",
+        "quality_gate",
+        "exact_dedup",
+        "neardup_minhash",
+        "decontaminate",
+    ]
+    card = None
+    for i, name in enumerate(names):
+        row = spark.range(1).select(
+            F.lit(i + 1).alias("stage_order"),
             F.lit(name).alias("stage"),
-            "n_in",
-            "n_out",
+            F.lit(counts[i]).cast("long").alias("n_in"),
+            F.lit(counts[i + 1]).cast("long").alias("n_out"),
         )
-
-    return (
-        stage(1, "benchmark_split", n_total, corpus)
-        .unionByName(stage(2, "quality_gate", corpus, q))
-        .unionByName(stage(3, "exact_dedup", q, e))
-        .unionByName(stage(4, "neardup_minhash", e, m))
-        .unionByName(stage(5, "decontaminate", m, c))
-        .orderBy("stage_order")
-    )
+        card = row if card is None else card.unionByName(row)
+    return card.orderBy("stage_order")
 
 
 @query(

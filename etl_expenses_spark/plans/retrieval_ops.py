@@ -385,18 +385,25 @@ def pagerank_copurchase(spark, sf_dir):
     edges = e0.select(F.col("pa").alias("s"), F.col("pb").alias("d")).unionAll(
         e0.select(F.col("pb").alias("s"), F.col("pa").alias("d"))
     )
-    from etl_expenses_spark.caching import track
+    from etl_expenses_spark.caching import bsp_checkpoint_sized
 
+    # r14 (guide §2 scale-adaptive partitioning): the co-purchase edge
+    # relation is NODE-community sized (7.1k rows at sf0.1), yet it was
+    # cached at the session's full shuffle width — so every round's
+    # probe-join stage scheduled 32 tasks whose per-task FIXED cost
+    # (codegen compile lock-wait + task setup, profiled ~550 ms run vs
+    # ~190 ms cpu with zero shuffle read and zero GC) dwarfed the per-task
+    # work. A sized checkpoint materializes the same relation once and
+    # coalesces the leaf to ceil(rows/65536) partitions — identity at real
+    # graph scale, where the keyed repartition below still gives each
+    # round's join a reusable layout.
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    edges = edges.repartition(n_shuffle, "s").persist()
-    track(edges)
-    deg = (
+    edges = bsp_checkpoint_sized(edges.repartition(n_shuffle, "s"))
+    deg = bsp_checkpoint_sized(
         edges.groupBy("s")
         .agg(F.count(F.lit(1)).alias("deg"))
         .withColumnRenamed("s", "node")
     )
-    deg = deg.persist()
-    track(deg)
     r = deg.select("node", "deg", F.lit(1000000).cast("long").alias("r"))
     for _ in range(3):
         contrib = r.select(
