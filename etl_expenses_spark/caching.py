@@ -165,7 +165,9 @@ def small_state_rounds(spark, enabled: bool = True):
             spark.conf.set(key, old)
 
 
-def bsp_checkpoint_flagged(df: DataFrame, flag_col: str) -> tuple[DataFrame, int]:
+def bsp_checkpoint_flagged(
+    df: DataFrame, flag_col: str, size_leaf: bool = True
+) -> tuple[DataFrame, int]:
     """``bsp_checkpoint`` plus the count of rows whose boolean ``flag_col``
     is true, collected as an OBSERVED METRIC during the checkpoint's own
     materialization job (r13, guide §7.3 driver round-trips): every BSP
@@ -193,4 +195,7 @@ def bsp_checkpoint_flagged(df: DataFrame, flag_col: str) -> tuple[DataFrame, int
             "see bsp_checkpoint."
         )
     got = obs.get
-    return _rebuild_leaf(ck, int(got["rows"])), int(got["n"])
+    return (
+        _rebuild_leaf(ck, int(got["rows"]) if size_leaf else None),
+        int(got["n"]),
+    )

@@ -264,11 +264,17 @@ def kcore_decomposition(
     # keeps the per-round join from planning around sym's copied stats.
     # Cost: one Row-conversion pass per round's sym scan, ~+0.8 s at
     # sf0.1 — the right trade for the tier this loop is built for.
-    sym = bsp_checkpoint_sized(sym)
+    # r14: leaf SIZING (bsp_checkpoint_sized) was A/B-measured here and on
+    # ktruss — kcore a wash (4.3-4.75 old vs 4.52 new medians), ktruss a
+    # consistent ~0.3 s LOSS: these loops' per-round work (H-step
+    # collect_list / wedge expansion) is real compute that a narrowed leaf
+    # serializes. Full-width checkpoints stay; sizing is reserved for
+    # trivial-per-row loops (connected_components).
+    sym = bsp_checkpoint(sym)
     est = (
         sym.groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .transform(bsp_checkpoint_sized)
+        .transform(bsp_checkpoint)
     )
     # One edge-scale shuffle per H-step (the groupBy): the join picks up
     # sym's pre-made nbr partitioning, the node-sized estimate shuffles
@@ -310,6 +316,7 @@ def kcore_decomposition(
                 )
                 .select(F.col("node"), F.col("c_new").alias("c"), "changed"),
                 "changed",
+                size_leaf=False,
             )
         else:
             # two H-steps per materialization round: halves the driver
@@ -341,6 +348,7 @@ def kcore_decomposition(
                     "node", "c", (F.col("c") != F.col("c_prev")).alias("changed")
                 ),
                 "changed",
+                size_leaf=False,
             )
         est = new.drop("changed")
         if n_changed == 0:
@@ -413,10 +421,10 @@ def lpa_communities(
     # keeps the per-round join from planning around sym's copied stats.
     # Cost: one Row-conversion pass per round's sym scan, ~+0.8 s at
     # sf0.1 — the right trade for the tier this loop is built for.
-    sym = bsp_checkpoint_sized(sym)
+    sym = bsp_checkpoint(sym)
     labels = (
         sym.select("node").distinct().select("node", F.col("node").alias("lab"))
-    ).transform(bsp_checkpoint_sized)
+    ).transform(bsp_checkpoint)
     stable_halves = 0
     for half in range(2 * max_cycles):
         parity = half % 2
@@ -455,7 +463,7 @@ def lpa_communities(
                 (F.col("lab_new") != F.col("lab_old")).alias("changed"),
             )
         )
-        new, n_changed = bsp_checkpoint_flagged(new, "changed")
+        new, n_changed = bsp_checkpoint_flagged(new, "changed", size_leaf=False)
         labels = new.drop("changed")
         stable_halves = stable_halves + 1 if n_changed == 0 else 0
         if stable_halves >= 2:  # one full even+odd cycle without movement
@@ -550,7 +558,7 @@ def ktruss_edges(
                 "higher-neighbor pairs land in ONE array row. Pass "
                 "max_degree=<cap> for the mutual-capped lower-bound tier."
             )
-    e = bsp_checkpoint_sized(canon)  # input leaf: checkpointed once, sized (r14)
+    e = canon.localCheckpoint()  # input leaf: checkpointed once
     min_support = k - 2
     for _round in range(max_rounds):
         # oriented adjacency: per-lo sorted arrays of higher neighbors
@@ -593,6 +601,7 @@ def ktruss_edges(
                 ),
             ),
             "dropped",
+            size_leaf=False,
         )
         e = flagged.filter(~F.col("dropped")).select("lo", "hi")
         if n_dropped == 0:
